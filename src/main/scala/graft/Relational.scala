@@ -1,0 +1,643 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface: one entry per operator family from SURVEY.md §2
+  * (joins, aggregation, subqueries, set ops, windows, sorts/limits,
+  * expressions). Each query has a DuckDB oracle in [[Relational.oracles]]
+  * with identical output column names (the driver sorts columns by name
+  * before hashing). Double-typed aggregates are rounded on BOTH sides so
+  * summation-order ulp noise cannot flip the hash.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def ts(v: String): Column = lit(v).cast("timestamp")
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5 aggregation: TPC-H Q1 pricing summary (scan + group + 8 aggs)
+    "q01_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // §2.4 implicit-join SPJ flagship (SURVEY §7.2): 4 tables, 3 join edges
+    "q02_flagship_spj" -> { (s, dir) =>
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val n = t(s, dir, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("order_cnt"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    },
+
+    // §2.7 top-k: join + group + order + limit (TPC-H Q3 shape)
+    "q03_topk_revenue" -> { (s, dir) =>
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") < ts("1996-03-15 00:00:00") &&
+          col("l_shipdate") > ts("1996-03-15 00:00:00"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // §2.1 SemiJoin: EXISTS with correlated extra condition (TPC-H Q4 shape)
+    "q04_semijoin_exists" -> { (s, dir) =>
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      o.filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1996-04-01 00:00:00"))
+        .join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // §2.1 AntiJoin: NOT EXISTS
+    "q05_antijoin_notexists" -> { (s, dir) =>
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o.filter(col("o_orderstatus") === "F"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // §2.1 Selection: pure filter + scalar aggregate (TPC-H Q6)
+    "q06_filter_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // outer join + two-level aggregation (TPC-H Q13 shape)
+    "q07_left_join_hist" -> { (s, dir) =>
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_orders"))
+    },
+
+    "q08_full_outer" -> { (s, dir) =>
+      val n = t(s, dir, "nation"); val su = t(s, dir, "supplier")
+      n.join(su, col("n_nationkey") === col("s_nationkey"), "full_outer")
+        .groupBy(col("n_name"))
+        .agg(count(col("s_suppkey")).as("n_supp"))
+        .orderBy(col("n_name"))
+    },
+
+    "q09_right_outer" -> { (s, dir) =>
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // §2.1 CrossProduct
+    "q10_cross_join" -> { (s, dir) =>
+      val r1 = t(s, dir, "region").select(col("r_name").as("r1_name"))
+      val r2 = t(s, dir, "region").select(col("r_name").as("r2_name"))
+      r1.crossJoin(r2).orderBy(col("r1_name"), col("r2_name"))
+    },
+
+    // §2.1 DuplicateElimination
+    "q11_distinct" -> { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment"))
+        .distinct().orderBy(col("c_nationkey"), col("c_mktsegment"))
+    },
+
+    // DISTINCT ON equivalent: latest order per customer (row_number)
+    "q12_distinct_on" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"),
+          col("o_orderdate").as("last_orderdate"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // IN (subquery) — semi-join rewrite
+    "q13_in_subquery" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_partkey"))
+      p.join(l, col("p_partkey") === col("l_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // NOT IN (subquery) — anti-join (non-null subquery side)
+    "q14_not_in_subquery" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem").select(col("l_partkey"))
+      p.join(l, col("p_partkey") === col("l_partkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // scalar subquery in WHERE
+    "q15_scalar_subquery" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT count(*) AS n FROM part
+               WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)""")
+    },
+
+    // correlated scalar subquery (per-group comparison)
+    "q16_correlated_subquery" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_nationkey, count(*) AS n FROM customer c1
+               WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                                  WHERE c2.c_nationkey = c1.c_nationkey)
+               GROUP BY c_nationkey ORDER BY c_nationkey""")
+    },
+
+    // quantified comparison: s_acctbal > ANY(per-nation customer balances)
+    // (Spark lacks ANY/ALL subqueries -> rewrite over min(); oracle uses > ANY)
+    "q17_quantified_any" -> { (s, dir) =>
+      val su = t(s, dir, "supplier")
+      val mins = t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(min(col("c_acctbal")).as("min_bal"))
+      su.join(mins, col("s_nationkey") === col("c_nationkey"))
+        .filter(col("s_acctbal") > col("min_bal"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // quantified comparison: >= ALL == equals global max
+    "q18_quantified_all" -> { (s, dir) =>
+      val su = t(s, dir, "supplier")
+      val mx = su.agg(max(col("s_acctbal")).as("max_bal"))
+      su.join(broadcast(mx), col("s_acctbal") >= col("max_bal"))
+        .select(col("s_suppkey"), col("s_name")).orderBy(col("s_suppkey"))
+    },
+
+    // CTE + scalar-subquery filter (TPC-H Q15 shape)
+    "q19_cte_revenue" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem").groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_rev"))
+      val avgRev = rev.agg(avg(col("total_rev")).as("avg_rev"))
+      t(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(avgRev))
+        .filter(col("total_rev") > col("avg_rev"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // VALUES table source joined against data
+    "q20_values_join" -> { (s, dir) =>
+      import s.implicits._
+      val tiers = Seq(("GOLD", 7500.0), ("SILVER", 5000.0), ("BRONZE", 2500.0))
+        .toDF("tier", "lo")
+      t(s, dir, "customer").join(broadcast(tiers), col("c_acctbal") >= col("lo"))
+        .groupBy(col("tier")).agg(count(lit(1)).as("n")).orderBy(col("tier"))
+    },
+
+    // §2.8 set operations
+    "q21_union" -> { (s, dir) =>
+      val a = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val b = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      a.union(b).distinct().orderBy(col("nk"))
+    },
+    "q22_union_all" -> { (s, dir) =>
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nk"))
+      val b = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").as("nk"))
+      a.union(b).groupBy(col("nk")).agg(count(lit(1)).as("n")).orderBy(col("nk"))
+    },
+    "q23_intersect" -> { (s, dir) =>
+      val a = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val b = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      a.intersect(b).orderBy(col("nk"))
+    },
+    "q24_except" -> { (s, dir) =>
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nk"))
+      val b = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").as("nk"))
+      a.except(b).orderBy(col("nk"))
+    },
+
+    // §2.6 windows: rank per partition
+    "q25_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+    },
+
+    // running sum with explicit frame
+    "q26_window_running_sum" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem").filter(col("l_suppkey") < 5)
+        .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // lag/lead analytics
+    "q27_window_lag" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 100)
+        .withColumn("delta", round(col("o_totalprice") -
+          lag(col("o_totalprice"), 1, 0.0).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // HAVING
+    "q28_having" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .filter(col("n") > 40)
+        .orderBy(col("l_partkey"))
+    },
+
+    // aggregate FILTER (WHERE ...) clauses
+    "q29_agg_filter_where" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_quantity") > 25, lit(1))).as("n_hi_qty"),
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("sum_hi_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // COUNT(DISTINCT ...)
+    "q30_count_distinct" -> { (s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // CASE WHEN buckets
+    "q31_case_when" -> { (s, dir) =>
+      t(s, dir, "part")
+        .withColumn("bucket",
+          when(col("p_size") < 10, "small")
+            .when(col("p_size") < 30, "medium").otherwise("large"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 2).as("avg_price"))
+        .orderBy(col("bucket"))
+    },
+
+    // string functions: ||, LIKE, ILIKE, substr, upper, length
+    "q32_string_funcs" -> { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").like("%red%") || col("p_name").ilike("%BLUE%"))
+        .select(col("p_partkey"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("tag"),
+          upper(substring(col("p_name"), 1, 5)).as("head"),
+          length(col("p_name")).as("len"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // CAST + arithmetic incl. %
+    "q33_cast_arith" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(10, 20))
+        .withColumn("bucket", col("l_orderkey") % 10)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity")).cast("bigint")).as("qty_sum"))
+        .orderBy(col("bucket"))
+    },
+
+    // NULL ordering
+    "q34_null_ordering" -> { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        .orderBy(col("seg").asc_nulls_first, col("c_custkey"))
+        .limit(30)
+    },
+
+    // ROLLUP (beyond-reference upside; Spark + DuckDB both support)
+    "q35_rollup" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .rollup(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey").asc_nulls_first,
+          col("c_mktsegment").asc_nulls_first)
+    },
+
+    // LIMIT + OFFSET over a total order
+    "q36_limit_offset" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .offset(10).limit(20)
+    },
+
+    // events: tumbling-window aggregation (batch form of the streaming op)
+    "q40_events_hourly" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    },
+
+    // events: sessionization (30-min inactivity gap) via window functions
+    "q41_events_sessions" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").filter(col("user_id") < 100)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") >= 1800000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_flagship_spj" ->
+      """SELECT n_name, count(*) AS order_cnt,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND c_nationkey = n_nationkey
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q03_topk_revenue" ->
+      """SELECT o_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND o_orderkey = l_orderkey
+           AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q04_semijoin_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q05_antijoin_notexists" ->
+      """SELECT c_nationkey, count(*) AS n_cust FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q06_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q07_left_join_hist" ->
+      """SELECT n_orders, count(*) AS n_cust FROM (
+           SELECT c_custkey, count(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey) q
+         GROUP BY n_orders ORDER BY n_orders""",
+
+    "q08_full_outer" ->
+      """SELECT n_name, count(s_suppkey) AS n_supp
+         FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q09_right_outer" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+           count(DISTINCT c_custkey) AS n_cust
+         FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q10_cross_join" ->
+      """SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
+         FROM region r1 CROSS JOIN region r2 ORDER BY r1_name, r2_name""",
+
+    "q11_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+         ORDER BY c_nationkey, c_mktsegment""",
+
+    "q12_distinct_on" ->
+      """SELECT o_custkey, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders) q
+         WHERE rn = 1 ORDER BY o_custkey""",
+
+    "q13_in_subquery" ->
+      """SELECT count(*) AS n FROM part
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)""",
+
+    "q14_not_in_subquery" ->
+      """SELECT count(*) AS n FROM part
+         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)""",
+
+    "q15_scalar_subquery" ->
+      """SELECT count(*) AS n FROM part
+         WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)""",
+
+    "q16_correlated_subquery" ->
+      """SELECT c_nationkey, count(*) AS n FROM customer c1
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                            WHERE c2.c_nationkey = c1.c_nationkey)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q17_quantified_any" ->
+      """SELECT count(*) AS n FROM supplier
+         WHERE s_acctbal > ANY (SELECT c_acctbal FROM customer
+                                WHERE c_nationkey = s_nationkey)""",
+
+    "q18_quantified_all" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_acctbal >= ALL (SELECT s_acctbal FROM supplier)
+         ORDER BY s_suppkey""",
+
+    "q19_cte_revenue" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_rev
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_rev > (SELECT avg(total_rev) FROM revenue)
+         ORDER BY s_suppkey""",
+
+    "q20_values_join" ->
+      """SELECT tier, count(*) AS n
+         FROM (VALUES ('GOLD', 7500.0), ('SILVER', 5000.0), ('BRONZE', 2500.0))
+           AS m(tier, lo), customer
+         WHERE c_acctbal >= lo GROUP BY tier ORDER BY tier""",
+
+    "q21_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+         UNION SELECT s_nationkey FROM supplier ORDER BY nk""",
+
+    "q22_union_all" ->
+      """SELECT nk, count(*) AS n FROM (
+           SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+           UNION ALL SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000) q
+         GROUP BY nk ORDER BY nk""",
+
+    "q23_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""",
+
+    "q24_except" ->
+      """SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+         EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+         ORDER BY nk""",
+
+    "q25_window_rank" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, round(o_totalprice, 2) AS price
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 rank() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders) q
+         WHERE rnk <= 3 ORDER BY o_orderpriority, rnk, o_orderkey""",
+
+    "q26_window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+         FROM lineitem WHERE l_suppkey < 5
+         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+
+    "q27_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+           round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+         FROM orders WHERE o_custkey < 100
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q28_having" ->
+      """SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY l_partkey HAVING count(*) > 40
+         ORDER BY l_partkey""",
+
+    "q29_agg_filter_where" ->
+      """SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_hi_qty,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS sum_hi_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q30_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+           count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q31_case_when" ->
+      """SELECT CASE WHEN p_size < 10 THEN 'small'
+                     WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS bucket,
+           count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+         FROM part GROUP BY 1 ORDER BY bucket""",
+
+    "q32_string_funcs" ->
+      """SELECT p_partkey, p_brand || '#' || p_type AS tag,
+           upper(substr(p_name, 1, 5)) AS head, length(p_name) AS len
+         FROM part WHERE p_name LIKE '%red%' OR p_name ILIKE '%BLUE%'
+         ORDER BY p_partkey""",
+
+    "q33_cast_arith" ->
+      """SELECT l_orderkey % 10 AS bucket, count(*) AS n,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
+         FROM lineitem WHERE l_quantity BETWEEN 10 AND 20
+         GROUP BY 1 ORDER BY bucket""",
+
+    "q34_null_ordering" ->
+      """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+         FROM customer WHERE c_custkey <= 50
+         ORDER BY seg NULLS FIRST, c_custkey LIMIT 30""",
+
+    "q35_rollup" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer
+         GROUP BY ROLLUP(c_nationkey, c_mktsegment)
+         ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""",
+
+    "q36_limit_offset" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""",
+
+    "q40_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "q41_events_sessions" ->
+      """SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+         FROM (SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+               FROM (SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL
+                              OR ts - lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                     FROM events WHERE user_id < 100) a) b
+         GROUP BY user_id, sess_id ORDER BY user_id, session_start"""
+  )
+}

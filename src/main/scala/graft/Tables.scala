@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loads the driver-generated parquet tables (TESTDATA.md) and registers
+  * them as temp views so both the DataFrame API and `spark.sql` paths see
+  * the same catalog. Mirrors the reference's dynamic-catalog behavior
+  * (PostBOUND binds against a live DB catalog; we bind against the Spark
+  * session catalog — /root/reference/postbound/db/_db.py:750).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects. Read nanos as long, then truncate to micros —
+    // identical to how DuckDB surfaces the same column (its TIMESTAMP is
+    // microsecond precision), so oracle comparisons agree.
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      else df
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view. Idempotent, cheap (schema-only). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: compare Verify output
+parquet against DuckDB oracle results on the same testdata.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query...]
+"""
+import sys, json, math, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no spark output")
+                n_fail += 1
+                continue
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchall()
+            got_cols = [d[0] for d in con.description]
+            exp = con.execute(sql).fetchall()
+            exp_cols = [d[0] for d in con.description]
+            gc, gr = norm_rows(got_cols, got)
+            ec, er = norm_rows(exp_cols, exp)
+            if gc != ec:
+                print(f"FAIL {name}: columns {gc} != {ec}")
+                n_fail += 1
+            elif gr != er:
+                n_fail += 1
+                diff = [(a, b) for a, b in zip(gr, er) if a != b]
+                print(f"FAIL {name}: {len(gr)} vs {len(er)} rows; "
+                      f"first diffs: {diff[:3]}"
+                      + (f" extra_got={gr[len(er):][:2]}" if len(gr) > len(er) else "")
+                      + (f" extra_exp={er[len(gr):][:2]}" if len(er) > len(gr) else ""))
+            else:
+                n_ok += 1
+                print(f"ok   {name} ({len(gr)} rows)")
+        except Exception as e:
+            n_fail += 1
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+    print(f"== {n_ok} ok, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+main()
