@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline query surface (dedup, similarity search, text analysis,
+  * multimodal plumbing) over the `documents`/`embeddings` fixtures, with
+  * DuckDB oracles where the operator is SQL-expressible. Approximate
+  * operators (LSH ANN) are declared without oracle => rows-only check, and
+  * their recall is asserted against the exact path in ScalaTest instead.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup groups (hash-groupBy on content digest)
+    "d01_dedup_exact" -> { (s, dir) =>
+      Dedup.exactDuplicateGroups(docs(s, dir), "doc_id", "text")
+        .select(col("digest"), col("n_copies"), col("keep_id"))
+        .orderBy(col("keep_id"))
+    },
+
+    // exact word-3-gram Jaccard near-dup pairs (inverted-index join)
+    "d02_dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.jaccardPairs(Dedup.shingles(docs(s, dir), "doc_id", "text", 3), 0.6)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // MinHash+LSH with exact-Jaccard verification: candidates via banding,
+    // recall ~1 at the 0.6 threshold => output equals the exact d02 result
+    "d03_dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashNearDuplicates(docs(s, dir), "doc_id", "text", 0.6)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // SimHash 64-bit + chunk banding + hamming filter + exact verification
+    "d04_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashNearDuplicates(docs(s, dir), "doc_id", "text",
+        maxHamming = 12, jaccardThreshold = 0.6)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // embedding-cosine near-dup pairs (brute-force baseline)
+    "d05_dedup_embedding" -> { (s, dir) =>
+      Dedup.embeddingNearDuplicates(embs(s, dir), "vec_id", "embedding", 0.45)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // exact brute-force cosine top-5 for query vectors vec_id < 10
+    "s01_ann_topk" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // LSH-bucketed ANN (approximate: no SQL oracle; recall tested in specs)
+    "s02_ann_lsh" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.cosineTopKLsh(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // language ID (marker-word argmax + CJK script detection)
+    "t01_lang_id" -> { (s, dir) =>
+      TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // quality features + composite score
+    "t02_quality_score" -> { (s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // whitespace + BPE-ish token counts
+    "t03_token_count" -> { (s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // rolling-hash document fingerprint
+    "t04_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // multimodal: binary payload -> per-partition decoder stub -> metadata
+    "m01_media_meta" -> { (s, dir) =>
+      Multimodal.extractMeta(s, Multimodal.asMedia(docs(s, dir), "doc_id", "text"))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("sha256"))
+        .orderBy(col("doc_id"))
+    },
+
+    // multimodal: frame-sampling plumbing over binary payloads
+    "m02_frame_sample" -> { (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.asMedia(docs(s, dir), "doc_id", "text"), 32, 2)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("bigint").as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }
+  )
+
+  private val jaccardOracle =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                      WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+       SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+       ORDER BY a_id, b_id"""
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keep_id
+         FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "d02_dedup_ngram_jaccard" -> jaccardOracle,
+    "d03_dedup_minhash_lsh" -> jaccardOracle,
+    "d04_dedup_simhash" -> jaccardOracle,
+
+    "d05_dedup_embedding" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+         ORDER BY a_id, b_id""",
+
+    "s01_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS vq
+                    FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS vc FROM embeddings),
+           sims AS (SELECT query_id, neighbor_id,
+                      list_cosine_similarity(vq, vc) AS sim
+                    FROM q, c WHERE query_id <> neighbor_id),
+           ranked AS (SELECT query_id, neighbor_id, sim,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS rnk
+                      FROM sims)
+         SELECT query_id, rnk, neighbor_id, round(sim, 4) AS cos_sim
+         FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "t01_lang_id" ->
+      """SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+                WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                WHEN es >= fr AND es > 0 THEN 'es'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang
+         FROM (SELECT doc_id, text,
+                 len(list_intersect(string_split(text, ' '),
+                   ['the','a','and','of','to','is'])) AS en,
+                 len(list_intersect(string_split(text, ' '),
+                   ['der','die','und','ist','das','ein'])) AS de,
+                 len(list_intersect(string_split(text, ' '),
+                   ['el','la','que','los','una','es'])) AS es,
+                 len(list_intersect(string_split(text, ' '),
+                   ['le','les','et','des','une','est'])) AS fr
+               FROM documents) t
+         ORDER BY doc_id""",
+
+    "t02_quality_score" ->
+      """SELECT doc_id, length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           round((length(text) - (length(text) - length(replace(text, ' ', ''))))
+             * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           round((length(text) - length(replace(text, ' ', ''))) * 1.0
+             / length(text), 4) AS space_ratio,
+           round(least(len(string_split(text, ' ')) / 30.0, 1.0) * 0.5 +
+             CASE WHEN (length(text) - (length(text) - length(replace(text, ' ', ''))))
+                    * 1.0 / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+                  THEN 0.3 ELSE 0.0 END +
+             CASE WHEN (length(text) - length(replace(text, ' ', ''))) * 1.0
+                    / length(text) BETWEEN 0.1 AND 0.3
+                  THEN 0.2 ELSE 0.0 END, 4) AS quality_score
+         FROM documents ORDER BY doc_id""",
+
+    "t03_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+         FROM documents WHERE length(text) > 0 ORDER BY doc_id""",
+
+    "m01_media_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
+         FROM documents ORDER BY doc_id""",
+
+    "m02_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx,
+           least(32, octet_length(encode(text)) - i * 32)::BIGINT AS frame_bytes
+         FROM documents,
+           unnest(list_filter(generate_series(0,
+             greatest(CAST(ceil(octet_length(encode(text)) / 32.0) AS INT) - 1, 0)),
+             i -> i % 2 = 0)) AS u(i)
+         ORDER BY doc_id, frame_idx"""
+  )
+}

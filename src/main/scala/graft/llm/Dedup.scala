@@ -1,0 +1,224 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are pure DataFrame transformations: no driver-side loops, no
+  * UDFs in the hot path (everything is `functions._`/SQL expressions, so it
+  * stays inside whole-stage codegen). Scale design notes per operator:
+  *
+  *  - exact dedup: hash-aggregate on a digest — one shuffle, combiner-side
+  *    partial aggregation, no skew risk beyond genuinely duplicated content.
+  *  - n-gram Jaccard: inverted-index self-join on shingles. At 100 TB the
+  *    stop-shingle skew dominates — `maxShingleDocFreq` drops shingles that
+  *    occur in more than N docs (they contribute candidates, not precision;
+  *    standard suffix-filtering trick) before the join.
+  *  - MinHash+LSH: signature aggregation is a single groupBy producing K
+  *    min-values; banding turns the quadratic pair space into equality joins
+  *    on (band, bucket); exact-Jaccard verification touches only candidates.
+  *  - SimHash: 64-bit signature; 16-bit chunk banding (pigeonhole: hamming
+  *    distance <= 3 guarantees one of 4 chunks matches exactly).
+  *  - embedding near-dup: brute-force O(n^2) baseline kept for oracle
+  *    correctness at test SF; the LSH path in [[Similarity]] is the scale
+  *    route.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Exact duplicate groups keyed on md5 digest of the raw text.
+    * Output: (digest, n_copies, keep_id = min doc id, ids).
+    */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+
+  /** Exact n-gram Jaccard similarity >= threshold, via inverted-index join.
+    * Output: (a_id, b_id, jaccard) with a_id < b_id.
+    * `maxShingleDocFreq`: optionally drop shingles present in more than N
+    * docs before the join (skew guard at scale; changes semantics slightly,
+    * so it is off by default for oracle parity).
+    */
+  def jaccardPairs(sh: DataFrame, threshold: Double,
+      maxShingleDocFreq: Option[Long] = None): DataFrame = {
+    val pruned = maxShingleDocFreq match {
+      case Some(k) =>
+        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= k).select("shingle")
+        sh.join(freq, "shingle")
+      case None => sh
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = pruned.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = pruned.select(col("doc_id").as("b_id"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "n_b"), "b_id")
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact Jaccard evaluated only on a candidate pair set (verification
+    * stage for the LSH paths). Candidates: (a_id, b_id).
+    */
+  def verifyJaccard(sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = sh.select(col("doc_id").as("b_id2"), col("shingle").as("shingle_b"))
+    val inter = candidates
+      .join(a, "a_id")
+      .join(b, col("b_id") === col("b_id2") && col("shingle") === col("shingle_b"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "n_b"), "b_id")
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Deterministic linear permutations for MinHash (java.util.Random LCG is
+    * spec-fixed, so signatures are reproducible across runs/JVMs). a, b are
+    * kept below 2^31 so a*h+b on a 31-bit base hash stays well inside Long
+    * range — ANSI mode (Spark 4 default) turns silent wraparound into a
+    * runtime error, so the arithmetic must genuinely not overflow.
+    */
+  private def perms(numPerm: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(numPerm)(((rnd.nextInt(Int.MaxValue - 1) + 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures: (doc_id, sig: array<bigint>) with `numPerm` values.
+    * One shuffle (groupBy doc_id) with partial min combiners map-side.
+    */
+  def minHashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
+    val base = sh.withColumn("h",
+      pmod(hash(col("shingle")).cast("bigint"), lit(1L << 31)))
+    val mins: Seq[Column] = perms(numPerm).zipWithIndex.map { case ((a, b), i) =>
+      min(col("h") * lit(a) + lit(b)).as(s"m$i")
+    }
+    base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: candidate pairs whose signatures collide in >=1 band.
+    * bands*rowsPerBand must equal the signature length.
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b*$rowsPerBand+1, $rowsPerBand)))"))
+      .as(Seq("band", "bh")))
+    val a = banded.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("b_id"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+    * Default 128 perms, 64 bands x 2 rows: recall at j=0.6 is ~1-(1-0.36)^64,
+    * i.e. effectively 1, and false positives are removed by verification —
+    * so the output matches the exact [[jaccardPairs]] result while only
+    * doing exact work on candidates.
+    */
+  def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, ngram: Int = 3, numPerm: Int = 128,
+      bands: Int = 64): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, ngram).cache()
+    val sigs = minHashSignatures(sh, numPerm)
+    val cands = lshCandidates(sigs, bands, numPerm / bands)
+    verifyJaccard(sh, cands, threshold)
+  }
+
+  /** 64-bit SimHash per document over a (doc_id, feature) set. Shingle
+    * features track n-gram Jaccard much more tightly than word features
+    * (removing one word from a doc flips every borderline bit when features
+    * are words, but only ~n shingles when features are n-grams), which keeps
+    * the hamming radius of true near-dups small enough for chunk banding.
+    * Output: (doc_id, simhash: bigint).
+    */
+  def simHashSignatures(features: DataFrame): DataFrame = {
+    val words = features.withColumn("h", xxhash64(col(features.columns(1))))
+    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, expr(s"shiftleft(cast(1 as bigint), $j)")).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-duplicates: candidates via 16-bit chunk banding (pigeonhole
+    * covers hamming<=3 exactly; larger radii lose recall), filtered by
+    * hamming distance, then verified with exact n-gram Jaccard.
+    */
+  /** SimHash near-duplicates. Candidate recall is a pigeonhole argument:
+    * with `numChunks` chunks, any pair with hamming < numChunks shares at
+    * least one exact chunk. Chunk width trades recall for bucket size —
+    * 4-bit chunks (16 buckets) are fine up to ~10^5 docs per partition
+    * grouping; at larger corpora use wider chunks + a lower maxHamming, or
+    * prefer the MinHash path (its bucket space grows with the data).
+    */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, jaccardThreshold: Double, ngram: Int = 3,
+      numChunks: Int = 16): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, ngram).cache()
+    val sigs = simHashSignatures(sh)
+    val bits = 64 / numChunks
+    val mask = (1L << bits) - 1
+    val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(expr(
+      s"transform(sequence(0, ${numChunks - 1}), c -> shiftright(simhash, c*$bits) & $mask)"))
+      .as(Seq("chunk", "cv")))
+    val a = chunked.select(col("doc_id").as("a_id"), col("simhash").as("sig_a"),
+      col("chunk"), col("cv"))
+    val b = chunked.select(col("doc_id").as("b_id"), col("simhash").as("sig_b"),
+      col("chunk"), col("cv"))
+    val cands = a.join(b, Seq("chunk", "cv"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
+      .select("a_id", "b_id").distinct()
+    verifyJaccard(sh, cands, jaccardThreshold)
+  }
+
+  /** Brute-force embedding cosine near-duplicates (baseline / oracle path).
+    * Output: (a_id, b_id, cos_sim). Embeddings are cast to double before any
+    * arithmetic so results match engines that compute in float64.
+    */
+  def embeddingNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).cast("bigint").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    val a = e.select(col("id").as("a_id"), col("v").as("va"), col("n2").as("na"))
+    val b = e.select(col("id").as("b_id"), col("v").as("vb"), col("n2").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"))
+      .withColumn("cos_sim", col("dot") / sqrt(col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: the query set is assumed small (broadcast side); the corpus
+  * is the distributed side. Brute force is one broadcast-nested-loop join +
+  * a per-query top-k (shuffle keyed by query id — perfectly parallel, no
+  * skew because every query has the same candidate count). The LSH variant
+  * prunes the candidate set with random-hyperplane signatures so the join is
+  * an equality join on (band, bucket) instead of a cross product — that is
+  * the 100 TB path (cross product is O(corpus x queries); bucketed join is
+  * O(collisions)).
+  */
+object Similarity {
+
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame =
+    df.select(col(idCol).cast("bigint").as(idAs),
+        col(vecCol).cast("array<double>").as(vecAs))
+      .withColumn(normAs, sqrt(expr(s"aggregate($vecAs, 0D, (acc, x) -> acc + x * x)")))
+
+  private def dotCol(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)")
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus vectors
+    * (self-matches excluded). Output: (query_id, rnk, neighbor_id, cos_sim).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
+    val q = withNorm(queries, idCol, vecCol, "query_id", "vq", "nq")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dotCol("vq", "vc") / (col("nq") * col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-gaussian hyperplanes (Box-Muller over
+    * java.util.Random, spec-fixed LCG => reproducible signatures).
+    */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Random-hyperplane signature as `numBands` bucket ids of `rowsPerBand`
+    * bits each: (id, band, bucket). The plane matrix rides along as a
+    * broadcast literal inside the expression tree (tiny: planes x dim).
+    */
+  def rhpBuckets(df: DataFrame, idCol: String, vecCol: String,
+      numBands: Int, rowsPerBand: Int, seed: Long = 7L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(numBands * rowsPerBand, dim, seed)
+    val v = col(vecCol).cast("array<double>")
+    // one sign bit per plane (plane vector inlined as a literal array),
+    // packed into a per-band bucket id
+    val base = df.select(col(idCol).cast("bigint").as("id"), v.as("_v"))
+    val withBits = planes.zipWithIndex.foldLeft(base) { case (acc, (p, i)) =>
+      acc.withColumn(s"bit_$i",
+        when(expr(s"aggregate(zip_with(_v, array(${p.mkString(",")}), (x, y) -> x * y), 0D, (acc, q) -> acc + q)") > 0, 1L)
+          .otherwise(0L))
+    }
+    val bands = (0 until numBands).map { b =>
+      val bucket = (0 until rowsPerBand)
+        .map(r => shiftleft(col(s"bit_${b * rowsPerBand + r}"), r))
+        .reduce(_.bitwiseOR(_))
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    withBits.select(col("id"), explode(array(bands: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: candidates collide with the query in >=1 band; exact
+    * cosine re-rank on candidates only. Same output shape as [[cosineTopK]];
+    * approximate (recall < 1 possible), so no SQL oracle — rows-only check +
+    * recall measured in tests against the exact path.
+    */
+  def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val cb = rhpBuckets(corpus, idCol, vecCol, numBands, rowsPerBand)
+      .withColumnRenamed("id", "neighbor_id")
+    val qb = rhpBuckets(queries, idCol, vecCol, numBands, rowsPerBand)
+      .withColumnRenamed("id", "query_id")
+    val cands = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val c = withNorm(corpus, idCol, vecCol, "cid", "vc", "nc")
+    val q = withNorm(queries, idCol, vecCol, "qid", "vq", "nq")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .join(c, col("neighbor_id") === col("cid"))
+      .join(broadcast(q), col("query_id") === col("qid"))
+      .withColumn("sim", dotCol("vq", "vc") / (col("nq") * col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"))
+  }
+}

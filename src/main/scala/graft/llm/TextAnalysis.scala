@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: language ID, quality scoring, token counting,
+  * document fingerprinting. All pure column expressions (codegen-friendly,
+  * no UDFs), so they distribute trivially: narrow per-row transforms with no
+  * shuffle at any scale.
+  */
+object TextAnalysis {
+
+  /** Stopword markers per language. Deliberately tiny and deterministic —
+    * the point is the operator shape (argmax over per-language evidence
+    * scores), which is what a production n-gram model would also be.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "ein"),
+    "es" -> Seq("el", "la", "que", "los", "una", "es"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est"))
+
+  private def score(words: Column, lang: String): Column =
+    size(array_intersect(words, array(markers(lang).map(lit): _*)))
+
+  /** Language-ID: distinct marker-word evidence per language + CJK script
+    * detection, argmax with deterministic tie-break (en>de>es>fr).
+    * Output: (id, pred_lang).
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = split(col(textCol), " ")
+    val en = score(w, "en"); val de = score(w, "de")
+    val es = score(w, "es"); val fr = score(w, "fr")
+    val hasCjk = col(textCol).rlike("[\\u4e00-\\u9fff]")
+    docs.select(col(idCol).as("doc_id"),
+      when(hasCjk, "zh")
+        .when(en >= de && en >= es && en >= fr && en > 0, "en")
+        .when(de >= es && de >= fr && de > 0, "de")
+        .when(es >= fr && es > 0, "es")
+        .when(fr > 0, "fr")
+        .otherwise("und").as("pred_lang"))
+  }
+
+  /** Heuristic quality features + composite score.
+    * Output: (doc_id, n_chars, n_tokens, avg_token_len, space_ratio,
+    * quality_score). All ratios rounded for cross-engine comparability.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val nChars = length(txt)
+    val nTokens = size(split(txt, " "))
+    val nSpaces = nChars - length(regexp_replace(txt, " ", ""))
+    val avgTok = (nChars - nSpaces).cast("double") / nTokens
+    val spaceRatio = nSpaces.cast("double") / nChars
+    // crude quality: enough tokens, sane token length, sane spacing
+    val q = least(nTokens.cast("double") / lit(30.0), lit(1.0)) * lit(0.5) +
+      when(avgTok.between(3.0, 8.0), 0.3).otherwise(0.0) +
+      when(spaceRatio.between(0.1, 0.3), 0.2).otherwise(0.0)
+    docs.select(col(idCol).as("doc_id"), nChars.as("n_chars"),
+      nTokens.as("n_tokens"), round(avgTok, 4).as("avg_token_len"),
+      round(spaceRatio, 4).as("space_ratio"), round(q, 4).as("quality_score"))
+  }
+
+  /** Token counts: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars).
+    * Output: (doc_id, ws_tokens, bpe_tokens).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).as("ws_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .as("bpe_tokens"))
+
+  /** Polynomial rolling-hash fingerprint over the character stream,
+    * mod 1e9+7 (stays in exact integer range, so any engine that folds
+    * left-to-right produces the identical value).
+    * Output: (doc_id, fingerprint).
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"),
+        expr(s"aggregate(transform(split($textCol, ''), c -> ascii(c)), " +
+          "cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 1000000007)")
+          .as("fingerprint"))
+}
