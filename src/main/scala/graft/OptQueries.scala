@@ -1,0 +1,133 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.JoinOperator
+import graft.enforce.PlanEnforcer
+import graft.opt._
+import graft.pipeline._
+import graft.plans.{JoinTree, PhysicalOperatorAssignment}
+import graft.qal.QueryFacade
+import graft.stats.EmulatedStatistics
+
+/** Optimizer-pipeline query surface. Every entry optimizes/enforces a plan
+  * and must produce results identical to the DuckDB oracle running the SAME
+  * SQL — the reference's central correctness invariant ("plan changes must
+  * never change answers", /root/reference/tests/test_ues_optimization.py:
+  * 38-52), transplanted onto the DuckDB oracle harness.
+  */
+object OptQueries {
+
+  /** One emulated-stats cache per session (stat probes are memoized on
+    * canonicalized plans, so all queries share base-table statistics). */
+  private val statsCache = TrieMap.empty[SparkSession, EmulatedStatistics]
+  private def statsFor(s: SparkSession): EmulatedStatistics =
+    statsCache.getOrElseUpdate(s, new EmulatedStatistics(s))
+
+  private val flagshipSql =
+    """SELECT n_name, count(*) AS order_cnt,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         AND c_nationkey = n_nationkey
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY n_name ORDER BY n_name"""
+
+  private val fourTableSql =
+    """SELECT r_name, count(*) AS n
+       FROM region, nation, customer, orders
+       WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+         AND c_custkey = o_custkey
+       GROUP BY r_name ORDER BY r_name"""
+
+  private val threeTableSql =
+    """SELECT n_name, count(*) AS n_supp
+       FROM nation, supplier, region
+       WHERE n_nationkey = s_nationkey AND n_regionkey = r_regionkey
+       GROUP BY n_name ORDER BY n_name"""
+
+  private val twoTableSql =
+    """SELECT s_name, n_name FROM supplier, nation
+       WHERE s_nationkey = n_nationkey ORDER BY s_name"""
+
+  /** Enforce a fixed left-deep order + a fixed per-join operator. */
+  private def forced(s: SparkSession, dir: String, op: JoinOperator): DataFrame = {
+    Tables.registerAll(s, dir)
+    val q = QueryFacade(s, twoTableSql)
+    val graph = new JoinGraph(q.joinBlock.get, statsFor(s))
+    val tree = JoinTree.leftDeep(q.joinBlock.get.tables)
+    val ops = PhysicalOperatorAssignment()
+      .withJoin(Set("supplier", "nation"), op)
+    PlanEnforcer.enforce(q, graph, tree, ops)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // flagship through the full UES pipeline (order + operators + params)
+    "opt01_ues_flagship" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer),
+        operators = Some(new UESOperatorSelection),
+        parameters = Some(new BoundsParameterGeneration),
+        stats = statsFor(s)).optimize(flagshipSql)
+    },
+
+    // forced physical operators on the same join — all four strategies
+    "opt02_forced_broadcast" -> { (s, dir) =>
+      forced(s, dir, JoinOperator.BroadcastHashJoin) },
+    "opt03_forced_merge" -> { (s, dir) =>
+      forced(s, dir, JoinOperator.SortMergeJoin) },
+    "opt04_forced_shuffle_hash" -> { (s, dir) =>
+      forced(s, dir, JoinOperator.HashJoin) },
+    "opt05_forced_nlj" -> { (s, dir) =>
+      forced(s, dir, JoinOperator.NestedLoopJoin) },
+
+    // textbook pipeline: bushy DP + C_out + System-R cardinalities
+    "opt06_dp_join_order" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new TextBookOptimizationPipeline(s,
+        new DynamicProgrammingEnumerator(),
+        new CoutCostModel, new BasicCardinalityEstimator,
+        stats = statsFor(s)).optimize(fourTableSql)
+    },
+
+    // exhaustive enumeration (all shapes) on a 3-table query
+    "opt07_exhaustive" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new TextBookOptimizationPipeline(s,
+        new ExhaustivePlanEnumerator,
+        new CoutCostModel, new BasicCardinalityEstimator,
+        stats = statsFor(s)).optimize(threeTableSql)
+    },
+
+    // random join order: results must be invariant under any order
+    "opt08_random_order" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new RandomJoinOrderOptimizer(seed = 7L)),
+        operators = Some(new UESOperatorSelection),
+        stats = statsFor(s)).optimize(fourTableSql)
+    },
+
+    // true cardinalities: COUNT(*) per intermediate feeding DP
+    "opt09_precise_cards" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new TextBookOptimizationPipeline(s,
+        new DynamicProgrammingEnumerator(linearOnly = true),
+        new CoutCostModel, new PreciseCardinalities,
+        stats = statsFor(s)).optimize(threeTableSql)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "opt01_ues_flagship" -> flagshipSql,
+    "opt02_forced_broadcast" -> twoTableSql,
+    "opt03_forced_merge" -> twoTableSql,
+    "opt04_forced_shuffle_hash" -> twoTableSql,
+    "opt05_forced_nlj" -> twoTableSql,
+    "opt06_dp_join_order" -> fourTableSql,
+    "opt07_exhaustive" -> threeTableSql,
+    "opt08_random_order" -> fourTableSql,
+    "opt09_precise_cards" -> threeTableSql
+  )
+}

@@ -9,9 +9,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ LlmQueries.queries
+    Relational.queries ++ LlmQueries.queries ++ OptQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Relational.oracles ++ LlmQueries.oracles
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ LlmQueries.oracles ++ OptQueries.oracles
 }

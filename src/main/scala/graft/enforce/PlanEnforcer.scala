@@ -1,0 +1,87 @@
+package graft.enforce
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, HintInfo, Join,
+  JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, SHUFFLE_HASH,
+  SHUFFLE_MERGE, SHUFFLE_REPLICATE_NL}
+import graft.core.JoinOperator
+import graft.opt.JoinGraph
+import graft.plans.{JoinNode, JoinTree, PhysicalOperatorAssignment, ScanNode}
+import graft.qal.QueryFacade
+
+/** Plan enforcement: compile a JoinTree + operator assignment back into the
+  * query's Catalyst plan. This replaces the reference's hint-text backend
+  * (pg_hint_plan Leading(...) walks, /root/reference/postbound/postgres.py:
+  * 2210-2342) with direct plan reconstruction: the join block of the
+  * analyzed plan is rebuilt in the prescribed shape, original leaf subtrees
+  * (and thus attribute ids) are reused so the surrounding plan still
+  * resolves, per-table filters are pushed onto the scans, and operator
+  * choices become Catalyst join-strategy hints on the Join nodes.
+  *
+  * Join order holds because Catalyst preserves syntactic join order unless
+  * CBO join reorder is enabled (it is off by default); operator hints are
+  * honored by JoinSelection. AQE may still re-plan a physical strategy from
+  * runtime sizes — disable AQE for strict shape experiments (SURVEY §7.4-1).
+  */
+object PlanEnforcer {
+
+  private def strategyOf(op: JoinOperator): HintInfo = op match {
+    case JoinOperator.BroadcastHashJoin |
+         JoinOperator.IndexNestedLoopJoin => HintInfo(strategy = Some(BROADCAST))
+    case JoinOperator.HashJoin => HintInfo(strategy = Some(SHUFFLE_HASH))
+    case JoinOperator.SortMergeJoin => HintInfo(strategy = Some(SHUFFLE_MERGE))
+    case JoinOperator.NestedLoopJoin => HintInfo(strategy = Some(SHUFFLE_REPLICATE_NL))
+  }
+
+  /** Build the Catalyst plan for a join tree over the query's join graph.
+    * Returns the reconstructed block (filters pushed, edges applied at the
+    * deepest join where both sides are available, leftover multi-table
+    * conjuncts and cycle edges applied on top).
+    */
+  def compile(graph: JoinGraph, tree: JoinTree[_],
+      ops: PhysicalOperatorAssignment): LogicalPlan = {
+    val block = graph.block
+    var applied = Set.empty[Expression]
+
+    def scanPlan(identifier: String): LogicalPlan = {
+      val leaf = block.leafPlan(identifier)
+      val filters = block.filtersFor(identifier)
+      QueryFacade.andAll(filters).map(Filter(_, leaf)).getOrElse(leaf)
+    }
+
+    def build(t: JoinTree[_]): (LogicalPlan, Set[String]) = t match {
+      case ScanNode(table, _) =>
+        (scanPlan(table.identifier), Set(table.identifier))
+      case JoinNode(outer, inner, _) =>
+        val (lp, lts) = build(outer)
+        val (rp, rts) = build(inner)
+        val all = lts ++ rts
+        val conds = graph.edges
+          .filterNot(e => applied.contains(e.expr))
+          .filter(e => e.tables.subsetOf(all) &&
+            e.tables.exists(lts.contains) && e.tables.exists(rts.contains))
+        applied ++= conds.map(_.expr)
+        val cond = QueryFacade.andAll(conds.map(_.expr))
+        val hint = ops.operatorFor(all)
+          .map(op => JoinHint(None, Some(strategyOf(op))))
+          .getOrElse(JoinHint.NONE)
+        (Join(lp, rp, Inner, cond, hint), all)
+    }
+
+    val (joined, _) = build(tree)
+    // leftovers: cycle edges not applied inside the tree + 3+-table
+    // conjuncts + constant predicates
+    val leftovers =
+      graph.edges.map(_.expr).filterNot(applied.contains) ++
+        graph.postJoinPredicates ++ block.constantFilters
+    leftovers.reduceOption(And).map(Filter(_, joined)).getOrElse(joined)
+  }
+
+  /** Enforce: reconstruct the block and splice it into the full query. */
+  def enforce(q: QueryFacade, graph: JoinGraph, tree: JoinTree[_],
+      ops: PhysicalOperatorAssignment = PhysicalOperatorAssignment()): DataFrame =
+    q.withEnforcedBlock(compile(graph, tree, ops))
+}

@@ -1,0 +1,188 @@
+package graft.opt
+
+import graft.core.Cardinality
+import graft.pipeline.{CardinalityEstimator, CostModel, JoinOrderOptimization,
+  PlanEnumerator}
+import graft.plans.{JoinNode, JoinTree, ScanNode}
+import graft.qal.QueryFacade
+
+/** System-R style cardinality estimation over the join graph: independent
+  * filters, equi-join selectivity 1/max(ndv_a, ndv_b) per connecting edge.
+  * (The textbook model the reference's DynamicProgrammingEnumerator assumes,
+  * /root/reference/postbound/opt/dynprog.py:79.)
+  */
+final class BasicCardinalityEstimator extends CardinalityEstimator {
+  def describe: String = """{"name":"basic-card","model":"system-r"}"""
+
+  def calculateEstimate(graph: JoinGraph, tables: Set[String]): Cardinality = {
+    val stats = graph.stats
+    def leaf(t: String) = graph.block.leafPlan(t)
+    val baseProduct = tables.toSeq.map(t =>
+      stats.rowCount(leaf(t),
+        QueryFacade.andAll(graph.block.filtersFor(t))).toDouble.max(1.0)).product
+    val selectivity = graph.edges
+      .filter(_.tables.subsetOf(tables))
+      .flatMap(_.equiColumns)
+      .map { case (ca, cb) =>
+        val da = stats.distinctCount(leaf(ca.table.get.identifier), ca.name)
+        val db = stats.distinctCount(leaf(cb.table.get.identifier), cb.name)
+        1.0 / math.max(1L, math.max(da, db)).toDouble
+      }.product
+    Cardinality(math.max(baseProduct * selectivity, 1.0))
+  }
+}
+
+/** C_out cost: sum of the cardinalities of all intermediate results
+  * (reference: QueryPlan.cout, /root/reference/postbound/_qep.py:1550). */
+final class CoutCostModel extends CostModel {
+  def describe: String = """{"name":"cout"}"""
+  def estimateCost(graph: JoinGraph, plan: JoinTree[Cardinality]): Double =
+    plan match {
+      case s: ScanNode[Cardinality] => 0.0
+      case j @ JoinNode(o, i, a) =>
+        a.value + estimateCost(graph, o) + estimateCost(graph, i)
+    }
+}
+
+/** Textbook dynamic programming over connected subsets (DPsize flavor):
+  * bushy trees, cross products avoided while the graph is connected.
+  * Port of DynamicProgrammingEnumerator
+  * (/root/reference/postbound/opt/dynprog.py:79-360).
+  */
+final class DynamicProgrammingEnumerator(linearOnly: Boolean = false)
+    extends PlanEnumerator {
+  def describe: String =
+    s"""{"name":"dynprog","shape":"${if (linearOnly) "left-deep" else "bushy"}"}"""
+
+  def generateExecutionPlan(q: QueryFacade, graph: JoinGraph,
+      cost: CostModel, card: CardinalityEstimator): JoinTree[Cardinality] = {
+    val tables = graph.tables.toVector
+    def ref(t: String) = graph.block.tables.find(_.identifier == t).get
+    def connected(a: Set[String], b: Set[String]): Boolean =
+      graph.edges.exists(e => e.tables.exists(a.contains) &&
+        e.tables.exists(b.contains) && e.tables.subsetOf(a ++ b))
+
+    val best = scala.collection.mutable.Map.empty[Set[String],
+      (JoinTree[Cardinality], Double)]
+    tables.foreach { t =>
+      val c = card.calculateEstimate(graph, Set(t))
+      best(Set(t)) = (ScanNode(ref(t), c), 0.0)
+    }
+    for (size <- 2 to tables.size) {
+      tables.combinations(size).foreach { comboSeq =>
+        val combo = comboSeq.toSet
+        var bestPlan: Option[(JoinTree[Cardinality], Double)] = None
+        val partitions: Iterator[Set[String]] =
+          if (linearOnly) combo.iterator.map(t => combo - t)
+          else combo.subsets().filter(s => s.nonEmpty && s.size < combo.size)
+        partitions.foreach { left =>
+          val right = combo -- left
+          (best.get(left), best.get(right)) match {
+            case (Some((lp, lc)), Some((rp, rc))) if connected(left, right) =>
+              val outCard = card.calculateEstimate(graph, combo)
+              val c = lc + rc + outCard.value
+              if (bestPlan.forall(_._2 > c))
+                bestPlan = Some((JoinNode(lp, rp, outCard), c))
+            case _ =>
+          }
+        }
+        bestPlan.foreach(best(combo) = _)
+      }
+    }
+    best.getOrElse(tables.toSet,
+      throw new IllegalStateException("DP found no connected plan"))._1
+  }
+}
+
+/** Exhaustive enumeration of all join trees (catalan-number space; only for
+  * small queries — reference: ExhaustiveJoinOrderEnumerator,
+  * /root/reference/postbound/opt/enumeration.py:109). */
+final class ExhaustivePlanEnumerator extends PlanEnumerator {
+  def describe: String = """{"name":"exhaustive"}"""
+
+  def generateExecutionPlan(q: QueryFacade, graph: JoinGraph,
+      cost: CostModel, card: CardinalityEstimator): JoinTree[Cardinality] = {
+    def ref(t: String) = graph.block.tables.find(_.identifier == t).get
+    def connected(a: Set[String], b: Set[String]): Boolean =
+      graph.edges.exists(e => e.tables.exists(a.contains) &&
+        e.tables.exists(b.contains) && e.tables.subsetOf(a ++ b))
+    def trees(ts: Set[String]): Seq[JoinTree[Cardinality]] =
+      if (ts.size == 1) Seq(ScanNode(ref(ts.head),
+        card.calculateEstimate(graph, ts)))
+      else ts.subsets().filter(s => s.nonEmpty && s.size < ts.size)
+        .filter(l => connected(l, ts -- l))
+        .flatMap { l =>
+          for (lt <- trees(l); rt <- trees(ts -- l))
+            yield JoinNode(lt, rt, card.calculateEstimate(graph, ts))
+        }.toSeq
+    val all = trees(graph.tables.toSet)
+    require(all.nonEmpty, "no connected join tree exists")
+    all.minBy(t => cost.estimateCost(graph, t))
+  }
+}
+
+/** Uniform-random left-deep join order with a fixed seed (reference:
+  * RandomJoinOrderGenerator, /root/reference/postbound/opt/randomized.py:131).
+  * Useful to demonstrate the core invariant: any order yields identical
+  * results. */
+final class RandomJoinOrderOptimizer(seed: Long = 42L) extends JoinOrderOptimization {
+  def describe: String = s"""{"name":"random-join-order","seed":$seed}"""
+
+  def optimizeJoinOrder(q: QueryFacade, graph: JoinGraph): Option[JoinTree[Cardinality]] = {
+    val rnd = new scala.util.Random(seed)
+    // random connected left-deep order
+    val tables = rnd.shuffle(graph.tables)
+    var joined = Set(tables.head)
+    var order = Vector(tables.head)
+    while (joined.size < graph.tables.size) {
+      val nbrs = graph.neighbors(joined)
+      if (nbrs.isEmpty) return None
+      val pick = nbrs(rnd.nextInt(nbrs.size))
+      joined += pick; order :+= pick
+    }
+    Some(JoinTree.leftDeep(order.map(t =>
+      graph.block.tables.find(_.identifier == t).get)))
+  }
+}
+
+/** No-op stages (reference: EmptyJoinOrderOptimizer etc., opt/noopt.py). */
+object NoOptJoinOrder extends JoinOrderOptimization {
+  def describe: String = """{"name":"noopt"}"""
+  def optimizeJoinOrder(q: QueryFacade, graph: JoinGraph): Option[JoinTree[Cardinality]] = None
+}
+
+/** True cardinalities by executing COUNT(*) on every intermediate
+  * (reference: PreciseCardinalities, /root/reference/postbound/opt/
+  * _cardinalities.py:20 — embarrassingly parallel in Spark). */
+final class PreciseCardinalities extends CardinalityEstimator {
+  def describe: String = """{"name":"precise-cards"}"""
+  def calculateEstimate(graph: JoinGraph, tables: Set[String]): Cardinality = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.catalyst.expressions.And
+    val joined = tables.toSeq.map { t =>
+      val leaf = graph.block.leafPlan(t)
+      QueryFacade.andAll(graph.block.filtersFor(t))
+        .map(Filter(_, leaf)).getOrElse(leaf)
+    }.reduce[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+      (l, r) => org.apache.spark.sql.catalyst.plans.logical.Join(
+        l, r, org.apache.spark.sql.catalyst.plans.Inner, None,
+        org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+    }
+    val conds = graph.edges.filter(_.tables.subsetOf(tables)).map(_.expr)
+    val plan = conds.reduceOption(And).map(Filter(_, joined)).getOrElse(joined)
+    Cardinality(graph.stats.rowCount(plan).toDouble)
+  }
+}
+
+/** Perturb another estimator's numbers to study sensitivity (reference:
+  * CardinalityDistortion, opt/_cardinalities.py:306). */
+final class CardinalityDistortion(inner: CardinalityEstimator, factor: Double,
+    seed: Long = 42L) extends CardinalityEstimator {
+  private val rnd = new scala.util.Random(seed)
+  def describe: String =
+    s"""{"name":"distortion","factor":$factor,"inner":${inner.describe}}"""
+  def calculateEstimate(graph: JoinGraph, tables: Set[String]): Cardinality = {
+    val base = inner.calculateEstimate(graph, tables)
+    Cardinality(base.value * (1.0 + (rnd.nextDouble() * 2 - 1) * factor))
+  }
+}

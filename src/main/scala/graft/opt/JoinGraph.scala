@@ -1,0 +1,104 @@
+package graft.opt
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import graft.core.{ColumnRef, TableRef}
+import graft.qal.{Conjunct, JoinBlock}
+import graft.stats.EmulatedStatistics
+
+/** An edge of the join graph: a join conjunct connecting exactly two
+  * tables, with its equi-columns when it is `a.x = b.y`.
+  */
+final case class JoinEdge(tables: Set[String], expr: Expression,
+    equiColumns: Option[(ColumnRef, ColumnRef)]) {
+  def connects(a: String, b: String): Boolean = tables == Set(a, b)
+  def touches(ts: Set[String]): Boolean = tables.exists(ts.contains)
+  /** The column on `table`'s side, if this is an equi edge. */
+  def columnOf(table: String): Option[ColumnRef] = equiColumns.flatMap {
+    case (ca, cb) =>
+      if (ca.table.exists(_.identifier == table)) Some(ca)
+      else if (cb.table.exists(_.identifier == table)) Some(cb)
+      else None
+  }
+}
+
+/** Join graph over a query's join block: tables are nodes, two-table join
+  * conjuncts are edges; multi-table conjuncts are kept as post-join
+  * predicates. pk/fk classification uses the ndv == rowcount heuristic
+  * (Spark has no declared key metadata — SURVEY §7.4-3; reference reads
+  * real constraints, /root/reference/postbound/opt/_joingraph.py:360-1148).
+  */
+final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics) {
+
+  val edges: Seq[JoinEdge] = block.joinConjuncts.collect {
+    case c @ Conjunct(e, ts) if ts.size == 2 =>
+      JoinEdge(ts, e, c.equiColumns(block.attrToTable))
+  }
+
+  /** Conjuncts spanning 3+ tables — applied above the join tree. */
+  val postJoinPredicates: Seq[Expression] =
+    block.joinConjuncts.filter(_.tables.size > 2).map(_.expr)
+
+  def tables: Seq[String] = block.tables.map(_.identifier)
+
+  def edgesBetween(joined: Set[String], candidate: String): Seq[JoinEdge] =
+    edges.filter(e => e.tables.contains(candidate) &&
+      (e.tables - candidate).subsetOf(joined))
+
+  /** Free tables reachable from the joined set by at least one edge. */
+  def neighbors(joined: Set[String]): Seq[String] =
+    tables.filterNot(joined.contains)
+      .filter(t => edgesBetween(joined, t).nonEmpty)
+
+  def isConnected: Boolean = {
+    tables match {
+      case Nil => true
+      case first +: _ =>
+        var reached = Set(first)
+        var grew = true
+        while (grew) {
+          val next = neighbors(reached)
+          grew = next.nonEmpty
+          reached ++= next
+        }
+        reached.size == tables.size
+    }
+  }
+
+  /** All equi-join columns of a table (for stats probes). */
+  def joinColumnsOf(table: String): Seq[String] =
+    edges.flatMap(_.columnOf(table)).map(_.name).distinct
+
+  private def leafPlan(t: String) = block.leafPlan(t)
+
+  /** ndv ~ rowcount heuristic for "column is a primary key". */
+  def isPrimaryKey(table: String, column: String): Boolean = {
+    val n = stats.rowCount(leafPlan(table))
+    n > 0 && stats.distinctCount(leafPlan(table), column) >= (n * 999L) / 1000L
+  }
+
+  /** A join edge is pk/fk if one side's column is (nearly) unique. */
+  def isPkFkJoin(edge: JoinEdge): Boolean = pkSideOf(edge).isDefined
+
+  /** The pk side of an edge, if any (prefers the side with higher
+    * uniqueness when both qualify). */
+  def pkSideOf(edge: JoinEdge): Option[String] = edge.equiColumns.flatMap {
+    case (ca, cb) =>
+      val sides = Seq(ca, cb).flatMap(c => c.table.map(t => (t.identifier, c.name)))
+      sides.find { case (t, col) => isPrimaryKey(t, col) }.map(_._1)
+  }
+
+  /** Transitive closure of equi-join columns (union-find), the basis for
+    * predicate augmentation (reference: determine_join_equivalence_classes,
+    * /root/reference/postbound/qal/_qal.py:3557). */
+  def equivalenceClasses: Seq[Set[ColumnRef]] = {
+    val parent = scala.collection.mutable.Map.empty[ColumnRef, ColumnRef]
+    def find(c: ColumnRef): ColumnRef = {
+      val p = parent.getOrElseUpdate(c, c)
+      if (p == c) c else { val r = find(p); parent(c) = r; r }
+    }
+    edges.foreach(_.equiColumns.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    })
+    parent.keys.groupBy(find).values.map(_.toSet).filter(_.size > 1).toSeq
+  }
+}

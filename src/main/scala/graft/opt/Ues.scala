@@ -1,0 +1,137 @@
+package graft.opt
+
+import graft.core.{Cardinality, JoinOperator}
+import graft.pipeline.{JoinOrderOptimization, PhysicalOperatorSelection,
+  ParameterGeneration}
+import graft.plans.{JoinNode, JoinTree, PhysicalOperatorAssignment,
+  PlanParameterization, ScanNode}
+import graft.qal.QueryFacade
+
+/** UES-flavored pessimistic join ordering (reference: UESJoinOrderOptimizer,
+  * /root/reference/postbound/opt/ues.py:959, bounds at :724-783; the
+  * algorithm follows the CIDR'21 paper "Simplicity Done Right").
+  *
+  * Greedy construction of a left-deep tree that minimizes the upper bound of
+  * every intermediate:
+  *  - n:m edge bound:  |L ⋈a=b R| <= min(d(a), d(b)) * mf(a) * mf(b),
+  *    additionally capped by U(L) * mf(b) (each of the at-most-U(L) rows on
+  *    the build side matches at most mf(b) probe rows);
+  *  - pk/fk edge bound: the fk side's (filtered) cardinality — every fk row
+  *    matches at most one pk row.
+  * Statistics come from the emulated stats provider: filtered base-table
+  * cardinalities, per-join-column distinct counts and maximum frequencies
+  * (MaxFrequencyStats, ues.py:300). Simplification vs the reference: no
+  * subquery-branching policies — always left-deep (the reference default).
+  */
+final class UESJoinOrderOptimizer extends JoinOrderOptimization {
+  def describe: String = """{"name":"ues","tree":"left-deep","bounds":"pessimistic"}"""
+
+  def optimizeJoinOrder(q: QueryFacade, graph: JoinGraph): Option[JoinTree[Cardinality]] = {
+    val tables = graph.tables
+    if (tables.size < 2 || graph.edges.exists(_.equiColumns.isEmpty)) return None
+
+    val stats = graph.stats
+    def leaf(t: String) = graph.block.leafPlan(t)
+    def baseCard(t: String): Double =
+      stats.rowCount(leaf(t),
+        QueryFacade.andAll(graph.block.filtersFor(t))).toDouble
+    def mf(t: String, c: String): Double =
+      stats.maxFrequency(leaf(t), c).toDouble
+    def ndv(t: String, c: String): Double =
+      stats.distinctCount(leaf(t), c).toDouble
+
+    def edgeBound(uLeft: Double, leftTable: String, cand: String,
+        edge: JoinEdge): Double = {
+      (edge.columnOf(leftTable), edge.columnOf(cand)) match {
+        case (Some(ca), Some(cb)) =>
+          if (graph.isPrimaryKey(cand, cb.name)) {
+            uLeft // fk side is the current intermediate
+          } else if (graph.isPrimaryKey(leftTable, ca.name)) {
+            math.min(baseCard(cand), uLeft * mf(cand, cb.name))
+          } else {
+            val nm = math.min(ndv(leftTable, ca.name), ndv(cand, cb.name)) *
+              mf(leftTable, ca.name) * mf(cand, cb.name)
+            math.min(nm, uLeft * mf(cand, cb.name))
+          }
+        case _ => uLeft * baseCard(cand)
+      }
+    }
+
+    // bound of joining candidate c into the current set: min over edges
+    def joinBound(joined: Set[String], u: Double, c: String): Double =
+      graph.edgesBetween(joined, c).map { e =>
+        val leftTable = (e.tables - c).head
+        edgeBound(u, leftTable, c, e)
+      }.min
+
+    val start = tables.minBy(baseCard)
+    var tree: JoinTree[Cardinality] =
+      ScanNode(graph.block.tables.find(_.identifier == start).get,
+        Cardinality(baseCard(start)))
+    var joined = Set(start)
+    var bound = baseCard(start)
+
+    while (joined.size < tables.size) {
+      val candidates = graph.neighbors(joined)
+      if (candidates.isEmpty) return None // disconnected graph
+      val next = candidates.minBy(c => joinBound(joined, bound, c))
+      bound = math.max(joinBound(joined, bound, next), 1.0)
+      val scan = ScanNode(graph.block.tables.find(_.identifier == next).get,
+        Cardinality(baseCard(next)))
+      tree = JoinNode(tree, scan, Cardinality(bound))
+      joined += next
+    }
+    Some(tree)
+  }
+}
+
+/** UES operator rule: never use nested-loop joins; hash-join everywhere,
+  * broadcasting sides whose bound is small (reference: UESOperatorSelection,
+  * /root/reference/postbound/opt/ues.py:1558 disables NLJ globally).
+  */
+final class UESOperatorSelection(broadcastThreshold: Double = 100000.0)
+    extends PhysicalOperatorSelection {
+  def describe: String =
+    s"""{"name":"ues-operators","nlj":"disabled","broadcastBound":$broadcastThreshold}"""
+
+  def selectPhysicalOperators(q: QueryFacade, graph: JoinGraph,
+      joinOrder: Option[JoinTree[Cardinality]]): PhysicalOperatorAssignment = {
+    val base = PhysicalOperatorAssignment(
+      disabledJoinOps = Set(JoinOperator.NestedLoopJoin),
+      defaultJoin = Some(JoinOperator.HashJoin))
+    joinOrder match {
+      case None => base
+      case Some(tree) =>
+        def assign(t: JoinTree[Cardinality],
+            acc: PhysicalOperatorAssignment): PhysicalOperatorAssignment = t match {
+          case _: ScanNode[_] => acc
+          case j @ JoinNode(outer, inner, _) =>
+            val innerSmall = inner.annotation.value <= broadcastThreshold
+            val op = if (innerSmall) JoinOperator.BroadcastHashJoin
+              else JoinOperator.HashJoin
+            assign(inner, assign(outer, acc.withJoin(j.tableSet, op)))
+        }
+        assign(tree, base)
+    }
+  }
+}
+
+/** Parameterization from the join tree's bound annotations (reference:
+  * ParameterGeneration producing Rows(...) hints, _hints.py:632). */
+final class BoundsParameterGeneration extends ParameterGeneration {
+  def describe: String = """{"name":"ues-bounds-params"}"""
+  def generatePlanParameters(q: QueryFacade, graph: JoinGraph,
+      joinOrder: Option[JoinTree[Cardinality]],
+      operators: PhysicalOperatorAssignment): PlanParameterization =
+    joinOrder match {
+      case None => PlanParameterization()
+      case Some(tree) =>
+        def collect(t: JoinTree[Cardinality]): Map[Set[String], Cardinality] =
+          t match {
+            case _: ScanNode[_] => Map.empty
+            case j @ JoinNode(o, i, a) =>
+              collect(o) ++ collect(i) + (j.tableSet -> a)
+          }
+        PlanParameterization(cardinalityHints = collect(tree))
+    }
+}

@@ -1,0 +1,111 @@
+package graft.stats
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{GraftShims, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.functions._
+
+/** Most-common-values list: (value, frequency) descending. Port of
+  * MostCommonValues (/root/reference/postbound/db/_db.py:1600-1731). */
+final case class MostCommonValues(entries: Seq[(Any, Long)]) {
+  def maxFrequency: Long = entries.headOption.map(_._2).getOrElse(0L)
+  def frequencyOf(v: Any): Option[Long] = entries.find(_._1 == v).map(_._2)
+}
+
+/** Equi-width histogram. Port of Histogram
+  * (/root/reference/postbound/db/_db.py:1758-1963). */
+final case class Histogram(lo: Double, hi: Double, counts: Seq[Long]) {
+  def buckets: Int = counts.size
+  def total: Long = counts.sum
+}
+
+/** Emulated database statistics: every statistic is computed by a Spark
+  * aggregation job and memoized, exactly the reference's "emulated
+  * statistics" design (/root/reference/postbound/db/_db.py:1981-1999 —
+  * there via SQL probes against the live DB, here via DataFrame jobs).
+  * Statistics are keyed on the canonicalized plan so semantically equal
+  * scans share cache entries. At scale these are one-pass shuffles with
+  * map-side partial aggregation; MCV/max-frequency probes are the
+  * expensive ones and are the reason the cache exists (same rationale as
+  * the reference's disk cache, db/_db.py:322-430).
+  */
+final class EmulatedStatistics(spark: SparkSession) {
+  private val cache = TrieMap.empty[(String, String), Any]
+
+  private def key(plan: LogicalPlan, tag: String): (String, String) =
+    (plan.canonicalized.toString, tag)
+
+  private def df(plan: LogicalPlan) = GraftShims.ofRows(spark, plan)
+
+  private def memo[T](plan: LogicalPlan, tag: String)(compute: => T): T =
+    cache.getOrElseUpdate(key(plan, tag), compute).asInstanceOf[T]
+
+  def rowCount(plan: LogicalPlan): Long =
+    memo(plan, "count")(df(plan).count())
+
+  def rowCount(plan: LogicalPlan, filter: Option[Expression]): Long =
+    filter match {
+      case Some(f) => memo(plan, s"count[${f.canonicalized}]")(
+        df(Filter(f, plan)).count())
+      case None => rowCount(plan)
+    }
+
+  def distinctCount(plan: LogicalPlan, column: String): Long =
+    memo(plan, s"ndv[$column]")(
+      df(plan).agg(count_distinct(col(column))).head().getLong(0))
+
+  /** Highest frequency of any value in the column — the key UES statistic
+    * (MaxFrequencyStats, /root/reference/postbound/opt/ues.py:300). */
+  def maxFrequency(plan: LogicalPlan, column: String): Long =
+    memo(plan, s"maxfreq[$column]")(
+      df(plan).groupBy(col(column)).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0))
+
+  def minMax(plan: LogicalPlan, column: String): (Double, Double) =
+    memo(plan, s"minmax[$column]") {
+      val r = df(plan).agg(min(col(column)).cast("double"),
+        max(col(column)).cast("double")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+
+  def mostCommonValues(plan: LogicalPlan, column: String, k: Int = 10): MostCommonValues =
+    memo(plan, s"mcv[$column,$k]") {
+      val rows = df(plan).groupBy(col(column)).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col(column))
+        .limit(k).collect()
+      MostCommonValues(rows.toSeq.map(r => (r.get(0), r.getLong(1))))
+    }
+
+  def histogram(plan: LogicalPlan, column: String, buckets: Int = 10): Histogram =
+    memo(plan, s"hist[$column,$buckets]") {
+      val (lo, hi) = minMax(plan, column)
+      val width = if (hi > lo) (hi - lo) / buckets else 1.0
+      val rows: Array[Row] = df(plan)
+        .select(least(floor((col(column).cast("double") - lit(lo)) / lit(width)),
+          lit(buckets - 1)).cast("int").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect()
+      val byBucket = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Histogram(lo, hi, (0 until buckets).map(b => byBucket.getOrElse(b, 0L)))
+    }
+
+  def cacheSize: Int = cache.size
+}
+
+/** Native-mode statistics: read what Catalyst already derived for the plan
+  * (size-based row estimates, or full CBO stats after ANALYZE on catalog
+  * tables). Mirrors the reference's native statistics mode
+  * (/root/reference/postbound/db/_db.py:1965-1999).
+  */
+final class NativeStatistics(spark: SparkSession) {
+  def rowEstimate(plan: LogicalPlan): Option[BigInt] = {
+    val df = GraftShims.ofRows(spark, plan)
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.orElse {
+      // size-based fallback: sizeInBytes / rough row width
+      val width = math.max(plan.output.size * 16, 16)
+      Some(stats.sizeInBytes / width)
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmOpsSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+  private def embs = Tables.load(spark, sfDir, "embeddings")
+
+  test("minhash LSH finds exactly the exact-jaccard pairs") {
+    val exact = Dedup.jaccardPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3), 0.6)
+      .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
+    val lsh = Dedup.minhashNearDuplicates(docs, "doc_id", "text", 0.6)
+      .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
+    assert(lsh === exact)
+  }
+
+  test("simhash banding finds the exact-jaccard pairs") {
+    val exact = Dedup.jaccardPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3), 0.6)
+      .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
+    val sim = Dedup.simhashNearDuplicates(docs, "doc_id", "text", 12, 0.6)
+      .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
+    assert(sim === exact)
+  }
+
+  test("exact dedup groups cover all documents") {
+    val g = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+    assert(g.agg(sum(col("n_copies"))).head().getLong(0) === docs.count())
+  }
+
+  test("LSH ANN achieves >=60% recall of exact top-5") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineTopKLsh(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  test("ANN ranks are dense 1..k per query") {
+    val topk = Similarity.cosineTopK(embs, embs.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5)
+    val byQuery = topk.collect().groupBy(_.getLong(0))
+    assert(byQuery.values.forall(_.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("language id is deterministic and covers all docs") {
+    val out = TextAnalysis.languageId(docs, "doc_id", "text")
+    assert(out.count() === docs.count())
+    assert(out.filter(col("pred_lang").isNull).count() === 0)
+  }
+
+  test("fingerprint is stable across runs") {
+    val a = TextAnalysis.fingerprint(docs, "doc_id", "text").collect().toSeq
+    val b = TextAnalysis.fingerprint(docs, "doc_id", "text").collect().toSeq
+    assert(a.map(_.toString).sorted === b.map(_.toString).sorted)
+  }
+
+  test("multimodal metadata matches payload bytes") {
+    val meta = Multimodal.extractMeta(spark,
+      Multimodal.asMedia(docs, "doc_id", "text"))
+    val row = meta.filter(_.doc_id == 0L).head()
+    val text = docs.filter(col("doc_id") === 0).head().getAs[String]("text")
+    assert(row.n_bytes === text.getBytes("UTF-8").length.toLong)
+    assert(row.sha256.length === 64)
+    assert(row.stub_width >= 16 && row.stub_height >= 16)
+  }
+
+  test("frame sampling keeps every stride-th frame with bounded size") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.asMedia(docs, "doc_id", "text"), 32, 2)
+    val idx = frames.select("frame_idx").distinct().collect().map(_.getInt(0))
+    assert(idx.forall(_ % 2 == 0))
+    assert(frames.filter(length(col("frame")) > 32).count() === 0)
+  }
+}
