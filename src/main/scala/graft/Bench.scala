@@ -1,23 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query medians.
+  * Protocol per BASELINE.md: one warm-up, then 3 timed repetitions,
+  * median wall-clock; results fully materialized through the noop sink
+  * (count() would let the optimizer drop final sorts/projects).
+  */
 object Bench {
+
+  /** Representative, scale-meaningful subset of the query surface:
+    * heavy aggregation, multi-join, window, dedup, ANN, optimizer path. */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_flagship_spj", "q03_topk_revenue",
+    "q04_semijoin_exists", "q07_left_join_hist", "q12_distinct_on",
+    "q25_window_rank", "q30_count_distinct", "q40_events_hourly",
+    "q41_events_sessions", "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
+    "s01_ann_topk", "t03_token_count", "opt01_ues_flagship")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val results: Seq[(String, Double)] = headline
+      .filter(SparkEntry.queries.contains)
+      .map { name =>
+        try {
+          runOnce(name) // warm-up
+          val times = (1 to 3).map(_ => runOnce(name)).sorted
+          name -> times(1) // median of 3
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            name -> -1.0
+        }
+      }
+
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

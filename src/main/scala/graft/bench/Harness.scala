@@ -1,0 +1,131 @@
+package graft.bench
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** An ordered label -> SQL workload, port of the reference's Workload
+  * container (/root/reference/postbound/workloads.py:92-648).
+  */
+final case class Workload(name: String, queries: ListMap[String, String]) {
+  def size: Int = queries.size
+  def labels: Seq[String] = queries.keys.toSeq
+  def first(n: Int): Workload = Workload(name, ListMap(queries.take(n).toSeq: _*))
+  def filterBy(p: (String, String) => Boolean): Workload =
+    Workload(name, queries.filter { case (l, q) => p(l, q) })
+  def shuffle(seed: Long): Workload = {
+    val rnd = new scala.util.Random(seed)
+    Workload(name, ListMap(rnd.shuffle(queries.toSeq): _*))
+  }
+  def pickRandom(seed: Long): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    queries.toSeq(rnd.nextInt(queries.size))
+  }
+}
+
+object Workload {
+  /** Load `<label>.sql` files from a directory (reference: read_workload,
+    * workloads.py:657). */
+  def fromDirectory(name: String, dir: String): Workload = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".sql")).sortBy(_.getName)
+    Workload(name, ListMap(files.toSeq.map { f =>
+      f.getName.stripSuffix(".sql") ->
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    }: _*))
+  }
+
+  /** label;query CSV (reference: read_csv_workload, workloads.py:801). */
+  def fromCsv(name: String, path: String, sep: Char = ';'): Workload = {
+    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq
+    Workload(name, ListMap(lines.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf(sep)
+      l.substring(0, i) -> l.substring(i + 1)
+    }: _*))
+  }
+
+  def inline(name: String, qs: (String, String)*): Workload =
+    Workload(name, ListMap(qs: _*))
+}
+
+/** One query execution's outcome — the reference's result-column contract
+  * (label, status, exec_time, result rows, failure reason, repetition
+  * indices; /root/reference/postbound/bench.py:1093-1112).
+  */
+final case class ExecutionResult(label: String, status: String,
+    exec_time: Double, result_rows: Long, failure_reason: String,
+    workload_repetition: Int, query_repetition: Int)
+
+/** Repeatable measurement harness, port of bench.execute_workload
+  * (/root/reference/postbound/bench.py:1019-1235): workload x repetitions,
+  * optional shuffling, optional per-query timeout implemented with Spark
+  * job-group cancellation (the reference uses a worker process; Spark's
+  * native cancellation replaces it, SURVEY §4 timeouts row).
+  */
+object BenchHarness {
+
+  def executeWorkload(spark: SparkSession, workload: Workload,
+      workloadRepetitions: Int = 1, perQueryRepetitions: Int = 1,
+      shuffled: Boolean = false, timeoutSec: Option[Double] = None,
+      optimizer: String => DataFrame = null): Seq[ExecutionResult] = {
+    val runQuery: String => DataFrame =
+      Option(optimizer).getOrElse((sql: String) => spark.sql(sql))
+    (1 to workloadRepetitions).flatMap { wrep =>
+      val wl = if (shuffled) workload.shuffle(seed = wrep.toLong) else workload
+      wl.queries.toSeq.flatMap { case (label, sql) =>
+        (1 to perQueryRepetitions).map { qrep =>
+          val df = try Right(runQuery(sql)) catch {
+            case e: Throwable => Left(e)
+          }
+          df match {
+            case Left(e) =>
+              ExecutionResult(label, "optimization-error", -1.0, -1L,
+                String.valueOf(e.getMessage), wrep, qrep)
+            case Right(frame) =>
+              val t0 = System.nanoTime()
+              try {
+                val rows = timeoutSec match {
+                  case Some(limit) => runWithTimeout(spark, frame, label, limit)
+                  case None => frame.count()
+                }
+                ExecutionResult(label, "ok", (System.nanoTime() - t0) / 1e9,
+                  rows, "", wrep, qrep)
+              } catch {
+                case _: java.util.concurrent.TimeoutException =>
+                  ExecutionResult(label, "timeout", (System.nanoTime() - t0) / 1e9,
+                    -1L, s"exceeded ${timeoutSec.get}s", wrep, qrep)
+                case e: Throwable =>
+                  ExecutionResult(label, "execution-error",
+                    (System.nanoTime() - t0) / 1e9, -1L,
+                    String.valueOf(e.getMessage), wrep, qrep)
+              }
+          }
+        }
+      }
+    }
+  }
+
+  /** Run an action under a job group; cancel the group on timeout. */
+  private def runWithTimeout(spark: SparkSession, df: DataFrame,
+      label: String, limitSec: Double): Long = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val group = s"graft-bench-$label-${System.identityHashCode(df)}"
+    val sc = spark.sparkContext
+    val fut = Future {
+      sc.setJobGroup(group, label, interruptOnCancel = true)
+      try df.count() finally sc.clearJobGroup()
+    }
+    try Await.result(fut, limitSec.seconds)
+    catch {
+      case e: java.util.concurrent.TimeoutException =>
+        sc.cancelJobGroup(group); throw e
+    }
+  }
+
+  /** Results as a DataFrame (the reference exports a pandas frame). */
+  def resultsToDf(spark: SparkSession, rs: Seq[ExecutionResult]): DataFrame = {
+    import spark.implicits._
+    rs.toDF()
+  }
+}

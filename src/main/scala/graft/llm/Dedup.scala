@@ -138,14 +138,18 @@ object Dedup {
   }
 
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
-    * Default 128 perms, 64 bands x 2 rows: recall at j=0.6 is ~1-(1-0.36)^64,
-    * i.e. effectively 1, and false positives are removed by verification —
-    * so the output matches the exact [[jaccardPairs]] result while only
-    * doing exact work on candidates.
+    * Default 128 perms, 32 bands x 4 rows: band-collision probability is
+    * J^4, so recall at J=0.65 is 1-(1-0.65^4)^32 ~ 0.998 (and ~1 above),
+    * while false-positive candidates from incidentally-shared shingles stay
+    * rare — rows-per-band is THE scale knob: with r=2 the candidate set
+    * grows quadratically on corpora with overlapping vocabulary. False
+    * positives are then removed by exact verification, so the output
+    * matches the exact [[jaccardPairs]] result while only doing exact work
+    * on candidates.
     */
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, ngram: Int = 3, numPerm: Int = 128,
-      bands: Int = 64): DataFrame = {
+      bands: Int = 32): DataFrame = {
     val sh = shingles(docs, idCol, textCol, ngram).cache()
     val sigs = minHashSignatures(sh, numPerm)
     val cands = lshCandidates(sigs, bands, numPerm / bands)

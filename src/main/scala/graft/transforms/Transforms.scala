@@ -1,0 +1,118 @@
+package graft.transforms
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  EqualTo, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.dsl.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+
+/** Query-manipulation operators: LogicalPlan -> LogicalPlan functions, the
+  * Spark port of the reference's transform library
+  * (/root/reference/postbound/transform.py — flatten_and_predicate :125,
+  * as_count_star_query :696, remove_predicate :789, add/drop clause
+  * :833/:873, add_ec_predicates :641, ...). Catalyst plans are immutable
+  * trees, so each transform returns a new plan.
+  */
+object Transforms {
+
+  /** Flatten nested ANDs into conjuncts (transform.py:125). */
+  def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  def andAll(es: Seq[Expression]): Option[Expression] = es.reduceOption(And)
+
+  /** SELECT count(*) over the plan (transform.py:696 — the true-cardinality
+    * probe shape). */
+  def asCountStar(plan: LogicalPlan): LogicalPlan = {
+    val cnt = Alias(AggregateExpression(Count(Literal(1)), Complete,
+      isDistinct = false), "count")()
+    Aggregate(Nil, Seq(cnt), plan)
+  }
+
+  /** SELECT * (identity projection; transform.py:672). */
+  def asStar(plan: LogicalPlan): LogicalPlan =
+    Project(plan.output.map(_.asInstanceOf[NamedExpression]), plan)
+
+  /** Remove ORDER BY at the root (transform.py drop_clause analog). */
+  def dropOrderBy(plan: LogicalPlan): LogicalPlan = plan match {
+    case Sort(_, _, child, _) => dropOrderBy(child)
+    case other => other
+  }
+
+  /** Remove LIMIT/OFFSET wrappers at the root. */
+  def dropLimit(plan: LogicalPlan): LogicalPlan = plan match {
+    case GlobalLimit(_, child) => dropLimit(child)
+    case LocalLimit(_, child) => dropLimit(child)
+    case Offset(_, child) => dropLimit(child)
+    case other => other
+  }
+
+  /** Add LIMIT n (transform.py add_clause analog). */
+  def addLimit(plan: LogicalPlan, n: Int): LogicalPlan = Limit(Literal(n), plan)
+
+  /** Remove one conjunct from every Filter that contains it
+    * (transform.py:789 remove_predicate). */
+  def removePredicate(plan: LogicalPlan, pred: Expression): LogicalPlan =
+    plan.transformUp {
+      case Filter(cond, child) =>
+        val kept = splitConjuncts(cond).filterNot(_.semanticEquals(pred))
+        andAll(kept).map(Filter(_, child)).getOrElse(child)
+    }
+
+  /** Replace one conjunct with another (transform.py:1281). */
+  def replacePredicate(plan: LogicalPlan, from: Expression,
+      to: Expression): LogicalPlan =
+    plan.transformUp {
+      case Filter(cond, child) =>
+        val cs = splitConjuncts(cond).map(c =>
+          if (c.semanticEquals(from)) to else c)
+        Filter(andAll(cs).get, child)
+    }
+
+  /** Transitive closure of attribute equalities: `a=b AND b=c` implies
+    * `a=c`. Returns the closure's new conjuncts, deterministic order. */
+  def equalityClosure(conjuncts: Seq[Expression]): Seq[Expression] = {
+    val eqs = conjuncts.collect { case EqualTo(a: Attribute, b: Attribute) => (a, b) }
+    val parent = scala.collection.mutable.Map.empty[Attribute, Attribute]
+    def find(a: Attribute): Attribute = {
+      val p = parent.getOrElseUpdate(a, a)
+      if (p.semanticEquals(a)) a else { val r = find(p); parent(a) = r; r }
+    }
+    eqs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (!ra.semanticEquals(rb)) parent(ra) = rb
+    }
+    val existing = eqs.flatMap { case (a, b) =>
+      Seq(Set(a.exprId, b.exprId))
+    }.toSet
+    val classes = parent.keys.toSeq.groupBy(find).values
+      .map(_.sortBy(_.exprId.id)).filter(_.size > 2).toSeq
+    for {
+      cls <- classes
+      Seq(a, b) <- cls.combinations(2).toSeq
+      if !existing.contains(Set(a.exprId, b.exprId))
+    } yield EqualTo(a, b)
+  }
+}
+
+/** Custom Catalyst rule: augment Filter conditions with the transitive
+  * closure of equi-join predicates. Catalyst infers *filters* from
+  * constraints but does not add redundant join edges — the augmentation
+  * gives the join-order search more edges to work with (SURVEY §4,
+  * reference: add_ec_predicates transform.py:641 +
+  * generate_predicates_for_equivalence_classes qal/_qal.py:3599).
+  * Inject via `spark.experimental.extraOptimizations` or
+  * SparkSessionExtensions.injectOptimizerRule.
+  */
+object AugmentEquiJoinPredicates extends Rule[LogicalPlan] {
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      val conjuncts = Transforms.splitConjuncts(cond)
+      val extra = Transforms.equalityClosure(conjuncts)
+      if (extra.isEmpty) f
+      else Filter(Transforms.andAll(conjuncts ++ extra).get, child)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventOps
+
+/** Streaming semantics: batch/stream parity for windowed aggregation, and
+  * watermark-driven session closing (sessions only emit after the watermark
+  * passes their end — the defining property of append-mode streaming).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def splitEventsDir(): String = {
+    // split events into 2 files by time so the second micro-batch advances
+    // the watermark past the first batch's sessions
+    val out = Files.createTempDirectory("graft_events").toFile
+    out.deleteOnExit()
+    val ev = Tables.load(spark, sfDir, "events").orderBy(col("ts"))
+    val cut = ev.selectExpr(
+      "timestamp_micros(cast(percentile_approx(unix_micros(ts), 0.9) as long)) as c")
+      .head().getTimestamp(0)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ev.filter(col("ts") <= lit(cut)).coalesce(1)
+      .write.parquet(s"$out/batch1_dir")
+    ev.filter(col("ts") > lit(cut)).coalesce(1)
+      .write.parquet(s"$out/batch2_dir")
+    // move parquet parts up as lexically ordered files
+    val dir = Files.createTempDirectory("graft_stream").toFile
+    dir.deleteOnExit()
+    def move(sub: String, name: String): Unit = {
+      val part = new java.io.File(s"$out/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, name).toPath)
+    }
+    move("batch1_dir", "part-a.parquet")
+    move("batch2_dir", "part-b.parquet")
+    dir.getAbsolutePath
+  }
+
+  test("windowed aggregation: streaming (complete mode) equals batch") {
+    val dir = splitEventsDir()
+    val stream = spark.readStream
+      .schema(Tables.load(spark, sfDir, "events").schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hourly_out")
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+    assert(sameResults(streamed, batch))
+  }
+
+  test("session windows close when the watermark passes them") {
+    val dir = splitEventsDir()
+    val stream = EventOps.readEventStream(spark, dir) // nanos path not used here
+    val sessions = EventOps.sessionize(stream, gap = "30 minutes",
+      watermark = "1 minute")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("sessions_out")
+    // every emitted session must be a real batch session (same key + count)
+    val batchSessions = Relational.queries("q41_events_sessions")(spark, sfDir)
+    val emittedKeys = emitted
+      .filter(col("user_id") < 100)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(_.toString).toSet
+    val batchKeys = batchSessions.collect().map(_.toString).toSet
+    assert(emittedKeys.nonEmpty, "no sessions emitted")
+    assert(emittedKeys.subsetOf(batchKeys),
+      s"streaming emitted sessions not present in batch result: ${
+        emittedKeys.diff(batchKeys).take(3)}")
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate event ids") {
+    val dir = splitEventsDir()
+    val ev = Tables.load(spark, sfDir, "events")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val doubled = stream.union(stream) // duplicate every event
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = doubled.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.table("dedup_out").count()
+    assert(n === ev.count())
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Sort}
+import graft.qal.QueryFacade
+import graft.transforms.{AugmentEquiJoinPredicates, Transforms}
+
+class TransformsSpec extends SparkSpec {
+
+  private def plan(sql: String) = {
+    Tables.registerAll(spark, sfDir)
+    QueryFacade(spark, sql).analyzed
+  }
+
+  test("asCountStar produces the row count of the underlying plan") {
+    val p = plan("SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0")
+    val n = GraftShims.ofRows(spark, Transforms.asCountStar(p)).head().getLong(0)
+    val expected = GraftShims.ofRows(spark, p).count()
+    assert(n === expected)
+  }
+
+  test("dropOrderBy strips root sorts, dropLimit strips limits") {
+    val p = plan("SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 5")
+    val noLimit = Transforms.dropLimit(p)
+    val noSort = Transforms.dropOrderBy(noLimit)
+    assert(!noSort.isInstanceOf[Sort])
+    assert(GraftShims.ofRows(spark, noSort).count() ===
+      Tables.load(spark, sfDir, "customer").count())
+  }
+
+  test("removePredicate drops exactly one conjunct") {
+    val p = plan("SELECT count(*) AS n FROM customer WHERE c_acctbal > 0 AND c_custkey > 10")
+    val filterCond = p.collectFirst { case Filter(c, _) => c }.get
+    val one = Transforms.splitConjuncts(filterCond).head
+    val without = Transforms.removePredicate(p, one)
+    val remaining = without.collectFirst { case Filter(c, _) =>
+      Transforms.splitConjuncts(c) }.get
+    assert(remaining.size === 1)
+  }
+
+  test("equality closure adds the transitive edge") {
+    val p = plan(
+      """SELECT count(*) AS n FROM customer, orders, lineitem
+         WHERE c_custkey = o_custkey AND o_custkey = l_orderkey""")
+    val augmented = AugmentEquiJoinPredicates(p)
+    val conjuncts = augmented.collectFirst { case Filter(c, _) =>
+      Transforms.splitConjuncts(c) }.get
+    assert(conjuncts.size === 3, s"expected augmented edge, got: $conjuncts")
+    // results unchanged by the augmentation
+    assert(sameResults(GraftShims.ofRows(spark, augmented),
+      GraftShims.ofRows(spark, p)))
+  }
+}
