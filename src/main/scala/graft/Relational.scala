@@ -369,6 +369,63 @@ object Relational {
         .offset(10).limit(20)
     },
 
+    // NATURAL JOIN (renamed views so a shared key exists)
+    "q37_natural_join" -> { (s, dir) =>
+      t(s, dir, "nation").select(col("n_nationkey").as("nationkey"), col("n_name"))
+        .createOrReplaceTempView("nat_n")
+      t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"),
+        col("s_suppkey"), col("s_name")).createOrReplaceTempView("nat_s")
+      s.sql("""SELECT n_name, count(*) AS n_supp FROM nat_n NATURAL JOIN nat_s
+               GROUP BY n_name ORDER BY n_name""")
+    },
+
+    // LATERAL correlated subquery in FROM
+    "q38_lateral" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT n_name, top_bal FROM nation,
+                 LATERAL (SELECT max(c_acctbal) AS top_bal FROM customer
+                          WHERE c_nationkey = n_nationkey) t
+               WHERE top_bal IS NOT NULL ORDER BY n_name""")
+    },
+
+    // array expressions: agg to array, subscript, slice, containment
+    "q39_array_ops" -> { (s, dir) =>
+      t(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(sort_array(collect_list(col("s_suppkey"))).as("supps"))
+        .select(col("s_nationkey"),
+          element_at(col("supps"), 1).as("first_supp"),
+          slice(col("supps"), 1, 3).as("top3"),
+          array_contains(col("supps"), 1L).as("has_one"),
+          size(col("supps")).as("n_supp"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    // null-safe comparison: IS DISTINCT FROM (Spark: negated <=>)
+    "q42_null_safe" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+        .filter(!(col("seg") <=> lit("MACHINERY")))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+        .orderBy(col("seg").asc_nulls_first)
+    },
+
+    // date-part extraction and grouping
+    "q43_date_parts" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("y"), col("m"))
+    },
+
+    // ordered string aggregation (STRING_AGG / LISTAGG analog)
+    "q44_string_agg" -> { (s, dir) =>
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      r.join(n, col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("r_name"))
+    },
+
     // events: tumbling-window aggregation (batch form of the streaming op)
     "q40_events_hourly" -> { (s, dir) =>
       t(s, dir, "events")
@@ -620,6 +677,43 @@ object Relational {
     "q36_limit_offset" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""",
+
+    "q37_natural_join" ->
+      """SELECT n_name, count(*) AS n_supp
+         FROM (SELECT n_nationkey AS nationkey, n_name FROM nation) nat_n
+         NATURAL JOIN (SELECT s_nationkey AS nationkey, s_suppkey, s_name
+                       FROM supplier) nat_s
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q38_lateral" ->
+      """SELECT n_name, top_bal FROM nation,
+           LATERAL (SELECT max(c_acctbal) AS top_bal FROM customer
+                    WHERE c_nationkey = n_nationkey) t
+         WHERE top_bal IS NOT NULL ORDER BY n_name""",
+
+    "q39_array_ops" ->
+      """SELECT s_nationkey, supps[1] AS first_supp, supps[1:3] AS top3,
+           list_contains(supps, 1) AS has_one, len(supps) AS n_supp
+         FROM (SELECT s_nationkey, list_sort(list(s_suppkey)) AS supps
+               FROM supplier GROUP BY s_nationkey) q
+         ORDER BY s_nationkey""",
+
+    "q42_null_safe" ->
+      """SELECT nullif(c_mktsegment, 'BUILDING') AS seg, count(*) AS n
+         FROM customer
+         WHERE nullif(c_mktsegment, 'BUILDING') IS DISTINCT FROM 'MACHINERY'
+         GROUP BY 1 ORDER BY seg NULLS FIRST""",
+
+    "q43_date_parts" ->
+      """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS y,
+           CAST(extract(month FROM o_orderdate) AS INT) AS m,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY 1, 2 ORDER BY y, m""",
+
+    "q44_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM region JOIN nation ON r_regionkey = n_regionkey
+         GROUP BY r_name ORDER BY r_name""",
 
     "q40_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

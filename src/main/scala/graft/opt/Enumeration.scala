@@ -174,6 +174,19 @@ final class PreciseCardinalities extends CardinalityEstimator {
   }
 }
 
+/** Cardinalities from a precomputed lookup (reference:
+  * PreComputedCardinalities, opt/_cardinalities.py:95 — there loaded from
+  * CSV; the map form composes with any loader). Falls back to the inner
+  * estimator for missing intermediates. */
+final class PreComputedCardinalities(lookup: Map[Set[String], Cardinality],
+    fallback: CardinalityEstimator = new BasicCardinalityEstimator)
+    extends CardinalityEstimator {
+  def describe: String =
+    s"""{"name":"precomputed-cards","entries":${lookup.size}}"""
+  def calculateEstimate(graph: JoinGraph, tables: Set[String]): Cardinality =
+    lookup.getOrElse(tables, fallback.calculateEstimate(graph, tables))
+}
+
 /** Perturb another estimator's numbers to study sensitivity (reference:
   * CardinalityDistortion, opt/_cardinalities.py:306). */
 final class CardinalityDistortion(inner: CardinalityEstimator, factor: Double,
