@@ -213,15 +213,12 @@ object Dedup {
     */
   def embeddingNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val e = emb.select(col(idCol).cast("bigint").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
-    val a = e.select(col("id").as("a_id"), col("v").as("va"), col("n2").as("na"))
-    val b = e.select(col("id").as("b_id"), col("v").as("vb"), col("n2").as("nb"))
+    val e = emb.select(col(idCol).cast("bigint").as("id"), col(vecCol).as("v"))
+    val a = e.select(col("id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("id").as("b_id"), col("v").as("vb"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"))
-      .withColumn("cos_sim", col("dot") / sqrt(col("na") * col("nb")))
+      .withColumn("cos_sim",
+        graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
   }

@@ -17,26 +17,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
-      idAs: String, vecAs: String, normAs: String): DataFrame =
-    df.select(col(idCol).cast("bigint").as(idAs),
-        col(vecCol).cast("array<double>").as(vecAs))
-      .withColumn(normAs, sqrt(expr(s"aggregate($vecAs, 0D, (acc, x) -> acc + x * x)")))
-
-  private def dotCol(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)")
+  import graft.functions.CosineSimilarity.cosineSim
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus vectors
-    * (self-matches excluded). Output: (query_id, rnk, neighbor_id, cos_sim).
+    * (self-matches excluded). Cosine is the native fused-loop Catalyst
+    * expression (graft.functions.CosineSimilarity), so the hot inner loop
+    * is whole-stage-codegen'd Java, not interpreted lambdas.
+    * Output: (query_id, rnk, neighbor_id, cos_sim).
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
-    val q = withNorm(queries, idCol, vecCol, "query_id", "vq", "nq")
+    val c = corpus.select(col(idCol).cast("bigint").as("neighbor_id"),
+      col(vecCol).as("vc"))
+    val q = queries.select(col(idCol).cast("bigint").as("query_id"),
+      col(vecCol).as("vq"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", dotCol("vq", "vc") / (col("nq") * col("nc")))
+      .withColumn("sim", cosineSim(col("vq"), col("vc")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
@@ -92,14 +90,14 @@ object Similarity {
     val cands = qb.join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val c = withNorm(corpus, idCol, vecCol, "cid", "vc", "nc")
-    val q = withNorm(queries, idCol, vecCol, "qid", "vq", "nq")
+    val c = corpus.select(col(idCol).cast("bigint").as("cid"), col(vecCol).as("vc"))
+    val q = queries.select(col(idCol).cast("bigint").as("qid"), col(vecCol).as("vq"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cands
       .join(c, col("neighbor_id") === col("cid"))
       .join(broadcast(q), col("query_id") === col("qid"))
-      .withColumn("sim", dotCol("vq", "vc") / (col("nq") * col("nc")))
+      .withColumn("sim", cosineSim(col("vq"), col("vc")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
