@@ -3,9 +3,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query (SURVEY §7.2) on /root/testdata/sf0.001. */
+  /** Flagship (SURVEY §7.2): the 4-table join through the full UES
+    * optimization pipeline (parse -> join graph -> pessimistic join order ->
+    * operator selection -> Catalyst plan enforcement) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q02_flagship_spj")(spark, "/root/testdata/sf0.001")
+    OptQueries.queries("opt01_ues_flagship")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

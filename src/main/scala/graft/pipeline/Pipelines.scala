@@ -93,6 +93,117 @@ final class MultiStageOptimizationPipeline(
   }
 }
 
+/** Mutable-through-the-chain optimization state for incremental pipelines. */
+final case class OptState(
+    joinOrder: Option[JoinTree[Cardinality]] = None,
+    operators: PhysicalOperatorAssignment = PhysicalOperatorAssignment(),
+    parameters: PlanParameterization = PlanParameterization())
+
+/** One link of an incremental chain (reference: IncrementalOptimizationStep,
+  * /root/reference/postbound/_stages.py:906-946). */
+trait IncrementalOptimizationStep {
+  def describe: String
+  def refine(q: QueryFacade, graph: JoinGraph, state: OptState): OptState
+}
+
+object IncrementalOptimizationStep {
+  def fromJoinOrder(s: JoinOrderOptimization): IncrementalOptimizationStep =
+    new IncrementalOptimizationStep {
+      def describe: String = s.describe
+      def refine(q: QueryFacade, graph: JoinGraph, st: OptState): OptState =
+        st.copy(joinOrder = s.optimizeJoinOrder(q, graph).orElse(st.joinOrder))
+    }
+  def fromOperators(s: PhysicalOperatorSelection): IncrementalOptimizationStep =
+    new IncrementalOptimizationStep {
+      def describe: String = s.describe
+      def refine(q: QueryFacade, graph: JoinGraph, st: OptState): OptState =
+        st.copy(operators = s.selectPhysicalOperators(q, graph, st.joinOrder))
+    }
+  def fromParameters(s: ParameterGeneration): IncrementalOptimizationStep =
+    new IncrementalOptimizationStep {
+      def describe: String = s.describe
+      def refine(q: QueryFacade, graph: JoinGraph, st: OptState): OptState =
+        st.copy(parameters =
+          s.generatePlanParameters(q, graph, st.joinOrder, st.operators))
+    }
+}
+
+/** Chain-of-steps pipeline: each step refines the accumulated state
+  * (reference: IncrementalOptimizationPipeline, _pipelines.py:1069).
+  */
+final class IncrementalOptimizationPipeline(
+    val spark: SparkSession,
+    steps: Seq[IncrementalOptimizationStep],
+    preCheck: OptimizationPreCheck = EquiJoinPreCheck,
+    stats: EmulatedStatistics = null) {
+
+  private lazy val statistics =
+    Option(stats).getOrElse(new EmulatedStatistics(spark))
+
+  def optimizeQuery(sql: String): OptimizationResult = {
+    val q = QueryFacade(spark, sql)
+    val fallback = OptimizationResult(q.df, None, PhysicalOperatorAssignment(),
+      PlanParameterization(), usedNativeFallback = true,
+      describe = """{"fallback":"native"}""")
+    q.joinBlock match {
+      case None => fallback
+      case Some(block) =>
+        val graph = new JoinGraph(block, statistics)
+        preCheck.check(q, graph) match {
+          case Left(_) => fallback
+          case Right(()) =>
+            val st = steps.foldLeft(OptState())((s, step) => step.refine(q, graph, s))
+            st.joinOrder match {
+              case Some(tree) =>
+                val df = PlanEnforcer.enforce(q, graph, tree, st.operators)
+                OptimizationResult(df, st.joinOrder, st.operators, st.parameters,
+                  usedNativeFallback = false,
+                  describe = steps.map(_.describe).mkString("[", ",", "]"))
+              case None => fallback
+            }
+        }
+    }
+  }
+
+  def optimize(sql: String): DataFrame = optimizeQuery(sql).df
+}
+
+/** A complete algorithm produces the whole plan in one shot (reference:
+  * CompleteOptimizationAlgorithm + IntegratedOptimizationPipeline,
+  * _stages.py:377-408 / _pipelines.py:320). */
+trait CompleteOptimizationAlgorithm {
+  def describe: String
+  def optimizeQuery(q: QueryFacade, graph: JoinGraph): OptState
+}
+
+final class IntegratedOptimizationPipeline(
+    val spark: SparkSession,
+    algorithm: CompleteOptimizationAlgorithm,
+    preCheck: OptimizationPreCheck = EquiJoinPreCheck,
+    stats: EmulatedStatistics = null) {
+
+  private lazy val statistics =
+    Option(stats).getOrElse(new EmulatedStatistics(spark))
+
+  def optimize(sql: String): DataFrame = {
+    val q = QueryFacade(spark, sql)
+    q.joinBlock match {
+      case None => q.df
+      case Some(block) =>
+        val graph = new JoinGraph(block, statistics)
+        preCheck.check(q, graph) match {
+          case Left(_) => q.df
+          case Right(()) =>
+            val st = algorithm.optimizeQuery(q, graph)
+            st.joinOrder match {
+              case Some(tree) => PlanEnforcer.enforce(q, graph, tree, st.operators)
+              case None => q.df
+            }
+        }
+    }
+  }
+}
+
 /** Textbook pipeline: a plan enumerator drives cost model + cardinality
   * estimator (reference: TextBookOptimizationPipeline,
   * /root/reference/postbound/_pipelines.py:475-670).

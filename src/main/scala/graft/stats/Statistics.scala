@@ -91,6 +91,64 @@ final class EmulatedStatistics(spark: SparkSession) {
     }
 
   def cacheSize: Int = cache.size
+
+  // ---- disk persistence for the expensive probes (reference keeps a JSON
+  // disk cache keyed by query text, /root/reference/postbound/db/_db.py:
+  // 322-430; here: the long-valued stats — counts, ndv, max frequency) ----
+
+  /** Save all long-valued cache entries to a JSON file. */
+  def persistTo(path: String): Unit = {
+    val entries = cache.toSeq.collect {
+      case ((plan, tag), v: Long) => (plan, tag, v)
+    }
+    val json = entries.sortBy(e => (e._1, e._2)).map { case (p, t, v) =>
+      s"""{"plan":${jstr(p)},"tag":${jstr(t)},"value":$v}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
+  /** Pre-load cache entries previously saved with [[persistTo]]. */
+  def loadFrom(path: String): Int = {
+    if (!new java.io.File(path).exists()) return 0
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(txt) match {
+      case JArray(items) =>
+        items.foreach {
+          case JObject(fields) =>
+            val m = fields.toMap
+            (m.get("plan"), m.get("tag"), m.get("value")) match {
+              case (Some(JString(p)), Some(JString(t)), Some(JInt(v))) =>
+                cache.putIfAbsent((p, t), v.toLong)
+              case _ =>
+            }
+          case _ =>
+        }
+        items.size
+      case _ => 0
+    }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
+
+/** Prewarming support (reference: PrewarmingSupport, db/_db.py:120-168):
+  * pin hot relations in executor memory before measurement. */
+object Prewarm {
+  def prewarm(dfs: org.apache.spark.sql.DataFrame*): Unit =
+    dfs.foreach { df => df.cache(); df.count(): Unit }
+  def release(dfs: org.apache.spark.sql.DataFrame*): Unit =
+    dfs.foreach(_.unpersist())
 }
 
 /** Native-mode statistics: read what Catalyst already derived for the plan

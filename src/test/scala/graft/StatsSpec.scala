@@ -1,0 +1,58 @@
+package graft
+
+import graft.qal.QueryFacade
+import graft.stats.{EmulatedStatistics, Prewarm}
+
+class StatsSpec extends SparkSpec {
+
+  private def leafOf(table: String) = {
+    Tables.registerAll(spark, sfDir)
+    val q = QueryFacade(spark,
+      s"SELECT count(*) FROM $table, region WHERE 1 = 0 AND r_regionkey >= 0")
+    q.joinBlock.get.leafPlan(table)
+  }
+
+  test("emulated statistics: rowcount, ndv, max frequency, min/max") {
+    val stats = new EmulatedStatistics(spark)
+    val nation = leafOf("nation")
+    assert(stats.rowCount(nation) === 25L)
+    assert(stats.distinctCount(nation, "n_nationkey") === 25L)
+    assert(stats.maxFrequency(nation, "n_regionkey") >= 5L)
+    val (lo, hi) = stats.minMax(nation, "n_nationkey")
+    assert(lo === 0.0 && hi === 24.0)
+  }
+
+  test("MCV and histogram probes") {
+    val stats = new EmulatedStatistics(spark)
+    val nation = leafOf("nation")
+    val mcv = stats.mostCommonValues(nation, "n_regionkey", 3)
+    assert(mcv.entries.size === 3)
+    assert(mcv.maxFrequency === stats.maxFrequency(nation, "n_regionkey"))
+    val hist = stats.histogram(nation, "n_nationkey", 5)
+    assert(hist.total === 25L)
+    assert(hist.buckets === 5)
+  }
+
+  test("statistics are memoized and survive a disk round-trip") {
+    val stats = new EmulatedStatistics(spark)
+    val nation = leafOf("nation")
+    stats.rowCount(nation); stats.distinctCount(nation, "n_name")
+    val before = stats.cacheSize
+    stats.rowCount(nation) // memoized: no new entry
+    assert(stats.cacheSize === before)
+
+    val f = java.io.File.createTempFile("graft_stats", ".json")
+    stats.persistTo(f.getAbsolutePath)
+    val fresh = new EmulatedStatistics(spark)
+    assert(fresh.loadFrom(f.getAbsolutePath) >= 2)
+    assert(fresh.rowCount(nation) === 25L) // served from loaded cache
+  }
+
+  test("prewarm pins and releases relations") {
+    val df = Tables.load(spark, sfDir, "nation")
+    Prewarm.prewarm(df)
+    assert(df.storageLevel.useMemory)
+    Prewarm.release(df)
+    assert(!df.storageLevel.useMemory)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.core.{Cardinality, JoinOperator}
+import graft.opt._
+import graft.pipeline.MultiStageOptimizationPipeline
+import graft.plans.JoinTree
+import graft.qal.QueryFacade
+import graft.stats.EmulatedStatistics
+
+class TonicSpec extends SparkSpec {
+
+  private lazy val stats = new EmulatedStatistics(spark)
+  private val sql =
+    """SELECT n_name, count(*) AS c FROM nation, supplier, customer
+       WHERE n_nationkey = s_nationkey AND n_nationkey = c_nationkey
+       GROUP BY n_name"""
+
+  test("synopsis recommends the cheapest recorded operator per prefix") {
+    val syn = new QepSynopsis
+    syn.recordCost(Seq("a", "b"), JoinOperator.HashJoin, 100.0)
+    syn.recordCost(Seq("a", "b"), JoinOperator.SortMergeJoin, 10.0)
+    assert(syn.recommend(Seq("a", "b")) === Some(JoinOperator.SortMergeJoin))
+    // better observation wins; worse one does not regress the minimum
+    syn.recordCost(Seq("a", "b"), JoinOperator.SortMergeJoin, 500.0)
+    assert(syn.recommend(Seq("a", "b")) === Some(JoinOperator.SortMergeJoin))
+    assert(syn.recommend(Seq("a", "c")) === None)
+  }
+
+  test("synopsis round-trips through JSON") {
+    val syn = new QepSynopsis
+    syn.recordCost(Seq("a", "b"), JoinOperator.HashJoin, 42.0)
+    syn.recordCost(Seq("a", "b", "c"), JoinOperator.BroadcastHashJoin, 7.0)
+    val back = QepSynopsis.fromJson(syn.toJson)
+    assert(back.recommend(Seq("a", "b")) === Some(JoinOperator.HashJoin))
+    assert(back.recommend(Seq("a", "b", "c")) === Some(JoinOperator.BroadcastHashJoin))
+    assert(back.size === syn.size)
+  }
+
+  test("tonic learns from an executed plan and then drives selection") {
+    Tables.registerAll(spark, sfDir)
+    val syn = new QepSynopsis
+    val tonic = new TonicOperatorSelection(syn)
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val tree = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
+
+    // round 1: fallback decides; execute; learn
+    val ops1 = tonic.selectPhysicalOperators(q, graph, Some(tree))
+    val df1 = graft.enforce.PlanEnforcer.enforce(q, graph, tree, ops1)
+    df1.collect()
+    tonic.learnFromExecution(tree, ops1, df1)
+    assert(syn.size > 1, "synopsis learned nothing")
+
+    // round 2: recommendations now come from the trie for every prefix
+    val order = tree.tables.map(_.identifier)
+    val prefixes = (2 to order.size).map(k => order.take(k))
+    assert(prefixes.forall(p => syn.recommend(p).isDefined))
+
+    val ops2 = tonic.selectPhysicalOperators(q, graph, Some(tree))
+    prefixes.foreach { p =>
+      assert(ops2.joinOperators.contains(p.toSet))
+    }
+    // invariant: learned operators never change results
+    val df2 = graft.enforce.PlanEnforcer.enforce(q, graph, tree, ops2)
+    assert(sameResults(df2, spark.sql(sql)))
+  }
+
+  test("tonic inside the multi-stage pipeline") {
+    Tables.registerAll(spark, sfDir)
+    val syn = new QepSynopsis
+    val pipeline = new MultiStageOptimizationPipeline(spark,
+      joinOrder = Some(new UESJoinOrderOptimizer),
+      operators = Some(new TonicOperatorSelection(syn)),
+      stats = stats)
+    val res = pipeline.optimizeQuery(sql)
+    assert(!res.usedNativeFallback)
+    assert(sameResults(res.df, spark.sql(sql)))
+  }
+}
