@@ -128,4 +128,30 @@ object BenchHarness {
     import spark.implicits._
     rs.toDF()
   }
+
+  /** Reproducibility export: results + workload + stage descriptions as one
+    * JSON document (reference: prepare_export, bench.py:1236-1276 — every
+    * measurement ships with the optimizer configuration that produced it).
+    */
+  def exportJson(workload: Workload, rs: Seq[ExecutionResult],
+      stageDescribe: String = "{}"): String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val results = rs.map { r =>
+      s"""{"label":${q(r.label)},"status":${q(r.status)},"exec_time":${r.exec_time},""" +
+        s""""result_rows":${r.result_rows},"failure_reason":${q(r.failure_reason)},""" +
+        s""""workload_repetition":${r.workload_repetition},"query_repetition":${r.query_repetition}}"""
+    }.mkString("[", ",", "]")
+    val queries = workload.queries.map { case (l, sql) =>
+      s"${q(l)}:${q(sql)}" }.mkString("{", ",", "}")
+    s"""{"workload":${q(workload.name)},"queries":$queries,""" +
+      s""""stages":$stageDescribe,"results":$results}"""
+  }
 }

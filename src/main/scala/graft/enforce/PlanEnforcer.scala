@@ -36,6 +36,27 @@ object PlanEnforcer {
     case JoinOperator.NestedLoopJoin => HintInfo(strategy = Some(SHUFFLE_REPLICATE_NL))
   }
 
+  /** Scan-operator semantics on Spark (SURVEY §1.1 / §7.4-2): SeqScan is a
+    * plain file scan; Index(-Only)Scan maps to scans with pushed predicates
+    * and pruned columns (which Catalyst already does when a filter exists);
+    * BitmapScan has no analog. Like the reference's MySQL backend
+    * (/root/reference/postbound/mysql.py:1-30), unsupported or ineffective
+    * hints produce warnings instead of errors.
+    */
+  def scanWarnings(graph: JoinGraph,
+      ops: PhysicalOperatorAssignment): Seq[String] =
+    ops.scanOperators.toSeq.sortBy(_._1).flatMap { case (table, op) =>
+      val hasFilter = graph.block.filtersFor(table).nonEmpty
+      op match {
+        case graft.core.ScanOperator.BitmapScan =>
+          Seq(s"$table: BitmapScan has no Spark analog; executing as file scan")
+        case graft.core.ScanOperator.IndexScan |
+             graft.core.ScanOperator.IndexOnlyScan if !hasFilter =>
+          Seq(s"$table: ${op.name} requested but no predicate to push down")
+        case _ => Nil
+      }
+    }
+
   /** Build the Catalyst plan for a join tree over the query's join graph.
     * Returns the reconstructed block (filters pushed, edges applied at the
     * deepest join where both sides are available, leftover multi-table

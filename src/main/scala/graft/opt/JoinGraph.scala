@@ -87,6 +87,40 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics) {
       sides.find { case (t, col) => isPrimaryKey(t, col) }.map(_._1)
   }
 
+  /** Edges augmented with the transitive closure of the equivalence
+    * classes: table pairs connected only transitively (a=b, b=c) gain a
+    * direct a=c edge, widening the join-order search space (reference:
+    * add_ec_predicates, transform.py:641; joingraph flag
+    * opt/_joingraph.py:393-403). The synthesized predicates reuse the
+    * original attribute expressions, so enforcement still resolves. */
+  def augmentedEdges: Seq[JoinEdge] = {
+    val attrOf: Map[ColumnRef, org.apache.spark.sql.catalyst.expressions.Attribute] =
+      edges.flatMap { e =>
+        e.equiColumns.toSeq.flatMap { case (ca, cb) =>
+          e.expr match {
+            case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              a: org.apache.spark.sql.catalyst.expressions.Attribute,
+              b: org.apache.spark.sql.catalyst.expressions.Attribute) =>
+              Seq(ca -> a, cb -> b)
+            case _ => Nil
+          }
+        }
+      }.toMap
+    val extra = for {
+      cls <- equivalenceClasses
+      pair <- cls.toSeq.sortBy(_.toString).combinations(2).toSeq
+      Seq(x, y) = pair
+      tx <- x.table.map(_.identifier).toSeq
+      ty <- y.table.map(_.identifier).toSeq
+      if tx != ty
+      if !edges.exists(_.connects(tx, ty))
+      ax <- attrOf.get(x).toSeq
+      ay <- attrOf.get(y).toSeq
+    } yield JoinEdge(Set(tx, ty),
+      org.apache.spark.sql.catalyst.expressions.EqualTo(ax, ay), Some((x, y)))
+    edges ++ extra.distinct
+  }
+
   /** Transitive closure of equi-join columns (union-find), the basis for
     * predicate augmentation (reference: determine_join_equivalence_classes,
     * /root/reference/postbound/qal/_qal.py:3557). */

@@ -55,6 +55,14 @@ final class EmulatedStatistics(spark: SparkSession) {
     memo(plan, s"ndv[$column]")(
       df(plan).agg(count_distinct(col(column))).head().getLong(0))
 
+  /** HLL-sketched distinct count — the scale path where an exact
+    * COUNT(DISTINCT) shuffle is too expensive (reference's emulated stats
+    * would issue exact SQL; Spark gives the sketch for free). */
+  def approxDistinctCount(plan: LogicalPlan, column: String,
+      rsd: Double = 0.05): Long =
+    memo(plan, s"andv[$column,$rsd]")(
+      df(plan).agg(approx_count_distinct(col(column), rsd)).head().getLong(0))
+
   /** Highest frequency of any value in the column — the key UES statistic
     * (MaxFrequencyStats, /root/reference/postbound/opt/ues.py:300). */
   def maxFrequency(plan: LogicalPlan, column: String): Long =
