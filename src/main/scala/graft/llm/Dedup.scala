@@ -78,7 +78,11 @@ object Dedup {
   /** Exact Jaccard evaluated only on a candidate pair set (verification
     * stage for the LSH paths). Candidates: (a_id, b_id).
     */
-  def verifyJaccard(sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+  def verifyJaccard(sh: DataFrame, candidatesRaw: DataFrame,
+      threshold: Double): DataFrame = {
+    // the candidate relation is consumed three times (two id legs + the
+    // pair join); cache it or the whole LSH DAG re-executes per consumer
+    val candidates = candidatesRaw.cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
     val b = sh.select(col("doc_id").as("b_id2"), col("shingle").as("shingle_b"))
@@ -151,8 +155,22 @@ object Dedup {
       threshold: Double, ngram: Int = 3, numPerm: Int = 128,
       bands: Int = 32): DataFrame = {
     val sh = shingles(docs, idCol, textCol, ngram).cache()
-    val sigs = minHashSignatures(sh, numPerm)
-    val cands = lshCandidates(sigs, bands, numPerm / bands)
+    // cache: the banding self-join would otherwise recompute the signature
+    // aggregation once per side (tiny relation, numPerm longs per doc)
+    val sigs = minHashSignatures(sh, numPerm).cache()
+    val rawCands = lshCandidates(sigs, bands, numPerm / bands)
+    // MinHash-estimate pre-filter: sig agreement is an unbiased estimate of
+    // J with sigma = sqrt(J(1-J)/numPerm); a wide safety margin keeps
+    // recall ~1 while discarding the incidental band collisions, so exact
+    // verification only touches near-certain pairs
+    val margin = 0.2
+    val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
+    val cands = rawCands.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("est", expr(
+        s"aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($numPerm as double)"))
+      .filter(col("est") >= threshold - margin)
+      .select("a_id", "b_id")
     verifyJaccard(sh, cands, threshold)
   }
 
