@@ -109,6 +109,24 @@ object OptQueries {
         stats = statsFor(s)).optimize(fourTableSql)
     },
 
+    // transitively-connected query optimized over the AUGMENTED join graph:
+    // customer-lineitem only connect through orders' equivalence class, the
+    // closure edge lets UES order them adjacently (custom Catalyst-rule
+    // semantics, SURVEY §4 augmentation row)
+    "opt10_augmented_graph" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val sql = """SELECT c_mktsegment, count(*) AS n
+                   FROM customer, orders, lineitem
+                   WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+                   GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+      val q = QueryFacade(s, sql)
+      val graph = new JoinGraph(q.joinBlock.get, statsFor(s), augment = true)
+      val tree = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
+      val ops = new UESOperatorSelection()
+        .selectPhysicalOperators(q, graph, Some(tree))
+      PlanEnforcer.enforce(q, graph, tree, ops)
+    },
+
     // true cardinalities: COUNT(*) per intermediate feeding DP
     "opt09_precise_cards" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -128,6 +146,11 @@ object OptQueries {
     "opt06_dp_join_order" -> fourTableSql,
     "opt07_exhaustive" -> threeTableSql,
     "opt08_random_order" -> fourTableSql,
-    "opt09_precise_cards" -> threeTableSql
+    "opt09_precise_cards" -> threeTableSql,
+    "opt10_augmented_graph" ->
+      """SELECT c_mktsegment, count(*) AS n
+         FROM customer, orders, lineitem
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

@@ -369,6 +369,23 @@ object Relational {
         .offset(10).limit(20)
     },
 
+    // IN-list predicate (value list, not subquery)
+    "q45_in_list" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // scalar subquery in the SELECT list
+    "q46_select_scalar_subquery" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT r_name,
+                 (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+                   AS n_nations
+               FROM region ORDER BY r_name""")
+    },
+
     // NATURAL JOIN (renamed views so a shared key exists)
     "q37_natural_join" -> { (s, dir) =>
       t(s, dir, "nation").select(col("n_nationkey").as("nationkey"), col("n_name"))
@@ -677,6 +694,17 @@ object Relational {
     "q36_limit_offset" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""",
+
+    "q45_in_list" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q46_select_scalar_subquery" ->
+      """SELECT r_name,
+           (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+             AS n_nations
+         FROM region ORDER BY r_name""",
 
     "q37_natural_join" ->
       """SELECT n_name, count(*) AS n_supp

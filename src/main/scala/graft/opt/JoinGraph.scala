@@ -27,12 +27,19 @@ final case class JoinEdge(tables: Set[String], expr: Expression,
   * (Spark has no declared key metadata — SURVEY §7.4-3; reference reads
   * real constraints, /root/reference/postbound/opt/_joingraph.py:360-1148).
   */
-final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics) {
+final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
+    augment: Boolean = false) {
 
-  val edges: Seq[JoinEdge] = block.joinConjuncts.collect {
+  private val baseEdges: Seq[JoinEdge] = block.joinConjuncts.collect {
     case c @ Conjunct(e, ts) if ts.size == 2 =>
       JoinEdge(ts, e, c.equiColumns(block.attrToTable))
   }
+
+  /** With `augment = true`, edges include the equivalence-class closure
+    * (see [[augmentedEdges]]): join-order search sees transitive
+    * connectivity directly. */
+  val edges: Seq[JoinEdge] =
+    if (augment) augmentFrom(baseEdges) else baseEdges
 
   /** Conjuncts spanning 3+ tables — applied above the join tree. */
   val postJoinPredicates: Seq[Expression] =
@@ -93,9 +100,22 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics) {
     * add_ec_predicates, transform.py:641; joingraph flag
     * opt/_joingraph.py:393-403). The synthesized predicates reuse the
     * original attribute expressions, so enforcement still resolves. */
-  def augmentedEdges: Seq[JoinEdge] = {
+  def augmentedEdges: Seq[JoinEdge] = augmentFrom(edges)
+
+  private def augmentFrom(base: Seq[JoinEdge]): Seq[JoinEdge] = {
+    def classesOf(es: Seq[JoinEdge]): Seq[Set[ColumnRef]] = {
+      val parent = scala.collection.mutable.Map.empty[ColumnRef, ColumnRef]
+      def find(c: ColumnRef): ColumnRef = {
+        val p = parent.getOrElseUpdate(c, c)
+        if (p == c) c else { val r = find(p); parent(c) = r; r }
+      }
+      es.foreach(_.equiColumns.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      })
+      parent.keys.groupBy(find).values.map(_.toSet).filter(_.size > 1).toSeq
+    }
     val attrOf: Map[ColumnRef, org.apache.spark.sql.catalyst.expressions.Attribute] =
-      edges.flatMap { e =>
+      base.flatMap { e =>
         e.equiColumns.toSeq.flatMap { case (ca, cb) =>
           e.expr match {
             case org.apache.spark.sql.catalyst.expressions.EqualTo(
@@ -107,18 +127,18 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics) {
         }
       }.toMap
     val extra = for {
-      cls <- equivalenceClasses
+      cls <- classesOf(base)
       pair <- cls.toSeq.sortBy(_.toString).combinations(2).toSeq
       Seq(x, y) = pair
       tx <- x.table.map(_.identifier).toSeq
       ty <- y.table.map(_.identifier).toSeq
       if tx != ty
-      if !edges.exists(_.connects(tx, ty))
+      if !base.exists(_.connects(tx, ty))
       ax <- attrOf.get(x).toSeq
       ay <- attrOf.get(y).toSeq
     } yield JoinEdge(Set(tx, ty),
       org.apache.spark.sql.catalyst.expressions.EqualTo(ax, ay), Some((x, y)))
-    edges ++ extra.distinct
+    base ++ extra.distinct
   }
 
   /** Transitive closure of equi-join columns (union-find), the basis for
