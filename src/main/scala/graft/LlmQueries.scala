@@ -97,6 +97,32 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // STREAMING in the correctness gate: the hourly aggregation executed as
+    // an actual Structured Streaming job (file source -> complete-mode
+    // memory sink); result must equal the batch/DuckDB oracle
+    "st01_stream_hourly" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      // the file stream source requires a directory: stage the single
+      // events file into one
+      val staged = java.nio.file.Files.createTempDirectory("graft_st01")
+      staged.toFile.deleteOnExit()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val stream = graft.streaming.EventOps.readEventStream(s, staged.toString)
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      val qname = s"st01_out_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      s.table(qname).orderBy(col("hour_start"), col("event_type"))
+    },
+
     // multimodal: frame-sampling plumbing over binary payloads
     "m02_frame_sample" -> { (s, dir) =>
       Multimodal.sampleFrames(
@@ -204,6 +230,11 @@ object LlmQueries {
     "m01_media_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
          FROM documents ORDER BY doc_id""",
+
+    "st01_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
 
     "m02_frame_sample" ->
       """SELECT doc_id, i AS frame_idx,

@@ -151,27 +151,34 @@ object NoOptJoinOrder extends JoinOrderOptimization {
   def optimizeJoinOrder(q: QueryFacade, graph: JoinGraph): Option[JoinTree[Cardinality]] = None
 }
 
+/** Extract the join fragment over a table subset as a standalone plan
+  * (reference: extract_query_fragment, transform.py:296): filtered leaves
+  * joined with every edge internal to the subset. */
+object QueryFragment {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint,
+    LogicalPlan}
+
+  def fragmentPlan(graph: JoinGraph, tables: Set[String]): LogicalPlan = {
+    val joined = tables.toSeq.sorted.map { t =>
+      val leaf = graph.block.leafPlan(t)
+      QueryFacade.andAll(graph.block.filtersFor(t))
+        .map(Filter(_, leaf)).getOrElse(leaf)
+    }.reduce[LogicalPlan]((l, r) => Join(l, r, Inner, None, JoinHint.NONE))
+    val conds = graph.edges.filter(_.tables.subsetOf(tables)).map(_.expr)
+    conds.reduceOption(And).map(Filter(_, joined)).getOrElse(joined)
+  }
+}
+
 /** True cardinalities by executing COUNT(*) on every intermediate
   * (reference: PreciseCardinalities, /root/reference/postbound/opt/
   * _cardinalities.py:20 — embarrassingly parallel in Spark). */
 final class PreciseCardinalities extends CardinalityEstimator {
   def describe: String = """{"name":"precise-cards"}"""
-  def calculateEstimate(graph: JoinGraph, tables: Set[String]): Cardinality = {
-    import org.apache.spark.sql.catalyst.plans.logical.Filter
-    import org.apache.spark.sql.catalyst.expressions.And
-    val joined = tables.toSeq.map { t =>
-      val leaf = graph.block.leafPlan(t)
-      QueryFacade.andAll(graph.block.filtersFor(t))
-        .map(Filter(_, leaf)).getOrElse(leaf)
-    }.reduce[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-      (l, r) => org.apache.spark.sql.catalyst.plans.logical.Join(
-        l, r, org.apache.spark.sql.catalyst.plans.Inner, None,
-        org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
-    }
-    val conds = graph.edges.filter(_.tables.subsetOf(tables)).map(_.expr)
-    val plan = conds.reduceOption(And).map(Filter(_, joined)).getOrElse(joined)
-    Cardinality(graph.stats.rowCount(plan).toDouble)
-  }
+  def calculateEstimate(graph: JoinGraph, tables: Set[String]): Cardinality =
+    Cardinality(graph.stats.rowCount(
+      QueryFragment.fragmentPlan(graph, tables)).toDouble)
 }
 
 /** Cardinalities from a precomputed lookup (reference:

@@ -72,6 +72,17 @@ object Transforms {
         Filter(andAll(cs).get, child)
     }
 
+  /** Rename an output column via a projection with aliases
+    * (transform.py:1336 rename_columns_in_query). */
+  def renameOutput(plan: LogicalPlan, from: String, to: String): LogicalPlan =
+    Project(plan.output.map { a =>
+      if (a.name == from) Alias(a, to)() else a
+    }, plan)
+
+  /** Re-alias a plan as a named relation (transform.py:2343 rename_table). */
+  def renameTable(plan: LogicalPlan, name: String): LogicalPlan =
+    SubqueryAlias(name, plan)
+
   /** Transitive closure of attribute equalities: `a=b AND b=c` implies
     * `a=c`. Returns the closure's new conjuncts, deterministic order. */
   def equalityClosure(conjuncts: Seq[Expression]): Seq[Expression] = {

@@ -38,6 +38,31 @@ class TransformsSpec extends SparkSpec {
     assert(remaining.size === 1)
   }
 
+  test("renameOutput and renameTable rewrap the plan") {
+    val p = plan("SELECT c_custkey FROM customer")
+    val renamed = Transforms.renameTable(
+      Transforms.renameOutput(p, "c_custkey", "id"), "c2")
+    val df = GraftShims.ofRows(spark, renamed)
+    assert(df.columns.toSeq === Seq("id"))
+    assert(df.count() === Tables.load(spark, sfDir, "customer").count())
+  }
+
+  test("query fragment over a table subset counts like the sub-join") {
+    Tables.registerAll(spark, sfDir)
+    val q = graft.qal.QueryFacade(spark,
+      """SELECT count(*) AS n FROM nation, supplier, region
+         WHERE n_nationkey = s_nationkey AND n_regionkey = r_regionkey""")
+    val graph = new graft.opt.JoinGraph(q.joinBlock.get,
+      new graft.stats.EmulatedStatistics(spark))
+    val frag = graft.opt.QueryFragment.fragmentPlan(graph,
+      Set("nation", "supplier"))
+    val n = GraftShims.ofRows(spark, frag).count()
+    val expected = spark.sql(
+      """SELECT count(*) FROM nation, supplier
+         WHERE n_nationkey = s_nationkey""").head().getLong(0)
+    assert(n === expected)
+  }
+
   test("equality closure adds the transitive edge") {
     val p = plan(
       """SELECT count(*) AS n FROM customer, orders, lineitem
