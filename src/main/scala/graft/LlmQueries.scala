@@ -65,6 +65,15 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // IVF ANN: KMeans coarse quantizer + probe-limited exact re-rank
+    // (approximate: no SQL oracle; recall tested in specs)
+    "s03_ann_ivf" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.cosineTopKIvf(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // language ID (marker-word argmax + CJK script detection)
     "t01_lang_id" -> { (s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")

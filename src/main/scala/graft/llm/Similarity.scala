@@ -76,6 +76,49 @@ object Similarity {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (spark.ml, fixed
+    * seed) partitions the corpus into nlist cells; queries probe their
+    * nProbe nearest centroids and re-rank exactly within those cells only.
+    * This is the classic large-scale layout: the corpus is written
+    * partitioned by cell, so a probe touches nProbe/nlist of the data —
+    * at 100 TB that is the difference between a full scan and a targeted
+    * read. Approximate => no SQL oracle; recall asserted in specs.
+    */
+  def cosineTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val train = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    // centroid table as a broadcastable literal DataFrame
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex.toSeq.toDF("centroid", "cell")
+    def cellsOf(df: DataFrame, id: String, n: Int): DataFrame =
+      df.select(col(idCol).cast("bigint").as(id), col(vecCol).as("v"))
+        .crossJoin(broadcast(cdf))
+        .withColumn("sim", cosineSim(col("v"), col("centroid")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell"))))
+        .filter(col("rnk") <= n)
+        .select(col(id), col("cell"), col("v"))
+    val corpusCells = cellsOf(corpus, "neighbor_id", 1) // each vector in 1 cell
+    val queryCells = cellsOf(queries, "query_id", nProbe)
+      .withColumnRenamed("v", "vq")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    queryCells.join(corpusCells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineSim(col("vq"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"))
+  }
+
   /** LSH-bucketed ANN: candidates collide with the query in >=1 band; exact
     * cosine re-rank on candidates only. Same output shape as [[cosineTopK]];
     * approximate (recall < 1 possible), so no SQL oracle — rows-only check +

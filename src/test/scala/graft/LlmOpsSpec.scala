@@ -43,6 +43,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall too low")
   }
 
+  test("IVF ANN achieves >=60% recall of exact top-5") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.cosineTopKIvf(embs, queries, "vec_id", "embedding", 5,
+      nlist = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
   test("ANN ranks are dense 1..k per query") {
     val topk = Similarity.cosineTopK(embs, embs.filter(col("vec_id") < 3),
       "vec_id", "embedding", 5)
