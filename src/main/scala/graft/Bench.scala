@@ -17,7 +17,7 @@ object Bench {
     "q04_semijoin_exists", "q07_left_join_hist", "q12_distinct_on",
     "q25_window_rank", "q30_count_distinct", "q40_events_hourly",
     "q41_events_sessions", "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
-    "s01_ann_topk", "t03_token_count", "opt01_ues_flagship")
+    "s01_ann_topk", "t01_lang_id", "t03_token_count", "opt01_ues_flagship")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
