@@ -369,6 +369,21 @@ object Relational {
         .offset(10).limit(20)
     },
 
+    // aggregate vocabulary (SURVEY §1.3): CORR, STDDEV, EVERY/BOOL_OR,
+    // BIT_AND/OR/XOR
+    "q47_agg_vocab" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          round(stddev_samp(col("l_discount")), 4).as("disc_stddev"),
+          every(col("l_quantity") > 0).as("all_positive"),
+          some(col("l_discount") > 0.09).as("any_high_disc"),
+          bit_and(col("l_linenumber")).as("ln_and"),
+          bit_or(col("l_linenumber")).as("ln_or"),
+          bit_xor(col("l_linenumber").cast("bigint")).as("ln_xor"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // IN-list predicate (value list, not subquery)
     "q45_in_list" -> { (s, dir) =>
       t(s, dir, "customer")
@@ -694,6 +709,17 @@ object Relational {
     "q36_limit_offset" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""",
+
+    "q47_agg_vocab" ->
+      """SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(stddev_samp(l_discount), 4) AS disc_stddev,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_high_disc,
+           bit_and(l_linenumber) AS ln_and,
+           bit_or(l_linenumber) AS ln_or,
+           CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_xor
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q45_in_list" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer

@@ -70,6 +70,22 @@ final class EmulatedStatistics(spark: SparkSession) {
       df(plan).groupBy(col(column)).agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).head().getLong(0))
 
+  /** Approximate maximum frequency, the scale path for the UES statistic:
+    * exact maxFrequency is a full groupBy shuffle; this runs freqItems
+    * (one pass, bounded sketch) to get heavy-hitter candidates, then counts
+    * only those exactly. Falls back to the exact probe when the sketch
+    * returns nothing (no item above the support threshold). */
+  def approxMaxFrequency(plan: LogicalPlan, column: String,
+      support: Double = 0.001): Long =
+    memo(plan, s"amaxfreq[$column,$support]") {
+      val candidates = df(plan).stat.freqItems(Seq(column), support)
+        .head().getSeq[Any](0)
+      if (candidates.isEmpty) maxFrequency(plan, column)
+      else df(plan).filter(col(column).isin(candidates: _*))
+        .groupBy(col(column)).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)
+    }
+
   def minMax(plan: LogicalPlan, column: String): (Double, Double) =
     memo(plan, s"minmax[$column]") {
       val r = df(plan).agg(min(col(column)).cast("double"),

@@ -22,6 +22,14 @@ class StatsSpec extends SparkSpec {
     assert(lo === 0.0 && hi === 24.0)
   }
 
+  test("approximate max frequency matches exact on a skewed column") {
+    val stats = new EmulatedStatistics(spark)
+    val nation = leafOf("nation")
+    val exact = stats.maxFrequency(nation, "n_regionkey")
+    val approx = stats.approxMaxFrequency(nation, "n_regionkey", support = 0.01)
+    assert(approx === exact)
+  }
+
   test("MCV and histogram probes") {
     val stats = new EmulatedStatistics(spark)
     val nation = leafOf("nation")
