@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.opt.Salting
+
+/** Plan-quality invariants: predicate pushdown and column pruning must
+  * reach the parquet scan (the "PushedFilters / ReadSchema" bar from the
+  * build brief), and salting must preserve join/aggregation semantics.
+  */
+class PushdownAndSaltingSpec extends SparkSpec {
+
+  test("filters and projections reach the parquet scan") {
+    val df = Relational.queries("q06_filter_agg")(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    // filter pushed into the parquet reader
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"),
+      scan.metadata("PushedFilters"))
+    // only referenced columns are read
+    val readCols = scan.schema.fieldNames.toSet
+    assert(readCols.subsetOf(Set("l_shipdate", "l_discount", "l_quantity",
+      "l_extendedprice")), readCols.toString)
+    assert(!readCols.contains("l_orderkey"))
+  }
+
+  test("scans of a projected query prune to the referenced columns") {
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.schema.fieldNames.toSeq === Seq("l_returnflag"))
+  }
+
+  test("salted equi-join equals the plain join") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_suppkey").as("k"), col("l_quantity"))
+    val su = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey").as("k"), col("s_name"))
+    val plain = li.join(su, "k").groupBy(col("s_name"))
+      .agg(round(sum(col("l_quantity")), 2).as("q"))
+    val salted = Salting.saltedEquiJoin(li, su, "k", factor = 8)
+      .groupBy(col("s_name")).agg(round(sum(col("l_quantity")), 2).as("q"))
+    assert(sameResults(salted, plain))
+  }
+
+  test("salted two-phase count equals plain count") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val plain = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val salted = Salting.saltedCount(ev, "event_type", factor = 16)
+    assert(sameResults(salted, plain))
+  }
+}
