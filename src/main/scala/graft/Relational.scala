@@ -369,6 +369,16 @@ object Relational {
         .offset(10).limit(20)
     },
 
+    // recursive CTE (beyond reference scope — SURVEY notes it as free
+    // upside; Spark 4 + DuckDB both support WITH RECURSIVE)
+    "q48_recursive_cte" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""WITH RECURSIVE spine(n) AS (
+                 SELECT 0 UNION ALL SELECT n + 1 FROM spine WHERE n < 24)
+               SELECT n_name, n FROM spine JOIN nation ON n_nationkey = n
+               ORDER BY n""")
+    },
+
     // aggregate vocabulary (SURVEY §1.3): CORR, STDDEV, EVERY/BOOL_OR,
     // BIT_AND/OR/XOR
     "q47_agg_vocab" -> { (s, dir) =>
@@ -709,6 +719,12 @@ object Relational {
     "q36_limit_offset" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""",
+
+    "q48_recursive_cte" ->
+      """WITH RECURSIVE spine(n) AS (
+           SELECT 0 UNION ALL SELECT n + 1 FROM spine WHERE n < 24)
+         SELECT n_name, n FROM spine JOIN nation ON n_nationkey = n
+         ORDER BY n""",
 
     "q47_agg_vocab" ->
       """SELECT l_returnflag,
