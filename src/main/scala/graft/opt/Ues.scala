@@ -23,8 +23,17 @@ import graft.qal.QueryFacade
   * (MaxFrequencyStats, ues.py:300). Simplification vs the reference: no
   * subquery-branching policies — always left-deep (the reference default).
   */
-final class UESJoinOrderOptimizer extends JoinOrderOptimization {
-  def describe: String = """{"name":"ues","tree":"left-deep","bounds":"pessimistic"}"""
+  /** @param subqueryBranching UES branching policy (reference:
+    *   ues.py subquery generation): when an n:m table enters the join
+    *   order, its still-free pk-side partners are folded into a bushy
+    *   sub-branch first — the pk/fk joins only filter that table, so
+    *   applying them before the n:m join tightens the intermediate without
+    *   changing the bound math. Off = plain left-deep (reference default).
+    */
+final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false)
+    extends JoinOrderOptimization {
+  def describe: String =
+    s"""{"name":"ues","tree":"${if (subqueryBranching) "bushy" else "left-deep"}","bounds":"pessimistic"}"""
 
   def optimizeJoinOrder(q: QueryFacade, graph: JoinGraph): Option[JoinTree[Cardinality]] = {
     val tables = graph.tables
@@ -71,15 +80,37 @@ final class UESJoinOrderOptimizer extends JoinOrderOptimization {
     var joined = Set(start)
     var bound = baseCard(start)
 
+    // free pk-side partners of `c`: joined to c on a column where the
+    // partner is the pk side, and connected to nothing else outside
+    def pkPartners(c: String, taken: Set[String]): Seq[String] =
+      graph.tables.filterNot(taken.contains).filter(_ != c).filter { d =>
+        val edgesCd = graph.edges.filter(_.connects(c, d))
+        edgesCd.nonEmpty && edgesCd.forall { e =>
+          e.columnOf(d).exists(cd => graph.isPrimaryKey(d, cd.name))
+        } && graph.edges.filter(_.tables.contains(d))
+          .forall(e => (e.tables - d).subsetOf(Set(c)))
+      }
+
     while (joined.size < tables.size) {
       val candidates = graph.neighbors(joined)
       if (candidates.isEmpty) return None // disconnected graph
       val next = candidates.minBy(c => joinBound(joined, bound, c))
       bound = math.max(joinBound(joined, bound, next), 1.0)
-      val scan = ScanNode(graph.block.tables.find(_.identifier == next).get,
-        Cardinality(baseCard(next)))
-      tree = JoinNode(tree, scan, Cardinality(bound))
-      joined += next
+      var branch: JoinTree[Cardinality] =
+        ScanNode(graph.block.tables.find(_.identifier == next).get,
+          Cardinality(baseCard(next)))
+      var taken = joined + next
+      if (subqueryBranching) {
+        pkPartners(next, taken).foreach { d =>
+          val scanD = ScanNode(graph.block.tables.find(_.identifier == d).get,
+            Cardinality(baseCard(d)))
+          // pk joins never increase the branch bound
+          branch = JoinNode(branch, scanD, branch.annotation)
+          taken += d
+        }
+      }
+      tree = JoinNode(tree, branch, Cardinality(bound))
+      joined = taken
     }
     Some(tree)
   }
