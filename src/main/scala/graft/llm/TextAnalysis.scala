@@ -73,13 +73,13 @@ object TextAnalysis {
 
   /** Polynomial rolling-hash fingerprint over the character stream,
     * mod 1e9+7 (stays in exact integer range, so any engine that folds
-    * left-to-right produces the identical value).
-    * Output: (doc_id, fingerprint).
+    * left-to-right produces the identical value). Uses the native
+    * codegen expression (graft.functions.RollingHash) — one fused loop
+    * per row instead of an array allocation + interpreted lambda per
+    * character. Output: (doc_id, fingerprint).
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.filter(length(col(textCol)) > 0)
       .select(col(idCol).as("doc_id"),
-        expr(s"aggregate(transform(split($textCol, ''), c -> ascii(c)), " +
-          "cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 1000000007)")
-          .as("fingerprint"))
+        graft.functions.RollingHash.rollingHash(col(textCol)).as("fingerprint"))
 }
