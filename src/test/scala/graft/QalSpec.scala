@@ -43,6 +43,29 @@ class QalSpec extends SparkSpec {
     assert(q.joinPredicates.size === 1)
   }
 
+  test("explicit JOIN ... ON decomposes like the implicit form") {
+    // reference: explicit_to_implicit transform (transform.py:172) — here
+    // the facade normalizes both forms into the same join-block shape
+    val q = facade(
+      """SELECT n_name, count(*) AS c
+         FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_totalprice > 1000
+         GROUP BY n_name""")
+    assert(q.joinBlock.isDefined)
+    assert(q.tables.map(_.identifier).toSet ===
+      Set("customer", "orders", "nation"))
+    assert(q.joinPredicates.size === 2)
+    assert(q.filterPredicates.map(_.tables) === Seq(Set("orders")))
+    // and it optimizes + enforces end to end
+    val pipeline = new graft.pipeline.MultiStageOptimizationPipeline(spark,
+      joinOrder = Some(new graft.opt.UESJoinOrderOptimizer),
+      stats = new EmulatedStatistics(spark))
+    val res = pipeline.optimizeQuery(q.sql)
+    assert(!res.usedNativeFallback)
+    assert(sameResults(res.df, spark.sql(q.sql)))
+  }
+
   test("queries without joins have no join block") {
     val q = facade("SELECT count(*) FROM customer")
     assert(q.joinBlock.isEmpty)
