@@ -436,7 +436,9 @@ object Relational {
         .agg(sort_array(collect_list(col("s_suppkey"))).as("supps"))
         .select(col("s_nationkey"),
           element_at(col("supps"), 1).as("first_supp"),
-          slice(col("supps"), 1, 3).as("top3"),
+          // stringified so the result set stays hashable column-wise
+          // (raw array columns break order-insensitive result compare)
+          array_join(slice(col("supps"), 1, 3).cast("array<string>"), ",").as("top3"),
           array_contains(col("supps"), 1L).as("has_one"),
           size(col("supps")).as("n_supp"))
         .orderBy(col("s_nationkey"))
@@ -762,7 +764,8 @@ object Relational {
          WHERE top_bal IS NOT NULL ORDER BY n_name""",
 
     "q39_array_ops" ->
-      """SELECT s_nationkey, supps[1] AS first_supp, supps[1:3] AS top3,
+      """SELECT s_nationkey, supps[1] AS first_supp,
+           array_to_string(supps[1:3], ',') AS top3,
            list_contains(supps, 1) AS has_one, len(supps) AS n_supp
          FROM (SELECT s_nationkey, list_sort(list(s_suppkey)) AS supps
                FROM supplier GROUP BY s_nationkey) q

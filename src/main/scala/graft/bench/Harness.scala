@@ -34,12 +34,14 @@ object Workload {
     }: _*))
   }
 
-  /** label;query CSV (reference: read_csv_workload, workloads.py:801). */
+  /** label;query CSV (reference: read_csv_workload, workloads.py:801).
+    * Lines without the separator are skipped rather than crashing the load.
+    */
   def fromCsv(name: String, path: String, sep: Char = ';'): Workload = {
     val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq
-    Workload(name, ListMap(lines.filter(_.nonEmpty).map { l =>
+    Workload(name, ListMap(lines.filter(_.nonEmpty).flatMap { l =>
       val i = l.indexOf(sep)
-      l.substring(0, i) -> l.substring(i + 1)
+      if (i < 0) None else Some(l.substring(0, i) -> l.substring(i + 1))
     }: _*))
   }
 
@@ -104,7 +106,15 @@ object BenchHarness {
     }
   }
 
-  /** Run an action under a job group; cancel the group on timeout. */
+  /** Run an action under a job group; cancel the group on timeout.
+    *
+    * The group is set on the worker thread and a latch confirms it before
+    * any cancellation (otherwise a fast timeout could cancel before
+    * setJobGroup ran, leaving the query uncancelled). Cancellation is
+    * retried until the worker completes because cancelJobGroup only
+    * affects jobs already submitted — a job submitted just after a cancel
+    * would otherwise survive and leak the worker thread.
+    */
   private def runWithTimeout(spark: SparkSession, df: DataFrame,
       label: String, limitSec: Double): Long = {
     import scala.concurrent.{Await, Future}
@@ -112,14 +122,23 @@ object BenchHarness {
     import scala.concurrent.ExecutionContext.Implicits.global
     val group = s"graft-bench-$label-${System.identityHashCode(df)}"
     val sc = spark.sparkContext
+    val groupSet = new java.util.concurrent.CountDownLatch(1)
     val fut = Future {
       sc.setJobGroup(group, label, interruptOnCancel = true)
+      groupSet.countDown()
       try df.count() finally sc.clearJobGroup()
     }
     try Await.result(fut, limitSec.seconds)
     catch {
       case e: java.util.concurrent.TimeoutException =>
-        sc.cancelJobGroup(group); throw e
+        groupSet.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        var tries = 0
+        while (!fut.isCompleted && tries < 100) {
+          sc.cancelJobGroup(group)
+          Thread.sleep(100)
+          tries += 1
+        }
+        throw e
     }
   }
 

@@ -41,7 +41,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // dimension mismatch -> null, same as the zip_with/aggregate HOF
+    // formulation (silent truncation would mask embedding-dim bugs)
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -62,17 +65,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = $x.getDouble($i);
-          double $yi = $y.getDouble($i);
-          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
-        }
-        if ($nx == 0.0 || $ny == 0.0) {
+        if ($x.numElements() != $y.numElements()) {
           ${ev.isNull} = true;
         } else {
-          ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+          int $n = $x.numElements();
+          double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = $x.getDouble($i);
+            double $yi = $y.getDouble($i);
+            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          }
+          if ($nx == 0.0 || $ny == 0.0) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+          }
         }
       """
     })

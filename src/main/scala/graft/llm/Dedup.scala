@@ -46,8 +46,11 @@ object Dedup {
   /** Exact n-gram Jaccard similarity >= threshold, via inverted-index join.
     * Output: (a_id, b_id, jaccard) with a_id < b_id.
     * `maxShingleDocFreq`: optionally drop shingles present in more than N
-    * docs before the join (skew guard at scale; changes semantics slightly,
-    * so it is off by default for oracle parity).
+    * docs before the join (skew guard at scale; this restricts the shingle
+    * universe, so it is off by default for oracle parity). Numerator and
+    * denominator are both computed over the pruned universe, so the result
+    * is the exact Jaccard of the *pruned* shingle sets — not a biased
+    * underestimate of the unpruned one.
     */
   def jaccardPairs(sh: DataFrame, threshold: Double,
       maxShingleDocFreq: Option[Long] = None): DataFrame = {
@@ -58,7 +61,7 @@ object Dedup {
         sh.join(freq, "shingle")
       case None => sh
     }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = pruned.select(col("doc_id").as("a_id"), col("shingle"))
     val b = pruned.select(col("doc_id").as("b_id"), col("shingle"))
     val inter = a.join(b, "shingle")

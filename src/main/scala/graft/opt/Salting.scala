@@ -13,10 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Equi-join `large ⋈ small` on `key`, salted `factor` ways. */
+  /** Equi-join `large ⋈ small` on `key`, salted `factor` ways.
+    *
+    * Only join types where unmatched *small*-side rows are never emitted
+    * are allowed: the small side is replicated `factor` times, so a
+    * right/full outer join would emit `factor` duplicate null-extended
+    * rows for every unmatched small-side row.
+    */
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
       factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor >= 1)
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedEquiJoin does not support joinType=$joinType: the replicated " +
+        "small side would duplicate unmatched rows under right/full outer")
     val l = large.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(factor)))
     val s = small.withColumn("__salt",

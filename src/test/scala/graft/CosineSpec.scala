@@ -30,6 +30,24 @@ class CosineSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("length-mismatched arrays yield null (both eval paths)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .withColumn("c", CosineSimilarity.cosineSim(col("a"), col("b")))
+    assert(df.select("c").head().isNullAt(0))
+    // interpreted path too (constant folding happens pre-codegen here)
+    CosineSimilarity.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1D,2D,3D), array(1D,2D)) AS c")
+    assert(r.head().isNullAt(0))
+    // and matches the HOF formulation (zip_with pads with null -> null sum)
+    val hof = df.withColumn("h",
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"))
+      .select("h").head()
+    assert(hof.isNullAt(0))
+  }
+
   test("SQL registration works and codegen path is exercised") {
     CosineSimilarity.register(spark)
     Tables.registerAll(spark, sfDir)

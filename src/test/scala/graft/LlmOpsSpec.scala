@@ -26,6 +26,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(sim === exact)
   }
 
+  test("doc-frequency pruning computes exact jaccard of the pruned universe") {
+    import spark.implicits._
+    // doc 1 = {x, y, c}, doc 2 = {x, y, d}; shingle "c"/"d" unique, "x","y"
+    // shared. With maxShingleDocFreq=1 only {c} and {d} survive ->
+    // jaccard over the pruned universe is 0. With sizes computed from the
+    // UNPRUNED sets (the old bug) the pair would show inter=0 but the
+    // threshold filter on 0/(3+3-0)=0 happens to agree; use a case where
+    // it differs: docs sharing one rare + one frequent shingle.
+    val sh = Seq(
+      (1L, "rare1"), (1L, "hot"), (2L, "rare1"), (2L, "hot"),
+      (3L, "hot"), (4L, "hot"), (5L, "hot")).toDF("doc_id", "shingle")
+    // "hot" appears in 5 docs; prune at <=2. Pruned: doc1={rare1}, doc2={rare1}
+    // -> jaccard = 1.0. Old bug: sizes from unpruned (2,2) -> 1/(2+2-1)=0.33.
+    val pairs = Dedup.jaccardPairs(sh, 0.9, maxShingleDocFreq = Some(2L))
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getDouble(2) === 1.0)
+  }
+
   test("exact dedup groups cover all documents") {
     val g = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
     assert(g.agg(sum(col("n_copies"))).head().getLong(0) === docs.count())

@@ -45,6 +45,22 @@ class PushdownAndSaltingSpec extends SparkSpec {
     assert(sameResults(salted, plain))
   }
 
+  test("salted join rejects right/full outer (replicated small side)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_suppkey").as("k"))
+    val su = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey").as("k"))
+    intercept[IllegalArgumentException] {
+      Salting.saltedEquiJoin(li, su, "k", factor = 4, joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedEquiJoin(li, su, "k", factor = 4, joinType = "right")
+    }
+    // left outer stays legal: unmatched rows come from the unreplicated side
+    assert(Salting.saltedEquiJoin(li, su, "k", factor = 4,
+      joinType = "left").count() === li.count())
+  }
+
   test("salted two-phase count equals plain count") {
     val ev = Tables.load(spark, sfDir, "events")
     val plain = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
