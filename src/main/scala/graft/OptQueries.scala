@@ -134,6 +134,20 @@ object OptQueries {
         new DynamicProgrammingEnumerator(linearOnly = true),
         new CoutCostModel, new PreciseCardinalities,
         stats = statsFor(s)).optimize(threeTableSql)
+    },
+
+    // per-intermediate cardinality injection (the Rows-hint analog): UES
+    // order + deliberately distorted true cardinalities spliced into the
+    // optimized plan as stats-override leaves that Spark's join selection
+    // consults — plan steering must never change answers
+    "opt11_injected_cards" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer),
+        operators = Some(new UESOperatorSelection),
+        parameters = Some(new CardinalityHintGeneration(
+          new CardinalityDistortion(new PreciseCardinalities, factor = 0.8))),
+        stats = statsFor(s)).optimize(fourTableSql)
     }
   )
 
@@ -147,6 +161,7 @@ object OptQueries {
     "opt07_exhaustive" -> threeTableSql,
     "opt08_random_order" -> fourTableSql,
     "opt09_precise_cards" -> threeTableSql,
+    "opt11_injected_cards" -> fourTableSql,
     "opt10_augmented_graph" ->
       """SELECT c_mktsegment, count(*) AS n
          FROM customer, orders, lineitem

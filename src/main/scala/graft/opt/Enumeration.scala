@@ -194,6 +194,32 @@ final class PreComputedCardinalities(lookup: Map[Set[String], Cardinality],
     lookup.getOrElse(tables, fallback.calculateEstimate(graph, tables))
 }
 
+/** Parameter-generation stage that turns any cardinality estimator into
+  * per-intermediate cardinality hints (reference: ParameterGeneration
+  * emitting Rows hints, /root/reference/postbound/_stages.py:532-591 +
+  * _hints.py:632). The hints are enforced by
+  * [[graft.enforce.CardinalityInjection]]: each hinted intermediate's
+  * optimized subplan is wrapped in a stats-override leaf that Spark's join
+  * selection consults. Also hints every base table and (optionally) the
+  * scans' single-table cardinalities post-filter.
+  */
+final class CardinalityHintGeneration(estimator: graft.pipeline.CardinalityEstimator,
+    includeBaseTables: Boolean = true) extends graft.pipeline.ParameterGeneration {
+  def describe: String =
+    s"""{"name":"cardinality-hints","estimator":${estimator.describe}}"""
+  def generatePlanParameters(q: graft.qal.QueryFacade, graph: JoinGraph,
+      joinOrder: Option[graft.plans.JoinTree[Cardinality]],
+      operators: graft.plans.PhysicalOperatorAssignment): graft.plans.PlanParameterization = {
+    val intermediates = joinOrder.map(_.intermediates).getOrElse(Seq.empty)
+    val singles =
+      if (includeBaseTables) graph.tables.map(t => Set(t)) else Seq.empty
+    val hints = (intermediates ++ singles).distinct.map { ts =>
+      ts -> estimator.calculateEstimate(graph, ts)
+    }.filter(_._2.isValid).toMap
+    graft.plans.PlanParameterization(cardinalityHints = hints)
+  }
+}
+
 /** Perturb another estimator's numbers to study sensitivity (reference:
   * CardinalityDistortion, opt/_cardinalities.py:306). */
 final class CardinalityDistortion(inner: CardinalityEstimator, factor: Double,

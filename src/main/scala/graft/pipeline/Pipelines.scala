@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Cardinality
-import graft.enforce.PlanEnforcer
+import graft.enforce.{CardinalityInjection, PlanEnforcer}
 import graft.opt.JoinGraph
 import graft.plans.{JoinTree, PhysicalOperatorAssignment, PlanParameterization}
 import graft.qal.QueryFacade
@@ -57,7 +57,9 @@ final class MultiStageOptimizationPipeline(
             order match {
               case Some(tree) =>
                 val df = withConfigs(params.sessionConfigs) {
-                  PlanEnforcer.enforce(q, graph, tree, ops)
+                  val enforced = PlanEnforcer.enforce(q, graph, tree, ops)
+                  CardinalityInjection.inject(spark, enforced, graph,
+                    params.cardinalityHints)
                 }
                 OptimizationResult(df, order, ops, params, usedNativeFallback = false,
                   describe = describeStages)
@@ -155,7 +157,9 @@ final class IncrementalOptimizationPipeline(
             val st = steps.foldLeft(OptState())((s, step) => step.refine(q, graph, s))
             st.joinOrder match {
               case Some(tree) =>
-                val df = PlanEnforcer.enforce(q, graph, tree, st.operators)
+                val df = CardinalityInjection.inject(spark,
+                  PlanEnforcer.enforce(q, graph, tree, st.operators), graph,
+                  st.parameters.cardinalityHints)
                 OptimizationResult(df, st.joinOrder, st.operators, st.parameters,
                   usedNativeFallback = false,
                   describe = steps.map(_.describe).mkString("[", ",", "]"))
