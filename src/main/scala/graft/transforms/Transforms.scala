@@ -83,6 +83,58 @@ object Transforms {
   def renameTable(plan: LogicalPlan, name: String): LogicalPlan =
     SubqueryAlias(name, plan)
 
+  /** Expand a predicate into a standalone query: SELECT * over the
+    * relations it references, filtered by the predicate
+    * (transform.py:500 expand_to_query — used to probe predicate
+    * selectivity in isolation). `leaves` are the scans of the referenced
+    * tables, attribute-compatible with the predicate. */
+  def expandToQuery(pred: Expression, leaves: Seq[LogicalPlan]): LogicalPlan = {
+    require(leaves.nonEmpty, "expandToQuery needs at least one relation")
+    val joined = leaves.reduceLeft[LogicalPlan](
+      (l, r) => Join(l, r, org.apache.spark.sql.catalyst.plans.Inner, None,
+        JoinHint.NONE))
+    Filter(pred, joined)
+  }
+
+  private def leafTables(p: LogicalPlan,
+      attrToTable: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String]): Set[String] =
+    p.collectLeaves()
+      .flatMap(_.output.flatMap(a => attrToTable.get(a.exprId))).toSet
+
+  /** Wrap the minimal join subtree covering exactly `tables` in a subquery
+    * alias (transform.py:519 move_into_subquery — the branch marker UES
+    * uses to compute a pk-partner sub-join first). `attrToTable` maps scan
+    * output ExprIds to table identifiers (attribute provenance survives
+    * optimization, so this works on analyzed and optimized plans alike). */
+  def moveIntoSubquery(plan: LogicalPlan, tables: Set[String], name: String,
+      attrToTable: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String]): LogicalPlan = {
+    var done = false
+    plan.transformUp {
+      case j: Join if !done && leafTables(j, attrToTable) == tables =>
+        done = true
+        SubqueryAlias(name, j)
+    }
+  }
+
+  /** Replace the minimal join subtree covering exactly `tables` with a
+    * single replacement relation (transform.py:2419 merge_tables — e.g. a
+    * pre-joined or materialized view standing in for the joined base
+    * tables). The replacement must expose the attributes the surrounding
+    * plan consumes (same ExprIds), or the result would not resolve. */
+  def mergeTables(plan: LogicalPlan, tables: Set[String],
+      replacement: LogicalPlan,
+      attrToTable: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String]): LogicalPlan = {
+    var done = false
+    plan.transformUp {
+      case j: Join if !done && leafTables(j, attrToTable) == tables =>
+        require(j.output.map(_.exprId).toSet
+          .subsetOf(replacement.output.map(_.exprId).toSet),
+          "merge_tables replacement must cover the merged subtree's output")
+        done = true
+        replacement
+    }
+  }
+
   /** Transitive closure of attribute equalities: `a=b AND b=c` implies
     * `a=c`. Returns the closure's new conjuncts, deterministic order. */
   def equalityClosure(conjuncts: Seq[Expression]): Seq[Expression] = {

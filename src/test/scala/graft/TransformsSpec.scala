@@ -63,6 +63,60 @@ class TransformsSpec extends SparkSpec {
     assert(n === expected)
   }
 
+  private def threeTableFacade = {
+    Tables.registerAll(spark, sfDir)
+    val q = QueryFacade(spark,
+      """SELECT count(*) AS n FROM customer, orders, lineitem
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey""")
+    val block = q.joinBlock.get
+    val attrToTable = block.tables.map(_.identifier).flatMap(t =>
+      block.leafPlan(t).output.map(_.exprId -> t)).toMap
+    (q, block, attrToTable)
+  }
+
+  test("moveIntoSubquery wraps exactly the targeted sub-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    val (q, _, attrToTable) = threeTableFacade
+    val p = q.analyzed
+    val moved = Transforms.moveIntoSubquery(
+      p, Set("customer", "orders"), "co", attrToTable)
+    assert(moved.collect {
+      case s: SubqueryAlias if s.alias == "co" => s
+    }.nonEmpty, moved.toString)
+    assert(sameResults(GraftShims.ofRows(spark, moved),
+      GraftShims.ofRows(spark, p)))
+  }
+
+  test("mergeTables substitutes a replacement relation for the sub-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, SubqueryAlias}
+    val (q, block, attrToTable) = threeTableFacade
+    val p = q.analyzed
+    val subtree = p.collect { case j: Join => j }.find(j =>
+      j.collectLeaves().flatMap(_.output.flatMap(a =>
+        attrToTable.get(a.exprId))).toSet == Set("customer", "orders")).get
+    val merged = Transforms.mergeTables(p, Set("customer", "orders"),
+      SubqueryAlias("merged", subtree), attrToTable)
+    assert(merged.collect {
+      case s: SubqueryAlias if s.alias == "merged" => s
+    }.nonEmpty, merged.toString)
+    assert(sameResults(GraftShims.ofRows(spark, merged),
+      GraftShims.ofRows(spark, p)))
+  }
+
+  test("expandToQuery turns a join predicate into a runnable query") {
+    val (q, block, _) = threeTableFacade
+    val graph = new graft.opt.JoinGraph(block,
+      new graft.stats.EmulatedStatistics(spark))
+    val edge = graph.edges.find(_.tables == Set("customer", "orders")).get
+    val expanded = Transforms.expandToQuery(edge.expr,
+      Seq(block.leafPlan("customer"), block.leafPlan("orders")))
+    val n = GraftShims.ofRows(spark, expanded).count()
+    val expected = spark.sql(
+      """SELECT count(*) FROM customer, orders
+         WHERE c_custkey = o_custkey""").head().getLong(0)
+    assert(n === expected)
+  }
+
   test("equality closure adds the transitive edge") {
     val p = plan(
       """SELECT count(*) AS n FROM customer, orders, lineitem
