@@ -30,10 +30,13 @@ object Dedup {
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
+      // distinct is per (doc_id, shingle), so it can be computed narrowly
+      // inside each row with array_distinct BEFORE the explode — a global
+      // .distinct() here would shuffle the full shingle relation (the
+      // largest dataset in every dedup path) for nothing
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")))
         .as("shingle"))
-      .distinct()
 
   /** Exact duplicate groups keyed on md5 digest of the raw text.
     * Output: (digest, n_copies, keep_id = min doc id, ids).
@@ -61,9 +64,17 @@ object Dedup {
         sh.join(freq, "shingle")
       case None => sh
     }
-    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = pruned.select(col("doc_id").as("a_id"), col("shingle"))
-    val b = pruned.select(col("doc_id").as("b_id"), col("shingle"))
+    // join on the 64-bit shingle hash, not the string: identical pair
+    // counts up to xxhash64 collisions (~(n_sh choose 2) * 2^-64 per doc,
+    // vanishing), at a third of the shuffle bytes. Cached because three
+    // consumers (both join legs + sizes) would otherwise re-run the
+    // CPU-heavy shingle construction; 16 bytes/row, spills to disk if a
+    // corpus outgrows executor memory.
+    val hashed = pruned.select(col("doc_id"),
+      xxhash64(col("shingle")).as("shingle")).cache()
+    val sizes = hashed.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = hashed.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = hashed.select(col("doc_id").as("b_id"), col("shingle"))
     val inter = a.join(b, "shingle")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
@@ -86,9 +97,11 @@ object Dedup {
     // the candidate relation is consumed three times (two id legs + the
     // pair join); cache it or the whole LSH DAG re-executes per consumer
     val candidates = candidatesRaw.cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
-    val b = sh.select(col("doc_id").as("b_id2"), col("shingle").as("shingle_b"))
+    // same hashed-shingle trick as jaccardPairs: shuffle 8-byte keys
+    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sizes = hashed.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = hashed.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = hashed.select(col("doc_id").as("b_id2"), col("shingle").as("shingle_b"))
     val inter = candidates
       .join(a, "a_id")
       .join(b, col("b_id") === col("b_id2") && col("shingle") === col("shingle_b"))

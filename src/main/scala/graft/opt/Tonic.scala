@@ -20,8 +20,14 @@ import graft.qal.QueryFacade
   * executed Spark plan back into the trie (SQLMetric numOutputRows as the
   * C_out-style cost proxy — no timing noise, scale-independent).
   *
-  * Simplification vs the reference: left-deep prefixes only (the reference
-  * canonicalizes bushy plans too) and min-cost aggregation instead of the
+  * Bushy plans are canonicalized the way the reference canonicalizes
+  * QEPs before trie insertion (tonic.py QEPsNode path construction): the
+  * trie path follows the outer spine, and each inner branch contributes
+  * one label — its table name for a scan, or the sorted table-set
+  * signature `[a+b+...]` for a join subtree. Every bushy sub-branch is
+  * additionally learned/recommended under its own path, so knowledge
+  * about a sub-join transfers between plans that embed it differently.
+  * Simplification vs the reference: min-cost aggregation instead of the
   * full cost-bound hierarchy.
   */
 final class QepSynopsis {
@@ -113,42 +119,55 @@ final class TonicOperatorSelection(val synopsis: QepSynopsis,
   def describe: String =
     s"""{"name":"tonic","synopsis_nodes":${synopsis.size},"fallback":${fallback.describe}}"""
 
-  /** Left-deep prefix (join order) of a tree, if it is left-deep. */
-  private def orderOf(tree: JoinTree[Cardinality]): Option[Seq[String]] =
-    if (tree.isLeftDeep) Some(tree.tables.map(_.identifier)) else None
+  /** Canonical trie label of a branch: a scan is its table name, a join
+    * subtree its sorted table-set signature. */
+  private def labelOf(t: JoinTree[Cardinality]): String = t match {
+    case ScanNode(tr, _) => tr.identifier
+    case j: JoinNode[Cardinality] =>
+      j.tableSet.toSeq.sorted.mkString("[", "+", "]")
+  }
+
+  /** Canonical trie path: outer spine labels, one per joined-in branch.
+    * For a left-deep tree this is exactly the table join order. */
+  private def pathOf(tree: JoinTree[Cardinality]): Seq[String] = tree match {
+    case ScanNode(tr, _) => Seq(tr.identifier)
+    case JoinNode(outer, inner, _) => pathOf(outer) :+ labelOf(inner)
+  }
+
+  /** All join nodes, pre-order (node, then outer subtree, then inner) —
+    * the traversal order of physical joins in the compiled plan. */
+  private def joinsPreOrder(t: JoinTree[Cardinality]): Seq[JoinNode[Cardinality]] =
+    t match {
+      case _: ScanNode[Cardinality] => Seq.empty
+      case j @ JoinNode(o, i, _) =>
+        j +: (joinsPreOrder(o) ++ joinsPreOrder(i))
+    }
 
   def selectPhysicalOperators(q: QueryFacade, graph: JoinGraph,
       joinOrder: Option[JoinTree[Cardinality]]): PhysicalOperatorAssignment = {
     val base = fallback.selectPhysicalOperators(q, graph, joinOrder)
-    (joinOrder, joinOrder.flatMap(orderOf)) match {
-      case (Some(tree), Some(order)) =>
-        var assignment = base
-        var prefix = Seq(order.head)
-        order.tail.foreach { t =>
-          prefix :+= t
-          synopsis.recommend(prefix).foreach { op =>
-            assignment = assignment.withJoin(prefix.toSet, op)
-          }
+    joinOrder match {
+      case Some(tree) =>
+        joinsPreOrder(tree).foldLeft(base) { (asg, j) =>
+          synopsis.recommend(pathOf(j))
+            .map(op => asg.withJoin(j.tableSet, op)).getOrElse(asg)
         }
-        assignment
-      case _ => base
+      case None => base
     }
   }
 
   /** Feed measured per-join costs of an executed plan back into the trie.
-    * Join metrics are collected top-down; for a left-deep tree the k-th
-    * join bottom-up corresponds to prefix order[0..k+1]. */
+    * Physical joins are collected pre-order from the executed plan, which
+    * matches the tree's pre-order join traversal (the enforcer compiles
+    * `outer` as the left child), so bushy branches pair up too. */
   def learnFromExecution(tree: JoinTree[Cardinality],
-      ops: PhysicalOperatorAssignment, df: org.apache.spark.sql.DataFrame): Unit =
-    orderOf(tree).foreach { order =>
-      val joinRows = QueryPlanOps(df).actualJoinRows.reverse // bottom-up
-      val prefixes = (2 to order.size).map(k => order.take(k))
-      prefixes.zip(joinRows).foreach { case (prefix, rows) =>
-        if (rows >= 0) {
-          val op = ops.operatorFor(prefix.toSet)
-            .getOrElse(JoinOperator.HashJoin)
-          synopsis.recordCost(prefix, op, rows.toDouble)
-        }
+      ops: PhysicalOperatorAssignment, df: org.apache.spark.sql.DataFrame): Unit = {
+    val joinRows = QueryPlanOps(df).actualJoinRows
+    joinsPreOrder(tree).zip(joinRows).foreach { case (j, rows) =>
+      if (rows >= 0) {
+        val op = ops.operatorFor(j.tableSet).getOrElse(JoinOperator.HashJoin)
+        synopsis.recordCost(pathOf(j), op, rows.toDouble)
       }
     }
+  }
 }

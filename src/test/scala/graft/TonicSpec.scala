@@ -65,6 +65,44 @@ class TonicSpec extends SparkSpec {
     assert(sameResults(df2, spark.sql(sql)))
   }
 
+  test("bushy plans canonicalize into the trie and drive recommendations") {
+    import graft.plans.{JoinNode, ScanNode}
+    Tables.registerAll(spark, sfDir)
+    val sql4 =
+      """SELECT count(*) AS n FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND c_nationkey = n_nationkey"""
+    val q = QueryFacade(spark, sql4)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    def ref(t: String) = q.joinBlock.get.tables.find(_.identifier == t).get
+    val u = Cardinality.unknown
+    val tree: JoinTree[Cardinality] = JoinNode(
+      JoinNode(ScanNode(ref("customer"), u), ScanNode(ref("nation"), u), u),
+      JoinNode(ScanNode(ref("orders"), u), ScanNode(ref("lineitem"), u), u), u)
+    assert(tree.isBushy)
+
+    val syn = new QepSynopsis
+    val tonic = new TonicOperatorSelection(syn)
+    val ops1 = tonic.selectPhysicalOperators(q, graph, Some(tree))
+    val df1 = graft.enforce.PlanEnforcer.enforce(q, graph, tree, ops1)
+    df1.collect()
+    tonic.learnFromExecution(tree, ops1, df1)
+
+    // root path follows the outer spine with the inner branch's signature
+    assert(syn.recommend(
+      Seq("customer", "nation", "[lineitem+orders]")).isDefined)
+    // the bushy sub-join is learned under its own path, so the knowledge
+    // transfers to any plan embedding orders ⋈ lineitem
+    assert(syn.recommend(Seq("orders", "lineitem")).isDefined)
+
+    val ops2 = tonic.selectPhysicalOperators(q, graph, Some(tree))
+    assert(ops2.joinOperators.contains(
+      Set("customer", "nation", "orders", "lineitem")))
+    assert(ops2.joinOperators.contains(Set("orders", "lineitem")))
+    val df2 = graft.enforce.PlanEnforcer.enforce(q, graph, tree, ops2)
+    assert(sameResults(df2, spark.sql(sql4)))
+  }
+
   test("tonic inside the multi-stage pipeline") {
     Tables.registerAll(spark, sfDir)
     val syn = new QepSynopsis
