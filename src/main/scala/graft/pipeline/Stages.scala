@@ -72,3 +72,61 @@ object EquiJoinPreCheck extends OptimizationPreCheck {
     else if (graph.edges.exists(_.equiColumns.isEmpty)) Left("non-equi join edge")
     else Right(())
 }
+
+/** Concrete feature-gate prechecks, ports of the reference's validation
+  * checks (validation.py:419-695: set-operation / subquery / join-type
+  * gates) over the analyzed Catalyst plan. A failed gate routes the query
+  * to native execution, never to an error — same contract as the
+  * reference's pipelines.
+  */
+object PreChecks {
+  import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+  import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+  import org.apache.spark.sql.catalyst.plans.logical.{Except, Intersect, Join,
+    Union}
+
+  /** No UNION/INTERSECT/EXCEPT anywhere in the plan. */
+  object NoSetOperations extends OptimizationPreCheck {
+    def check(q: QueryFacade, graph: JoinGraph): Either[String, Unit] =
+      q.analyzed.collectFirst {
+        case u: Union => "UNION"
+        case _: Intersect => "INTERSECT"
+        case _: Except => "EXCEPT"
+      }.toLeft(()).left.map(op => s"set operation present: $op")
+  }
+
+  /** No scalar/EXISTS/IN subquery expressions anywhere. */
+  object NoSubqueries extends OptimizationPreCheck {
+    def check(q: QueryFacade, graph: JoinGraph): Either[String, Unit] = {
+      val has = q.analyzed.exists(_.expressions.exists(_.exists {
+        case _: SubqueryExpression => true
+        case _ => false
+      }))
+      if (has) Left("subquery expression present") else Right(())
+    }
+  }
+
+  /** Inner/cross joins only — the UES assumption (outer joins constrain
+    * reordering). */
+  object InnerJoinsOnly extends OptimizationPreCheck {
+    def check(q: QueryFacade, graph: JoinGraph): Either[String, Unit] =
+      q.analyzed.collectFirst {
+        case j: Join if j.joinType != Inner && j.joinType != Cross =>
+          j.joinType.sql
+      }.toLeft(()).left.map(t => s"non-inner join: $t")
+  }
+
+  /** Conjunction of checks; first failure wins (reference compound check,
+    * validation.py:219). */
+  final case class AllOf(checks: OptimizationPreCheck*)
+      extends OptimizationPreCheck {
+    def check(q: QueryFacade, graph: JoinGraph): Either[String, Unit] =
+      checks.foldLeft[Either[String, Unit]](Right(())) {
+        (acc, c) => acc.flatMap(_ => c.check(q, graph))
+      }
+  }
+
+  /** The full UES gate: structural equi-join check + feature gates. */
+  val ues: OptimizationPreCheck =
+    AllOf(NoSetOperations, NoSubqueries, InnerJoinsOnly, EquiJoinPreCheck)
+}

@@ -1,7 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed rows for the custom-state sessionizer. Time is carried as epoch
+  * MICROseconds end to end — java.sql.Timestamp.getTime would truncate the
+  * microsecond precision the event data has, silently shifting session
+  * starts by up to a millisecond. */
+final case class SessionEvent(user_id: Long, tsUs: Long, value: Double)
+final case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum: Double)
+final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+    n_events: Long, sum_value: Double)
 
 /** Structured Streaming surface over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props). The reference has no
@@ -65,4 +75,78 @@ object EventOps {
   def userTotalsBatch(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(max(col("value")), 2).as("max_value"))
+
+  /** Sessionization with CUSTOM state — the flatMapGroupsWithState escape
+    * hatch for semantics `session_window` cannot express (per-session
+    * derived values, custom merge rules, side outputs). State per user is
+    * one open session; a session is emitted when a later event exceeds the
+    * inactivity gap, or (streaming) when the event-time timeout fires after
+    * the watermark passes `last event + gap`. State is therefore bounded by
+    * the number of concurrently active users, and eviction is
+    * watermark-driven — the same scale contract as session_window.
+    *
+    * Batch execution runs the identical code path (all events of a user in
+    * one group call, no timeouts), emitting every session closed by a
+    * successor event — which a spec exploits for exact parity against the
+    * session_window formulation.
+    */
+  def sessionizeWithState(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "2 hours"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // event-time timeouts need a live watermark; batch plans have none
+    val streaming = events.isStreaming
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp((us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    events.select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      // the watermarked ts attribute must remain in the operator's child
+      // or event-time timeouts are rejected at analysis; the typed row
+      // only deserializes the fields it names
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsUs"),
+        col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          def closed(s: OpenSession): UserSession =
+            UserSession(uid, tsOf(s.startUs), s.n,
+              BigDecimal(s.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(closed(s))
+          } else {
+            // within-batch disorder is sorted away; cross-batch disorder is
+            // bounded by the watermark (later rows are dropped upstream)
+            val sorted = it.toIndexedSeq.sortBy(_.tsUs)
+            val out = Seq.newBuilder[UserSession]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.tsUs - s.lastUs < gapUs =>
+                  open = Some(s.copy(lastUs = math.max(s.lastUs, e.tsUs),
+                    n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  out += closed(s)
+                  open = Some(OpenSession(e.tsUs, e.tsUs, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(e.tsUs, e.tsUs, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              if (streaming) state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

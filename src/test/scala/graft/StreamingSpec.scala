@@ -83,6 +83,42 @@ class StreamingSpec extends SparkSpec {
         emittedKeys.diff(batchKeys).take(3)}")
   }
 
+  test("custom-state sessionization matches session_window (batch parity)") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val custom = EventOps.sessionizeWithState(ev).toDF()
+    // batch-mode flatMapGroupsWithState emits only sessions closed by a
+    // successor event — every session except each user's last
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("session_start").desc)
+    val expected = EventOps.sessionize(ev)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") > 1).drop("rk")
+    assert(sameResults(custom, expected))
+  }
+
+  test("custom-state sessionization emits valid closed sessions on a stream") {
+    val dir = splitEventsDir()
+    val stream = EventOps.readEventStream(spark, dir)
+    val q = EventOps.sessionizeWithState(stream, watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("state_sessions_out")
+    val all = EventOps.sessionize(Tables.load(spark, sfDir, "events"))
+      .collect().map(_.toString).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("session_start").desc)
+    val mustEmit = EventOps.sessionize(Tables.load(spark, sfDir, "events"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") > 1).drop("rk")
+      .collect().map(_.toString).toSet
+    val got = emitted.collect().map(_.toString).toSet
+    // emitted ⊆ all batch sessions; ⊇ all sessions closed by a successor
+    // (the last session per user may or may not emit, depending on whether
+    // the final watermark passed its timeout)
+    assert(got.subsetOf(all), s"phantom sessions: ${got.diff(all).take(3)}")
+    assert(mustEmit.subsetOf(got), s"missing: ${mustEmit.diff(got).take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event ids") {
     val dir = splitEventsDir()
     val ev = Tables.load(spark, sfDir, "events")
