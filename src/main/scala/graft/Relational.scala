@@ -379,6 +379,21 @@ object Relational {
                ORDER BY n""")
     },
 
+    // table-valued function in FROM (FunctionTableSource,
+    // SURVEY §1.5 / qal/_qal.py:6584): range() as a generated relation
+    "q49_tvf_range" -> { (s, _) =>
+      s.sql("""SELECT id % 7 AS bucket, count(*) AS n, sum(id) AS total
+               FROM range(1, 1001) GROUP BY bucket ORDER BY bucket""")
+    },
+
+    // generator in FROM (UDTF surface, SURVEY §2.11): LATERAL VIEW explode
+    "q50_generator_explode" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT tok, count(*) AS n
+               FROM part LATERAL VIEW explode(split(p_name, ' ')) x AS tok
+               GROUP BY tok ORDER BY tok""")
+    },
+
     // aggregate vocabulary (SURVEY §1.3): CORR, STDDEV, EVERY/BOOL_OR,
     // BIT_AND/OR/XOR
     "q47_agg_vocab" -> { (s, dir) =>
@@ -727,6 +742,16 @@ object Relational {
            SELECT 0 UNION ALL SELECT n + 1 FROM spine WHERE n < 24)
          SELECT n_name, n FROM spine JOIN nation ON n_nationkey = n
          ORDER BY n""",
+
+    "q49_tvf_range" ->
+      """SELECT range % 7 AS bucket, count(*) AS n,
+           CAST(sum(range) AS BIGINT) AS total
+         FROM range(1, 1001) GROUP BY bucket ORDER BY bucket""",
+
+    "q50_generator_explode" ->
+      """SELECT tok, count(*) AS n
+         FROM (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part) q
+         GROUP BY tok ORDER BY tok""",
 
     "q47_agg_vocab" ->
       """SELECT l_returnflag,
