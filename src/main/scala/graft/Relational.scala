@@ -379,6 +379,31 @@ object Relational {
                ORDER BY n""")
     },
 
+    // window frame with a RANGE boundary over event time (frame specs are
+    // beyond the reference's WindowExpression — SURVEY §2.6 free upside)
+    "q51_range_frame" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_custkey, o_orderdate,
+                 round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW), 2)
+                   AS rolling_30d
+               FROM orders WHERE o_custkey < 50
+               ORDER BY o_custkey, o_orderdate""")
+    },
+
+    // CUBE grouping with grouping() indicators (beyond the reference's
+    // GROUP BY — SURVEY §1.5 notes grouping sets as free upside)
+    "q52_cube" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                 grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+                 count(*) AS n, round(sum(l_quantity), 2) AS qty
+               FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+                 g_rf, g_ls""")
+    },
+
     // table-valued function in FROM (FunctionTableSource,
     // SURVEY §1.5 / qal/_qal.py:6584): range() as a generated relation
     "q49_tvf_range" -> { (s, _) =>
@@ -747,6 +772,24 @@ object Relational {
       """SELECT range % 7 AS bucket, count(*) AS n,
            CAST(sum(range) AS BIGINT) AS total
          FROM range(1, 1001) GROUP BY bucket ORDER BY bucket""",
+
+    "q51_range_frame" ->
+      """SELECT o_custkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+             AS rolling_30d
+         FROM orders WHERE o_custkey < 50
+         ORDER BY o_custkey, o_orderdate""",
+
+    "q52_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+           g_rf, g_ls""",
 
     "q50_generator_explode" ->
       """SELECT tok, count(*) AS n
