@@ -136,6 +136,17 @@ object OptQueries {
         stats = statsFor(s)).optimize(threeTableSql)
     },
 
+    // textbook pipeline with the probe-free estimator: filter
+    // selectivities from histograms/MCV instead of exact COUNT probes —
+    // the scale path where per-filter probes would be full scans
+    "opt12_statistical_cards" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new TextBookOptimizationPipeline(s,
+        new DynamicProgrammingEnumerator(),
+        new CoutCostModel, new StatisticalCardinalityEstimator,
+        stats = statsFor(s)).optimize(flagshipSql)
+    },
+
     // per-intermediate cardinality injection (the Rows-hint analog): UES
     // order + deliberately distorted true cardinalities spliced into the
     // optimized plan as stats-override leaves that Spark's join selection
@@ -162,6 +173,7 @@ object OptQueries {
     "opt08_random_order" -> fourTableSql,
     "opt09_precise_cards" -> threeTableSql,
     "opt11_injected_cards" -> fourTableSql,
+    "opt12_statistical_cards" -> flagshipSql,
     "opt10_augmented_graph" ->
       """SELECT c_mktsegment, count(*) AS n
          FROM customer, orders, lineitem

@@ -32,6 +32,108 @@ final class BasicCardinalityEstimator extends CardinalityEstimator {
   }
 }
 
+/** Statistics-only cardinality estimation: filter selectivities from
+  * histograms / MCVs / ndv instead of exact filtered-count probes. The
+  * exact-probe path ([[BasicCardinalityEstimator]]) mirrors the
+  * reference's emulated statistics but costs one COUNT job per (table,
+  * filter) — at 100 TB that is a full scan per probe. This estimator
+  * touches the data once per table (base stats, cached) and estimates
+  * everything else from the reference's own statistic types
+  * (Histogram/MostCommonValues, /root/reference/postbound/db/_db.py:
+  * 1600-1963), trading per-query accuracy for probe-free optimization.
+  * Unestimatable predicates fall back to the classic 1/3 selectivity.
+  */
+final class StatisticalCardinalityEstimator extends CardinalityEstimator {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
+    Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+    Literal}
+
+  def describe: String = """{"name":"statistical-card","model":"histogram-mcv"}"""
+
+  private def numeric(l: Literal): Option[Double] = l.dataType match {
+    // timestamp literals carry epoch MICROS; histograms are built over
+    // CAST(ts AS DOUBLE) = epoch seconds — align the scales
+    case org.apache.spark.sql.types.TimestampType =>
+      Option(l.value).map(_.asInstanceOf[Long] / 1e6)
+    // date histograms are not buildable (ANSI forbids date->double cast)
+    case org.apache.spark.sql.types.DateType => None
+    case _ => l.value match {
+      case null => None
+      case n: Number => Some(n.doubleValue())
+      case _ => scala.util.Try(l.value.toString.toDouble).toOption
+    }
+  }
+
+  /** Fraction of an equi-width histogram at or below `v` (linear
+    * interpolation within the containing bucket). */
+  private def fractionBelow(h: graft.stats.Histogram, v: Double): Double = {
+    if (h.total <= 0 || h.hi <= h.lo) return 0.5
+    if (v <= h.lo) return 0.0
+    if (v >= h.hi) return 1.0
+    val width = (h.hi - h.lo) / h.buckets
+    val idx = math.min(((v - h.lo) / width).toInt, h.buckets - 1)
+    val below = h.counts.take(idx).sum.toDouble
+    val within = h.counts(idx) * ((v - (h.lo + idx * width)) / width)
+    (below + within) / h.total
+  }
+
+  private def selectivity(graph: JoinGraph, table: String,
+      pred: Expression): Double = {
+    val stats = graph.stats
+    val leaf = graph.block.leafPlan(table)
+    val rows = math.max(stats.rowCount(leaf), 1L).toDouble
+    pred match {
+      case EqualTo(a: Attribute, l: Literal) =>
+        // MCV entries hold external values; literals carry internal ones
+        val key = l.value match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case v => v
+        }
+        val mcv = stats.mostCommonValues(leaf, a.name)
+        mcv.frequencyOf(key).map(_ / rows).getOrElse(
+          1.0 / math.max(stats.distinctCount(leaf, a.name), 1L))
+      case EqualTo(l: Literal, a: Attribute) =>
+        selectivity(graph, table, EqualTo(a, l))
+      case LessThan(a: Attribute, l: Literal) => rangeBelow(graph, table, a, l)
+      case LessThanOrEqual(a: Attribute, l: Literal) => rangeBelow(graph, table, a, l)
+      case GreaterThan(a: Attribute, l: Literal) =>
+        1.0 - rangeBelow(graph, table, a, l)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        1.0 - rangeBelow(graph, table, a, l)
+      case GreaterThan(l: Literal, a: Attribute) => rangeBelow(graph, table, a, l)
+      case LessThan(l: Literal, a: Attribute) =>
+        1.0 - rangeBelow(graph, table, a, l)
+      case _ => 1.0 / 3.0
+    }
+  }
+
+  private def rangeBelow(graph: JoinGraph, table: String, a: Attribute,
+      l: Literal): Double =
+    numeric(l).map { v =>
+      fractionBelow(graph.stats.histogram(graph.block.leafPlan(table), a.name), v)
+    }.getOrElse(1.0 / 3.0)
+
+  def calculateEstimate(graph: JoinGraph, tables: Set[String]): Cardinality = {
+    val stats = graph.stats
+    def leaf(t: String) = graph.block.leafPlan(t)
+    val baseProduct = tables.toSeq.map { t =>
+      val base = math.max(stats.rowCount(leaf(t)), 1L).toDouble
+      val sel = graph.block.filtersFor(t)
+        .map(p => selectivity(graph, t, p)).product
+      math.max(base * sel, 1.0)
+    }.product
+    val joinSel = graph.edges
+      .filter(_.tables.subsetOf(tables))
+      .flatMap(_.equiColumns)
+      .map { case (ca, cb) =>
+        val da = stats.distinctCount(leaf(ca.table.get.identifier), ca.name)
+        val db = stats.distinctCount(leaf(cb.table.get.identifier), cb.name)
+        1.0 / math.max(1L, math.max(da, db)).toDouble
+      }.product
+    Cardinality(math.max(baseProduct * joinSel, 1.0))
+  }
+}
+
 /** C_out cost: sum of the cardinalities of all intermediate results
   * (reference: QueryPlan.cout, /root/reference/postbound/_qep.py:1550). */
 final class CoutCostModel extends CostModel {
