@@ -35,4 +35,15 @@ object Sources {
     case "orc" => df.write.mode("overwrite").orc(path)
     case other => throw new IllegalArgumentException(s"unsupported format: $other")
   }
+
+  /** Hive-style partitioned layout: one directory per partition value.
+    * The 100 TB idiom for time- or tenant-keyed data — a filter on the
+    * partition column prunes whole directories at planning time (static
+    * pruning), and an equi-join against a filtered dimension prunes them
+    * at runtime (dynamic partition pruning), so a day's query over years
+    * of data reads one day's files. Choose a column with bounded
+    * cardinality (day, region, tenant bucket): thousands of partitions
+    * are fine, millions of tiny files are not. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }
