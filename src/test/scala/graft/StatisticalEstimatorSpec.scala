@@ -42,6 +42,28 @@ class StatisticalEstimatorSpec extends SparkSpec {
     assert(qerror(est, actual) < 3.0, s"est=$est actual=$actual")
   }
 
+  test("cardinality profiler reports per-intermediate q-errors") {
+    import graft.opt.{CardinalityProfiler, StatisticalCardinalityEstimator,
+      UESJoinOrderOptimizer}
+    Tables.registerAll(spark, sfDir)
+    val sql = """SELECT count(*) AS n FROM nation, supplier, region
+                 WHERE n_nationkey = s_nationkey AND n_regionkey = r_regionkey"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val tree = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
+    val rows = CardinalityProfiler.profile(graph, tree,
+      new StatisticalCardinalityEstimator)
+    // 3 base tables + 2 intermediates, q-errors well-formed, full-set
+    // actual equals the query's own count
+    assert(rows.size === 5)
+    assert(rows.forall(_.qerror >= 1.0))
+    val full = rows.find(_.tables.toSet == Set("nation", "supplier", "region")).get
+    assert(full.actual === spark.sql(sql).head().getLong(0))
+    val df = CardinalityProfiler.profileDf(spark, graph, tree,
+      new StatisticalCardinalityEstimator)
+    assert(df.columns.toSeq === Seq("tables", "estimated", "actual", "qerror"))
+  }
+
   test("timestamp range filters use the seconds-scaled histogram") {
     Tables.registerAll(spark, sfDir)
     val sql = """SELECT count(*) AS n FROM orders, customer
