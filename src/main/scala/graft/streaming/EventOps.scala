@@ -76,6 +76,32 @@ object EventOps {
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(max(col("value")), 2).as("max_value"))
 
+  /** Watermarked stream-stream interval join: correlate each user's
+    * `typeA` events with their `typeB` events within ±`withinMinutes` of
+    * event time. The time-bound condition is what makes the state finite:
+    * each side buffers only rows younger than watermark + interval, so
+    * state size is rate × window regardless of stream length. An inner
+    * interval join emits matches as both sides arrive; the watermark only
+    * governs state eviction — so on bounded input the streamed result is
+    * exactly the batch join.
+    */
+  def correlateEvents(events: DataFrame, typeA: String, typeB: String,
+      withinMinutes: Int = 15, watermark: String = "1 hour"): DataFrame = {
+    val a = events.filter(col("event_type") === typeA)
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+        col("event_id").as("a_id"))
+      .withWatermark("a_ts", watermark)
+    val b = events.filter(col("event_type") === typeB)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("b_id"))
+      .withWatermark("b_ts", watermark)
+    a.join(b, col("a_user") === col("b_user") &&
+      col("b_ts") >= col("a_ts") - expr(s"INTERVAL $withinMinutes MINUTES") &&
+      col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        col("a_ts"), col("b_ts"))
+  }
+
   /** Sessionization with CUSTOM state — the flatMapGroupsWithState escape
     * hatch for semantics `session_window` cannot express (per-session
     * derived values, custom merge rules, side outputs). State per user is

@@ -119,6 +119,21 @@ class StreamingSpec extends SparkSpec {
     assert(mustEmit.subsetOf(got), s"missing: ${mustEmit.diff(got).take(3)}")
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val dir = splitEventsDir()
+    val stream = EventOps.readEventStream(spark, dir)
+    val q = EventOps.correlateEvents(stream, "view", "purchase")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corr_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("corr_out")
+    val batch = EventOps.correlateEvents(
+      Tables.load(spark, sfDir, "events"), "view", "purchase")
+    assert(streamed.count() > 0, "no correlated pairs")
+    assert(sameResults(streamed, batch))
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event ids") {
     val dir = splitEventsDir()
     val ev = Tables.load(spark, sfDir, "events")
