@@ -57,6 +57,48 @@ final class QueryPlanOps(df: DataFrame) {
     math.max(e / a, a / e)
   }
 
+  /** Reconstruct the logical join tree from the physical plan, annotated
+    * with actual output rows where available (reference:
+    * jointree_from_plan, _hints.py:1766) — the bridge that lets learned
+    * stages (TONIC) ingest plans Spark chose natively. None when the plan
+    * is not a pure join tree over file scans (e.g. unions). */
+  def joinTree: Option[JoinTree[Cardinality]] = {
+    def rowsOf(p: SparkPlan): Cardinality =
+      p.metrics.get("numOutputRows")
+        .map(m => Cardinality(m.value.toDouble))
+        .getOrElse(Cardinality.unknown)
+    def walk(p: SparkPlan): Option[JoinTree[Cardinality]] = p match {
+      case j: BaseJoinExec =>
+        for (l <- walk(j.left); r <- walk(j.right))
+          yield JoinNode(l, r, rowsOf(j))
+      case s: FileSourceScanExec =>
+        val name = s.relation.location.rootPaths.headOption
+          .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+        Some(ScanNode(graft.core.TableRef(name), rowsOf(s)))
+      case other => other.children match {
+        case Seq(only) => walk(only)
+        case _ => None
+      }
+    }
+    walk(physicalPlan)
+  }
+
+  /** Key facts of the plan in one map (reference: plan_summary,
+    * _qep.py:1864). */
+  def planSummary: Map[String, String] = {
+    val tree = joinTree
+    Map(
+      "joins" -> joinOperators.size.toString,
+      "join_operators" -> joinOperators.mkString("|"),
+      "scan_order" -> scanOrder.mkString("|"),
+      "shape" -> tree.map(t =>
+        if (t.isLeftDeep) "left-deep"
+        else if (t.isRightDeep) "right-deep"
+        else if (t.isZigZag) "zigzag" else "bushy").getOrElse("n/a"),
+      "estimated_rows" -> estimatedRows.toString,
+      "cout" -> cout.toString)
+  }
+
   /** Canonical plan string: operator tree without exchanges/codegen wrappers
     * (reference: QueryPlan.canonical, _qep.py:1793). */
   def canonical: String = {

@@ -72,6 +72,14 @@ object Transforms {
         Filter(andAll(cs).get, child)
     }
 
+  /** Substitute an expression everywhere it occurs, by semantic equality
+    * (transform.py:1208 replace_expressions). */
+  def replaceExpressions(plan: LogicalPlan, from: Expression,
+      to: Expression): LogicalPlan =
+    plan.transformAllExpressions {
+      case e if e.semanticEquals(from) => to
+    }
+
   /** Rename an output column via a projection with aliases
     * (transform.py:1336 rename_columns_in_query). */
   def renameOutput(plan: LogicalPlan, from: String, to: String): LogicalPlan =

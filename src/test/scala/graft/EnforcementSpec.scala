@@ -47,6 +47,28 @@ class EnforcementSpec extends SparkSpec {
     assert(sameResults(df, spark.sql(twoTable)))
   }
 
+  test("join tree reconstructs from the executed plan with actual rows") {
+    Tables.registerAll(spark, sfDir)
+    val sql = """SELECT count(*) AS n FROM region, nation, supplier
+                 WHERE r_regionkey = n_regionkey AND n_nationkey = s_nationkey"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val order = Seq("supplier", "nation", "region")
+    val tree = JoinTree.leftDeep(order.map(t =>
+      q.joinBlock.get.tables.find(_.identifier == t).get))
+    val df = PlanEnforcer.enforce(q, graph, tree,
+      PhysicalOperatorAssignment(defaultJoin = Some(JoinOperator.HashJoin)))
+    df.collect()
+    val rebuilt = QueryPlanOps(df).joinTree.get
+    assert(rebuilt.tables.map(_.identifier) === order)
+    assert(rebuilt.isLeftDeep)
+    // the root join's actual output rows were captured from metrics
+    assert(rebuilt.annotation.isValid && rebuilt.annotation.value > 0)
+    val summary = QueryPlanOps(df).planSummary
+    assert(summary("shape") === "left-deep")
+    assert(summary("joins") === "2")
+  }
+
   test("forced join order is preserved in the scan order") {
     Tables.registerAll(spark, sfDir)
     val sql = """SELECT count(*) AS n FROM region, nation, supplier

@@ -38,6 +38,20 @@ class TransformsSpec extends SparkSpec {
     assert(remaining.size === 1)
   }
 
+  test("replaceExpressions swaps an expression by semantic equality") {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Literal}
+    val p = plan("SELECT c_custkey FROM customer WHERE c_acctbal > 50")
+    val bound = p.collectFirst {
+      case Filter(GreaterThan(_, r), _) => r
+    }.get
+    val swapped = Transforms.replaceExpressions(p, bound, Literal(5000.0))
+    val n = GraftShims.ofRows(spark, swapped).count()
+    val expected = Tables.load(spark, sfDir, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_acctbal") > 5000.0).count()
+    assert(n === expected)
+    assert(n !== GraftShims.ofRows(spark, p).count())
+  }
+
   test("renameOutput and renameTable rewrap the plan") {
     val p = plan("SELECT c_custkey FROM customer")
     val renamed = Transforms.renameTable(
