@@ -170,4 +170,26 @@ final class TonicOperatorSelection(val synopsis: QepSynopsis,
       }
     }
   }
+
+  /** Learn from a plan Spark chose NATIVELY (no enforced tree): the join
+    * tree and the operators both come from the executed physical plan via
+    * [[QueryPlanOps.joinTree]] — the reference's workflow of seeding the
+    * QEP-S from an observed workload before TONIC starts steering. */
+  def learnFromNativePlan(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val opsSeen = QueryPlanOps(df).joinOperators.map {
+      case n if n.contains("BroadcastHashJoin") => JoinOperator.BroadcastHashJoin
+      case n if n.contains("ShuffledHashJoin") => JoinOperator.HashJoin
+      case n if n.contains("SortMergeJoin") => JoinOperator.SortMergeJoin
+      case _ => JoinOperator.NestedLoopJoin
+    }
+    QueryPlanOps(df).joinTree match {
+      case Some(tree) =>
+        joinsPreOrder(tree).zip(opsSeen).foreach { case (j, op) =>
+          if (j.annotation.isValid)
+            synopsis.recordCost(pathOf(j), op, j.annotation.value)
+        }
+        true
+      case None => false
+    }
+  }
 }

@@ -103,6 +103,21 @@ class TonicSpec extends SparkSpec {
     assert(sameResults(df2, spark.sql(sql4)))
   }
 
+  test("tonic seeds its trie from a natively-executed plan") {
+    Tables.registerAll(spark, sfDir)
+    val syn = new QepSynopsis
+    val tonic = new TonicOperatorSelection(syn)
+    val df = spark.sql(
+      """SELECT count(*) AS n FROM nation JOIN supplier
+         ON n_nationkey = s_nationkey""")
+    df.collect()
+    assert(tonic.learnFromNativePlan(df))
+    assert(syn.size > 1)
+    // the learned prefix covers the native scan order of the two tables
+    val orders = Seq(Seq("nation", "supplier"), Seq("supplier", "nation"))
+    assert(orders.exists(o => syn.recommend(o).isDefined))
+  }
+
   test("tonic inside the multi-stage pipeline") {
     Tables.registerAll(spark, sfDir)
     val syn = new QepSynopsis
