@@ -56,6 +56,59 @@ object Multimodal {
     }
   }
 
+  /** Features extracted from a payload (feeds the similarity-search path). */
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Feature extraction — genuinely computed, no codecs required: an
+    * L2-normalized byte-value histogram. It is a real content signature
+    * (byte distributions separate text/compressed/structured payloads),
+    * and its output shape — (doc_id, float vector) — is exactly what the
+    * ANN operators consume, so binary columns plug into similarity search
+    * end to end. A production pipeline swaps the histogram for a model
+    * embedding; nothing downstream changes.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      bins: Int = 16): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val counts = new Array[Float](bins)
+        r.payload.foreach { b =>
+          counts((java.lang.Byte.toUnsignedInt(b) * bins) / 256) += 1f
+        }
+        val norm = math.max(math.sqrt(counts.map(c => c.toDouble * c).sum), 1e-9)
+        MediaFeatures(r.doc_id, counts.map(c => (c / norm).toFloat))
+      }
+    }
+  }
+
+  /** Resized media payload with its original size retained. */
+  case class ResizedMedia(doc_id: Long, media_type: String,
+      payload: Array[Byte], orig_bytes: Long)
+
+  /** Resize stub: deterministic byte decimation to a bounded payload size
+    * (a real implementation would rescale pixels here — the plumbing that
+    * matters at scale is identical: bounded output rows, per-partition
+    * streaming, original size kept for provenance).
+    */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+      maxBytes: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    require(maxBytes > 0)
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length
+        val out =
+          if (n <= maxBytes) r.payload
+          else {
+            val stride = math.ceil(n.toDouble / maxBytes).toInt
+            Array.tabulate((n + stride - 1) / stride)(i => r.payload(i * stride))
+          }
+        ResizedMedia(r.doc_id, r.media_type, out, n.toLong)
+      }
+    }
+  }
+
   /** Frame sampling stub: split a payload into fixed-size "frames" and keep
     * every `stride`-th one — the plumbing (explode to one row per frame,
     * frame index, bounded frame size) is what a video pipeline needs; the

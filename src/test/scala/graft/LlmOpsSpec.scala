@@ -104,6 +104,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(row.stub_width >= 16 && row.stub_height >= 16)
   }
 
+  test("byte-histogram features are unit vectors and drive ANN end to end") {
+    import graft.llm.Multimodal
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media).toDF()
+      .withColumnRenamed("doc_id", "vec_id")
+      .withColumnRenamed("features", "embedding")
+    // L2-normalized
+    val norms = feats.selectExpr(
+      "aggregate(cast(embedding as array<double>), 0D, (a, x) -> a + x * x) AS n2")
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-3))
+    // binary columns plug straight into the similarity-search operator
+    val queries = feats.filter(col("vec_id") < 3)
+    val topk = Similarity.cosineTopK(feats, queries, "vec_id", "embedding", 5)
+    assert(topk.count() === queries.count() * 5)
+  }
+
+  test("resize stub bounds payloads and keeps small ones intact") {
+    import graft.llm.Multimodal
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val resized = Multimodal.resizeStub(spark, media, maxBytes = 64)
+    val rows = resized.collect()
+    assert(rows.forall(_.payload.length <= 64))
+    assert(rows.forall(r => r.orig_bytes >= r.payload.length))
+    val small = Multimodal.resizeStub(spark, media, maxBytes = 1 << 20).collect()
+    assert(small.forall(r => r.payload.length.toLong == r.orig_bytes))
+  }
+
   test("frame sampling keeps every stride-th frame with bounded size") {
     val frames = Multimodal.sampleFrames(
       Multimodal.asMedia(docs, "doc_id", "text"), 32, 2)
