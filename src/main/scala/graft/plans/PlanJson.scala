@@ -97,4 +97,45 @@ object PlanJson {
     val default = m.get("default").collect { case JString(n) => opOf(n) }
     PhysicalOperatorAssignment(joins, Map.empty, disabled, default)
   }
+
+  /** PlanParameterization round-trip (reference: PlanParameterization in
+    * the exported plan JSON, _hints.py:632 + _helpers.py) — cardinality
+    * hints, worker count, and pinned session configs survive export. */
+  def parametersToJson(p: PlanParameterization): String = {
+    val hints = JArray(p.cardinalityHints.toList
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (ts, c) => JObject(
+        "tables" -> JArray(ts.toList.sorted.map(JString)),
+        "cardinality" -> cardJson(c)) })
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "cardinality_hints" -> hints,
+      "parallel_workers" -> p.parallelWorkers.map(w => JInt(BigInt(w)))
+        .getOrElse(JNull),
+      "session_configs" -> JObject(p.sessionConfigs.toList.sorted
+        .map { case (k, v) => k -> JString(v) }))))
+  }
+
+  def parametersFromJson(s: String): PlanParameterization = {
+    val JObject(fields) = JsonMethods.parse(s)
+    val m = fields.toMap
+    val hints = m.get("cardinality_hints") match {
+      case Some(JArray(items)) => items.map {
+        case JObject(hf) =>
+          val hm = hf.toMap
+          val ts = hm("tables") match {
+            case JArray(vs) => vs.collect { case JString(t) => t }.toSet
+            case _ => Set.empty[String]
+          }
+          ts -> cardFrom(hm.getOrElse("cardinality", JNull))
+        case other => throw new IllegalArgumentException(s"bad hint $other")
+      }.toMap
+      case _ => Map.empty[Set[String], Cardinality]
+    }
+    val workers = m.get("parallel_workers").collect { case JInt(i) => i.toInt }
+    val configs = m.get("session_configs") match {
+      case Some(JObject(cf)) => cf.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    PlanParameterization(hints, workers, configs)
+  }
 }

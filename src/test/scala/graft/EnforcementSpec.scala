@@ -47,6 +47,22 @@ class EnforcementSpec extends SparkSpec {
     assert(sameResults(df, spark.sql(twoTable)))
   }
 
+  test("SQL hint comments steer the physical strategy (Hint clause analog)") {
+    // the reference carries raw hint text in a Hint clause
+    // (qal/_qal.py:5061) for pg_hint_plan; Spark's native /*+ */ comment
+    // hints are the same surface and flow through untouched
+    Tables.registerAll(spark, sfDir)
+    val merged = spark.sql(
+      """SELECT /*+ MERGE(supplier) */ s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey""")
+    assert(QueryPlanOps(merged).joinOperators.exists(_.contains("SortMergeJoin")))
+    val bcast = spark.sql(
+      """SELECT /*+ BROADCAST(nation) */ s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey""")
+    assert(QueryPlanOps(bcast).joinOperators.exists(_.contains("BroadcastHashJoin")))
+    assert(sameResults(merged, bcast))
+  }
+
   test("join tree reconstructs from the executed plan with actual rows") {
     Tables.registerAll(spark, sfDir)
     val sql = """SELECT count(*) AS n FROM region, nation, supplier

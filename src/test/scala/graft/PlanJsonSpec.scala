@@ -44,4 +44,18 @@ class PlanJsonSpec extends AnyFunSuite {
     assert(back.disabledJoinOps === ops.disabledJoinOps)
     assert(back.defaultJoin === ops.defaultJoin)
   }
+
+  test("plan parameterizations round-trip through JSON") {
+    val p = graft.plans.PlanParameterization(
+      cardinalityHints = Map(
+        Set("a", "b") -> Cardinality.of(42),
+        Set("c") -> Cardinality.unknown),
+      parallelWorkers = Some(16),
+      sessionConfigs = Map("spark.sql.adaptive.enabled" -> "false"))
+    val back = PlanJson.parametersFromJson(PlanJson.parametersToJson(p))
+    assert(back.cardinalityHints(Set("a", "b")) === Cardinality.of(42))
+    assert(back.cardinalityHints(Set("c")).isUnknown)
+    assert(back.parallelWorkers === Some(16))
+    assert(back.sessionConfigs === p.sessionConfigs)
+  }
 }
