@@ -18,7 +18,9 @@ class FuzzSpec extends SparkSpec {
       joinOrder = Some(new UESJoinOrderOptimizer),
       operators = Some(new UESOperatorSelection),
       stats = stats)
-    val wl = QueryGenerator.randomWorkload("fuzz", 20, seed = 4242L)
+    // GRAFT_FUZZ_N widens the sweep for one-off deep fuzzing runs
+    val n = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(20)
+    val wl = QueryGenerator.randomWorkload("fuzz", n, seed = 4242L)
     var enforced = 0
     wl.queries.foreach { case (label, sql) =>
       val res = pipeline.optimizeQuery(sql)
@@ -26,7 +28,7 @@ class FuzzSpec extends SparkSpec {
       assert(sameResults(res.df, spark.sql(sql)), s"$label differs: $sql")
     }
     // most generated queries must actually exercise enforcement
-    assert(enforced >= 15, s"only $enforced of 20 queries were enforced")
+    assert(enforced >= (n * 3) / 4, s"only $enforced of $n queries were enforced")
   }
 
   test("generator is deterministic per seed") {
