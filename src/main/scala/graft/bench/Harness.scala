@@ -20,6 +20,15 @@ final case class Workload(name: String, queries: ListMap[String, String]) {
     val rnd = new scala.util.Random(seed)
     queries.toSeq(rnd.nextInt(queries.size))
   }
+  /** Random sub-workload of n queries (reference: Workload.pick_random,
+    * used for train/test splits in the learned-optimizer workflow). */
+  def pickRandomN(n: Int, seed: Long): Workload = {
+    val rnd = new scala.util.Random(seed)
+    Workload(name, ListMap(rnd.shuffle(queries.toSeq).take(n).sortBy(_._1): _*))
+  }
+  /** Set difference by label (reference: `workload - other`). */
+  def minus(other: Workload): Workload =
+    Workload(name, queries.filter { case (l, _) => !other.queries.contains(l) })
 }
 
 object Workload {
