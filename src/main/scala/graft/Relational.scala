@@ -379,6 +379,33 @@ object Relational {
                ORDER BY n""")
     },
 
+    // bag-semantics set operations (§2.8: Spark exceptAll/intersectAll)
+    "q53_except_all" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_suppkey FROM lineitem WHERE l_quantity > 10
+               EXCEPT ALL
+               SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'""")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_suppkey"))
+    },
+    "q54_intersect_all" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+               INTERSECT ALL
+               SELECT o_custkey FROM orders WHERE o_totalprice > 1000""")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // JOIN ... USING (shared-column join syntax, §2.4)
+    "q55_join_using" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT n_name, count(*) AS n
+               FROM nation JOIN (SELECT c_nationkey AS n_nationkey
+                                 FROM customer) c USING (n_nationkey)
+               GROUP BY n_name ORDER BY n_name""")
+    },
+
     // window frame with a RANGE boundary over event time (frame specs are
     // beyond the reference's WindowExpression — SURVEY §2.6 free upside)
     "q51_range_frame" -> { (s, dir) =>
@@ -772,6 +799,26 @@ object Relational {
       """SELECT range % 7 AS bucket, count(*) AS n,
            CAST(sum(range) AS BIGINT) AS total
          FROM range(1, 1001) GROUP BY bucket ORDER BY bucket""",
+
+    "q53_except_all" ->
+      """SELECT l_suppkey, count(*) AS n FROM (
+           SELECT l_suppkey FROM lineitem WHERE l_quantity > 10
+           EXCEPT ALL
+           SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R') q
+         GROUP BY l_suppkey ORDER BY l_suppkey""",
+
+    "q54_intersect_all" ->
+      """SELECT o_custkey, count(*) AS n FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE o_totalprice > 1000) q
+         GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q55_join_using" ->
+      """SELECT n_name, count(*) AS n
+         FROM nation JOIN (SELECT c_nationkey AS n_nationkey
+                           FROM customer) c USING (n_nationkey)
+         GROUP BY n_name ORDER BY n_name""",
 
     "q51_range_frame" ->
       """SELECT o_custkey, o_orderdate,

@@ -30,24 +30,40 @@ final case class Histogram(lo: Double, hi: Double, counts: Seq[Long]) {
   * expensive ones and are the reason the cache exists (same rationale as
   * the reference's disk cache, db/_db.py:322-430).
   */
-final class EmulatedStatistics(spark: SparkSession) {
+final class EmulatedStatistics(spark: SparkSession,
+    sampleFraction: Option[Double] = None) {
+  require(sampleFraction.forall(f => f > 0.0 && f <= 1.0))
   private val cache = TrieMap.empty[(String, String), Any]
+
+  // frequency-type probes run on this fraction and scale back up — the
+  // 100 TB mode where a full-scan probe per statistic is unaffordable.
+  // Count-scalable probes only: ndv and min/max are NOT linear in the
+  // sample and always use the full data (approxDistinctCount is the
+  // sketch path for ndv).
+  private val f = sampleFraction.getOrElse(1.0)
+  private def sTag = sampleFraction.map(x => s"@s$x").getOrElse("")
+  private def scaled(n: Long): Long = math.round(n / f)
 
   private def key(plan: LogicalPlan, tag: String): (String, String) =
     (plan.canonicalized.toString, tag)
 
   private def df(plan: LogicalPlan) = GraftShims.ofRows(spark, plan)
 
+  private def sampledDf(plan: LogicalPlan) = {
+    val d = df(plan)
+    sampleFraction.map(d.sample(_, 42L)).getOrElse(d)
+  }
+
   private def memo[T](plan: LogicalPlan, tag: String)(compute: => T): T =
     cache.getOrElseUpdate(key(plan, tag), compute).asInstanceOf[T]
 
   def rowCount(plan: LogicalPlan): Long =
-    memo(plan, "count")(df(plan).count())
+    memo(plan, s"count$sTag")(scaled(sampledDf(plan).count()))
 
   def rowCount(plan: LogicalPlan, filter: Option[Expression]): Long =
     filter match {
-      case Some(f) => memo(plan, s"count[${f.canonicalized}]")(
-        df(Filter(f, plan)).count())
+      case Some(fl) => memo(plan, s"count[${fl.canonicalized}]$sTag")(
+        scaled(sampledDf(Filter(fl, plan)).count()))
       case None => rowCount(plan)
     }
 
@@ -66,9 +82,9 @@ final class EmulatedStatistics(spark: SparkSession) {
   /** Highest frequency of any value in the column — the key UES statistic
     * (MaxFrequencyStats, /root/reference/postbound/opt/ues.py:300). */
   def maxFrequency(plan: LogicalPlan, column: String): Long =
-    memo(plan, s"maxfreq[$column]")(
-      df(plan).groupBy(col(column)).agg(count(lit(1)).as("c"))
-        .agg(max(col("c"))).head().getLong(0))
+    memo(plan, s"maxfreq[$column]$sTag")(
+      scaled(sampledDf(plan).groupBy(col(column)).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)))
 
   /** Approximate maximum frequency, the scale path for the UES statistic:
     * exact maxFrequency is a full groupBy shuffle; this runs freqItems
@@ -94,23 +110,24 @@ final class EmulatedStatistics(spark: SparkSession) {
     }
 
   def mostCommonValues(plan: LogicalPlan, column: String, k: Int = 10): MostCommonValues =
-    memo(plan, s"mcv[$column,$k]") {
-      val rows = df(plan).groupBy(col(column)).agg(count(lit(1)).as("c"))
+    memo(plan, s"mcv[$column,$k]$sTag") {
+      val rows = sampledDf(plan).groupBy(col(column)).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col(column))
         .limit(k).collect()
-      MostCommonValues(rows.toSeq.map(r => (r.get(0), r.getLong(1))))
+      MostCommonValues(rows.toSeq.map(r => (r.get(0), scaled(r.getLong(1)))))
     }
 
   def histogram(plan: LogicalPlan, column: String, buckets: Int = 10): Histogram =
-    memo(plan, s"hist[$column,$buckets]") {
-      val (lo, hi) = minMax(plan, column)
+    memo(plan, s"hist[$column,$buckets]$sTag") {
+      val (lo, hi) = minMax(plan, column) // bounds from FULL data — a
+      // sample can miss the extremes and silently clip the histogram
       val width = if (hi > lo) (hi - lo) / buckets else 1.0
-      val rows: Array[Row] = df(plan)
+      val rows: Array[Row] = sampledDf(plan)
         .select(least(floor((col(column).cast("double") - lit(lo)) / lit(width)),
           lit(buckets - 1)).cast("int").as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("c"))
         .collect()
-      val byBucket = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val byBucket = rows.map(r => r.getInt(0) -> scaled(r.getLong(1))).toMap
       Histogram(lo, hi, (0 until buckets).map(b => byBucket.getOrElse(b, 0L)))
     }
 

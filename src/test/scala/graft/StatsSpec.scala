@@ -22,6 +22,24 @@ class StatsSpec extends SparkSpec {
     assert(lo === 0.0 && hi === 24.0)
   }
 
+  test("sampled statistics track full-data probes within sampling error") {
+    val full = new EmulatedStatistics(spark)
+    val sampled = new EmulatedStatistics(spark, sampleFraction = Some(0.5))
+    val li = leafOf("lineitem")
+    val exact = full.rowCount(li)
+    val est = sampled.rowCount(li)
+    assert(math.abs(est - exact).toDouble / exact < 0.15, s"est=$est exact=$exact")
+    val mfExact = full.maxFrequency(li, "l_suppkey")
+    val mfEst = sampled.maxFrequency(li, "l_suppkey")
+    assert(mfEst > 0)
+    assert(math.max(mfEst, mfExact).toDouble / math.min(mfEst, mfExact) < 2.0,
+      s"maxfreq est=$mfEst exact=$mfExact")
+    // ndv and min/max intentionally bypass sampling (not count-scalable)
+    assert(sampled.distinctCount(li, "l_suppkey") ===
+      full.distinctCount(li, "l_suppkey"))
+    assert(sampled.minMax(li, "l_quantity") === full.minMax(li, "l_quantity"))
+  }
+
   test("approximate max frequency matches exact on a skewed column") {
     val stats = new EmulatedStatistics(spark)
     val nation = leafOf("nation")
