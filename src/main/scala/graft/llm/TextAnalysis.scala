@@ -64,12 +64,15 @@ object TextAnalysis {
   /** Token counts: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single other chars).
     * Output: (doc_id, ws_tokens, bpe_tokens).
+    * regexp_count counts matches without materializing the token array
+    * (regexp_extract_all would allocate every token per row only to take
+    * its size — pure garbage pressure at corpus scale).
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       size(split(col(textCol), " ")).as("ws_tokens"),
-      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
-        .as("bpe_tokens"))
+      expr(s"regexp_count($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]')")
+        .cast("int").as("bpe_tokens"))
 
   /** Polynomial rolling-hash fingerprint over the character stream,
     * mod 1e9+7 (stays in exact integer range, so any engine that folds
