@@ -132,6 +132,32 @@ object LlmQueries {
       s.table(qname).orderBy(col("hour_start"), col("event_type"))
     },
 
+    // STREAMING with CUSTOM state in the gate: flatMapGroupsWithState
+    // sessionization as an actual streaming job. The huge watermark delay
+    // means no event-time timeout ever fires, so the emitted set is
+    // exactly "every session closed by a successor event" — all sessions
+    // except each user's last, which the oracle reproduces with
+    // gaps-and-islands SQL.
+    "st02_stream_sessions" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = java.nio.file.Files.createTempDirectory("graft_st02")
+      staged.toFile.deleteOnExit()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val stream = graft.streaming.EventOps.readEventStream(s, staged.toString)
+      val sessions = graft.streaming.EventOps
+        .sessionizeWithState(stream, gapMinutes = 30, watermark = "87600 hours")
+        .toDF()
+        .select(col("user_id"), col("session_start"), col("n_events"))
+      val qname = s"st02_out_${System.nanoTime()}"
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      s.table(qname).orderBy(col("user_id"), col("session_start"))
+    },
+
     // multimodal: frame-sampling plumbing over binary payloads
     "m02_frame_sample" -> { (s, dir) =>
       Multimodal.sampleFrames(
@@ -244,6 +270,28 @@ object LlmQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
            count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "st02_stream_sessions" ->
+      """WITH a AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         b AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM a),
+         s AS (
+           SELECT user_id, sess_id, min(ts) AS session_start,
+             count(*) AS n_events
+           FROM b GROUP BY user_id, sess_id)
+         SELECT user_id, session_start, n_events FROM s
+         WHERE sess_id < (SELECT max(sess_id) FROM s s2
+                          WHERE s2.user_id = s.user_id)
+         ORDER BY user_id, session_start""",
 
     "m02_frame_sample" ->
       """SELECT doc_id, i AS frame_idx,
