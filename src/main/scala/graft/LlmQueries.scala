@@ -132,6 +132,17 @@ object LlmQueries {
       s.table(qname).orderBy(col("hour_start"), col("event_type"))
     },
 
+    // int8 scalar quantization of the embedding table (storage compression
+    // for the similarity path; floor-based half-up keeps the codes
+    // bit-reproducible across engines)
+    "s04_quantize_int8" -> { (s, dir) =>
+      Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_join(col("q").cast("array<string>"), ",").as("q"))
+        .orderBy(col("vec_id"))
+    },
+
     // STREAMING with CUSTOM state in the gate: flatMapGroupsWithState
     // sessionization as an actual streaming job. The huge watermark delay
     // means no event-time timeout ever fires, so the emitted set is
@@ -270,6 +281,18 @@ object LlmQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
            count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "s04_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM e)
+         SELECT vec_id, round(scale, 8) AS scale,
+           array_to_string(list_transform(v,
+             x -> CAST(floor(x / scale + 0.5) AS INT)), ',') AS q
+         FROM s ORDER BY vec_id""",
 
     "st02_stream_sessions" ->
       """WITH a AS (

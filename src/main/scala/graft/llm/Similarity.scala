@@ -41,6 +41,30 @@ object Similarity {
         round(col("sim"), 4).as("cos_sim"))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * storage-compression lever for 100 TB embedding tables (4x smaller
+    * than float32, and int8 dot products are SIMD-friendly downstream).
+    * Per-vector scale = max(|x|)/127; q_i = floor(x_i/scale + 0.5)
+    * (floor-based half-up is identical IEEE arithmetic on every engine,
+    * so the quantized codes are bit-reproducible cross-engine — plain
+    * round() ties are not). Output: (id, scale, q: array<int>).
+    */
+  def quantizeInt8(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    embeddings
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("scale", expr(
+        "aggregate(v, 0D, (m, x) -> greatest(m, abs(x))) / 127.0"))
+      .withColumn("q", expr(
+        "transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))"))
+      .select(col("vec_id"), round(col("scale"), 8).as("scale"), col("q"))
+
+  /** Dequantized vectors: q_i * scale (lossy inverse of [[quantizeInt8]]). */
+  def dequantize(quantized: DataFrame): DataFrame =
+    quantized.withColumn("v",
+      expr("transform(q, x -> CAST(x AS DOUBLE) * scale)"))
+
   /** Deterministic pseudo-gaussian hyperplanes (Box-Muller over
     * java.util.Random, spec-fixed LCG => reproducible signatures).
     */

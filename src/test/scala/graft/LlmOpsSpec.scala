@@ -104,6 +104,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(row.stub_width >= 16 && row.stub_height >= 16)
   }
 
+  test("int8 quantization bounds reconstruction error") {
+    val q = Similarity.quantizeInt8(embs, "vec_id", "embedding")
+    // codes fit int8
+    assert(q.selectExpr("max(aggregate(q, 0, (m, x) -> greatest(m, abs(x))))")
+      .head().getInt(0) <= 127)
+    // dequantized vectors stay nearly parallel to the originals
+    val deq = Similarity.dequantize(q).select(col("vec_id"), col("v"))
+    val joined = embs.select(col("vec_id"), col("embedding"))
+      .join(deq, "vec_id")
+      .withColumn("cs", graft.functions.CosineSimilarity.cosineSim(
+        col("embedding"), col("v")))
+    assert(joined.agg(org.apache.spark.sql.functions.min(col("cs")))
+      .head().getDouble(0) > 0.99)
+  }
+
   test("byte-histogram features are unit vectors and drive ANN end to end") {
     import graft.llm.Multimodal
     val media = Multimodal.asMedia(docs, "doc_id", "text")
