@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline query surface (dedup, similarity search, text analysis,
   * multimodal plumbing) over the `documents`/`embeddings` fixtures, with
@@ -130,6 +130,13 @@ object LlmQueries {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(300000)
       s.table(qname).orderBy(col("hour_start"), col("event_type"))
+    },
+
+    // the composed curation pipeline: language id + quality gate +
+    // exact-dup keep-first in one per-document verdict
+    "d06_curation_pipeline" -> { (s, dir) =>
+      Curation.curate(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
     },
 
     // int8 scalar quantization of the embedding table (storage compression
@@ -281,6 +288,45 @@ object LlmQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
            count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "d06_curation_pipeline" ->
+      """WITH lang AS (
+           SELECT doc_id,
+             CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                  WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+                  WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                  WHEN es >= fr AND es > 0 THEN 'es'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'und' END AS pred_lang
+           FROM (SELECT doc_id, text,
+                   len(list_intersect(string_split(text, ' '),
+                     ['the','a','and','of','to','is'])) AS en,
+                   len(list_intersect(string_split(text, ' '),
+                     ['der','die','und','ist','das','ein'])) AS de,
+                   len(list_intersect(string_split(text, ' '),
+                     ['el','la','que','los','una','es'])) AS es,
+                   len(list_intersect(string_split(text, ' '),
+                     ['le','les','et','des','une','est'])) AS fr
+                 FROM documents) t),
+         qual AS (
+           SELECT doc_id,
+             round(least(len(string_split(text, ' ')) / 30.0, 1.0) * 0.5 +
+               CASE WHEN (length(text) - (length(text) - length(replace(text, ' ', ''))))
+                      * 1.0 / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+                    THEN 0.3 ELSE 0.0 END +
+               CASE WHEN (length(text) - length(replace(text, ' ', ''))) * 1.0
+                      / length(text) BETWEEN 0.1 AND 0.3
+                    THEN 0.2 ELSE 0.0 END, 4) AS quality_score
+           FROM documents),
+         dup AS (
+           SELECT doc_id,
+             (doc_id <> min(doc_id) OVER (PARTITION BY text)) AS is_dup_copy
+           FROM documents)
+         SELECT l.doc_id, pred_lang, quality_score, is_dup_copy,
+           (quality_score >= 0.8 AND pred_lang IN ('en', 'es')
+             AND NOT is_dup_copy) AS kept
+         FROM lang l JOIN qual USING (doc_id) JOIN dup USING (doc_id)
+         ORDER BY doc_id""",
 
     "s04_quantize_int8" ->
       """WITH e AS (SELECT vec_id,

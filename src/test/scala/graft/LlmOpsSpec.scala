@@ -104,6 +104,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(row.stub_width >= 16 && row.stub_height >= 16)
   }
 
+  test("curation pipeline composes lang + quality + dedup into one verdict") {
+    import graft.llm.Curation
+    val v = Curation.curate(docs, "doc_id", "text")
+    assert(v.count() === docs.count())
+    val kept = v.filter(col("kept")).count()
+    assert(kept > 0 && kept < v.count(), s"kept=$kept of ${v.count()}")
+    // duplicate copies are never kept
+    assert(v.filter(col("is_dup_copy") && col("kept")).count() === 0)
+  }
+
   test("int8 quantization bounds reconstruction error") {
     val q = Similarity.quantizeInt8(embs, "vec_id", "embedding")
     // codes fit int8
