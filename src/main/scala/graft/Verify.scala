@@ -15,11 +15,37 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query timeout so one hung query cannot stall the whole gate:
+    // the job group is confirmed set before any cancellation, and
+    // cancellation is retried until the worker observes it
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "300").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val sc = spark.sparkContext
+      val group = s"graft-verify-$name"
+      val groupSet = new java.util.concurrent.CountDownLatch(1)
+      val fut = Future {
+        sc.setJobGroup(group, name, interruptOnCancel = true)
+        groupSet.countDown()
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally sc.clearJobGroup()
+      }
+      try Await.result(fut, timeoutSec.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
+          groupSet.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          var tries = 0
+          while (!fut.isCompleted && tries < 100) {
+            sc.cancelJobGroup(group)
+            Thread.sleep(100)
+            tries += 1
+          }
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
