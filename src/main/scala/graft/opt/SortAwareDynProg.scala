@@ -30,12 +30,10 @@ import graft.qal.QueryFacade
     *   cascades with order reuse take over.
     */
 final class SortAwareDynProg(hashBuildCostPerRow: Double = 2.0) {
+  import SortAwareDynProg.Entry
 
   /** Interesting order = index of an equivalence class. */
   private type Order = Option[Int]
-
-  private final case class Entry(tree: JoinTree[Cardinality], cost: Double,
-      ops: Map[Set[String], JoinOperator])
 
   def describe: String = """{"name":"dynprog-sort-aware","orders":"equivalence-classes"}"""
 
@@ -111,4 +109,9 @@ final class SortAwareDynProg(hashBuildCostPerRow: Double = 2.0) {
     val winner = finalSlot.values.minBy(_.cost)
     (winner.tree, PhysicalOperatorAssignment(joinOperators = winner.ops))
   }
+}
+
+private object SortAwareDynProg {
+  final case class Entry(tree: JoinTree[Cardinality], cost: Double,
+      ops: Map[Set[String], JoinOperator])
 }
