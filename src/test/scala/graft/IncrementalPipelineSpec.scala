@@ -24,6 +24,10 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(!res.usedNativeFallback)
     assert(res.joinOrder.isDefined)
     assert(res.parameters.cardinalityHints.nonEmpty)
+    // the chain's hints are actually spliced in as stats overrides
+    assert(res.df.queryExecution.optimizedPlan.collect {
+      case so: graft.enforce.StatsOverride => so
+    }.nonEmpty)
     assert(sameResults(res.df, spark.sql(sql)))
   }
 
