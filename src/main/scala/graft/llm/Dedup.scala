@@ -190,6 +190,26 @@ object Dedup {
     verifyJaccard(sh, cands, threshold)
   }
 
+  /** MinHash+LSH near-duplicates with exact-duplicate pre-collapse — the
+    * corpus-scale composition. Exact copies have identical signatures, so
+    * they collide in EVERY band and the candidate set grows with the
+    * square of copy multiplicity (measured: 4x-duplicated corpus made the
+    * plain path 8x slower while true near-dup work was unchanged). The
+    * cheap hash-groupBy collapse runs first, MinHash sees unique texts
+    * only, and reported pairs are between keep-representatives (min doc
+    * id per exact-duplicate group) — on a corpus without exact copies the
+    * output is identical to [[minhashNearDuplicates]].
+    */
+  def minhashNearDuplicatesUnique(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, ngram: Int = 3, numPerm: Int = 128,
+      bands: Int = 32): DataFrame = {
+    val reps = docs.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(col(idCol)).as("doc_id"), first(col(textCol)).as("__text"))
+      .select(col("doc_id"), col("__text"))
+    minhashNearDuplicates(reps, "doc_id", "__text", threshold, ngram,
+      numPerm, bands)
+  }
+
   /** 64-bit SimHash per document over a (doc_id, feature) set. Shingle
     * features track n-gram Jaccard much more tightly than word features
     * (removing one word from a doc flips every borderline bit when features

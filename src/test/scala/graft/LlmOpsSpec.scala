@@ -26,6 +26,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(sim === exact)
   }
 
+  test("exact-collapse minhash is invariant under duplicated corpora") {
+    // duplicate every document under new ids: the unique-collapse variant
+    // must produce the SAME representative pairs as on the original corpus
+    // (exact copies would otherwise explode the LSH candidate set)
+    val doubled = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 1000000, col("text")))
+    val basePairs = Dedup.minhashNearDuplicatesUnique(
+        docs, "doc_id", "text", 0.6)
+      .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
+    val doubledPairs = Dedup.minhashNearDuplicatesUnique(
+        doubled, "doc_id", "text", 0.6)
+      .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
+    assert(basePairs.nonEmpty)
+    assert(doubledPairs === basePairs)
+  }
+
   test("doc-frequency pruning computes exact jaccard of the pruned universe") {
     import spark.implicits._
     // doc 1 = {x, y, c}, doc 2 = {x, y, d}; shingle "c"/"d" unique, "x","y"
