@@ -42,23 +42,35 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results: Seq[(String, Double)] = selected
+    // a typo'd name must not silently benchmark nothing
+    selected.filterNot(SparkEntry.queries.contains).foreach { n =>
+      System.err.println(s"[bench] WARNING: unknown query '$n' requested " +
+        "via SPARK_GRAFT_BENCH_QUERIES — skipped")
+    }
+
+    // (median, min) of 3 timed reps: median is the headline number; min is
+    // reported alongside so a one-off environment stall (GC, CPU
+    // contention) in the driver's run is visible instead of silently
+    // inflating the round's verdict
+    val results: Seq[(String, (Double, Double))] = selected
       .filter(SparkEntry.queries.contains)
       .map { name =>
         try {
           runOnce(name) // warm-up
           val times = (1 to 3).map(_ => runOnce(name)).sorted
-          name -> times(1) // median of 3
+          name -> (times(1), times.head)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            name -> -1.0
+            name -> (-1.0, -1.0)
         }
       }
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, (med, _)) => s""""$k":$med""" }.mkString("{", ",", "}")
+    val qmins = results.map { case (k, (_, mn)) => s""""$k":$mn""" }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalMin = results.map(_._2._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"total_min":$totalMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

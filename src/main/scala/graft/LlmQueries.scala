@@ -43,9 +43,16 @@ object LlmQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
-    // embedding-cosine near-dup pairs (brute-force baseline)
+    // embedding-cosine near-dup pairs: exact blocked all-pairs — the plan
+    // is equality joins on block ids (no CartesianProduct / BNLJ node),
+    // every task one balanced block pair. Exact because the fixture
+    // embeddings are isotropic (no similarity gap at the 0.45 threshold),
+    // so recall-1 banding is impossible; gapped corpora take
+    // Dedup.embeddingNearDuplicatesLsh instead (recall spec'd in
+    // LlmOpsSpec on planted near-dups).
     "d05_dedup_embedding" -> { (s, dir) =>
-      Dedup.embeddingNearDuplicates(embs(s, dir), "vec_id", "embedding", 0.45)
+      Dedup.embeddingNearDuplicatesBlocked(embs(s, dir), "vec_id",
+          "embedding", 0.45)
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -336,8 +343,9 @@ object LlmQueries {
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
            FROM e)
          SELECT vec_id, round(scale, 8) AS scale,
-           array_to_string(list_transform(v,
-             x -> CAST(floor(x / scale + 0.5) AS INT)), ',') AS q
+           CASE WHEN scale = 0 THEN array_to_string(list_transform(v, x -> 0), ',')
+                ELSE array_to_string(list_transform(v,
+                  x -> CAST(floor(x / scale + 0.5) AS INT)), ',') END AS q
          FROM s ORDER BY vec_id""",
 
     "st02_stream_sessions" ->

@@ -18,22 +18,35 @@ import graft.stats.EmulatedStatistics
   */
 object OptQueries {
 
-  /** One emulated-stats cache per session (stat probes are memoized on
-    * canonicalized plans, so all queries share base-table statistics).
-    * Long-valued probes additionally persist to a JSON file in the temp
-    * dir — cache keys embed the data paths, so fresh JVMs (and later
-    * rounds over the same fixtures) skip the probe jobs entirely. Load
-    * and persist are both best-effort: a missing or corrupt file only
+  /** One emulated-stats cache per (session, data dir) — stat probes are
+    * memoized on canonicalized plans, so all queries share base-table
+    * statistics. Long-valued probes additionally persist to a JSON file in
+    * the temp dir, so fresh JVMs (and later rounds over the same fixtures)
+    * skip the probe jobs entirely. Two robustness properties:
+    *  - the file name embeds a fingerprint of the data (sizes + mtimes of
+    *    the parquet files), so regenerating fixtures at the same path can
+    *    never serve stale row counts into PreciseCardinalities;
+    *  - persistence is EAGER (after every new probe, atomic rename), so a
+    *    JVM killed by the driver's timeout loses nothing — the shutdown
+    *    hook alone did, and a cold opt01 pays ~14 s of probes.
+    * Load and persist are best-effort: a missing or corrupt file only
     * means probes run again. */
-  private val statsCache = TrieMap.empty[SparkSession, EmulatedStatistics]
-  private def statsFor(s: SparkSession): EmulatedStatistics =
-    statsCache.getOrElseUpdate(s, {
+  private val statsCache = TrieMap.empty[(SparkSession, String), EmulatedStatistics]
+
+  private def dataFingerprint(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val desc = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(";")
+    f"${scala.util.hashing.MurmurHash3.stringHash(desc)}%08x"
+  }
+
+  private def statsFor(s: SparkSession, dir: String): EmulatedStatistics =
+    statsCache.getOrElseUpdate((s, dir), {
       val st = new EmulatedStatistics(s)
-      val f = s"${System.getProperty("java.io.tmpdir")}/graft_stats_cache.json"
+      val f = s"${System.getProperty("java.io.tmpdir")}/graft_stats_cache_${dataFingerprint(dir)}.json"
       try st.loadFrom(f) catch { case _: Throwable => }
-      sys.addShutdownHook {
-        try st.persistTo(f) catch { case _: Throwable => }
-      }
+      st.autoPersistTo(f)
       st
     })
 
@@ -67,7 +80,7 @@ object OptQueries {
   private def forced(s: SparkSession, dir: String, op: JoinOperator): DataFrame = {
     Tables.registerAll(s, dir)
     val q = QueryFacade(s, twoTableSql)
-    val graph = new JoinGraph(q.joinBlock.get, statsFor(s))
+    val graph = new JoinGraph(q.joinBlock.get, statsFor(s, dir))
     val tree = JoinTree.leftDeep(q.joinBlock.get.tables)
     val ops = PhysicalOperatorAssignment()
       .withJoin(Set("supplier", "nation"), op)
@@ -82,7 +95,7 @@ object OptQueries {
         joinOrder = Some(new UESJoinOrderOptimizer),
         operators = Some(new UESOperatorSelection),
         parameters = Some(new BoundsParameterGeneration),
-        stats = statsFor(s)).optimize(flagshipSql)
+        stats = statsFor(s, dir)).optimize(flagshipSql)
     },
 
     // forced physical operators on the same join — all four strategies
@@ -101,7 +114,7 @@ object OptQueries {
       new TextBookOptimizationPipeline(s,
         new DynamicProgrammingEnumerator(),
         new CoutCostModel, new BasicCardinalityEstimator,
-        stats = statsFor(s)).optimize(fourTableSql)
+        stats = statsFor(s, dir)).optimize(fourTableSql)
     },
 
     // exhaustive enumeration (all shapes) on a 3-table query
@@ -110,7 +123,7 @@ object OptQueries {
       new TextBookOptimizationPipeline(s,
         new ExhaustivePlanEnumerator,
         new CoutCostModel, new BasicCardinalityEstimator,
-        stats = statsFor(s)).optimize(threeTableSql)
+        stats = statsFor(s, dir)).optimize(threeTableSql)
     },
 
     // random join order: results must be invariant under any order
@@ -119,7 +132,7 @@ object OptQueries {
       new MultiStageOptimizationPipeline(s,
         joinOrder = Some(new RandomJoinOrderOptimizer(seed = 7L)),
         operators = Some(new UESOperatorSelection),
-        stats = statsFor(s)).optimize(fourTableSql)
+        stats = statsFor(s, dir)).optimize(fourTableSql)
     },
 
     // transitively-connected query optimized over the AUGMENTED join graph:
@@ -133,7 +146,7 @@ object OptQueries {
                    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
                    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
       val q = QueryFacade(s, sql)
-      val graph = new JoinGraph(q.joinBlock.get, statsFor(s), augment = true)
+      val graph = new JoinGraph(q.joinBlock.get, statsFor(s, dir), augment = true)
       val tree = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
       val ops = new UESOperatorSelection()
         .selectPhysicalOperators(q, graph, Some(tree))
@@ -146,7 +159,7 @@ object OptQueries {
       new TextBookOptimizationPipeline(s,
         new DynamicProgrammingEnumerator(linearOnly = true),
         new CoutCostModel, new PreciseCardinalities,
-        stats = statsFor(s)).optimize(threeTableSql)
+        stats = statsFor(s, dir)).optimize(threeTableSql)
     },
 
     // textbook pipeline with the probe-free estimator: filter
@@ -157,7 +170,7 @@ object OptQueries {
       new TextBookOptimizationPipeline(s,
         new DynamicProgrammingEnumerator(),
         new CoutCostModel, new StatisticalCardinalityEstimator,
-        stats = statsFor(s)).optimize(flagshipSql)
+        stats = statsFor(s, dir)).optimize(flagshipSql)
     },
 
     // per-intermediate cardinality injection (the Rows-hint analog): UES
@@ -171,7 +184,7 @@ object OptQueries {
         operators = Some(new UESOperatorSelection),
         parameters = Some(new CardinalityHintGeneration(
           new CardinalityDistortion(new PreciseCardinalities, factor = 0.8))),
-        stats = statsFor(s)).optimize(fourTableSql)
+        stats = statsFor(s, dir)).optimize(fourTableSql)
     }
   )
 

@@ -41,6 +41,35 @@ object Udafs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Bounded top-k by (score desc, id asc): the buffer never exceeds k
+    * entries, so map-side partial aggregation emits one k-row sketch per
+    * partition and the reduce side merges k-row sketches — this is what
+    * makes a distributed top-k-per-group scale: no group ever funnels its
+    * full candidate set through one task (a `row_number().over(Window)`
+    * does exactly that). Output is the sorted (score, id) list; callers
+    * posexplode it into ranks.
+    */
+  final class TopKByScore(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortWith((x, y) => x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)).take(k)
+    def zero: Seq[(Double, Long)] = Vector.empty
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      // cheap reject before the O(k log k) insert: most rows lose to the
+      // current k-th best
+      if (b.size >= k && {
+        val w = b.last
+        a._1 < w._1 || (a._1 == w._1 && a._2 > w._2)
+      }) b else trim(b :+ a)
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(x ++ y)
+    def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   /** Register all UDAFs in the session function registry for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("geo_mean", udaf(GeometricMean))

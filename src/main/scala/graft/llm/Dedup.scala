@@ -26,6 +26,39 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Cache-lifecycle management for the multiply-consumed intermediates
+    * (hashed shingles, signatures, candidate sets). A bare `.cache()` pins
+    * the relation for the SESSION's lifetime: storage grows without bound
+    * across calls and every later query pays CacheManager plan-matching
+    * against the ever-longer cache list (the round-2 bench log showed that
+    * accumulation, as `Asked to cache already cached data` warnings). An
+    * eager localCheckpoint would free correctly but serializes each
+    * intermediate behind a materialization barrier (measured: d03
+    * 1.0 s -> 2.7 s). So: a bounded LRU keyed on the canonicalized plan —
+    * a repeat of the same dedup call reuses the already-cached relation
+    * (no duplicate CacheManager entry, warm-path speed preserved), while
+    * distinct calls accumulate only up to [[MaxLiveCaches]] relations
+    * before the least-recently-used is unpersisted. Capacity bounds the
+    * ENTRY COUNT; the byte bound comes from cache() itself
+    * (MEMORY_AND_DISK — spills, never OOMs).
+    */
+  private val MaxLiveCaches = 8
+  private val liveCaches =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        if (size > MaxLiveCaches) {
+          try e.getValue.unpersist(false) catch { case _: Throwable => }
+          true
+        } else false
+    }
+  private def scopedCache(df: DataFrame): DataFrame = liveCaches.synchronized {
+    val key = df.queryExecution.analyzed.canonicalized.toString
+    val hit = liveCaches.get(key)
+    if (hit != null) hit
+    else { val c = df.cache(); liveCaches.put(key, c); c }
+  }
+
   /** Distinct word n-gram shingles per document: (doc_id, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
@@ -66,19 +99,19 @@ object Dedup {
     }
     // join on the 64-bit shingle hash, not the string: identical pair
     // counts up to xxhash64 collisions (~(n_sh choose 2) * 2^-64 per doc,
-    // vanishing), at a third of the shuffle bytes. Cached because three
+    // vanishing), at a third of the shuffle bytes. Pinned because three
     // consumers (both join legs + sizes) would otherwise re-run the
     // CPU-heavy shingle construction; 16 bytes/row, spills to disk if a
     // corpus outgrows executor memory.
-    val hashed = pruned.select(col("doc_id"),
-      xxhash64(col("shingle")).as("shingle")).cache()
+    val hashed = scopedCache(pruned.select(col("doc_id"),
+      xxhash64(col("shingle")).as("shingle")))
     val sizes = hashed.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = hashed.select(col("doc_id").as("a_id"), col("shingle"))
     val b = hashed.select(col("doc_id").as("b_id"), col("shingle"))
     val inter = a.join(b, "shingle")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n_sh", "n_a"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id")
@@ -87,6 +120,7 @@ object Dedup {
         col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+    pairs
   }
 
   /** Exact Jaccard evaluated only on a candidate pair set (verification
@@ -94,9 +128,9 @@ object Dedup {
     */
   def verifyJaccard(sh: DataFrame, candidatesRaw: DataFrame,
       threshold: Double): DataFrame = {
-    // the candidate relation is consumed three times (two id legs + the
-    // pair join); cache it or the whole LSH DAG re-executes per consumer
-    val candidates = candidatesRaw.cache()
+    // the candidate relation's DAG (banding + estimate filter) must run
+    // exactly once, not once per consumer
+    val candidates = scopedCache(candidatesRaw)
     // same hashed-shingle trick as jaccardPairs: shuffle 8-byte keys
     val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = hashed.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -106,7 +140,7 @@ object Dedup {
       .join(a, "a_id")
       .join(b, col("b_id") === col("b_id2") && col("shingle") === col("shingle_b"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n_sh", "n_a"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id")
@@ -115,6 +149,7 @@ object Dedup {
         col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+    pairs
   }
 
   /** Deterministic linear permutations for MinHash (java.util.Random LCG is
@@ -170,10 +205,10 @@ object Dedup {
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, ngram: Int = 3, numPerm: Int = 128,
       bands: Int = 32): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, ngram).cache()
-    // cache: the banding self-join would otherwise recompute the signature
+    val sh = scopedCache(shingles(docs, idCol, textCol, ngram))
+    // cached: the banding self-join would otherwise recompute the signature
     // aggregation once per side (tiny relation, numPerm longs per doc)
-    val sigs = minHashSignatures(sh, numPerm).cache()
+    val sigs = scopedCache(minHashSignatures(sh, numPerm))
     val rawCands = lshCandidates(sigs, bands, numPerm / bands)
     // MinHash-estimate pre-filter: sig agreement is an unbiased estimate of
     // J with sigma = sqrt(J(1-J)/numPerm); a wide safety margin keeps
@@ -229,21 +264,35 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash near-duplicates: candidates via 16-bit chunk banding (pigeonhole
-    * covers hamming<=3 exactly; larger radii lose recall), filtered by
-    * hamming distance, then verified with exact n-gram Jaccard.
+  /** Smallest power-of-two chunk count that pigeonhole-covers `maxHamming`:
+    * with c chunks over a 64-bit signature, any pair at hamming < c shares
+    * at least one exact chunk, so recall 1 needs c >= maxHamming + 1.
     */
+  def simhashChunksFor(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming < 64)
+    Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxHamming).get
+  }
+
   /** SimHash near-duplicates. Candidate recall is a pigeonhole argument:
     * with `numChunks` chunks, any pair with hamming < numChunks shares at
-    * least one exact chunk. Chunk width trades recall for bucket size —
-    * 4-bit chunks (16 buckets) are fine up to ~10^5 docs per partition
-    * grouping; at larger corpora use wider chunks + a lower maxHamming, or
-    * prefer the MinHash path (its bucket space grows with the data).
+    * least one exact chunk — so `numChunks` is COUPLED to `maxHamming` and
+    * defaults to [[simhashChunksFor]] (the smallest power of two that
+    * guarantees recall). The coupling is the scale trade-off of SimHash
+    * banding: chunk width is 64/numChunks bits, so the bucket space per
+    * chunk is 2^(64/numChunks) values. A tight radius (hamming <= 3, the
+    * classic Manber/Google setting) gives 4 chunks x 16-bit buckets —
+    * 65k bucket values, scale-safe. A loose radius (e.g. 12, needed when
+    * true pairs are only Jaccard ~0.6 and their signatures drift far apart)
+    * forces 16 chunks x 4-bit buckets — 16 values per chunk, candidates
+    * ~n²/16 per chunk: quadratic on large corpora. For loose thresholds at
+    * scale, prefer [[minhashNearDuplicates]] — its bucket space grows with
+    * the data instead of being fixed by the signature width.
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, jaccardThreshold: Double, ngram: Int = 3,
-      numChunks: Int = 16): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, ngram).cache()
+      numChunksOverride: Option[Int] = None): DataFrame = {
+    val numChunks = numChunksOverride.getOrElse(simhashChunksFor(maxHamming))
+    val sh = scopedCache(shingles(docs, idCol, textCol, ngram))
     val sigs = simHashSignatures(sh)
     val bits = 64 / numChunks
     val mask = (1L << bits) - 1
@@ -261,7 +310,9 @@ object Dedup {
     verifyJaccard(sh, cands, jaccardThreshold)
   }
 
-  /** Brute-force embedding cosine near-duplicates (baseline / oracle path).
+  /** Brute-force embedding cosine near-duplicates (tiny-data baseline; the
+    * inequality join plans as a nested-loop product, so this exists only as
+    * the correctness reference for the blocked/LSH paths below).
     * Output: (a_id, b_id, cos_sim). Embeddings are cast to double before any
     * arithmetic so results match engines that compute in float64.
     */
@@ -271,6 +322,86 @@ object Dedup {
     val a = e.select(col("id").as("a_id"), col("v").as("va"))
     val b = e.select(col("id").as("b_id"), col("v").as("vb"))
     a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** Exact embedding cosine threshold-join as a BLOCKED all-pairs equality
+    * join — the distributed-exact path wired into the d05 gate.
+    *
+    * Why not LSH here: recall-1 LSH banding requires a similarity gap
+    * between true pairs and the background. The fixture embeddings are
+    * isotropic (pairwise cos ~ N(0, 1/dim); measured p99.99 = 0.452 at a
+    * 0.45 threshold), i.e. background pairs approach the threshold
+    * continuously — any banding scheme with recall 1 would have to retain
+    * essentially all pairs. Exact threshold-joins on gapless data are
+    * inherently Θ(n²) comparisons; the scale question is only HOW those
+    * comparisons are distributed. This operator answers it the standard
+    * way: hash each id into one of `numBlocks` blocks, materialize the
+    * (numBlocks·(numBlocks+1)/2) unordered block pairs as a tiny broadcast
+    * relation, and compute each doc pair exactly once inside an EQUALITY
+    * join keyed on the partner block — so the plan contains no
+    * CartesianProduct / BroadcastNestedLoopJoin, every task holds one
+    * block-pair (n²/B² comparisons, B sized so a block fits in executor
+    * memory), and work is balanced across the cluster. For corpora with a
+    * genuine near-dup gap (cos ≥ ~0.9), [[embeddingNearDuplicatesLsh]] is
+    * the sub-quadratic route.
+    */
+  def embeddingNearDuplicatesBlocked(emb: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, numBlocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col(idCol).cast("bigint").as("id"), col(vecCol).as("v"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(numBlocks)).cast("int"))
+    // all unordered block pairs (ba <= bb): B(B+1)/2 rows, broadcast side
+    val blockPairs = (for { i <- 0 until numBlocks; j <- i until numBlocks }
+      yield (i, j)).toDF("ba", "bb")
+    val a = e.select(col("id").as("a_id"), col("v").as("va"),
+      col("blk").as("ba"))
+    val b = e.select(col("id").as("b_id"), col("v").as("vb"),
+      col("blk").as("bb"))
+    a.join(broadcast(blockPairs), "ba") // fan each row out to its partner blocks
+      .join(b, Seq("bb"))               // equality join on the partner block
+      // same-block pairs appear from both sides — keep one; cross-block
+      // pairs appear exactly once (only the lower block fans out to the
+      // higher one)
+      .filter(col("ba") =!= col("bb") || col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** LSH-banded embedding near-duplicates: random-hyperplane bucketing
+    * ([[Similarity.rhpBuckets]]) generates candidates via an equality join
+    * on (band, bucket); exact cosine verifies candidates only — the
+    * embedding analog of the d02→d03 MinHash move. Sub-quadratic whenever
+    * the corpus has a real similarity gap: at a near-dup threshold of 0.9
+    * the per-plane agreement is 1 - acos(0.9)/pi ~ 0.856, so the default
+    * 32 bands x 12 rows give per-pair recall 1-(1-0.856^12)^32 > 0.995
+    * while a random background pair (cos~0) survives a band with
+    * probability 2^-12. NOT suitable for gapless/low thresholds (see
+    * [[embeddingNearDuplicatesBlocked]]): recall decays as the threshold
+    * approaches the background distribution.
+    */
+  def embeddingNearDuplicatesLsh(emb: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, numBands: Int = 32,
+      rowsPerBand: Int = 12, seed: Long = 7L): DataFrame = {
+    val bk = Similarity.rhpBuckets(emb, idCol, vecCol, numBands, rowsPerBand,
+      seed)
+    val a = bk.select(col("id").as("a_id"), col("band"), col("bucket"))
+    val b = bk.select(col("id").as("b_id"), col("band"), col("bucket"))
+    val cands = a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val e = emb.select(col(idCol).cast("bigint").as("id"), col(vecCol).as("v"))
+    cands
+      .join(e.select(col("id").as("a_id"), col("v").as("va")), "a_id")
+      .join(e.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
       .withColumn("cos_sim",
         graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)

@@ -19,10 +19,31 @@ object Similarity {
 
   import graft.functions.CosineSimilarity.cosineSim
 
+  /** Two-phase distributed top-k per query over a scored relation
+    * (query_id, neighbor_id, sim): the bounded [[graft.functions.Udafs
+    * .TopKByScore]] aggregator keeps a k-row buffer, so each map task emits
+    * a local top-k sketch and the shuffle only merges k-row sketches —
+    * unlike `row_number().over(partitionBy(query_id))`, which funnels a
+    * query's ENTIRE candidate set through one reducer task for the sort
+    * (the 100 TB killer: one task per query sorting the whole corpus).
+    * Output: (query_id, rnk, neighbor_id, cos_sim) with rank by
+    * (sim desc, neighbor_id asc), cos rounded to 4 places after ranking.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.Udafs.TopKByScore(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    scored.groupBy("query_id")
+      .agg(topk(col("sim"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "sn")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("sn._2").as("neighbor_id"), round(col("sn._1"), 4).as("cos_sim"))
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus vectors
     * (self-matches excluded). Cosine is the native fused-loop Catalyst
     * expression (graft.functions.CosineSimilarity), so the hot inner loop
-    * is whole-stage-codegen'd Java, not interpreted lambdas.
+    * is whole-stage-codegen'd Java, not interpreted lambdas; ranking is the
+    * two-phase bounded top-k (see [[topKPerQuery]]), not a global window.
     * Output: (query_id, rnk, neighbor_id, cos_sim).
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -31,14 +52,10 @@ object Similarity {
       col(vecCol).as("vc"))
     val q = queries.select(col(idCol).cast("bigint").as("query_id"),
       col(vecCol).as("vq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineSim(col("vq"), col("vc")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("sim"), 4).as("cos_sim"))
+    topKPerQuery(
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosineSim(col("vq"), col("vc")))
+        .select("query_id", "neighbor_id", "sim"), k)
   }
 
   /** Symmetric int8 scalar quantization of an embedding column — the
@@ -47,7 +64,10 @@ object Similarity {
     * Per-vector scale = max(|x|)/127; q_i = floor(x_i/scale + 0.5)
     * (floor-based half-up is identical IEEE arithmetic on every engine,
     * so the quantized codes are bit-reproducible cross-engine — plain
-    * round() ties are not). Output: (id, scale, q: array<int>).
+    * round() ties are not). Degenerate all-zero vectors would give
+    * scale = 0 and x/scale = NaN (which non-ANSI CAST silently turns
+    * into 0 while other engines error) — they quantize to all-zero codes
+    * via a guarded scale instead. Output: (id, scale, q: array<int>).
     */
   def quantizeInt8(embeddings: DataFrame, idCol: String,
       vecCol: String): DataFrame =
@@ -57,7 +77,8 @@ object Similarity {
       .withColumn("scale", expr(
         "aggregate(v, 0D, (m, x) -> greatest(m, abs(x))) / 127.0"))
       .withColumn("q", expr(
-        "transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))"))
+        "CASE WHEN scale = 0D THEN transform(v, x -> 0) " +
+          "ELSE transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) END"))
       .select(col("vec_id"), round(col("scale"), 8).as("scale"), col("q"))
 
   /** Dequantized vectors: q_i * scale (lossy inverse of [[quantizeInt8]]). */
@@ -132,15 +153,11 @@ object Similarity {
     val corpusCells = cellsOf(corpus, "neighbor_id", 1) // each vector in 1 cell
     val queryCells = cellsOf(queries, "query_id", nProbe)
       .withColumnRenamed("v", "vq")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    queryCells.join(corpusCells, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineSim(col("vq"), col("v")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("sim"), 4).as("cos_sim"))
+    topKPerQuery(
+      queryCells.join(corpusCells, "cell")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosineSim(col("vq"), col("v")))
+        .select("query_id", "neighbor_id", "sim"), k)
   }
 
   /** LSH-bucketed ANN: candidates collide with the query in >=1 band; exact
@@ -159,15 +176,11 @@ object Similarity {
       .select("query_id", "neighbor_id").distinct()
     val c = corpus.select(col(idCol).cast("bigint").as("cid"), col(vecCol).as("vc"))
     val q = queries.select(col(idCol).cast("bigint").as("qid"), col(vecCol).as("vq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cands
-      .join(c, col("neighbor_id") === col("cid"))
-      .join(broadcast(q), col("query_id") === col("qid"))
-      .withColumn("sim", cosineSim(col("vq"), col("vc")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("sim"), 4).as("cos_sim"))
+    topKPerQuery(
+      cands
+        .join(c, col("neighbor_id") === col("cid"))
+        .join(broadcast(q), col("query_id") === col("qid"))
+        .withColumn("sim", cosineSim(col("vq"), col("vc")))
+        .select("query_id", "neighbor_id", "sim"), k)
   }
 }

@@ -35,6 +35,14 @@ final class EmulatedStatistics(spark: SparkSession,
   require(sampleFraction.forall(f => f > 0.0 && f <= 1.0))
   private val cache = TrieMap.empty[(String, String), Any]
 
+  /** When set, every NEW long-valued probe result triggers an (atomic)
+    * [[persistTo]] of the whole cache — so a killed/timed-out JVM never
+    * loses probe work (a shutdown hook alone does; the driver's per-query
+    * timeout kills the JVM hard). Probes are memoized, so writes happen
+    * only on cache misses — a handful per workload, each a few KB. */
+  @volatile private var autoPersistPath: Option[String] = None
+  def autoPersistTo(path: String): Unit = { autoPersistPath = Some(path) }
+
   // frequency-type probes run on this fraction and scale back up — the
   // 100 TB mode where a full-scan probe per statistic is unaffordable.
   // Count-scalable probes only: ndv and min/max are NOT linear in the
@@ -54,8 +62,19 @@ final class EmulatedStatistics(spark: SparkSession,
     sampleFraction.map(d.sample(_, 42L)).getOrElse(d)
   }
 
-  private def memo[T](plan: LogicalPlan, tag: String)(compute: => T): T =
-    cache.getOrElseUpdate(key(plan, tag), compute).asInstanceOf[T]
+  private def memo[T](plan: LogicalPlan, tag: String)(compute: => T): T = {
+    val k = key(plan, tag)
+    cache.get(k) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val v = cache.getOrElseUpdate(k, compute)
+        // persist eagerly on every genuinely new long-valued probe; cheap
+        // (small JSON, atomic rename) relative to the probe job itself
+        if (v.isInstanceOf[Long])
+          autoPersistPath.foreach(p => try persistTo(p) catch { case _: Throwable => })
+        v.asInstanceOf[T]
+    }
+  }
 
   def rowCount(plan: LogicalPlan): Long =
     memo(plan, s"count$sTag")(scaled(sampledDf(plan).count()))
@@ -137,7 +156,11 @@ final class EmulatedStatistics(spark: SparkSession,
   // disk cache keyed by query text, /root/reference/postbound/db/_db.py:
   // 322-430; here: the long-valued stats — counts, ndv, max frequency) ----
 
-  /** Save all long-valued cache entries to a JSON file. */
+  /** Save all long-valued cache entries to a JSON file. The write is
+    * temp-file + atomic rename, so concurrent JVMs sharing the cache file
+    * can never observe a torn/partial file (they may race, but each rename
+    * leaves a complete, parseable snapshot — and loadFrom merges with
+    * putIfAbsent, so a lost update only means re-probing). */
   def persistTo(path: String): Unit = {
     val entries = cache.toSeq.collect {
       case ((plan, tag), v: Long) => (plan, tag, v)
@@ -145,7 +168,15 @@ final class EmulatedStatistics(spark: SparkSession,
     val json = entries.sortBy(e => (e._1, e._2)).map { case (p, t, v) =>
       s"""{"plan":${jstr(p)},"tag":${jstr(t)},"value":$v}"""
     }.mkString("[", ",", "]")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    val target = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Paths.get(
+      s"$path.tmp.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+    java.nio.file.Files.writeString(tmp, json)
+    import java.nio.file.StandardCopyOption._
+    try java.nio.file.Files.move(tmp, target, REPLACE_EXISTING, ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      java.nio.file.Files.move(tmp, target, REPLACE_EXISTING)
+    }
   }
 
   /** Pre-load cache entries previously saved with [[persistTo]]. */

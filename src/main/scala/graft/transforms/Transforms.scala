@@ -1,7 +1,7 @@
 package graft.transforms
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
-  EqualTo, Expression, Literal, NamedExpression}
+  EqualTo, Expression, Literal, NamedExpression, SortOrder}
 import org.apache.spark.sql.catalyst.dsl.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -141,6 +141,160 @@ object Transforms {
         done = true
         replacement
     }
+  }
+
+  // ---- generic clause surgery (transform.py:833 add_clause, :873
+  // drop_clause, :916 replace_clause). The reference represents a query as
+  // a clause container and swaps clause objects; the Catalyst analog
+  // decomposes the ROOT query block into its clause-bearing nodes
+  // (Limit/Offset/Sort/Having-Filter/Project/Aggregate/Where-Filter),
+  // performs field surgery, and recomposes a valid plan. Unlike the
+  // reference (which happily produces invalid SQL — it "does not enforce
+  // any semantics", qal/_qal.py:8424), composition here always yields an
+  // executable plan: e.g. dropping GROUP BY turns a grouped aggregate into
+  // the scalar aggregate over the same aggregate functions. ----
+
+  /** Clause-level view of a root query block. `select` is the Project list
+    * when the block has a plain projection; `groupBy` carries (keys,
+    * aggregate list) when it is an Aggregate. Exactly one of them is
+    * typically present (matching SQL: the SELECT list lives in the
+    * Aggregate when there is a GROUP BY). */
+  final case class QueryClauses(
+      limit: Option[Expression] = None,
+      offset: Option[Expression] = None,
+      orderBy: Option[Seq[SortOrder]] = None,
+      having: Option[Expression] = None,
+      select: Option[Seq[NamedExpression]] = None,
+      groupBy: Option[(Seq[Expression], Seq[NamedExpression])] = None,
+      where: Option[Expression] = None,
+      from: LogicalPlan = OneRowRelation())
+
+  /** Peel the root query block of an (analyzed) plan into clauses. */
+  def decompose(plan: LogicalPlan): QueryClauses = {
+    var c = QueryClauses()
+    var p = plan
+    var peeling = true
+    // outer wrappers: limit / offset / order by, any nesting order
+    while (peeling) p match {
+      case GlobalLimit(n, child) => c = c.copy(limit = Some(n)); p = child
+      case LocalLimit(_, child) => p = child
+      case Offset(n, child) => c = c.copy(offset = Some(n)); p = child
+      case Sort(order, true, child, _) =>
+        c = c.copy(orderBy = Some(order)); p = child
+      case _ => peeling = false
+    }
+    // HAVING: a Filter directly over an Aggregate (optionally through a
+    // Project the analyzer adds for non-output having references)
+    p match {
+      case Filter(cond, agg: Aggregate) =>
+        c = c.copy(having = Some(cond)); p = agg
+      case Project(list, Filter(cond, agg: Aggregate)) =>
+        c = c.copy(select = Some(list), having = Some(cond)); p = agg
+      case _ =>
+    }
+    p match {
+      case Aggregate(keys, aggs, child, _) =>
+        c = c.copy(groupBy = Some((keys, aggs))); p = child
+      case Project(list, child) if c.select.isEmpty =>
+        c = c.copy(select = Some(list)); p = child
+      case _ =>
+    }
+    p match {
+      case Filter(cond, child) => c = c.copy(where = Some(cond)); p = child
+      case _ =>
+    }
+    c.copy(from = p)
+  }
+
+  /** Recompose clauses into a plan (inverse of [[decompose]]). */
+  def compose(c: QueryClauses): LogicalPlan = {
+    var p = c.from
+    c.where.foreach(w => p = Filter(w, p))
+    c.groupBy.foreach { case (keys, aggs) => p = Aggregate(keys, aggs, p) }
+    if (c.groupBy.isEmpty) c.select.foreach(s => p = Project(s, p))
+    c.having.foreach(h => p = Filter(h, p))
+    if (c.groupBy.nonEmpty) c.select.foreach(s => p = Project(s, p))
+    c.orderBy.foreach(o => p = Sort(o, global = true, p))
+    c.offset.foreach(n => p = Offset(n, p))
+    c.limit.foreach(n => p = Limit(n, p))
+    p
+  }
+
+  /** Replace the SELECT list of the root block (replace_clause with a
+    * Select clause, transform.py:916). On an Aggregate block the aggregate
+    * list IS the select list. */
+  def replaceSelectList(plan: LogicalPlan,
+      exprs: Seq[NamedExpression]): LogicalPlan = {
+    val c = decompose(plan)
+    compose(c.groupBy match {
+      case Some((keys, _)) if c.select.isEmpty =>
+        c.copy(groupBy = Some((keys, exprs)))
+      case _ => c.copy(select = Some(exprs))
+    })
+  }
+
+  /** Add a GROUP BY to a block that has none (add_clause,
+    * transform.py:833): the given keys + aggregates become the block's
+    * Aggregate; a pre-existing plain select list is discarded (the SQL
+    * SELECT list moves into the grouped aggregate, as in the reference's
+    * clause replacement). */
+  def addGroupBy(plan: LogicalPlan, keys: Seq[Expression],
+      aggs: Seq[NamedExpression]): LogicalPlan = {
+    val c = decompose(plan)
+    require(c.groupBy.isEmpty, "block already has a GROUP BY — use replaceGroupBy")
+    compose(c.copy(groupBy = Some((keys, aggs)), select = None))
+  }
+
+  /** Replace the GROUP BY keys of an aggregate block, keeping aggregate
+    * functions: grouping-key columns in the aggregate list are swapped for
+    * the new keys. */
+  def replaceGroupBy(plan: LogicalPlan, keys: Seq[Expression],
+      aggs: Seq[NamedExpression]): LogicalPlan = {
+    val c = decompose(plan)
+    require(c.groupBy.nonEmpty, "block has no GROUP BY — use addGroupBy")
+    compose(c.copy(groupBy = Some((keys, aggs))))
+  }
+
+  /** Drop the GROUP BY (drop_clause, transform.py:873): the block becomes
+    * the SCALAR aggregate of its aggregate functions — grouping-key
+    * columns leave the select list (they are meaningless without groups),
+    * which keeps the result a valid plan, unlike the reference's unchecked
+    * clause removal. HAVING/ORDER BY referring to dropped keys are
+    * dropped with it. */
+  def dropGroupBy(plan: LogicalPlan): LogicalPlan = {
+    val c = decompose(plan)
+    require(c.groupBy.nonEmpty, "block has no GROUP BY")
+    val (keys, aggs) = c.groupBy.get
+    val keyIds = keys.collect { case a: Attribute => a.exprId }.toSet
+    val scalarAggs = aggs.filter {
+      case a: Attribute => !keyIds.contains(a.exprId)
+      case al: Alias => al.child.find {
+        case ae: AggregateExpression => true; case _ => false
+      }.isDefined
+      case _ => true
+    }
+    require(scalarAggs.nonEmpty, "dropping GROUP BY would leave no output")
+    compose(c.copy(groupBy = Some((Nil, scalarAggs)), having = None,
+      orderBy = None, select = None))
+  }
+
+  /** Add a WHERE conjunct (add_clause on the Where clause). */
+  def addWhere(plan: LogicalPlan, cond: Expression): LogicalPlan = {
+    val c = decompose(plan)
+    compose(c.copy(where = Some(c.where.map(And(_, cond)).getOrElse(cond))))
+  }
+
+  /** Drop the WHERE clause entirely (drop_clause). */
+  def dropWhere(plan: LogicalPlan): LogicalPlan =
+    compose(decompose(plan).copy(where = None))
+
+  /** Strip all optimizer hints: ResolvedHint wrappers and per-join
+    * JoinHint annotations (transform.py:720 drop_hints — there it strips
+    * pg_hint_plan comment blocks; here the Catalyst carriers). */
+  def dropHints(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case ResolvedHint(child, _) => child
+    case h: UnresolvedHint => h.child
+    case j: Join if j.hint != JoinHint.NONE => j.copy(hint = JoinHint.NONE)
   }
 
   /** Transitive closure of attribute equalities: `a=b AND b=c` implies

@@ -61,6 +61,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) === 1.0)
   }
 
+  test("blocked embedding dedup equals brute force with no cartesian in the plan") {
+    val brute = Dedup.embeddingNearDuplicates(embs, "vec_id", "embedding", 0.45)
+      .collect().map(_.toString).sorted.toSeq
+    val blocked = Dedup.embeddingNearDuplicatesBlocked(
+      embs, "vec_id", "embedding", 0.45)
+    assert(blocked.collect().map(_.toString).sorted.toSeq === brute)
+    // the executed plan must contain no corpus x corpus product node:
+    // candidates come from an equality join on the partner block
+    val physical = blocked.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical)
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+  }
+
+  test("embedding LSH achieves recall 1 on a gapped (planted near-dup) corpus") {
+    import spark.implicits._
+    // 60 random unit-ish vectors + 20 planted near-duplicates (cos > 0.95
+    // to their source) — the regime embeddingNearDuplicatesLsh is for.
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val base = (0L until 60L).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    val planted = (0 until 20).map { j =>
+      val (srcId, v) = base(j * 3)
+      val noisy = v.map(x => x + rnd.nextGaussian() * 0.02)
+      (100L + j, noisy)
+    }
+    val df = (base ++ planted).map { case (i, v) =>
+      (i, v.map(_.toFloat).toSeq) }.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDuplicates(df, "vec_id", "embedding", 0.9)
+      .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
+    val lsh = Dedup.embeddingNearDuplicatesLsh(df, "vec_id", "embedding", 0.9)
+      .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
+    assert(exact.size >= 20)
+    assert(lsh === exact)
+  }
+
+  test("simhash chunk count auto-couples to maxHamming") {
+    assert(Dedup.simhashChunksFor(0) === 1)
+    assert(Dedup.simhashChunksFor(3) === 4)
+    assert(Dedup.simhashChunksFor(7) === 8)
+    assert(Dedup.simhashChunksFor(12) === 16)
+    assert(Dedup.simhashChunksFor(40) === 64)
+  }
+
   test("exact dedup groups cover all documents") {
     val g = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
     assert(g.agg(sum(col("n_copies"))).head().getLong(0) === docs.count())
@@ -89,6 +132,19 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
+  test("top-k plan is two-phase bounded aggregation, not a per-query window sort") {
+    // the 100 TB guard: ranking must partial-aggregate k-row sketches
+    // map-side and merge them, never funnel a query's full candidate set
+    // through one reducer's sort (row_number over a per-query window did)
+    val topk = Similarity.cosineTopK(embs, embs.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 5)
+    val physical = topk.queryExecution.executedPlan.toString
+    assert(!physical.contains("Window"), physical)
+    assert(physical.contains("ObjectHashAggregate"), physical)
+    assert(physical.contains("partial_topkbyscore")
+      || physical.toLowerCase.contains("partial"), physical)
   }
 
   test("ANN ranks are dense 1..k per query") {

@@ -131,6 +131,99 @@ class TransformsSpec extends SparkSpec {
     assert(n === expected)
   }
 
+  test("decompose/compose round-trips a full query block unchanged") {
+    val p = plan(
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+         WHERE c_acctbal > 0 GROUP BY c_mktsegment HAVING count(*) > 1
+         ORDER BY c_mktsegment LIMIT 3""")
+    val c = Transforms.decompose(p)
+    assert(c.limit.nonEmpty && c.orderBy.nonEmpty && c.having.nonEmpty
+      && c.groupBy.nonEmpty && c.where.nonEmpty)
+    assert(sameResults(GraftShims.ofRows(spark, Transforms.compose(c)),
+      GraftShims.ofRows(spark, p)))
+  }
+
+  test("replaceSelectList rewrites the SELECT list of a plain block") {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    val p = plan("SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0")
+    val keyAttr = p.output.head
+    val replaced = Transforms.replaceSelectList(p,
+      Seq(Alias(keyAttr, "id")()))
+    val df = GraftShims.ofRows(spark, replaced)
+    assert(df.columns.toSeq === Seq("id"))
+    assert(df.count() === GraftShims.ofRows(spark, p).count())
+  }
+
+  test("replaceSelectList rewrites the aggregate list of a grouped block") {
+    val p = plan(
+      """SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment""")
+    val c = Transforms.decompose(p)
+    val (keys, aggs) = c.groupBy.get
+    // keep only the grouping column — SELECT c_mktsegment ... GROUP BY ...
+    val replaced = Transforms.replaceSelectList(p, Seq(
+      aggs.head))
+    val df = GraftShims.ofRows(spark, replaced)
+    assert(df.columns.toSeq === Seq(aggs.head.name))
+    assert(df.count() === GraftShims.ofRows(spark, p).count())
+  }
+
+  test("addGroupBy turns a plain block into a grouped aggregate") {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val p = plan("SELECT c_mktsegment, c_custkey FROM customer WHERE c_acctbal > 0")
+    val seg = p.output.head
+    val cnt = Alias(AggregateExpression(Count(Literal(1)), Complete,
+      isDistinct = false), "n")()
+    val grouped = Transforms.addGroupBy(p, Seq(seg), Seq(seg, cnt))
+    assert(sameResults(GraftShims.ofRows(spark, grouped),
+      spark.sql("""SELECT c_mktsegment, count(*) AS n FROM customer
+                   WHERE c_acctbal > 0 GROUP BY c_mktsegment""")))
+  }
+
+  test("dropGroupBy collapses a grouped block to the scalar aggregate") {
+    val p = plan(
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    val dropped = Transforms.dropGroupBy(p)
+    val df = GraftShims.ofRows(spark, dropped)
+    assert(df.columns.toSeq === Seq("n"))
+    assert(df.head().getLong(0) ===
+      Tables.load(spark, sfDir, "customer").count())
+  }
+
+  test("addWhere conjoins and dropWhere removes the filter clause") {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Literal}
+    val p = plan("SELECT c_custkey FROM customer WHERE c_acctbal > 0")
+    val key = p.collectFirst { case Filter(_, ch) => ch }.get.output
+      .find(_.name == "c_custkey").get
+    val narrowed = Transforms.addWhere(p, GreaterThan(key, Literal(100L)))
+    val widened = Transforms.dropWhere(p)
+    val base = GraftShims.ofRows(spark, p).count()
+    assert(GraftShims.ofRows(spark, narrowed).count() < base)
+    assert(GraftShims.ofRows(spark, widened).count() >=
+      base)
+    assert(GraftShims.ofRows(spark, widened).count() ===
+      Tables.load(spark, sfDir, "customer").count())
+  }
+
+  test("dropHints strips ResolvedHint wrappers and join hints") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, ResolvedHint}
+    Tables.registerAll(spark, sfDir)
+    val p = spark.sql(
+      """SELECT /*+ BROADCAST(nation), MERGEJOIN(supplier) */ s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey""")
+      .queryExecution.analyzed
+    assert(p.collect { case r: ResolvedHint => r }.nonEmpty ||
+      p.collect { case j: Join if j.hint != JoinHint.NONE => j }.nonEmpty)
+    val stripped = Transforms.dropHints(p)
+    assert(stripped.collect { case r: ResolvedHint => r }.isEmpty)
+    assert(stripped.collect {
+      case j: Join if j.hint != JoinHint.NONE => j }.isEmpty)
+    assert(sameResults(GraftShims.ofRows(spark, stripped),
+      GraftShims.ofRows(spark, p)))
+  }
+
   test("equality closure adds the transitive edge") {
     val p = plan(
       """SELECT count(*) AS n FROM customer, orders, lineitem
