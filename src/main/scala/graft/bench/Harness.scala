@@ -77,7 +77,9 @@ object BenchHarness {
   def executeWorkload(spark: SparkSession, workload: Workload,
       workloadRepetitions: Int = 1, perQueryRepetitions: Int = 1,
       shuffled: Boolean = false, timeoutSec: Option[Double] = None,
-      optimizer: String => DataFrame = null): Seq[ExecutionResult] = {
+      optimizer: String => DataFrame = null,
+      onExecuted: (String, DataFrame, ExecutionResult) => Unit = null):
+      Seq[ExecutionResult] = {
     val runQuery: String => DataFrame =
       Option(optimizer).getOrElse((sql: String) => spark.sql(sql))
     (1 to workloadRepetitions).flatMap { wrep =>
@@ -98,8 +100,15 @@ object BenchHarness {
                   case Some(limit) => runWithTimeout(spark, frame, label, limit)
                   case None => frame.count()
                 }
-                ExecutionResult(label, "ok", (System.nanoTime() - t0) / 1e9,
-                  rows, "", wrep, qrep)
+                val r = ExecutionResult(label, "ok",
+                  (System.nanoTime() - t0) / 1e9, rows, "", wrep, qrep)
+                // post-execution hook (reference exec_callback +
+                // learn_from_feedback call site, bench.py:1014): the frame
+                // has been executed, so its SQLMetrics carry actuals —
+                // wire `pipeline.learnFromFeedback` through this to close
+                // the online-learning loop
+                if (onExecuted != null) onExecuted(sql, frame, r)
+                r
               } catch {
                 case _: java.util.concurrent.TimeoutException =>
                   ExecutionResult(label, "timeout", (System.nanoTime() - t0) / 1e9,
@@ -150,6 +159,55 @@ object BenchHarness {
         throw e
     }
   }
+
+  /** Concurrent workload execution with a bounded pool — the analog of the
+    * reference's ParallelQueryExecutor (postgres.py:3330: a thread pool of
+    * database connections draining a query queue). Spark's scheduler
+    * accepts concurrent jobs from multiple driver threads, so the pool
+    * here is `poolSize` submitter threads; each query runs under its own
+    * job group (`graft-par-<label>`), so an individual in-flight query
+    * stays cancellable via [[cancelQuery]] without touching its
+    * neighbours. Results come back in workload order regardless of
+    * completion order. At cluster scale pair this with the FAIR scheduler
+    * pool config so one heavy query cannot starve the rest.
+    */
+  def executeWorkloadParallel(spark: SparkSession, workload: Workload,
+      poolSize: Int, optimizer: String => DataFrame = null):
+      Seq[ExecutionResult] = {
+    require(poolSize > 0)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val runQuery: String => DataFrame =
+      Option(optimizer).getOrElse((sql: String) => spark.sql(sql))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = workload.queries.toSeq.map { case (label, sql) =>
+        Future {
+          val sc = spark.sparkContext
+          val t0 = System.nanoTime()
+          // job group is thread-local: set per task because pool threads
+          // are reused across queries
+          sc.setJobGroup(s"graft-par-$label", label, interruptOnCancel = true)
+          try {
+            val rows = runQuery(sql).count()
+            ExecutionResult(label, "ok", (System.nanoTime() - t0) / 1e9,
+              rows, "", 1, 1)
+          } catch {
+            case e: Throwable =>
+              ExecutionResult(label, "execution-error",
+                (System.nanoTime() - t0) / 1e9, -1L,
+                String.valueOf(e.getMessage), 1, 1)
+          } finally sc.clearJobGroup()
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  /** Cancel one in-flight query of [[executeWorkloadParallel]] by label. */
+  def cancelQuery(spark: SparkSession, label: String): Unit =
+    spark.sparkContext.cancelJobGroup(s"graft-par-$label")
 
   /** Results as a DataFrame (the reference exports a pandas frame). */
   def resultsToDf(spark: SparkSession, rs: Seq[ExecutionResult]): DataFrame = {

@@ -56,14 +56,24 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     tables.filterNot(joined.contains)
       .filter(t => edgesBetween(joined, t).nonEmpty)
 
-  def isConnected: Boolean = {
+  def isConnected: Boolean = connectedVia(_ => true)
+
+  /** Connectivity over the EQUI-subgraph only: true when every table is
+    * reachable through edges that carry at least one equality column pair.
+    * Pure theta edges (e.g. JOB-style `a.line < b.line` between two fact
+    * aliases that are also equi-joined through a shared parent) then count
+    * as residual predicates, not as the graph's connective tissue. */
+  def isEquiConnected: Boolean = connectedVia(_.equiColumns.nonEmpty)
+
+  private def connectedVia(accept: JoinEdge => Boolean): Boolean = {
     tables match {
       case Nil => true
       case first +: _ =>
         var reached = Set(first)
         var grew = true
         while (grew) {
-          val next = neighbors(reached)
+          val next = tables.filterNot(reached.contains).filter(t =>
+            edgesBetween(reached, t).exists(accept))
           grew = next.nonEmpty
           reached ++= next
         }

@@ -114,7 +114,19 @@ object QepSynopsis {
   */
 final class TonicOperatorSelection(val synopsis: QepSynopsis,
     fallback: PhysicalOperatorSelection = new UESOperatorSelection)
-    extends PhysicalOperatorSelection {
+    extends PhysicalOperatorSelection with graft.pipeline.OnlineLearningStage {
+
+  /** Online-learning entry point (reference `learn_from_feedback`,
+    * _stages.py "Online Training"): an enforced plan feeds its measured
+    * per-join rows into the trie under the enforced join order; a native
+    * fallback plan is harvested via the plan-derived join tree instead. */
+  def learnFromFeedback(result: graft.pipeline.OptimizationResult,
+      executed: org.apache.spark.sql.DataFrame, execTimeMs: Double): Unit =
+    result.joinOrder match {
+      case Some(tree) if !result.usedNativeFallback =>
+        learnFromExecution(tree, result.operators, executed)
+      case _ => learnFromNativePlan(executed): Unit
+    }
 
   def describe: String =
     s"""{"name":"tonic","synopsis_nodes":${synopsis.size},"fallback":${fallback.describe}}"""

@@ -37,7 +37,11 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false)
 
   def optimizeJoinOrder(q: QueryFacade, graph: JoinGraph): Option[JoinTree[Cardinality]] = {
     val tables = graph.tables
-    if (tables.size < 2 || graph.edges.exists(_.equiColumns.isEmpty)) return None
+    // pure theta edges are fine as long as the EQUI subgraph connects all
+    // tables: they contribute the cross-product fallback bound in
+    // edgeBound's `case _` and are enforced as residual predicates; the
+    // greedy expansion itself always has an equi edge available
+    if (tables.size < 2 || !graph.isEquiConnected) return None
 
     val stats = graph.stats
     def leaf(t: String) = graph.block.leafPlan(t)

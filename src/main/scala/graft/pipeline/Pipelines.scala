@@ -72,6 +72,22 @@ final class MultiStageOptimizationPipeline(
   /** Convenience: just the resulting DataFrame. */
   def optimize(sql: String): DataFrame = optimizeQuery(sql).df
 
+  /** Post-execution feedback hook (reference: the pipeline-level
+    * `learn_from_feedback` the bench loop calls after every query,
+    * bench.py:1014): fans the executed plan + the pipeline's own decisions
+    * out to every stage that mixes in [[OnlineLearningStage]]. No-op for
+    * pipelines whose stages don't learn.
+    */
+  def learnFromFeedback(result: OptimizationResult, executed: DataFrame,
+      execTimeMs: Double): Unit =
+    onlineLearners.foreach(_.learnFromFeedback(result, executed, execTimeMs))
+
+  /** The stages of this pipeline that opt into online learning. */
+  def onlineLearners: Seq[OnlineLearningStage] =
+    Seq(joinOrder, operators, parameters).flatten.collect {
+      case s: OnlineLearningStage if s.usesOnlineLearning => s
+    }
+
   private def native(q: QueryFacade, reason: String): OptimizationResult =
     OptimizationResult(q.df, None, PhysicalOperatorAssignment(),
       PlanParameterization(), usedNativeFallback = true,

@@ -56,6 +56,24 @@ trait PlanEnumerator extends OptimizationStage {
       cost: CostModel, card: CardinalityEstimator): JoinTree[Cardinality]
 }
 
+/** Online-learning contract for stages that improve from executed queries
+  * (reference: the `learn_from_feedback` / `uses_online_learning` pair on
+  * OptimizationStage, _stages.py:46-120 "Online Training"; the bench loop
+  * calls it after every query execution, bench.py:1014). A stage mixes
+  * this in and the pipeline's own [[MultiStageOptimizationPipeline
+  * .learnFromFeedback]] fans the executed plan out to it.
+  */
+trait OnlineLearningStage {
+  def usesOnlineLearning: Boolean = true
+  /** @param result   the pipeline's decisions for the query
+    * @param executed the executed DataFrame (SQLMetrics populated — the
+    *                 caller must have run an action on it first)
+    * @param execTimeMs wall-clock of the execution, the reference's
+    *                 exec_time feedback signal */
+  def learnFromFeedback(result: OptimizationResult,
+      executed: DataFrame, execTimeMs: Double): Unit
+}
+
 /** Validation pre-check gating which queries a pipeline accepts (reference:
   * OptimizationPreCheck, validation.py:219). */
 trait OptimizationPreCheck {
@@ -63,13 +81,19 @@ trait OptimizationPreCheck {
 }
 
 /** Reference EquiJoinPreCheck (validation.py:464): conjunctive equi-joins,
-  * connected graph, >= 2 tables. */
+  * connected graph, >= 2 tables. A pure theta edge between tables that are
+  * ALSO reachable through equi edges does not disqualify the query — it is
+  * applied as a residual predicate while the equi-subgraph drives ordering
+  * (JOB-style self-join workloads need exactly this: `l1.line < l2.line`
+  * alongside the shared `*.l_orderkey = o_orderkey` edges). Only a query
+  * whose CONNECTIVITY depends on a non-equi edge is rejected. */
 object EquiJoinPreCheck extends OptimizationPreCheck {
   def check(q: QueryFacade, graph: JoinGraph): Either[String, Unit] =
     if (graph.tables.size < 2) Left("fewer than 2 tables")
     else if (graph.edges.isEmpty) Left("no join edges")
     else if (!graph.isConnected) Left("join graph not connected")
-    else if (graph.edges.exists(_.equiColumns.isEmpty)) Left("non-equi join edge")
+    else if (!graph.isEquiConnected)
+      Left("connectivity requires a non-equi join edge")
     else Right(())
 }
 

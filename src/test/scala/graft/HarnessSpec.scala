@@ -43,6 +43,52 @@ class HarnessSpec extends SparkSpec {
     assert(rs.head.status === "timeout")
   }
 
+  test("parallel executor: bounded pool, correct results, faster than serial") {
+    Tables.registerAll(spark, sfDir)
+    // each query sleeps ~300 ms executor-side, so serial ~ n*300ms and a
+    // k-wide pool ~ ceil(n/k)*300ms — a robust gap even on a noisy box
+    spark.udf.register("graft_sleep",
+      (ms: Int) => { Thread.sleep(ms.toLong); ms })
+    val slow = Workload.inline("slow",
+      (1 to 6).map(i => s"s$i" ->
+        s"SELECT graft_sleep(300) AS v, count(*) AS n FROM region"): _*)
+    val t0 = System.nanoTime()
+    val serial = BenchHarness.executeWorkload(spark, slow)
+    val serialSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val par = BenchHarness.executeWorkloadParallel(spark, slow, poolSize = 3)
+    val parSec = (System.nanoTime() - t1) / 1e9
+    assert(par.size === 6)
+    assert(par.map(_.label) === slow.labels) // workload order preserved
+    assert(par.forall(_.status == "ok"), par.filter(_.status != "ok").toString)
+    assert(par.forall(_.result_rows === 1L))
+    assert(parSec < serialSec,
+      f"parallel $parSec%.2fs not faster than serial $serialSec%.2fs")
+  }
+
+  test("parallel executor isolates failures per query") {
+    Tables.registerAll(spark, sfDir)
+    val mixed = Workload.inline("mixed",
+      "good" -> "SELECT count(*) AS n FROM nation",
+      "bad" -> "SELECT 1 FROM no_such_table",
+      "alsogood" -> "SELECT count(*) AS n FROM region")
+    val rs = BenchHarness.executeWorkloadParallel(spark, mixed, poolSize = 2)
+    val byLabel = rs.map(r => r.label -> r.status).toMap
+    assert(byLabel("good") === "ok")
+    assert(byLabel("bad") === "execution-error")
+    assert(byLabel("alsogood") === "ok")
+  }
+
+  test("onExecuted hook fires per successful execution with the executed frame") {
+    Tables.registerAll(spark, sfDir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val ok = wl.filterBy((l, _) => l != "w3")
+    BenchHarness.executeWorkload(spark, ok,
+      onExecuted = (sql, df, r) => seen += ((r.label, r.result_rows)))
+    assert(seen.map(_._1).toSeq === ok.labels)
+    assert(seen.forall(_._2 >= 1))
+  }
+
   test("workload runs through an optimization pipeline") {
     Tables.registerAll(spark, sfDir)
     val pipeline = new MultiStageOptimizationPipeline(spark,

@@ -129,4 +129,48 @@ class TonicSpec extends SparkSpec {
     assert(!res.usedNativeFallback)
     assert(sameResults(res.df, spark.sql(sql)))
   }
+
+  test("pipeline learn_from_feedback loop trains TONIC through the harness") {
+    import graft.bench.{BenchHarness, Workload}
+    Tables.registerAll(spark, sfDir)
+    val syn = new QepSynopsis
+    val pipeline = new MultiStageOptimizationPipeline(spark,
+      joinOrder = Some(new UESJoinOrderOptimizer),
+      operators = Some(new TonicOperatorSelection(syn)),
+      stats = stats)
+    assert(pipeline.onlineLearners.size === 1)
+    assert(syn.size === 1) // empty trie: nothing learned yet
+
+    // the reference's bench loop (bench.py:1014): optimize, execute,
+    // feed the executed plan back into the pipeline per query
+    val wl = Workload.fromDirectory("fixture", "/root/repo/workloads/fixture")
+    val lastResult =
+      scala.collection.mutable.Map.empty[String, graft.pipeline.OptimizationResult]
+    val rs = BenchHarness.executeWorkload(spark, wl,
+      optimizer = sql => {
+        val r = pipeline.optimizeQuery(sql); lastResult(sql) = r; r.df
+      },
+      onExecuted = (sql, df, r) =>
+        pipeline.learnFromFeedback(lastResult(sql), df, r.exec_time * 1000))
+    assert(rs.forall(_.status == "ok"), rs.filter(_.status != "ok").toString)
+
+    // the loop populated the trie from measured per-join rows...
+    assert(syn.size > 1, s"synopsis empty after feedback loop")
+    // ...and a fresh optimization of a trained query now draws its
+    // operator choices from recommendations (observable as trie hits on
+    // every enforced join prefix of the plan)
+    val trained = wl.queries.values.toSeq
+    val improved = trained.exists { sql =>
+      val r2 = pipeline.optimizeQuery(sql)
+      r2.joinOrder.exists { tree =>
+        r2.operators.joinOperators.nonEmpty && !r2.usedNativeFallback
+      }
+    }
+    assert(improved)
+    // learned knowledge steers selection: recommendations now exist where
+    // the fallback previously decided alone, and results stay identical
+    wl.queries.values.foreach { sql =>
+      assert(sameResults(pipeline.optimize(sql), spark.sql(sql)))
+    }
+  }
 }

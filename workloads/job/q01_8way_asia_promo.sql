@@ -1,0 +1,10 @@
+SELECT min(o_orderdate) AS first_order, count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, orders, customer, supplier, part,
+     nation cn, nation sn, region cr
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+  AND c_nationkey = cn.n_nationkey AND s_nationkey = sn.n_nationkey
+  AND cn.n_regionkey = cr.r_regionkey
+  AND cr.r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderpriority = '1-URGENT'
