@@ -20,19 +20,28 @@ object Verify {
     // cancellation is retried until the worker observes it
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "300").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
       val sc = spark.sparkContext
       val group = s"graft-verify-$name"
       val groupSet = new java.util.concurrent.CountDownLatch(1)
+      // dedicated single-thread executor per query so a hung worker can be
+      // INTERRUPTED after the cancel-retry budget: job-group cancellation
+      // only reaches submitted Spark jobs, not driver-side hangs
+      // (analysis/planning/non-interruptible code) — without the interrupt
+      // an abandoned worker would keep running fn() (including its parquet
+      // write) concurrently with later queries
+      val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, s"verify-$name"); t.setDaemon(true); t
+        })
       val fut = Future {
         sc.setJobGroup(group, name, interruptOnCancel = true)
         groupSet.countDown()
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         finally sc.clearJobGroup()
-      }
+      }(ExecutionContext.fromExecutor(exec))
       try Await.result(fut, timeoutSec.seconds)
       catch {
         case _: java.util.concurrent.TimeoutException =>
@@ -44,9 +53,15 @@ object Verify {
             Thread.sleep(100)
             tries += 1
           }
+          if (!fut.isCompleted) {
+            System.err.println(
+              s"[verify] $name ignored job-group cancellation — " +
+                "interrupting and abandoning its worker thread")
+            exec.shutdownNow() // interrupts the worker
+          }
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally exec.shutdown()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
