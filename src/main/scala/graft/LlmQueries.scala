@@ -183,6 +183,30 @@ object LlmQueries {
       s.table(qname).orderBy(col("user_id"), col("session_start"))
     },
 
+    // STREAM-STREAM interval join in the gate: signup events joined to
+    // purchase events of the same user within ±15 min, executed as an
+    // actual streaming job (two watermarked stream legs, state bounded by
+    // rate × interval). Inner interval joins emit matches as both sides
+    // arrive, so on bounded input the streamed result equals the batch
+    // join — which the DuckDB oracle expresses directly.
+    "st03_stream_interval_join" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = java.nio.file.Files.createTempDirectory("graft_st03")
+      staged.toFile.deleteOnExit()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val stream = graft.streaming.EventOps.readEventStream(s, staged.toString)
+      val joined = graft.streaming.EventOps.correlateEvents(stream,
+        "signup", "purchase", withinMinutes = 15, watermark = "87600 hours")
+      val qname = s"st03_out_${System.nanoTime()}"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      s.table(qname).orderBy(col("user_id"), col("a_id"), col("b_id"))
+    },
+
     // multimodal: frame-sampling plumbing over binary payloads
     "m02_frame_sample" -> { (s, dir) =>
       Multimodal.sampleFrames(
@@ -369,6 +393,15 @@ object LlmQueries {
          WHERE sess_id < (SELECT max(sess_id) FROM s s2
                           WHERE s2.user_id = s.user_id)
          ORDER BY user_id, session_start""",
+
+    "st03_stream_interval_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+           a.ts AS a_ts, b.ts AS b_ts
+         FROM events a JOIN events b ON a.user_id = b.user_id
+           AND a.event_type = 'signup' AND b.event_type = 'purchase'
+           AND b.ts BETWEEN a.ts - INTERVAL 15 MINUTE
+                        AND a.ts + INTERVAL 15 MINUTE
+         ORDER BY a.user_id, a_id, b_id""",
 
     "m02_frame_sample" ->
       """SELECT doc_id, i AS frame_idx,

@@ -173,6 +173,24 @@ object OptQueries {
         stats = statsFor(s, dir)).optimize(flagshipSql)
     },
 
+    // TONIC online-learning round-trip in the gate: optimize + execute +
+    // learn_from_feedback, then re-optimize with the trained trie driving
+    // operator selection — plan steering from learned feedback must never
+    // change answers (the same invariant the reference's bench loop
+    // relies on when it calls pipeline.learn_from_feedback per query)
+    "opt13_tonic_feedback" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val tonic = new TonicOperatorSelection(new QepSynopsis)
+      val pipeline = new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer),
+        operators = Some(tonic),
+        stats = statsFor(s, dir))
+      val first = pipeline.optimizeQuery(threeTableSql)
+      first.df.collect()
+      pipeline.learnFromFeedback(first, first.df, execTimeMs = 0.0)
+      pipeline.optimize(threeTableSql)
+    },
+
     // per-intermediate cardinality injection (the Rows-hint analog): UES
     // order + deliberately distorted true cardinalities spliced into the
     // optimized plan as stats-override leaves that Spark's join selection
@@ -199,6 +217,7 @@ object OptQueries {
     "opt08_random_order" -> fourTableSql,
     "opt09_precise_cards" -> threeTableSql,
     "opt11_injected_cards" -> fourTableSql,
+    "opt13_tonic_feedback" -> threeTableSql,
     "opt12_statistical_cards" -> flagshipSql,
     "opt10_augmented_graph" ->
       """SELECT c_mktsegment, count(*) AS n

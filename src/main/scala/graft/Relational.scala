@@ -562,6 +562,104 @@ object Relational {
         .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
         .select(col("user_id"), col("session_start"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // PIVOT: wide per-status counts (RelationalGroupedDataset.pivot with an
+    // explicit value list so the plan needs no extra distinct-values scan)
+    "q56_pivot" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f"),
+          coalesce(col("O"), lit(0L)).as("o"),
+          coalesce(col("P"), lit(0L)).as("p"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // UNPIVOT: long metric/value form via the stack() generator
+    "q57_unpivot" -> { (s, dir) =>
+      t(s, dir, "part").filter(col("p_partkey") < 100)
+        .select(col("p_partkey"), expr(
+          "stack(2, 'retail', p_retailprice, 'size', cast(p_size as double))")
+          .as(Seq("metric", "val")))
+        .select(col("p_partkey"), col("metric"), round(col("val"), 2).as("val"))
+        .orderBy(col("p_partkey"), col("metric"))
+    },
+
+    // JSON path extraction over the events.props JSON column
+    "q58_json_path" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("bigint").as("sum_k"),
+          count_distinct(col("k")).as("ndv_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // higher-order array functions: sequence/aggregate/filter/transform
+    // (codegen'd array lambdas, SURVEY §2.9 expression vocabulary)
+    "q59_higher_order" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_linenumber")).distinct()
+        .withColumn("seq", expr("sequence(1, l_linenumber)"))
+        .select(
+          col("l_linenumber"),
+          expr("cast(aggregate(seq, 0, (a, x) -> a + x) as bigint)").as("tri"),
+          expr("cast(size(filter(seq, x -> x % 2 = 0)) as bigint)").as("evens"),
+          expr("array_join(transform(seq, x -> cast(x * x as string)), ',')")
+            .as("squares"))
+        .orderBy(col("l_linenumber"))
+    },
+
+    // struct construction + field access (nested types round-trip)
+    "q60_struct_ops" -> { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") < 50)
+        .select(col("c_custkey"),
+          struct(col("c_mktsegment").as("seg"),
+            round(col("c_acctbal"), 2).as("bal")).as("info"))
+        .select(col("c_custkey"), col("info.seg").as("seg"),
+          col("info.bal").as("bal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // §2.12 clause surgery IN THE GATE: the grouped aggregate is BUILT by
+    // generic clause transforms (replace the SELECT list, add a GROUP BY)
+    // from a plain projection block — result must equal writing the SQL
+    // directly (the reference's transform result-preservation contract)
+    "x01_clause_surgery" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftShims
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+      Tables.registerAll(s, dir)
+      val base = qal.QueryFacade(s,
+        "SELECT c_mktsegment, c_acctbal FROM customer WHERE c_acctbal > 0")
+        .analyzed
+      val seg = base.output.head
+      val bal = base.output(1)
+      val n = Alias(AggregateExpression(Count(Literal(1)), Complete,
+        isDistinct = false), "n")()
+      val total = Alias(org.apache.spark.sql.catalyst.expressions.Round(
+        AggregateExpression(Sum(bal), Complete, isDistinct = false),
+        Literal(2)), "total")()
+      val grouped = transforms.Transforms.addGroupBy(base, Seq(seg),
+        Seq(seg, n, total))
+      GraftShims.ofRows(s, grouped).orderBy(col("c_mktsegment"))
+    },
+
+    // §2.12 drop_hints IN THE GATE: a hinted plan stripped of its
+    // ResolvedHint/JoinHint carriers must produce the unhinted answer
+    "x02_drop_hints" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftShims
+      Tables.registerAll(s, dir)
+      val hinted = s.sql(
+        """SELECT /*+ BROADCAST(nation), MERGEJOIN(supplier) */
+             s_name, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey""")
+        .queryExecution.analyzed
+      GraftShims.ofRows(s, transforms.Transforms.dropHints(hinted))
+        .orderBy(col("s_name"))
     }
   )
 
@@ -920,6 +1018,52 @@ object Relational {
                                 ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS new_sess
                      FROM events WHERE user_id < 100) a) b
-         GROUP BY user_id, sess_id ORDER BY user_id, session_start"""
+         GROUP BY user_id, sess_id ORDER BY user_id, session_start""",
+
+    "q56_pivot" ->
+      """SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q57_unpivot" ->
+      """SELECT p_partkey, 'retail' AS metric, round(p_retailprice, 2) AS val
+         FROM part WHERE p_partkey < 100
+         UNION ALL
+         SELECT p_partkey, 'size' AS metric, round(CAST(p_size AS DOUBLE), 2) AS val
+         FROM part WHERE p_partkey < 100
+         ORDER BY p_partkey, metric""",
+
+    "q58_json_path" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS ndv_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q59_higher_order" ->
+      """SELECT l_linenumber,
+           CAST(list_sum(generate_series(1, l_linenumber)) AS BIGINT) AS tri,
+           CAST(len(list_filter(generate_series(1, l_linenumber),
+             x -> x % 2 = 0)) AS BIGINT) AS evens,
+           array_to_string(list_transform(generate_series(1, l_linenumber),
+             x -> CAST(x * x AS VARCHAR)), ',') AS squares
+         FROM (SELECT DISTINCT l_linenumber FROM lineitem)
+         ORDER BY l_linenumber""",
+
+    "q60_struct_ops" ->
+      """SELECT c_custkey,
+           (struct_pack(seg := c_mktsegment, bal := round(c_acctbal, 2))).seg AS seg,
+           (struct_pack(seg := c_mktsegment, bal := round(c_acctbal, 2))).bal AS bal
+         FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""",
+
+    "x01_clause_surgery" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total
+         FROM customer WHERE c_acctbal > 0
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "x02_drop_hints" ->
+      """SELECT s_name, n_name FROM supplier JOIN nation
+         ON s_nationkey = n_nationkey ORDER BY s_name"""
   )
 }
