@@ -56,6 +56,35 @@ object LlmQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // near-dup CLUSTERS: MinHash pairs -> connected components -> one kept
+    // representative per component (transitive chains collapse correctly)
+    "d07_dup_clusters" -> { (s, dir) =>
+      Dedup.duplicateClusters(docs(s, dir), "doc_id", "text", 0.6)
+        .orderBy(col("doc_id"))
+    },
+
+    // deterministic hash-based train/eval split (pure function of doc_id,
+    // reproducible across engines and re-snapshots)
+    "d08_train_eval_split" -> { (s, dir) =>
+      TextAnalysis.trainEvalSplit(docs(s, dir), "doc_id", 0.125)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // corpus vocabulary: top-50 tokens by frequency, deterministic ties
+    "t05_vocab_topk" -> { (s, dir) =>
+      TextAnalysis.vocabularyTopK(docs(s, dir), "text", 50)
+    },
+
+    // benchmark decontamination: distinct 3-gram overlap of an eval slice
+    // (doc_id >= 490) against the training corpus (doc_id < 490)
+    "t06_decontamination" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.contamination(d.filter(col("doc_id") < 490),
+          d.filter(col("doc_id") >= 490), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // exact brute-force cosine top-5 for query vectors vec_id < 10
     "s01_ann_topk" -> { (s, dir) =>
       val e = embs(s, dir)
@@ -242,6 +271,61 @@ object LlmQueries {
     "d02_dedup_ngram_jaccard" -> jaccardOracle,
     "d03_dedup_minhash_lsh" -> jaccardOracle,
     "d04_dedup_simhash" -> jaccardOracle,
+
+    // connected components of the near-dup pair graph via recursive CTE:
+    // min reachable doc id = cluster id; singletons are their own cluster
+    "d07_dup_clusters" ->
+      """WITH RECURSIVE
+         words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                   WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT a_id, b_id FROM inter
+                   JOIN sizes sa ON sa.doc_id = a_id
+                   JOIN sizes sb ON sb.doc_id = b_id
+                   WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6),
+         edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                   UNION SELECT b_id, a_id FROM pairs),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u)
+         SELECT id AS doc_id, min(r) AS cluster_id,
+           (id = min(r)) AS is_kept
+         FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "d08_train_eval_split" ->
+      """SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 32
+                THEN 'eval' ELSE 'train' END AS split
+         FROM documents ORDER BY doc_id""",
+
+    "t05_vocab_topk" ->
+      """SELECT token, count(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         WHERE length(token) > 0
+         GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+
+    "t06_decontamination" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                        WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM words),
+         corpus AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 490),
+         ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 490)
+         SELECT ev.doc_id, count(*) AS n_shingles,
+           count(corpus.shingle) AS n_contaminated,
+           round(count(corpus.shingle) * 1.0 / count(*), 4) AS contamination_ratio
+         FROM ev LEFT JOIN corpus ON ev.shingle = corpus.shingle
+         GROUP BY ev.doc_id ORDER BY ev.doc_id""",
 
     "d05_dedup_embedding" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -376,6 +376,66 @@ object Dedup {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Connected components over an undirected edge set by iterative
+    * min-label propagation: every vertex ends with the smallest vertex id
+    * reachable from it. This is the step that turns near-duplicate PAIRS
+    * into duplicate CLUSTERS (keep one representative per component — a
+    * chain a~b~c must collapse to one kept doc even though (a,c) was
+    * never emitted as a pair).
+    *
+    * Scale shape: each round is one edges-⋈-labels join + a min
+    * aggregation — all equality shuffles, no driver-side graph. Rounds
+    * needed = component diameter; near-dup components are tiny cliques /
+    * short chains, so a handful of rounds converges (the round cap guards
+    * pathological chains; the large-star/small-star contraction of
+    * Kiveris et al. is the drop-in upgrade if diameters ever grow).
+    * Labels are localCheckpointed per round: iterative self-joins
+    * otherwise stack exponentially-growing lineage. Convergence is
+    * detected with one count per round (changed labels).
+    * Output: (id, component) for every vertex in `vertices`.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxRounds: Int = 15): DataFrame = {
+    val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // candidate label for v: min label among v and its neighbours
+      val viaNeighbor = sym
+        .join(labels.withColumnRenamed("id", "u"), "u")
+        .select(col("v").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(viaNeighbor)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate CLUSTERS of a document corpus: MinHash+LSH pairs →
+    * connected components → (doc_id, cluster_id, is_kept) where
+    * cluster_id is the smallest doc id in the component and exactly the
+    * cluster's minimum is kept. Singleton documents are their own
+    * cluster. The end-to-end keep/drop decision a dedup pipeline actually
+    * ships — pairs alone under-delete transitive chains.
+    */
+  def duplicateClusters(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, ngram: Int = 3): DataFrame = {
+    val pairs = minhashNearDuplicates(docs, idCol, textCol, threshold, ngram)
+    val vertices = docs.select(col(idCol).cast("bigint").as("id"))
+    connectedComponents(vertices, pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("is_kept"))
+  }
+
   /** LSH-banded embedding near-duplicates: random-hyperplane bucketing
     * ([[Similarity.rhpBuckets]]) generates candidates via an equality join
     * on (band, bucket); exact cosine verifies candidates only — the

@@ -81,6 +81,60 @@ object TextAnalysis {
     * per row instead of an array allocation + interpreted lambda per
     * character. Output: (doc_id, fingerprint).
     */
+  /** Corpus vocabulary: the k most frequent whitespace tokens with a
+    * deterministic tie-break (count desc, token asc). One explode + one
+    * hash aggregation with map-side combine; the final top-k is
+    * TakeOrderedAndProject over the (tiny) per-token count relation —
+    * no global sort of the token stream at any scale.
+    */
+  def vocabularyTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
+  /** Benchmark decontamination: per evaluation document, how many of its
+    * distinct word n-grams also occur anywhere in the training corpus
+    * (the standard n-gram-overlap contamination check run before
+    * training). Both sides reduce to DISTINCT shingle relations joined on
+    * the 64-bit shingle hash — a semi-join-shaped equality join, no
+    * text×text comparison; the corpus side aggregates to distinct
+    * shingles once and is reused for every eval doc.
+    * Output: (doc_id, n_shingles, n_contaminated, contamination_ratio).
+    */
+  def contamination(corpus: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, ngram: Int = 3): DataFrame = {
+    val corpusSh = Dedup.shingles(corpus, idCol, textCol, ngram)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+    val evalSh = Dedup.shingles(eval_, idCol, textCol, ngram)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    evalSh
+      .join(corpusSh.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        round(col("n_contaminated") / col("n_shingles"), 4))
+  }
+
+  /** Deterministic hash-based train/eval split: a document's split is a
+    * pure function of its id (first byte of md5 of the decimal id string
+    * against a 0-255 threshold), so the split is reproducible across
+    * engines, runs and cluster sizes, and re-running over grown data
+    * never moves an old document between splits — the property that
+    * keeps eval sets uncontaminated as corpora are re-snapshotted.
+    * evalFraction is approximated as ceil(256·f)/256.
+    */
+  def trainEvalSplit(docs: DataFrame, idCol: String,
+      evalFraction: Double): DataFrame = {
+    require(evalFraction >= 0 && evalFraction <= 1)
+    val cut = math.ceil(evalFraction * 256).toInt
+    docs.withColumn("split",
+      when(conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 2),
+        16, 10).cast("int") < cut, "eval").otherwise("train"))
+  }
+
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.filter(length(col(textCol)) > 0)
       .select(col(idCol).as("doc_id"),

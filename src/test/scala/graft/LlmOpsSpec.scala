@@ -104,6 +104,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(Dedup.simhashChunksFor(40) === 64)
   }
 
+  test("connected components collapse transitive near-dup chains") {
+    import spark.implicits._
+    // chain 1~2~3 plus isolated 4: pairs (1,2),(2,3) must produce ONE
+    // cluster {1,2,3} even though (1,3) is not an edge
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(vertices, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("duplicate clusters keep exactly one representative per component") {
+    val clusters = Dedup.duplicateClusters(docs, "doc_id", "text", 0.6)
+    assert(clusters.count() === docs.count())
+    // exactly one kept doc per cluster, and it is the cluster minimum
+    val perCluster = clusters.groupBy("cluster_id")
+      .agg(sum(when(col("is_kept"), 1).otherwise(0)).as("kept"),
+        min(col("doc_id")).as("min_id"), max(col("cluster_id")).as("cid"))
+    assert(perCluster.filter(col("kept") =!= 1).count() === 0)
+    assert(perCluster.filter(col("min_id") =!= col("cid")).count() === 0)
+  }
+
+  test("train/eval split is deterministic and near the requested fraction") {
+    val s1 = TextAnalysis.trainEvalSplit(docs, "doc_id", 0.125)
+    val s2 = TextAnalysis.trainEvalSplit(docs, "doc_id", 0.125)
+    assert(s1.select("doc_id", "split").collect().map(_.toString).sorted.toSeq
+      === s2.select("doc_id", "split").collect().map(_.toString).sorted.toSeq)
+    val evalN = s1.filter(col("split") === "eval").count().toDouble
+    val frac = evalN / docs.count()
+    assert(frac > 0.05 && frac < 0.25, s"eval fraction $frac")
+  }
+
+  test("contamination ratio is 1 for a doc copied from the corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    val eval_ = Seq((10L, "a b c d e"), (11L, "x y z w q")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, eval_, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(10L) === 1.0)
+    assert(out(11L) === 0.0)
+  }
+
   test("exact dedup groups cover all documents") {
     val g = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
     assert(g.agg(sum(col("n_copies"))).head().getLong(0) === docs.count())
