@@ -30,7 +30,13 @@ import graft.qal.QueryFacade
   * Simplification vs the reference: min-cost aggregation instead of the
   * full cost-bound hierarchy.
   */
-final class QepSynopsis {
+/** @param gamma reference-faithful cost integration when set
+  *   (tonic.py:734 `cost + gamma * current`, default 0.8 there): new
+  *   observations blend with the learned value via exponential decay,
+  *   so a plan whose costs drift over time re-learns instead of being
+  *   pinned to its historic minimum. None (default) keeps the simpler
+  *   min-cost aggregation. */
+final class QepSynopsis(val gamma: Option[Double] = None) {
 
   final class Node {
     val children: mutable.Map[String, Node] = mutable.Map.empty
@@ -52,14 +58,22 @@ final class QepSynopsis {
     node
   }
 
-  def recommend(prefix: Seq[String]): Option[JoinOperator] =
+  /** Best operator at the prefix. `minAlternatives = 2` reproduces the
+    * reference's guard (tonic.py:713 argmin only when more than one
+    * operator has been observed — a single data point is not evidence
+    * that the others are worse); the default 1 recommends greedily. */
+  def recommend(prefix: Seq[String],
+      minAlternatives: Int = 1): Option[JoinOperator] =
     nodeFor(prefix, create = false)
-      .filter(_.costs.nonEmpty)
+      .filter(_.costs.size >= math.max(minAlternatives, 1))
       .map(_.costs.minBy { case (op, c) => (c, op.name) }._1)
 
   def recordCost(prefix: Seq[String], op: JoinOperator, cost: Double): Unit = {
     val n = nodeFor(prefix, create = true).get
-    n.costs(op) = math.min(n.costs.getOrElse(op, Double.MaxValue), cost)
+    n.costs(op) = gamma match {
+      case Some(g) => cost + g * n.costs.getOrElse(op, 0.0)
+      case None => math.min(n.costs.getOrElse(op, Double.MaxValue), cost)
+    }
   }
 
   def size: Int = {
