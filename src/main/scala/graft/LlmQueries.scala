@@ -26,14 +26,12 @@ object LlmQueries {
     // exact word-3-gram Jaccard near-dup pairs (inverted-index join)
     "d02_dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.jaccardPairs(Dedup.shingles(docs(s, dir), "doc_id", "text", 3), 0.6)
-        .orderBy(col("a_id"), col("b_id"))
     },
 
     // MinHash+LSH with exact-Jaccard verification: candidates via banding,
     // recall ~1 at the 0.6 threshold => output equals the exact d02 result
     "d03_dedup_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashNearDuplicates(docs(s, dir), "doc_id", "text", 0.6)
-        .orderBy(col("a_id"), col("b_id"))
     },
 
     // SimHash 64-bit + chunk banding + hamming filter + exact verification
@@ -90,7 +88,6 @@ object LlmQueries {
       val e = embs(s, dir)
       Similarity.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", 5)
-        .orderBy(col("query_id"), col("rnk"))
     },
 
     // LSH-bucketed ANN (approximate: no SQL oracle; recall tested in specs)
@@ -113,7 +110,6 @@ object LlmQueries {
     // language ID (marker-word argmax + CJK script detection)
     "t01_lang_id" -> { (s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
-        .orderBy(col("doc_id"))
     },
 
     // quality features + composite score
@@ -125,7 +121,6 @@ object LlmQueries {
     // whitespace + BPE-ish token counts
     "t03_token_count" -> { (s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
-        .orderBy(col("doc_id"))
     },
 
     // rolling-hash document fingerprint

@@ -203,8 +203,89 @@ object OptQueries {
         parameters = Some(new CardinalityHintGeneration(
           new CardinalityDistortion(new PreciseCardinalities, factor = 0.8))),
         stats = statsFor(s, dir)).optimize(fourTableSql)
+    },
+
+    // GOO greedy bushy ordering on a JOB-kit 8-way join — the polynomial
+    // path for queries where DP's 2^n subset table stops being cheap
+    "opt14_goo_manyjoin" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new TextBookOptimizationPipeline(s,
+        new GreedyOperatorOrdering,
+        new CoutCostModel, new BasicCardinalityEstimator,
+        stats = statsFor(s, dir)).optimize(jobSql("q01_8way_asia_promo"))
+    },
+
+    // IKKBZ optimal left-deep ordering (ASI rank normalization) on a
+    // JOB-kit 9-way join with a cyclic graph (spanning-tree relaxation)
+    "opt15_ikkbz_manyjoin" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new TextBookOptimizationPipeline(s,
+        new IkkbzEnumerator,
+        new CoutCostModel, new BasicCardinalityEstimator,
+        stats = statsFor(s, dir)).optimize(jobSql("q02_9way_crossregion"))
+    },
+
+    // interesting-orders DP: shared-key merge cascade where the second
+    // merge join reuses the delivered sort order (no re-sort)
+    "opt16_sort_aware_dp" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val q = QueryFacade(s, sharedKeySql)
+      val graph = new JoinGraph(q.joinBlock.get, statsFor(s, dir))
+      val (tree, ops) = new SortAwareDynProg(hashBuildCostPerRow = 1000.0)
+        .plan(q, graph, new BasicCardinalityEstimator)
+      PlanEnforcer.enforce(q, graph, tree, ops)
+    },
+
+    // BAO-style plan selection: candidate plans scored by the operator
+    // cost model, winner enforced — learned-optimizer surface
+    "opt17_bao_selection" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new IntegratedOptimizationPipeline(s,
+        new BaoStylePlanSelection(new StatisticalCardinalityEstimator),
+        stats = statsFor(s, dir)).optimize(fourTableSql)
+    },
+
+    // ParallelQueryExecutor analog in the gate: a 3-query workload through
+    // the bounded pool; the output is the per-label result-set SIZE (times
+    // are nondeterministic, row counts are not), proving all queries ran
+    // to completion concurrently
+    "opt18_parallel_exec" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val rs = graft.bench.BenchHarness.executeWorkloadParallel(
+        s, parWorkload, poolSize = 2)
+      import s.implicits._
+      rs.map(r => (r.label, r.status, r.result_rows))
+        .toDF("label", "status", "n_rows")
+    },
+
+    // JOB-kit many-join through the full UES pipeline (pessimistic bounds
+    // + operator selection on a 10-way join with a lineitem self-join and
+    // a pure theta edge) — answers must match the native plan's
+    "opt19_ues_job_10way" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer),
+        operators = Some(new UESOperatorSelection),
+        stats = statsFor(s, dir)).optimize(jobSql("q03_10way_order_pair"))
     }
   )
+
+  private val sharedKeySql =
+    """SELECT n_name, count(*) AS c FROM nation, supplier, customer
+       WHERE n_nationkey = s_nationkey AND n_nationkey = c_nationkey
+       GROUP BY n_name"""
+
+  /** JOB-kit SQL by label (read once; workloads ship in-repo). */
+  private lazy val jobWorkload =
+    graft.bench.Workload.fromDirectory("job", "/root/repo/workloads/job")
+  private def jobSql(label: String): String = jobWorkload.queries(label)
+
+  private val parWorkload = graft.bench.Workload.inline("par-gate",
+    "p_nation" -> "SELECT n_name FROM nation WHERE n_regionkey < 3",
+    "p_topsupp" -> """SELECT s_nationkey, count(*) AS n FROM supplier
+                      GROUP BY s_nationkey""",
+    "p_orders" -> """SELECT o_orderstatus, count(*) AS n FROM orders
+                     GROUP BY o_orderstatus""")
 
   val oracles: Map[String, String] = Map(
     "opt01_ues_flagship" -> flagshipSql,
@@ -223,6 +304,22 @@ object OptQueries {
       """SELECT c_mktsegment, count(*) AS n
          FROM customer, orders, lineitem
          WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "opt14_goo_manyjoin" -> jobSql("q01_8way_asia_promo"),
+    "opt15_ikkbz_manyjoin" -> jobSql("q02_9way_crossregion"),
+    "opt16_sort_aware_dp" -> sharedKeySql,
+    "opt17_bao_selection" -> fourTableSql,
+    // the parallel executor's output is (label, status, result-row-count):
+    // the oracle recomputes each query's cardinality independently
+    "opt18_parallel_exec" ->
+      """SELECT 'p_nation' AS label, 'ok' AS status,
+                (SELECT count(*) FROM nation WHERE n_regionkey < 3) AS n_rows
+         UNION ALL
+         SELECT 'p_topsupp', 'ok',
+                (SELECT count(DISTINCT s_nationkey) FROM supplier)
+         UNION ALL
+         SELECT 'p_orders', 'ok',
+                (SELECT count(DISTINCT o_orderstatus) FROM orders)""",
+    "opt19_ues_job_10way" -> jobSql("q03_10way_order_pair")
   )
 }

@@ -59,14 +59,32 @@ object Dedup {
     else { val c = df.cache(); liveCaches.put(key, c); c }
   }
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  /** Distinct word n-gram shingles per document, as 64-bit keys:
+    * (doc_id, shingle: bigint). The shingle STRING is never materialized —
+    * each n-word slice is hashed with xxhash64 directly inside the per-row
+    * lambda, so the shingle relation (the largest dataset in every dedup
+    * path) is built without any string concatenation and carries 8-byte
+    * keys into every downstream join/aggregate. Set semantics are identical
+    * to string shingles up to xxhash64 collisions (~(n_sh choose 2)/2^64
+    * per doc — vanishing). Distinct is per (doc_id, shingle), so it is
+    * computed narrowly inside each row with array_distinct BEFORE the
+    * explode — a global .distinct() would shuffle the relation for nothing.
+    */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
-      // distinct is per (doc_id, shingle), so it can be computed narrowly
-      // inside each row with array_distinct BEFORE the explode — a global
-      // .distinct() here would shuffle the full shingle relation (the
-      // largest dataset in every dedup path) for nothing
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(w)-$n), i -> xxhash64(slice(w, i+1, $n)))")))
+        .as("shingle"))
+
+  /** String-shingle variant, for signature schemes whose banded output is
+    * sensitive to the exact feature-hash input (SimHash bit sums flip when
+    * features change representation; its hamming radii are tuned against
+    * string features). Everything Jaccard/MinHash-based takes [[shingles]].
+    */
+  def shinglesStr(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")))
         .as("shingle"))
@@ -152,26 +170,43 @@ object Dedup {
     pairs
   }
 
-  /** Deterministic linear permutations for MinHash (java.util.Random LCG is
-    * spec-fixed, so signatures are reproducible across runs/JVMs). a, b are
-    * kept below 2^31 so a*h+b on a 31-bit base hash stays well inside Long
-    * range — ANSI mode (Spark 4 default) turns silent wraparound into a
-    * runtime error, so the arithmetic must genuinely not overflow.
+  /** Mersenne prime 2^31-1: the modulus of the universal-hash family used
+    * as MinHash "permutations". The mod is what makes pi(h) = (a*h+b) mod P
+    * order-scrambling — WITHOUT it, a*h+b with a>0 is monotonic in h, the
+    * argmin of every "permutation" is the one shingle with the smallest
+    * base hash, all signature positions encode that single shingle, and
+    * signature agreement degenerates to a 0/1 coin whose heads-probability
+    * is J (pairs collide iff they share the globally-minimal shingle).
+    * That degenerate form passes small fixtures with probability ~prod(J_i)
+    * and silently guts recall at scale — a real bug caught in round 4 when
+    * re-hashing shingles re-rolled the argmins.
+    */
+  private val MersenneP = 2147483647L
+
+  /** Deterministic universal-hash parameters for MinHash (java.util.Random
+    * LCG is spec-fixed, so signatures are reproducible across runs/JVMs).
+    * a in [1, P), b in [0, P): a*h+b <= (P-1)^2 + P-1 < 2^62 stays well
+    * inside Long range — ANSI mode (Spark 4 default) turns silent
+    * wraparound into a runtime error, so the arithmetic must genuinely not
+    * overflow before the pmod.
     */
   private def perms(numPerm: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val rnd = new java.util.Random(seed)
-    Seq.fill(numPerm)(((rnd.nextInt(Int.MaxValue - 1) + 1).toLong,
-      rnd.nextInt(Int.MaxValue).toLong))
+    def next(bound: Long): Long = math.floorMod(rnd.nextLong(), bound)
+    Seq.fill(numPerm)((next(MersenneP - 1) + 1, next(MersenneP)))
   }
 
-  /** MinHash signatures: (doc_id, sig: array<bigint>) with `numPerm` values.
+  /** MinHash signatures: (doc_id, sig: array<bigint>) with `numPerm` values,
+    * sig_i = min over shingles of (a_i*h + b_i) mod P — a genuine
+    * approximate permutation of the 31-bit base-hash space, so
+    * P(sig_i(A) = sig_i(B)) = J(A,B) independently per position.
     * One shuffle (groupBy doc_id) with partial min combiners map-side.
     */
   def minHashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
     val base = sh.withColumn("h",
-      pmod(hash(col("shingle")).cast("bigint"), lit(1L << 31)))
+      pmod(hash(col("shingle")).cast("bigint"), lit(MersenneP)))
     val mins: Seq[Column] = perms(numPerm).zipWithIndex.map { case ((a, b), i) =>
-      min(col("h") * lit(a) + lit(b)).as(s"m$i")
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
     }
     base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -292,7 +327,7 @@ object Dedup {
       maxHamming: Int, jaccardThreshold: Double, ngram: Int = 3,
       numChunksOverride: Option[Int] = None): DataFrame = {
     val numChunks = numChunksOverride.getOrElse(simhashChunksFor(maxHamming))
-    val sh = scopedCache(shingles(docs, idCol, textCol, ngram))
+    val sh = scopedCache(shinglesStr(docs, idCol, textCol, ngram))
     val sigs = simHashSignatures(sh)
     val bits = 64 / numChunks
     val mask = (1L << bits) - 1

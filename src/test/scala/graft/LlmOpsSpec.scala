@@ -17,6 +17,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("minhash positions are independent J-estimators, not a shared argmin") {
+    // Regression for the monotonic-"permutation" bug: min(a*h+b) with a>0
+    // is monotonic in h, so every signature position encodes the one
+    // shingle with the smallest base hash and pairwise signature agreement
+    // degenerates to exactly 0 or exactly 1. With a genuine universal-hash
+    // permutation ((a*h+b) mod P), agreement concentrates around J.
+    import spark.implicits._
+    val two = Seq(
+      (1L, (0 until 30).map(i => s"w$i").mkString(" ")),
+      // shares shingles from the first 20 words => J well inside (0, 1)
+      (2L, ((0 until 20).map(i => s"w$i") ++
+        (0 until 10).map(i => s"x$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(two, "doc_id", "text", 3)
+    val jac = Dedup.jaccardPairs(sh, 0.0).select("jaccard")
+      .as[Double].head()
+    val sigs = Dedup.minHashSignatures(sh, 128).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val est = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 128.0
+    assert(jac > 0.2 && jac < 0.8, s"fixture jaccard $jac out of range")
+    // 128 positions, sigma = sqrt(J(1-J)/128) ~ 0.044: a 5-sigma band
+    // around J excludes the degenerate {0, 1} outcomes with certainty
+    assert(math.abs(est - jac) < 0.25, s"est $est should track J=$jac")
+    assert(est > 0.01 && est < 0.99, s"est $est is degenerate-binary")
+  }
+
   test("simhash banding finds the exact-jaccard pairs") {
     val exact = Dedup.jaccardPairs(
       Dedup.shingles(docs, "doc_id", "text", 3), 0.6)
