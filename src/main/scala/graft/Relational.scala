@@ -658,6 +658,84 @@ object Relational {
         .queryExecution.analyzed
       GraftShims.ofRows(s, transforms.Transforms.dropHints(hinted))
         .orderBy(col("s_name"))
+    },
+
+    // §2.12 move_into_subquery IN THE GATE: wrapping the supplier-nation
+    // sub-join in a named derived table must not change answers
+    "x03_move_into_subquery" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftShims
+      Tables.registerAll(s, dir)
+      val q = qal.QueryFacade(s,
+        """SELECT n_name, count(*) AS n FROM supplier, nation, region
+           WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           GROUP BY n_name""")
+      val block = q.joinBlock.get
+      val attrToTable = block.tables.map(_.identifier).flatMap(t =>
+        block.leafPlan(t).output.map(_.exprId -> t)).toMap
+      val moved = transforms.Transforms.moveIntoSubquery(q.analyzed,
+        Set("supplier", "nation"), "sn", attrToTable)
+      GraftShims.ofRows(s, moved)
+    },
+
+    // §2.12 as_count_star IN THE GATE: the count-star projection of a
+    // filtered join block (the reference builds its cardinality probes
+    // this way, transform.py:696)
+    "x04_as_count_star" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftShims
+      Tables.registerAll(s, dir)
+      val base = qal.QueryFacade(s,
+        """SELECT s_name, n_name FROM supplier, nation
+           WHERE s_nationkey = n_nationkey AND n_regionkey < 3""").analyzed
+      GraftShims.ofRows(s, transforms.Transforms.asCountStar(base))
+    },
+
+    // §2.3 bucketed co-located join IN THE GATE: both sides written
+    // bucketed+sorted on the join key (external tables in the JVM temp
+    // dir), joined back — the physical plan needs no shuffle (asserted in
+    // BucketingSpec); the gate pins that the bucketed layout returns
+    // byte-identical answers to the plain-parquet oracle
+    "b01_bucketed_join" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = math.abs(dir.hashCode).toString
+      for ((t, key) <- Seq("customer" -> "c_custkey", "orders" -> "o_custkey")) {
+        val name = s"b01_${t}_$tag"
+        if (!s.catalog.tableExists(name)) {
+          Tables.load(s, dir, t).write.mode("overwrite").format("parquet")
+            .option("path", s"$tmp/graft_b01_${t}_$tag")
+            .bucketBy(8, key).sortBy(key).saveAsTable(name)
+        }
+      }
+      s.table(s"b01_customer_$tag")
+        .join(s.table(s"b01_orders_$tag"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    },
+
+    // §2.3 partitioned layout + static pruning IN THE GATE: rows written
+    // partitioned by order status, read back through a partition filter —
+    // answers must equal filtering the unpartitioned original
+    "p01_partition_pruned" -> { (s, dir) =>
+      val tmp = System.getProperty("java.io.tmpdir")
+      val path = s"$tmp/graft_p01_${math.abs(dir.hashCode)}"
+      if (!new java.io.File(path).exists()) {
+        sources.Sources.writePartitioned(
+          Tables.load(s, dir, "orders"), path, "o_orderstatus")
+      }
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+    },
+
+    // §2.11 typed Aggregator UDAF IN THE GATE, SQL-registered: geometric
+    // mean of positive account balances per segment
+    "u01_udaf_geomean" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      functions.Udafs.registerAll(s)
+      s.sql("""SELECT c_mktsegment,
+                 round(geo_mean(c_acctbal), 4) AS geo_bal
+               FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment""")
     }
   )
 
@@ -1062,6 +1140,32 @@ object Relational {
 
     "x02_drop_hints" ->
       """SELECT s_name, n_name FROM supplier JOIN nation
-         ON s_nationkey = n_nationkey ORDER BY s_name"""
+         ON s_nationkey = n_nationkey ORDER BY s_name""",
+
+    "x03_move_into_subquery" ->
+      """SELECT n_name, count(*) AS n FROM supplier, nation, region
+         WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         GROUP BY n_name""",
+
+    "x04_as_count_star" ->
+      """SELECT count(*) AS "count" FROM supplier, nation
+         WHERE s_nationkey = n_nationkey AND n_regionkey < 3""",
+
+    "b01_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment""",
+
+    "p01_partition_pruned" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           round(avg(o_totalprice), 2) AS avg_price
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderpriority""",
+
+    "u01_udaf_geomean" ->
+      """SELECT c_mktsegment,
+           round(exp(avg(ln(c_acctbal))), 4) AS geo_bal
+         FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment"""
   )
 }
