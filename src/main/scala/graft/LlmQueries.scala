@@ -231,6 +231,31 @@ object LlmQueries {
       s.table(qname).orderBy(col("user_id"), col("a_id"), col("b_id"))
     },
 
+    // STREAMING dropDuplicatesWithinWatermark in the gate: distinct
+    // (user_id, event_type) pairs computed by the streaming dedup operator
+    // — with a watermark horizon covering the whole bounded input, every
+    // duplicate is dropped and the streamed output equals batch DISTINCT,
+    // which the DuckDB oracle states directly
+    "st04_stream_dedup" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = java.nio.file.Files.createTempDirectory("graft_st04")
+      staged.toFile.deleteOnExit()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val stream = graft.streaming.EventOps.readEventStream(s, staged.toString)
+      val dedup = graft.streaming.EventOps.dedupeWithinWatermark(
+          stream.select(col("ts"), col("user_id"), col("event_type")),
+          watermark = "87600 hours", keys = Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+      val qname = s"st04_out_${System.nanoTime()}"
+      val q = dedup.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      s.table(qname)
+    },
+
     // multimodal: frame-sampling plumbing over binary payloads
     "m02_frame_sample" -> { (s, dir) =>
       Multimodal.sampleFrames(
@@ -481,6 +506,9 @@ object LlmQueries {
            AND b.ts BETWEEN a.ts - INTERVAL 15 MINUTE
                         AND a.ts + INTERVAL 15 MINUTE
          ORDER BY a.user_id, a_id, b_id""",
+
+    "st04_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "m02_frame_sample" ->
       """SELECT doc_id, i AS frame_idx,

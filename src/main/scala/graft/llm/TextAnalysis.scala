@@ -139,4 +139,37 @@ object TextAnalysis {
     docs.filter(length(col(textCol)) > 0)
       .select(col(idCol).as("doc_id"),
         graft.functions.RollingHash.rollingHash(col(textCol)).as("fingerprint"))
+
+  /** One-pass approximate corpus profile — the sizing numbers every
+    * 100 TB curation run needs BEFORE committing to exact work:
+    * document count, total tokens, HyperLogLog++ distinct-token estimate
+    * (`rsd` relative error; mergeable sketch, no token-level shuffle) and
+    * approximate per-document token-count quantiles (p50/p95/p99 via
+    * percentile_approx). The exact versions (COUNT(DISTINCT token),
+    * exact percentiles) shuffle the full token relation — ~10^12 rows at
+    * corpus scale — to compute numbers whose last digits nobody needs;
+    * the sketches are single-pass, partial-aggregated map-side, and the
+    * error is bounded and configured. Output: one row
+    * (n_docs, total_tokens, approx_distinct_tokens, p50_tokens,
+    * p95_tokens, p99_tokens).
+    */
+  def corpusProfile(docs: DataFrame, idCol: String, textCol: String,
+      rsd: Double = 0.02): DataFrame = {
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).as("n_tokens"),
+      col(textCol))
+    val docStats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("p50_tokens"),
+      percentile_approx(col("n_tokens"), lit(0.95), lit(10000)).as("p95_tokens"),
+      percentile_approx(col("n_tokens"), lit(0.99), lit(10000)).as("p99_tokens"))
+    val distinctTokens = perDoc
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .agg(approx_count_distinct(col("token"), rsd).as("approx_distinct_tokens"))
+    docStats.crossJoin(distinctTokens)
+      .select(col("n_docs"), col("total_tokens"),
+        col("approx_distinct_tokens"), col("p50_tokens"),
+        col("p95_tokens"), col("p99_tokens"))
+  }
 }

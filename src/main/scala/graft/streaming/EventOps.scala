@@ -62,12 +62,16 @@ object EventOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
-  /** Exactly-once-per-id dedup with bounded state: duplicates arriving
-    * within the watermark horizon are dropped, state beyond it evicted. */
+  /** Exactly-once-per-key dedup with bounded state: duplicates arriving
+    * within the watermark horizon are dropped, state beyond it evicted.
+    * Default key is the unique event id (exactly-once delivery); a coarser
+    * key (e.g. user_id+event_type) yields streaming DISTINCT-per-horizon.
+    */
   def dedupeWithinWatermark(events: DataFrame,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour",
+      keys: Seq[String] = Seq("event_id")): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Per-user running counters via typed stateful processing
     * (KeyValueGroupedDataset.mapGroupsWithState is the custom-state escape

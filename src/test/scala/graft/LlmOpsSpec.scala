@@ -222,6 +222,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(byQuery.values.forall(_.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("approximate corpus profile tracks exact counts within sketch bounds") {
+    val prof = TextAnalysis.corpusProfile(docs, "doc_id", "text", rsd = 0.02)
+      .collect().head
+    val exactDocs = docs.count()
+    val exactDistinct = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select("t").distinct().count()
+    val exactP50 = docs.selectExpr("percentile(size(split(text, ' ')), 0.5)")
+      .collect().head.getDouble(0)
+    assert(prof.getAs[Long]("n_docs") === exactDocs)
+    val approx = prof.getAs[Long]("approx_distinct_tokens").toDouble
+    // HLL++ rsd 2%: allow 5 sigma
+    assert(math.abs(approx - exactDistinct) <= 0.1 * exactDistinct,
+      s"approx $approx vs exact $exactDistinct")
+    // percentile_approx with accuracy 10000 on 500 docs is near-exact
+    assert(math.abs(prof.getAs[Int]("p50_tokens") - exactP50) <= 2.0)
+    assert(prof.getAs[Int]("p95_tokens") >= prof.getAs[Int]("p50_tokens"))
+    assert(prof.getAs[Int]("p99_tokens") >= prof.getAs[Int]("p95_tokens"))
+  }
+
   test("language id is deterministic and covers all docs") {
     val out = TextAnalysis.languageId(docs, "doc_id", "text")
     assert(out.count() === docs.count())
