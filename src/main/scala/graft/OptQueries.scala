@@ -258,6 +258,15 @@ object OptQueries {
         .toDF("label", "status", "n_rows")
     },
 
+    // runtime-feedback re-optimization: execute natively, harvest ACTUAL
+    // per-intermediate cardinalities from the executed plan's SQLMetrics
+    // (zero extra jobs), re-plan through DP with the actuals as
+    // pre-computed cardinalities — feedback must never change answers
+    "opt20_adaptive_reopt" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      AdaptiveReoptimization.reoptimize(s, flagshipSql, statsFor(s, dir))
+    },
+
     // JOB-kit many-join through the full UES pipeline (pessimistic bounds
     // + operator selection on a 10-way join with a lineitem self-join and
     // a pure theta edge) — answers must match the native plan's
@@ -320,6 +329,7 @@ object OptQueries {
          UNION ALL
          SELECT 'p_orders', 'ok',
                 (SELECT count(DISTINCT o_orderstatus) FROM orders)""",
-    "opt19_ues_job_10way" -> jobSql("q03_10way_order_pair")
+    "opt19_ues_job_10way" -> jobSql("q03_10way_order_pair"),
+    "opt20_adaptive_reopt" -> flagshipSql
   )
 }
