@@ -736,6 +736,52 @@ object Relational {
       s.sql("""SELECT c_mktsegment,
                  round(geo_mean(c_acctbal), 4) AS geo_bal
                FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment""")
+    },
+
+    // skew-mitigation salted equi-join IN THE GATE: semantics must be
+    // join-equivalent (every large row meets exactly one replica of each
+    // matching small row) — the manual fallback where AQE skew splitting
+    // cannot reach
+    "sa01_salted_join" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      opt.Salting.saltedEquiJoin(l, sup, "l_suppkey", factor = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("total"))
+    },
+
+    // two-phase salted aggregation IN THE GATE: partial per (key, salt),
+    // final merge per key — counts must equal the plain groupBy
+    "sa02_salted_agg" -> { (s, dir) =>
+      opt.Salting.saltedCount(t(s, dir, "lineitem"), "l_suppkey", factor = 8)
+    },
+
+    // §2.9 MapType end-to-end: per-status counts aggregated INTO a map
+    // column (map_from_entries over collected structs), then exploded
+    // back out — the map is the carrier, the output stays primitive so
+    // the DuckDB oracle is the plain GROUP BY
+    "q61_map_ops" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .agg(map_from_entries(collect_list(
+          struct(col("o_orderstatus"), col("n")))).as("m"))
+        .select(explode(col("m")).as(Seq("o_orderstatus", "n")))
+    },
+
+    // §2.6 window FILTER clause: the reference's WindowExpression carries
+    // FILTER (WHERE ...) (qal/_qal.py:1308); Spark has no window filter
+    // syntax, so the equivalent is the standard conditional-aggregate
+    // rewrite sum(CASE WHEN p THEN 1 END) OVER w — the oracle uses the
+    // real FILTER syntax, proving the rewrite is semantics-preserving
+    "q62_window_filter" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 100)
+        .withColumn("n_big", sum(when(col("o_totalprice") > 100000, 1)
+          .otherwise(0)).over(w).cast("bigint"))
+        .select(col("o_orderkey"), col("o_custkey"), col("n_big"))
     }
   )
 
@@ -1166,6 +1212,24 @@ object Relational {
     "u01_udaf_geomean" ->
       """SELECT c_mktsegment,
            round(exp(avg(ln(c_acctbal))), 4) AS geo_bal
-         FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment"""
+         FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment""",
+
+    "sa01_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey""",
+
+    "sa02_salted_agg" ->
+      "SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey",
+
+    "q61_map_ops" ->
+      "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+
+    "q62_window_filter" ->
+      """SELECT o_orderkey, o_custkey,
+           count(*) FILTER (WHERE o_totalprice > 100000)
+             OVER (PARTITION BY o_custkey) AS n_big
+         FROM orders WHERE o_custkey < 100"""
   )
 }

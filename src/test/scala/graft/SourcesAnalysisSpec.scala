@@ -8,6 +8,24 @@ import graft.sources.Sources
 
 class SourcesAnalysisSpec extends SparkSpec {
 
+  test("cluster config preset applies runtime keys and restores cleanly") {
+    val before = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k)).toMap
+    try {
+      Sources.getClass // touch package
+      graft.sources.SparkConfigs.applyRuntime(spark, clusterCores = 64)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "192")
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+      val desc = graft.sources.SparkConfigs.describe(64)
+      assert(desc.contains("spark.sql.files.maxPartitionBytes"))
+      assert(desc.startsWith("{") && desc.endsWith("}"))
+    } finally {
+      before.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
+  }
+
   test("csv/json/orc round-trips preserve row counts and values") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "lang", "n_chars")
