@@ -258,6 +258,17 @@ object OptQueries {
         .toDF("label", "status", "n_rows")
     },
 
+    // Stack-kit self-join funnel through the full UES pipeline: ONE large
+    // activity table aliased three ways, equi-connected on user_id with
+    // residual time-ordering theta predicates — the app-DB workload shape
+    "opt21_ues_stack_funnel" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer),
+        operators = Some(new UESOperatorSelection),
+        stats = statsFor(s, dir)).optimize(stackSql("q01_funnel_3step"))
+    },
+
     // runtime-feedback re-optimization: execute natively, harvest ACTUAL
     // per-intermediate cardinalities from the executed plan's SQLMetrics
     // (zero extra jobs), re-plan through DP with the actuals as
@@ -288,6 +299,10 @@ object OptQueries {
   private lazy val jobWorkload =
     graft.bench.Workload.fromDirectory("job", "/root/repo/workloads/job")
   private def jobSql(label: String): String = jobWorkload.queries(label)
+
+  private lazy val stackWorkload =
+    graft.bench.Workload.fromDirectory("stack", "/root/repo/workloads/stack")
+  private def stackSql(label: String): String = stackWorkload.queries(label)
 
   private val parWorkload = graft.bench.Workload.inline("par-gate",
     "p_nation" -> "SELECT n_name FROM nation WHERE n_regionkey < 3",
@@ -330,6 +345,7 @@ object OptQueries {
          SELECT 'p_orders', 'ok',
                 (SELECT count(DISTINCT o_orderstatus) FROM orders)""",
     "opt19_ues_job_10way" -> jobSql("q03_10way_order_pair"),
-    "opt20_adaptive_reopt" -> flagshipSql
+    "opt20_adaptive_reopt" -> flagshipSql,
+    "opt21_ues_stack_funnel" -> stackSql("q01_funnel_3step")
   )
 }
