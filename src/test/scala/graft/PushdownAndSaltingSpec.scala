@@ -9,6 +9,45 @@ import graft.opt.Salting
   */
 class PushdownAndSaltingSpec extends SparkSpec {
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // Spark injects a bloom filter built from the filtered (creation) side
+    // into the big (application) side's scan stage — row-level semi-join
+    // pruning BEFORE the shuffle, the lever that cuts fact-side shuffle
+    // bytes at 100 TB when partition pruning can't apply. Size thresholds
+    // default to cluster scale; lower them to exercise the rule on test SF.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val s = Tables.load(spark, sfDir, "supplier")
+        .filter(org.apache.spark.sql.functions.col("s_nationkey") === 3)
+      val joined = l.join(s,
+        org.apache.spark.sql.functions.col("l_suppkey") ===
+          org.apache.spark.sql.functions.col("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") ||
+        optimized.contains("BloomFilter"), optimized.take(2000))
+      // pruning must not change answers
+      val plain = l.join(Tables.load(spark, sfDir, "supplier")
+          .filter(org.apache.spark.sql.functions.col("s_nationkey") === 3),
+        org.apache.spark.sql.functions.col("l_suppkey") ===
+          org.apache.spark.sql.functions.col("s_suppkey"))
+      assert(joined.selectExpr("sum(n)").collect().head.getLong(0) ===
+        plain.count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("filters and projections reach the parquet scan") {
     val df = Relational.queries("q06_filter_agg")(spark, sfDir)
     val scan = df.queryExecution.executedPlan.collectFirst {
