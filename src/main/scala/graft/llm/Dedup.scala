@@ -117,28 +117,31 @@ object Dedup {
     }
     // join on the 64-bit shingle hash, not the string: identical pair
     // counts up to xxhash64 collisions (~(n_sh choose 2) * 2^-64 per doc,
-    // vanishing), at a third of the shuffle bytes. Pinned because three
-    // consumers (both join legs + sizes) would otherwise re-run the
-    // CPU-heavy shingle construction; 16 bytes/row, spills to disk if a
-    // corpus outgrows executor memory.
+    // vanishing), at a third of the shuffle bytes. The per-doc set size is
+    // computed ONCE (window over the narrow hashed relation) and carried
+    // through the explode legs, so the Jaccard denominator needs no
+    // separate sizes aggregate and no post-join size lookups — that
+    // removes one shuffle and two joins from the plan. Pinned because
+    // both join legs would otherwise re-run the CPU-heavy shingle
+    // construction; 24 bytes/row, spills to disk if a corpus outgrows
+    // executor memory.
+    val bySize = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val hashed = scopedCache(pruned.select(col("doc_id"),
-      xxhash64(col("shingle")).as("shingle")))
-    val sizes = hashed.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = hashed.select(col("doc_id").as("a_id"), col("shingle"))
-    val b = hashed.select(col("doc_id").as("b_id"), col("shingle"))
+      xxhash64(col("shingle")).as("shingle"))
+      .withColumn("n_sh", count(lit(1)).over(bySize)))
+    val a = hashed.select(col("doc_id").as("a_id"), col("shingle"),
+      col("n_sh").as("n_a"))
+    val b = hashed.select(col("doc_id").as("b_id"), col("shingle"),
+      col("n_sh").as("n_b"))
     val inter = a.join(b, "shingle")
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    val pairs = inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n_sh", "n_a"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n_sh", "n_b"), "b_id")
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+    inter
       .withColumn("jaccard",
         col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-    pairs
   }
 
   /** Exact Jaccard evaluated only on a candidate pair set (verification
@@ -149,25 +152,25 @@ object Dedup {
     // the candidate relation's DAG (banding + estimate filter) must run
     // exactly once, not once per consumer
     val candidates = scopedCache(candidatesRaw)
-    // same hashed-shingle trick as jaccardPairs: shuffle 8-byte keys
+    // same hashed-shingle + inline-set-size tricks as jaccardPairs:
+    // 8-byte join keys, denominator carried through the legs (no sizes
+    // aggregate, no post-join size lookups)
+    val bySize = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val sizes = hashed.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = hashed.select(col("doc_id").as("a_id"), col("shingle"))
-    val b = hashed.select(col("doc_id").as("b_id2"), col("shingle").as("shingle_b"))
-    val inter = candidates
+      .withColumn("n_sh", count(lit(1)).over(bySize))
+    val a = hashed.select(col("doc_id").as("a_id"), col("shingle"),
+      col("n_sh").as("n_a"))
+    val b = hashed.select(col("doc_id").as("b_id2"),
+      col("shingle").as("shingle_b"), col("n_sh").as("n_b"))
+    candidates
       .join(a, "a_id")
       .join(b, col("b_id") === col("b_id2") && col("shingle") === col("shingle_b"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    val pairs = inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n_sh", "n_a"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n_sh", "n_b"), "b_id")
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
       .withColumn("jaccard",
         col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-    pairs
   }
 
   /** Mersenne prime 2^31-1: the modulus of the universal-hash family used
