@@ -33,18 +33,10 @@ object OptQueries {
     * means probes run again. */
   private val statsCache = TrieMap.empty[(SparkSession, String), EmulatedStatistics]
 
-  private def dataFingerprint(dir: String): String = {
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val desc = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(";")
-    f"${scala.util.hashing.MurmurHash3.stringHash(desc)}%08x"
-  }
-
   private def statsFor(s: SparkSession, dir: String): EmulatedStatistics =
     statsCache.getOrElseUpdate((s, dir), {
       val st = new EmulatedStatistics(s)
-      val f = s"${System.getProperty("java.io.tmpdir")}/graft_stats_cache_${dataFingerprint(dir)}.json"
+      val f = s"${System.getProperty("java.io.tmpdir")}/graft_stats_cache_${Tables.dataFingerprint(dir)}.json"
       try st.loadFrom(f) catch { case _: Throwable => }
       st.autoPersistTo(f)
       st

@@ -697,7 +697,10 @@ object Relational {
     "b01_bucketed_join" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       val tmp = System.getProperty("java.io.tmpdir")
-      val tag = math.abs(dir.hashCode).toString
+      // keyed by a CONTENT fingerprint (sizes+mtimes), not the path: a
+      // regenerated fixture at the same path must never serve a stale
+      // bucketed copy (same failure mode the stats disk cache guards)
+      val tag = Tables.dataFingerprint(dir)
       for ((t, key) <- Seq("customer" -> "c_custkey", "orders" -> "o_custkey")) {
         val name = s"b01_${t}_$tag"
         if (!s.catalog.tableExists(name)) {
@@ -717,7 +720,7 @@ object Relational {
     // answers must equal filtering the unpartitioned original
     "p01_partition_pruned" -> { (s, dir) =>
       val tmp = System.getProperty("java.io.tmpdir")
-      val path = s"$tmp/graft_p01_${math.abs(dir.hashCode)}"
+      val path = s"$tmp/graft_p01_${Tables.dataFingerprint(dir)}"
       if (!new java.io.File(path).exists()) {
         sources.Sources.writePartitioned(
           Tables.load(s, dir, "orders"), path, "o_orderstatus")

@@ -31,4 +31,17 @@ object Tables {
   /** Register every table as a temp view. Idempotent, cheap (schema-only). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Content fingerprint (file sizes + mtimes) of a fixture directory —
+    * the cache key for anything derived from the data and persisted
+    * across JVMs (stats disk cache, bucketed/partitioned gate copies):
+    * a regenerated fixture at the same path must never serve stale
+    * derived artifacts. */
+  def dataFingerprint(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val desc = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(";")
+    f"${scala.util.hashing.MurmurHash3.stringHash(desc)}%08x"
+  }
 }
