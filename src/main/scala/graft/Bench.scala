@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query medians.
-  * Protocol per BASELINE.md: one warm-up, then 3 timed repetitions,
+  * Protocol per BASELINE.md: one warm-up, then 5 timed repetitions,
   * median wall-clock; results fully materialized through the noop sink
   * (count() would let the optimizer drop final sorts/projects).
   */
@@ -48,17 +48,20 @@ object Bench {
         "via SPARK_GRAFT_BENCH_QUERIES — skipped")
     }
 
-    // (median, min) of 3 timed reps: median is the headline number; min is
+    // (median, min) of 5 timed reps: median is the headline number; min is
     // reported alongside so a one-off environment stall (GC, CPU
     // contention) in the driver's run is visible instead of silently
-    // inflating the round's verdict
+    // inflating the round's verdict. Five reps instead of three because
+    // the driver environment has shown multi-second scheduling stalls on
+    // stage-heavy queries (r3/r4 d03): with 5 reps the median survives
+    // two stalled runs, not just one.
     val results: Seq[(String, (Double, Double))] = selected
       .filter(SparkEntry.queries.contains)
       .map { name =>
         try {
           runOnce(name) // warm-up
-          val times = (1 to 3).map(_ => runOnce(name)).sorted
-          name -> (times(1), times.head)
+          val times = (1 to 5).map(_ => runOnce(name)).sorted
+          name -> (times(2), times.head)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -159,7 +159,10 @@ object LlmQueries {
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(qname)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      // surface a slow run as a clear timeout failure, not as a
+      // row-count/hash mismatch on a half-filled in-memory sink
+      require(q.awaitTermination(300000),
+        "streaming gate query timed out after 300 s")
       s.table(qname).orderBy(col("hour_start"), col("event_type"))
     },
 
@@ -203,7 +206,10 @@ object LlmQueries {
       val q = sessions.writeStream.outputMode("append")
         .format("memory").queryName(qname)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      // surface a slow run as a clear timeout failure, not as a
+      // row-count/hash mismatch on a half-filled in-memory sink
+      require(q.awaitTermination(300000),
+        "streaming gate query timed out after 300 s")
       s.table(qname).orderBy(col("user_id"), col("session_start"))
     },
 
@@ -227,7 +233,10 @@ object LlmQueries {
       val q = joined.writeStream.outputMode("append")
         .format("memory").queryName(qname)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      // surface a slow run as a clear timeout failure, not as a
+      // row-count/hash mismatch on a half-filled in-memory sink
+      require(q.awaitTermination(300000),
+        "streaming gate query timed out after 300 s")
       s.table(qname).orderBy(col("user_id"), col("a_id"), col("b_id"))
     },
 
@@ -252,7 +261,10 @@ object LlmQueries {
       val q = dedup.writeStream.outputMode("append")
         .format("memory").queryName(qname)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      // surface a slow run as a clear timeout failure, not as a
+      // row-count/hash mismatch on a half-filled in-memory sink
+      require(q.awaitTermination(300000),
+        "streaming gate query timed out after 300 s")
       s.table(qname)
     },
 

@@ -287,13 +287,24 @@ object OptQueries {
        WHERE n_nationkey = s_nationkey AND n_nationkey = c_nationkey
        GROUP BY n_name"""
 
+  /** In-repo workloads root, overridable for checkouts not located at
+    * /root/repo (sys prop first so a test/driver JVM can redirect without
+    * touching the environment). Resolution is lazy end-to-end — a missing
+    * kit fails only the kit-backed entries (opt14/15/19/21), not object
+    * initialization for every gate query.
+    */
+  private lazy val workloadsRoot: String =
+    sys.props.get("graft.workloads.dir")
+      .orElse(sys.env.get("GRAFT_WORKLOADS_DIR"))
+      .getOrElse("/root/repo/workloads")
+
   /** JOB-kit SQL by label (read once; workloads ship in-repo). */
   private lazy val jobWorkload =
-    graft.bench.Workload.fromDirectory("job", "/root/repo/workloads/job")
+    graft.bench.Workload.fromDirectory("job", s"$workloadsRoot/job")
   private def jobSql(label: String): String = jobWorkload.queries(label)
 
   private lazy val stackWorkload =
-    graft.bench.Workload.fromDirectory("stack", "/root/repo/workloads/stack")
+    graft.bench.Workload.fromDirectory("stack", s"$workloadsRoot/stack")
   private def stackSql(label: String): String = stackWorkload.queries(label)
 
   private val parWorkload = graft.bench.Workload.inline("par-gate",
@@ -303,7 +314,7 @@ object OptQueries {
     "p_orders" -> """SELECT o_orderstatus, count(*) AS n FROM orders
                      GROUP BY o_orderstatus""")
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
     "opt01_ues_flagship" -> flagshipSql,
     "opt02_forced_broadcast" -> twoTableSql,
     "opt03_forced_merge" -> twoTableSql,

@@ -18,6 +18,24 @@ object Relational {
 
   private def ts(v: String): Column = lit(v).cast("timestamp")
 
+  /** Delete derived-artifact directories under `root` whose name starts
+    * with `prefix` but carries a fingerprint tag other than `keepTag` —
+    * regenerated fixtures would otherwise accumulate one stale copy per
+    * data fingerprint in java.io.tmpdir. Best-effort: artifact hygiene
+    * must never fail a gate query.
+    */
+  private def staleArtifactSweep(root: java.io.File, prefix: String,
+      keepTag: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    try Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith(prefix) && f.getName != prefix + keepTag)
+      .foreach(rm)
+    catch { case _: Throwable => }
+  }
+
   // ---------------------------------------------------------------- queries
 
   // The correctness gate compares result SETS (rows are sorted before
@@ -703,9 +721,18 @@ object Relational {
       val tag = Tables.dataFingerprint(dir)
       for ((t, key) <- Seq("customer" -> "c_custkey", "orders" -> "o_custkey")) {
         val name = s"b01_${t}_$tag"
-        if (!s.catalog.tableExists(name)) {
+        val dataDir = new java.io.File(s"$tmp/graft_b01_${t}_$tag")
+        // regenerate unless BOTH the catalog entry and the writer's
+        // _SUCCESS commit marker exist: an interrupted prior run (Verify's
+        // per-query timeout) can leave a partial directory that a bare
+        // existence check would happily read as-is; mode("overwrite")
+        // clears any partial data before the rewrite
+        val committed = new java.io.File(dataDir, "_SUCCESS").exists()
+        if (!s.catalog.tableExists(name) || !committed) {
+          if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE `$name`")
+          staleArtifactSweep(new java.io.File(tmp), s"graft_b01_${t}_", tag)
           Tables.load(s, dir, t).write.mode("overwrite").format("parquet")
-            .option("path", s"$tmp/graft_b01_${t}_$tag")
+            .option("path", dataDir.getAbsolutePath)
             .bucketBy(8, key).sortBy(key).saveAsTable(name)
         }
       }
@@ -720,8 +747,13 @@ object Relational {
     // answers must equal filtering the unpartitioned original
     "p01_partition_pruned" -> { (s, dir) =>
       val tmp = System.getProperty("java.io.tmpdir")
-      val path = s"$tmp/graft_p01_${Tables.dataFingerprint(dir)}"
-      if (!new java.io.File(path).exists()) {
+      val tag = Tables.dataFingerprint(dir)
+      val path = s"$tmp/graft_p01_$tag"
+      // gate on the writer's _SUCCESS commit marker, not bare directory
+      // existence — an interrupted prior write leaves a partial directory
+      // (mode("overwrite") inside writePartitioned clears it on rewrite)
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        staleArtifactSweep(new java.io.File(tmp), "graft_p01_", tag)
         sources.Sources.writePartitioned(
           Tables.load(s, dir, "orders"), path, "o_orderstatus")
       }

@@ -115,19 +115,20 @@ object Dedup {
         sh.join(freq, "shingle")
       case None => sh
     }
-    // join on the 64-bit shingle hash, not the string: identical pair
-    // counts up to xxhash64 collisions (~(n_sh choose 2) * 2^-64 per doc,
-    // vanishing), at a third of the shuffle bytes. The per-doc set size is
-    // computed ONCE (window over the narrow hashed relation) and carried
-    // through the explode legs, so the Jaccard denominator needs no
-    // separate sizes aggregate and no post-join size lookups — that
-    // removes one shuffle and two joins from the plan. Pinned because
-    // both join legs would otherwise re-run the CPU-heavy shingle
+    // join on an 8-byte shingle key (see [[shingleKey]] — the column is
+    // hashed polymorphically: string shingles get xxhash64, bigint
+    // shingles from [[shingles]] pass through already hashed). Identical
+    // pair counts up to hash collisions, at a third of the shuffle bytes
+    // of string keys. The per-doc set size is computed ONCE (window over
+    // the narrow hashed relation, materialized INSIDE the cached
+    // relation, so the sort cost is paid exactly once) and carried
+    // through the explode legs — the Jaccard denominator then needs no
+    // separate sizes aggregate and no post-join size lookups. Pinned
+    // because both join legs would otherwise re-run the CPU-heavy shingle
     // construction; 24 bytes/row, spills to disk if a corpus outgrows
     // executor memory.
     val bySize = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val hashed = scopedCache(pruned.select(col("doc_id"),
-      xxhash64(col("shingle")).as("shingle"))
+    val hashed = scopedCache(shingleKey(pruned)
       .withColumn("n_sh", count(lit(1)).over(bySize)))
     val a = hashed.select(col("doc_id").as("a_id"), col("shingle"),
       col("n_sh").as("n_a"))
@@ -144,6 +145,19 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Polymorphic 8-byte shingle key: string shingles (the SimHash path
+    * keeps strings — its hamming radii are tuned to string features) are
+    * hashed with xxhash64; bigint shingles from [[shingles]] pass through
+    * already hashed — a second xxhash64 would be a redundant re-hash with
+    * identical join semantics (equality on h(x) vs on x matches the same
+    * pairs up to vanishing collisions). Do not "simplify" the string
+    * branch away: both representations flow into [[verifyJaccard]].
+    */
+  private def shingleKey(sh: DataFrame): DataFrame =
+    if (sh.schema("shingle").dataType == org.apache.spark.sql.types.StringType)
+      sh.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    else sh.select(col("doc_id"), col("shingle"))
+
   /** Exact Jaccard evaluated only on a candidate pair set (verification
     * stage for the LSH paths). Candidates: (a_id, b_id).
     */
@@ -152,21 +166,25 @@ object Dedup {
     // the candidate relation's DAG (banding + estimate filter) must run
     // exactly once, not once per consumer
     val candidates = scopedCache(candidatesRaw)
-    // same hashed-shingle + inline-set-size tricks as jaccardPairs:
-    // 8-byte join keys, denominator carried through the legs (no sizes
-    // aggregate, no post-join size lookups)
-    val bySize = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .withColumn("n_sh", count(lit(1)).over(bySize))
-    val a = hashed.select(col("doc_id").as("a_id"), col("shingle"),
-      col("n_sh").as("n_a"))
+    val hashed = shingleKey(sh)
+    // Set sizes as a separate tiny aggregate (one row per doc, partial
+    // combiners map-side, no sort) joined onto the AGGREGATED pair
+    // relation: the intersection join legs stay narrow (16 bytes/row) and
+    // nothing sorts the full shingle relation. (An earlier variant
+    // carried sizes inline via count().over(partitionBy(doc_id)); that
+    // window shuffles AND sorts the entire shingle relation — and here,
+    // unlike jaccardPairs, the relation is not cached, so each join leg
+    // re-ran the window. Measured: d03 driver-env medians regressed 2-3x.)
+    val sizes = hashed.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = hashed.select(col("doc_id").as("a_id"), col("shingle"))
     val b = hashed.select(col("doc_id").as("b_id2"),
-      col("shingle").as("shingle_b"), col("n_sh").as("n_b"))
+      col("shingle").as("shingle_b"))
     candidates
       .join(a, "a_id")
       .join(b, col("b_id") === col("b_id2") && col("shingle") === col("shingle_b"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"),
-        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
       .withColumn("jaccard",
         col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
