@@ -817,6 +817,42 @@ object Relational {
         .withColumn("n_big", sum(when(col("o_totalprice") > 100000, 1)
           .otherwise(0)).over(w).cast("bigint"))
         .select(col("o_orderkey"), col("o_custkey"), col("n_big"))
+    },
+
+    // beyond-reference backward AS-OF join: for every click, the same
+    // user's most recent purchase at or before it (attribution). Composed
+    // as union + carry-forward window — one shuffle+sort on the key, NOT
+    // an inequality join (which would plan as a nested-loop product).
+    // Oracle: DuckDB's native ASOF LEFT JOIN.
+    "j01_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          round(col("value"), 2).as("purchase_value"))
+      operators.Temporal.asOfJoin(clicks, purchases, keys = Seq("user_id"),
+        leftTs = "click_ts", rightTs = "purchase_ts",
+        payload = Seq("purchase_value"))
+    },
+
+    // beyond-reference interval (range) join: events vs 60 OVERLAPPING
+    // 24-hour windows starting every 12 hours — bucketed onto 12 h
+    // buckets so pair generation is an EQUALITY join (no
+    // broadcast-nested-loop), each pair produced exactly once
+    "j02_range_join" -> { (s, dir) =>
+      val halfDayUs = 12L * 3600 * 1000000
+      val baseUs = 1704067200L * 1000000 // 2024-01-01T00:00:00Z
+      val pts = t(s, dir, "events")
+        .select(unix_micros(col("ts")).as("p"), col("value"))
+      val iv = s.range(60).select(col("id").as("window_id"),
+        (lit(baseUs) + col("id") * halfDayUs).as("w_start"),
+        (lit(baseUs) + col("id") * halfDayUs + 2 * halfDayUs).as("w_end"))
+      operators.Temporal.rangeJoinBucketed(pts, "p", iv, "w_start", "w_end",
+          bucketWidth = halfDayUs)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
     }
   )
 
@@ -1265,6 +1301,27 @@ object Relational {
       """SELECT o_orderkey, o_custkey,
            count(*) FILTER (WHERE o_totalprice > 100000)
              OVER (PARTITION BY o_custkey) AS n_big
-         FROM orders WHERE o_custkey < 100"""
+         FROM orders WHERE o_custkey < 100""",
+
+    "j01_asof_join" ->
+      """WITH clicks AS (SELECT event_id AS click_id, user_id,
+                                ts AS click_ts
+                         FROM events WHERE event_type = 'click'),
+              purchases AS (SELECT user_id, ts AS purchase_ts,
+                                   round(value, 2) AS purchase_value
+                            FROM events WHERE event_type = 'purchase')
+         SELECT click_id, clicks.user_id, click_ts, purchase_ts,
+                purchase_value
+         FROM clicks ASOF LEFT JOIN purchases
+           ON clicks.user_id = purchases.user_id
+          AND clicks.click_ts >= purchases.purchase_ts""",
+
+    "j02_range_join" ->
+      """SELECT i AS window_id, count(*) AS n, round(sum(value), 2) AS total
+         FROM range(60) t(i) JOIN events e
+           ON epoch_us(e.ts) >= 1704067200000000 + i * 43200000000
+          AND epoch_us(e.ts) <  1704067200000000 + i * 43200000000
+                                                 + 86400000000
+         GROUP BY 1"""
   )
 }
