@@ -129,6 +129,12 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher-style repetition filters: duplicate word/bigram occurrence
+    // fractions (computed in-row, no shuffle) + top-word share
+    "t07_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+    },
+
     // multimodal: binary payload -> per-partition decoder stub -> metadata
     "m01_media_meta" -> { (s, dir) =>
       Multimodal.extractMeta(s, Multimodal.asMedia(docs(s, dir), "doc_id", "text"))
@@ -358,6 +364,33 @@ object LlmQueries {
            round(count(corpus.shingle) * 1.0 / count(*), 4) AS contamination_ratio
          FROM ev LEFT JOIN corpus ON ev.shingle = corpus.shingle
          GROUP BY ev.doc_id ORDER BY ev.doc_id""",
+
+    "t07_repetition" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+           narrow AS (SELECT doc_id,
+               round((len(w) - len(list_distinct(w))) * 1.0 / len(w), 4)
+                 AS dup_word_frac,
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)),
+                           i -> w[i] || ' ' || w[i+1])
+                    ELSE [] END AS bi
+             FROM words),
+           narrow2 AS (SELECT doc_id, dup_word_frac,
+               CASE WHEN len(bi) > 0
+                    THEN round((len(bi) - len(list_distinct(bi))) * 1.0
+                               / len(bi), 4)
+                    ELSE 0.0 END AS dup_bigram_frac
+             FROM narrow),
+           counts AS (SELECT doc_id, word, count(*) AS c
+             FROM (SELECT doc_id, unnest(w) AS word FROM words)
+             GROUP BY 1, 2),
+           top AS (SELECT doc_id,
+                     round(max(c) * 1.0 / sum(c), 4) AS top_word_share
+                   FROM counts GROUP BY 1)
+         SELECT narrow2.doc_id, dup_word_frac, dup_bigram_frac,
+                top_word_share
+         FROM narrow2 JOIN top ON narrow2.doc_id = top.doc_id""",
 
     "d05_dedup_embedding" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

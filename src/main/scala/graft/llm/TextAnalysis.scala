@@ -135,6 +135,47 @@ object TextAnalysis {
         16, 10).cast("int") < cut, "eval").otherwise("train"))
   }
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021, the
+    * "repetitious text" filters): fraction of word occurrences that are
+    * repeats of a word already seen in the document, same for word
+    * bigrams, and the single most frequent word's share of the document.
+    * High values mark boilerplate/spam for curation filters.
+    *
+    * The duplicate fractions are computed NARROWLY inside each row
+    * (array_distinct over the word/bigram arrays — no explode, no
+    * shuffle); only the top-word share needs per-(doc, word) counts, one
+    * explode + hash aggregation with map-side combine, re-joined on
+    * doc_id. Output: (doc_id, dup_word_frac, dup_bigram_frac,
+    * top_word_share), ratios rounded for cross-engine comparability.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val nW = size(col("w"))
+    val narrow = base.select(col("doc_id"), col("w"),
+      round((nW - size(array_distinct(col("w")))).cast("double") / nW, 4)
+        .as("dup_word_frac"))
+      // ANSI mode (Spark 4 default) throws on out-of-bounds array access,
+      // so the bigram window must not be formed for single-word docs
+      .withColumn("bi", expr(
+        """case when size(w) >= 2
+             then transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))
+             else array() end"""))
+      .select(col("doc_id"), col("dup_word_frac"),
+        when(size(col("bi")) > 0,
+          round((size(col("bi")) - size(array_distinct(col("bi"))))
+            .cast("double") / size(col("bi")), 4))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+    val topShare = base
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 4)
+        .as("top_word_share"))
+    narrow.join(topShare, "doc_id")
+  }
+
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.filter(length(col(textCol)) > 0)
       .select(col(idCol).as("doc_id"),

@@ -248,6 +248,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.filter(col("pred_lang").isNull).count() === 0)
   }
 
+  test("repetition signals match hand-computed values") {
+    import spark.implicits._
+    // "a b a b a": words 5, distinct 2 -> dup 3/5; bigrams
+    // [a b, b a, a b, b a] 4, distinct 2 -> dup 2/4; top word a: 3/5
+    val d = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "dup_word_frac", "dup_bigram_frac", "top_word_share")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0.6, 0.5, 0.6),
+      (2L, 0.0, 0.0, 0.3333),   // no repeats at all
+      (3L, 0.0, 0.0, 1.0)))     // single word: zero bigrams, full share
+  }
+
   test("fingerprint is stable across runs") {
     val a = TextAnalysis.fingerprint(docs, "doc_id", "text").collect().toSeq
     val b = TextAnalysis.fingerprint(docs, "doc_id", "text").collect().toSeq
