@@ -135,6 +135,43 @@ object LlmQueries {
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
     },
 
+    // PII scrub: the fixture corpus contains no PII, so the gate injects
+    // deterministic synthetic PII derived from doc_id (the oracle builds
+    // the identical augmented text), then runs the staged redaction
+    // operator — the regexes are exercised on real matches, not no-ops
+    "t08_pii_redact" -> { (s, dir) =>
+      val aug = docs(s, dir).select(col("doc_id"), concat(
+        col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1 555 01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit(" at 10."), (col("doc_id") % 200).cast("string"), lit(".0.1")
+      ).as("text"))
+      TextAnalysis.redactPii(aug, "doc_id", "text").orderBy(col("doc_id"))
+    },
+
+    // unigram-LM rarity (perplexity proxy): OOV-of-top-100 fraction +
+    // exact median corpus frequency per document
+    "t09_lexical_rarity" -> { (s, dir) =>
+      TextAnalysis.lexicalRarity(docs(s, dir), "doc_id", "text", 100)
+        .orderBy(col("doc_id"))
+    },
+
+    // char-class histogram features (in-row, shuffle-free; the exact
+    // oracle-able twin of the multimodal byte-histogram features)
+    "t10_char_histogram" -> { (s, dir) =>
+      TextAnalysis.charClassHistogram(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // deterministic per-language downsampling (keep 1/4 of en, 1/2 of es,
+    // everything else) — a pure per-row predicate, reproducible across
+    // engines and re-snapshots
+    "d09_stratified_sample" -> { (s, dir) =>
+      TextAnalysis.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 0.25, "es" -> 0.5), defaultRate = 1.0)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    },
+
     // multimodal: binary payload -> per-partition decoder stub -> metadata
     "m01_media_meta" -> { (s, dir) =>
       Multimodal.extractMeta(s, Multimodal.asMedia(docs(s, dir), "doc_id", "text"))
@@ -391,6 +428,59 @@ object LlmQueries {
          SELECT narrow2.doc_id, dup_word_frac, dup_bigram_frac,
                 top_word_share
          FROM narrow2 JOIN top ON narrow2.doc_id = top.doc_id""",
+
+    "t08_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+             '@mail.example.com or +1 555 01' ||
+             lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+             ' at 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1' AS text
+           FROM documents),
+         s1 AS (SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g') AS t1
+           FROM aug),
+         s2 AS (SELECT doc_id, text, t1,
+             regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b',
+               '[IP]', 'g') AS t2
+           FROM s1)
+         SELECT doc_id,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t1,
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(t2, '\+?[0-9][0-9 -]{6,}[0-9]')) AS n_phones,
+           regexp_replace(t2, '\+?[0-9][0-9 -]{6,}[0-9]', '[PHONE]', 'g')
+             AS redacted
+         FROM s2 ORDER BY doc_id""",
+
+    "t09_lexical_rarity" ->
+      """WITH words AS (SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word FROM documents),
+         w2 AS (SELECT doc_id, word FROM words WHERE length(word) > 0),
+         freq AS (SELECT word, count(*) AS freq FROM w2 GROUP BY 1),
+         top AS (SELECT word, 1 AS in_top FROM freq
+                 ORDER BY freq DESC, word LIMIT 100)
+         SELECT doc_id, count(*) AS n_words,
+           round(sum(CASE WHEN top.in_top IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS oov_frac,
+           round(median(freq.freq), 1) AS median_word_freq
+         FROM w2 JOIN freq USING (word) LEFT JOIN top ON w2.word = top.word
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "t10_char_histogram" ->
+      ("SELECT doc_id, " + (0 until 8).map(b =>
+          s"len(list_filter(list_transform(range(1, length(text) + 1), " +
+          s"i -> ascii(substring(text, CAST(i AS INT), 1)) % 8), " +
+          s"x -> x = $b)) AS b$b").mkString(", ") +
+        " FROM documents ORDER BY doc_id"),
+
+    "d09_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+           < CASE lang WHEN 'en' THEN 64 WHEN 'es' THEN 128 ELSE 256 END
+         ORDER BY doc_id""",
 
     "d05_dedup_embedding" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -819,6 +819,29 @@ object Relational {
         .select(col("o_orderkey"), col("o_custkey"), col("n_big"))
     },
 
+    // §2.6 distribution window vocabulary: ntile / percent_rank /
+    // cume_dist — exact rationals of rank and partition size, so the
+    // cross-engine hash is stable by construction
+    "q63_window_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 200)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cum_dist"))
+    },
+
+    // §2.5 exact interpolated percentiles (PERCENTILE_CONT) per group —
+    // the one-pass grouped quantile; the approximate variant for corpus
+    // scale is TextAnalysis.corpusProfile's percentile_approx
+    "q64_percentile_cont" -> { (s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
+    },
+
     // beyond-reference backward AS-OF join: for every click, the same
     // user's most recent purchase at or before it (attribution). Composed
     // as union + carry-forward window — one shuffle+sort on the key, NOT
@@ -1302,6 +1325,22 @@ object Relational {
            count(*) FILTER (WHERE o_totalprice > 100000)
              OVER (PARTITION BY o_custkey) AS n_big
          FROM orders WHERE o_custkey < 100""",
+
+    "q63_window_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cum_dist
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey)""",
+
+    "q64_percentile_cont" ->
+      """SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+         FROM orders GROUP BY o_orderstatus""",
 
     "j01_asof_join" ->
       """WITH clicks AS (SELECT event_id AS click_id, user_id,

@@ -176,6 +176,101 @@ object TextAnalysis {
     narrow.join(topShare, "doc_id")
   }
 
+  /** PII redaction (emails, IPv4 addresses, phone-shaped digit runs):
+    * the standard pre-training scrub pass. Pure `regexp_replace` /
+    * `regexp_count` column expressions — codegen'd, narrow, no shuffle,
+    * so the pass costs one scan at any corpus size. Matches are counted
+    * stage-by-stage on the already-redacted text of the previous stage
+    * (emails -> IPs -> phones), so a digit run inside an email or an IP
+    * is never double-counted as a phone number. Patterns stay within the
+    * common subset of Java regex and RE2 (no backrefs, no lookaround) so
+    * the operator is reproducible against RE2-based engines.
+    * Output: (doc_id, n_emails, n_ips, n_phones, redacted).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9 -]{6,}[0-9]"
+
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "[EMAIL]")
+    val t2 = regexp_replace(t1, Ipv4Re, "[IP]")
+    val t3 = regexp_replace(t2, PhoneRe, "[PHONE]")
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(t0, lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(t1, lit(Ipv4Re)).cast("int").as("n_ips"),
+      regexp_count(t2, lit(PhoneRe)).cast("int").as("n_phones"),
+      t3.as("redacted"))
+  }
+
+  /** Unigram-LM rarity statistics (the CCNet-style perplexity proxy):
+    * per document, the fraction of word occurrences outside the top-k
+    * corpus vocabulary and the median corpus frequency of its words. Low
+    * median frequency / high OOV fraction marks gibberish and boilerplate
+    * the quality-score heuristics miss. Two shuffles total at any scale:
+    * the corpus word-frequency aggregate (map-side combined) and the
+    * per-document re-aggregate; the top-k vocabulary relation is k rows
+    * and broadcast. The frequency join is a build-side-tiny hash join on
+    * the word key — frequent words make the probe side skewed but the
+    * per-row payload is 8 bytes, and exact medians are the point here
+    * (the approximate profile lives in [[corpusProfile]]).
+    * Output: (doc_id, n_words, oov_frac, median_word_freq).
+    */
+  def lexicalRarity(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 100): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val freq = words.groupBy("word").agg(count(lit(1)).as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("word")).limit(topK)
+      .select(col("word"), lit(1).as("in_top"))
+    words
+      .join(freq, "word")
+      .join(broadcast(top), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(when(col("in_top").isNull, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 4).as("oov_frac"),
+        round(median(col("freq")), 1).as("median_word_freq"))
+  }
+
+  /** Deterministic stratified sampling: per-stratum keep rates, with the
+    * keep decision a pure function of the row id (same md5-byte trick as
+    * [[trainEvalSplit]]), so samples are reproducible across engines and
+    * cluster sizes and never resample old rows as the corpus grows. This
+    * is how a curation run downsamples over-represented languages or
+    * sources without a shuffle: the filter is a narrow per-row predicate.
+    * Rates are approximated as ceil(256·r)/256.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    def cut(r: Double): Int = { require(r >= 0 && r <= 1); math.ceil(r * 256).toInt }
+    val bucket = conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 2), 16, 10).cast("int")
+    val threshold = rates.foldLeft(lit(cut(defaultRate))) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, cut(r)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** Character-class histogram: per document, occurrence counts of the
+    * 8 ascii-mod-8 byte classes — the text-side twin of the multimodal
+    * byte-histogram feature (Multimodal.extractFeatures), exact and
+    * integer-valued so it can be oracle-pinned. Computed entirely in-row
+    * (one filter per bucket over the char array — no explode, no
+    * shuffle). Output: (doc_id, b0..b7).
+    */
+  def charClassHistogram(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    // the length guard drops any zero-width artifacts of regex-splitting
+    // on the empty pattern, which differ between engines
+    val buckets = (0 until 8).map(b =>
+      size(filter(split(col(textCol), ""),
+        c => length(c) === 1 && ascii(c) % 8 === b)).as(s"b$b"))
+    docs.select(col(idCol).as("doc_id") +: buckets: _*)
+  }
+
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.filter(length(col(textCol)) > 0)
       .select(col(idCol).as("doc_id"),
