@@ -876,6 +876,50 @@ object Relational {
           bucketWidth = halfDayUs)
         .groupBy(col("window_id"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    },
+
+    // beyond-reference SCD Type-2 merge IN THE GATE: the customer
+    // dimension upserted with per-customer segment updates derived from
+    // 1998+ orders — changed keys get their open row closed and a new open
+    // row appended; unchanged updates ('BUILDING' -> 'BUILDING') and
+    // untouched keys pass through. Composed of one full-outer key join +
+    // union (operators/Scd2.scala); the oracle states the same merge in SQL
+    "w01_scd2_merge" -> { (s, dir) =>
+      val cur = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        lit("1995-01-01").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val upd = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(max(col("o_orderdate")).as("eff_ts"), count(lit(1)).as("n"))
+        .select(col("c_custkey"),
+          when(col("n") > 2, "PREMIUM").otherwise("BUILDING").as("segment"),
+          col("eff_ts"))
+      operators.Scd2.merge(cur, upd, "c_custkey", Seq("segment"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+
+    // §2.3 Z-order-clustered layout IN THE GATE: lineitem rewritten
+    // Morton-ordered on (l_orderkey, l_partkey), read back through a
+    // two-dimensional rectangle predicate — answers must equal the same
+    // filter over the original layout; the file-skipping effect of the
+    // layout is asserted separately in ZOrderSpec
+    "z01_zorder_skipping" -> { (s, dir) =>
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = Tables.dataFingerprint(dir)
+      val path = s"$tmp/graft_z01_$tag"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        staleArtifactSweep(new java.io.File(tmp), "graft_z01_", tag)
+        sources.Sources.writeZOrdered(Tables.load(s, dir, "lineitem"), path,
+          "l_orderkey", "l_partkey", numFiles = 16)
+      }
+      s.read.parquet(path)
+        .filter(col("l_orderkey").between(1000, 2000) &&
+          col("l_partkey").between(100, 300))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("total"))
     }
   )
 
@@ -1361,6 +1405,40 @@ object Relational {
            ON epoch_us(e.ts) >= 1704067200000000 + i * 43200000000
           AND epoch_us(e.ts) <  1704067200000000 + i * 43200000000
                                                  + 86400000000
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    "w01_scd2_merge" ->
+      """WITH cur AS (SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+           FROM customer),
+         upd AS (SELECT o_custkey AS c_custkey,
+             CASE WHEN count(*) > 2 THEN 'PREMIUM' ELSE 'BUILDING' END
+               AS segment,
+             max(o_orderdate) AS eff_ts
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+           GROUP BY 1),
+         chg AS (SELECT upd.c_custkey, upd.segment, upd.eff_ts FROM upd
+           JOIN cur USING (c_custkey)
+           WHERE upd.segment IS DISTINCT FROM cur.segment),
+         closed AS (SELECT cur.c_custkey, cur.segment, cur.valid_from,
+             chg.eff_ts AS valid_to
+           FROM cur JOIN chg USING (c_custkey)),
+         fresh AS (SELECT c_custkey, segment, eff_ts AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to FROM chg),
+         untouched AS (SELECT cur.* FROM cur
+           WHERE NOT EXISTS (SELECT 1 FROM chg
+                             WHERE chg.c_custkey = cur.c_custkey))
+         SELECT * FROM closed UNION ALL SELECT * FROM fresh
+         UNION ALL SELECT * FROM untouched
+         ORDER BY c_custkey, valid_from""",
+
+    "z01_zorder_skipping" ->
+      """SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 1000 AND 2000
+           AND l_partkey BETWEEN 100 AND 300
+         GROUP BY l_returnflag"""
   )
 }
