@@ -311,6 +311,34 @@ object LlmQueries {
       s.table(qname)
     },
 
+    // STREAM-STATIC join in the gate: the event stream enriched with the
+    // (batch) customer dimension — broadcast per micro-batch, stateless —
+    // then aggregated per (segment, event_type) in complete mode. On
+    // bounded input the streamed result equals the batch join+group-by,
+    // which the DuckDB oracle states directly.
+    "st05_stream_static_join" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = java.nio.file.Files.createTempDirectory("graft_st05")
+      staged.toFile.deleteOnExit()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val stream = graft.streaming.EventOps.readEventStream(s, staged.toString)
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = graft.streaming.EventOps
+        .enrichWithStatic(stream, dim, "user_id", "c_custkey")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      val qname = s"st05_out_${System.nanoTime()}"
+      val q = enriched.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "streaming gate query timed out after 300 s")
+      s.table(qname).orderBy(col("c_mktsegment"), col("event_type"))
+    },
+
     // multimodal: frame-sampling plumbing over binary payloads
     "m02_frame_sample" -> { (s, dir) =>
       Multimodal.sampleFrames(
@@ -644,6 +672,12 @@ object LlmQueries {
 
     "st04_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "st05_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
 
     "m02_frame_sample" ->
       """SELECT doc_id, i AS frame_idx,

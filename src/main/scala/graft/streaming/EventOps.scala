@@ -73,6 +73,17 @@ object EventOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static join: enrich a stream with a batch dimension. The
+    * static side is planned per micro-batch as an ordinary equi-join —
+    * broadcast when small (the common case: a dimension vs an unbounded
+    * stream), so the stream never shuffles for the enrichment. No state,
+    * no watermark needed: the join itself is stateless because the static
+    * side is fully known at every batch.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   /** Per-user running counters via typed stateful processing
     * (KeyValueGroupedDataset.mapGroupsWithState is the custom-state escape
     * hatch; here: total events + max value per user). */
