@@ -90,20 +90,31 @@ object LlmQueries {
         "embedding", 5)
     },
 
-    // LSH-bucketed ANN (approximate: no SQL oracle; recall tested in specs)
+    // LSH-bucketed ANN with a HARD oracle: on the planted gapped corpus
+    // (near-dups at cos >= 0.95 over an isotropic <= ~0.5 background, see
+    // Similarity.plantedGappedCorpus) the 32x8 banding misses a true pair
+    // with probability < 1e-7, so the LSH output EQUALS the exact top-k —
+    // which the DuckDB oracle computes brute-force over the identically
+    // constructed corpus. dim = 64 is the fixture's embedding width
+    // (passing it avoids the per-call dimensionality probe job).
     "s02_ann_lsh" -> { (s, dir) =>
-      val e = embs(s, dir)
-      Similarity.cosineTopKLsh(e, e.filter(col("vec_id") < 10), "vec_id",
-        "embedding", 5)
+      val planted = Similarity.plantedGappedCorpus(embs(s, dir), "vec_id",
+        "embedding")
+      Similarity.cosineTopKLsh(planted, planted.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, numBands = 32, rowsPerBand = 8,
+          dim = Some(64))
         .orderBy(col("query_id"), col("rnk"))
     },
 
-    // IVF ANN: KMeans coarse quantizer + probe-limited exact re-rank
-    // (approximate: no SQL oracle; recall tested in specs)
+    // IVF ANN with the same HARD oracle: the planted near-dups sit at
+    // cos >= 0.95 from their query, so query and neighbors agree on their
+    // nearest coarse-quantizer cells and an nProbe=4-of-16 probe set
+    // covers all true top-5 — output equals the exact path
     "s03_ann_ivf" -> { (s, dir) =>
-      val e = embs(s, dir)
-      Similarity.cosineTopKIvf(e, e.filter(col("vec_id") < 10), "vec_id",
-        "embedding", 5)
+      val planted = Similarity.plantedGappedCorpus(embs(s, dir), "vec_id",
+        "embedding")
+      Similarity.cosineTopKIvf(planted, planted.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, nlist = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rnk"))
     },
 
@@ -366,7 +377,40 @@ object LlmQueries {
        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
        ORDER BY a_id, b_id"""
 
+  /** Exact cosine top-5 over the planted gapped corpus (the s02/s03
+    * oracle): the corpus construction mirrors
+    * [[Similarity.plantedGappedCorpus]] step for step in IEEE double
+    * arithmetic, and the gap (planted near-dups at cos >= 0.95 vs an
+    * isotropic <= ~0.5 background) makes the approximate paths' recall
+    * exactly 1 at their gate parameters — so LSH/IVF output must equal
+    * this brute-force result.
+    */
+  private val plantedAnnOracle =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         planted AS (
+           SELECT 100000 + q.vec_id * 5 + t.j AS vec_id,
+             list_transform(generate_series(1, len(q.v)),
+               i -> q.v[i] + 0.3 * p.v[i]) AS v
+           FROM base q
+           CROSS JOIN unnest(generate_series(0, 4)) AS t(j)
+           JOIN base p ON p.vec_id = 10 + q.vec_id * 5 + t.j
+           WHERE q.vec_id < 10),
+         corpus AS (SELECT vec_id, v FROM base
+                    UNION ALL SELECT vec_id, v FROM planted),
+         qs AS (SELECT vec_id AS query_id, v AS vq FROM base WHERE vec_id < 10),
+         sims AS (SELECT query_id, c.vec_id AS neighbor_id,
+                    list_cosine_similarity(vq, c.v) AS sim
+                  FROM qs CROSS JOIN corpus c WHERE query_id <> c.vec_id),
+         ranked AS (SELECT query_id, neighbor_id, sim,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rnk
+                    FROM sims)
+       SELECT query_id, rnk, neighbor_id, round(sim, 4) AS cos_sim
+       FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
   val oracles: Map[String, String] = Map(
+    "s02_ann_lsh" -> plantedAnnOracle,
+    "s03_ann_ivf" -> plantedAnnOracle,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY text ORDER BY keep_id""",

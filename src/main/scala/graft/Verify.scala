@@ -19,7 +19,13 @@ object Verify {
     // the job group is confirmed set before any cancellation, and
     // cancellation is retried until the worker observes it
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "300").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated subset for local iteration (the driver runs
+    // the full map: it does not set this variable)
+    val subset = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
       val sc = spark.sparkContext

@@ -97,11 +97,16 @@ object Similarity {
   /** Random-hyperplane signature as `numBands` bucket ids of `rowsPerBand`
     * bits each: (id, band, bucket). The plane matrix rides along as a
     * broadcast literal inside the expression tree (tiny: planes x dim).
+    * `dim` is the embedding dimensionality; pass it when known — the
+    * `None` fallback runs a one-row Spark job to probe it, which is an
+    * extra driver-side job per call (callers that bucket both a corpus
+    * and a query set should probe once and share the value).
     */
   def rhpBuckets(df: DataFrame, idCol: String, vecCol: String,
-      numBands: Int, rowsPerBand: Int, seed: Long = 7L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val planes = hyperplanes(numBands * rowsPerBand, dim, seed)
+      numBands: Int, rowsPerBand: Int, seed: Long = 7L,
+      dim: Option[Int] = None): DataFrame = {
+    val d = dim.getOrElse(df.select(size(col(vecCol))).head().getInt(0))
+    val planes = hyperplanes(numBands * rowsPerBand, d, seed)
     val v = col(vecCol).cast("array<double>")
     // one sign bit per plane (plane vector inlined as a literal array),
     // packed into a per-band bucket id
@@ -161,15 +166,25 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: candidates collide with the query in >=1 band; exact
-    * cosine re-rank on candidates only. Same output shape as [[cosineTopK]];
-    * approximate (recall < 1 possible), so no SQL oracle — rows-only check +
-    * recall measured in tests against the exact path.
+    * cosine re-rank on candidates only. Same output shape as [[cosineTopK]].
+    * Approximate in general — but on a GAPPED corpus (true neighbors at
+    * cos >= ~0.9 over an isotropic background, e.g.
+    * [[plantedGappedCorpus]]) the banding recall is effectively 1: at
+    * cos 0.95 the per-plane agreement is 1 - acos(0.95)/pi ~ 0.90, so 32
+    * bands x 8 rows miss a true pair with probability
+    * (1 - 0.90^8)^32 < 1e-7 — which is why the s02 gate carries a hard
+    * exact-top-k DuckDB oracle instead of a rows-only check.
+    * `dim` (embedding dimensionality) is probed once and shared by both
+    * bucketing passes when not supplied.
     */
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, numBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val cb = rhpBuckets(corpus, idCol, vecCol, numBands, rowsPerBand)
+      vecCol: String, k: Int, numBands: Int = 8, rowsPerBand: Int = 4,
+      dim: Option[Int] = None): DataFrame = {
+    val d = Some(dim.getOrElse(
+      corpus.select(size(col(vecCol))).head().getInt(0)))
+    val cb = rhpBuckets(corpus, idCol, vecCol, numBands, rowsPerBand, dim = d)
       .withColumnRenamed("id", "neighbor_id")
-    val qb = rhpBuckets(queries, idCol, vecCol, numBands, rowsPerBand)
+    val qb = rhpBuckets(queries, idCol, vecCol, numBands, rowsPerBand, dim = d)
       .withColumnRenamed("id", "query_id")
     val cands = qb.join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -182,5 +197,34 @@ object Similarity {
         .join(broadcast(q), col("query_id") === col("qid"))
         .withColumn("sim", cosineSim(col("vq"), col("vc")))
         .select("query_id", "neighbor_id", "sim"), k)
+  }
+
+  /** Deterministic GAPPED ANN corpus: the raw embedding table (isotropic
+    * background — pairwise cos <= ~0.5 on the fixtures) plus, for each
+    * query id q < `nQueries`, `perQuery` planted near-duplicates
+    * v_q + 0.3 * v_p (partner p = nQueries + q*perQuery + j), published
+    * under vec_id = 100000 + q*perQuery + j. The planted vectors sit at
+    * cos(v_q, v_q + 0.3*v_p) in [0.95, 0.98] from their query (0.3 mixing
+    * against a near-orthogonal partner barely rotates the vector), while
+    * everything else stays below ~0.65 — a provable similarity gap, so a
+    * recall-1 parameterization of the banded/IVF ANN paths exists and
+    * their output must EQUAL the exact top-k. Every arithmetic step is
+    * plain IEEE double (+, *), so a SQL engine reproduces the corpus
+    * bit-identically — which is what turns the approximate-ANN gate rows
+    * into hard DuckDB-oracle rows (s02/s03).
+    */
+  def plantedGappedCorpus(emb: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int = 10, perQuery: Int = 5): DataFrame = {
+    val base = emb.select(col(idCol).cast("bigint").as("vec_id"),
+      col(vecCol).cast("array<double>").as("embedding"))
+    val planted = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("vq"),
+        explode(expr(s"sequence(0, ${perQuery - 1})")).as("j"))
+      .withColumn("pid", lit(nQueries) + col("qid") * perQuery + col("j"))
+      .join(base.select(col("vec_id").as("pid"), col("embedding").as("vp")),
+        "pid")
+      .select((lit(100000L) + col("qid") * perQuery + col("j")).as("vec_id"),
+        expr("zip_with(vq, vp, (x, y) -> x + 0.3D * y)").as("embedding"))
+    base.unionByName(planted)
   }
 }

@@ -202,6 +202,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("planted gapped corpus: LSH and IVF output EQUALS the exact top-5 " +
+      "(the s02/s03 hard-oracle contract)") {
+    // the planted near-dups sit at cos >= ~0.95 over a <= ~0.5 isotropic
+    // background, so recall-1 parameterizations exist: any difference from
+    // the exact path here is a bug, not an approximation artifact
+    val planted = Similarity.plantedGappedCorpus(embs, "vec_id", "embedding")
+    val queries = planted.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val exact = rows(Similarity.cosineTopK(planted, queries, "vec_id",
+      "embedding", 5))
+    assert(exact.size === 50)
+    // every exact neighbor is a planted near-dup (cos >= 0.9): the gap holds
+    exact.foreach { r =>
+      assert(r(2).asInstanceOf[Long] >= 100000L, s"non-planted neighbor: $r")
+      assert(r(3).asInstanceOf[Double] >= 0.9, s"weak neighbor: $r")
+    }
+    val lsh = rows(Similarity.cosineTopKLsh(planted, queries, "vec_id",
+      "embedding", 5, numBands = 32, rowsPerBand = 8, dim = Some(64)))
+    assert(lsh === exact)
+    val ivf = rows(Similarity.cosineTopKIvf(planted, queries, "vec_id",
+      "embedding", 5, nlist = 16, nProbe = 4))
+    assert(ivf === exact)
+  }
+
   test("top-k plan is two-phase bounded aggregation, not a per-query window sort") {
     // the 100 TB guard: ranking must partial-aggregate k-row sketches
     // map-side and merge them, never funnel a query's full candidate set
