@@ -183,11 +183,37 @@ object LlmQueries {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     },
 
-    // multimodal: binary payload -> per-partition decoder stub -> metadata
+    // multimodal REAL decode: synthesized binary P6 PPM payloads -> strict
+    // per-partition JVM parser -> genuine decoded width/height/maxval and
+    // per-channel means. The oracle rebuilds the identical payload with
+    // string functions (the corpus is ASCII: bytes == characters) and
+    // recomputes every decoded value from it — a hash mismatch means the
+    // parser misread actual bytes.
     "m01_media_meta" -> { (s, dir) =>
-      Multimodal.extractMeta(s, Multimodal.asMedia(docs(s, dir), "doc_id", "text"))
+      Multimodal.extractPpmMeta(s,
+          Multimodal.asPpm(docs(s, dir), "doc_id", "text"))
         .toDF()
-        .select(col("doc_id"), col("n_bytes"), col("sha256"))
+        .select(col("doc_id"), col("n_bytes"), col("sha256"),
+          col("width"), col("height"), col("maxval"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy(col("doc_id"))
+    },
+
+    // multimodal REAL resize: decode -> nearest-neighbor resample to half
+    // dimensions -> re-encode -> ROUND-TRIP decode of the engine's own
+    // output. The oracle performs the same floor-mapped resample in SQL
+    // over the reconstructed raster and hashes the resized payload, so
+    // the emitted bytes (header + every resampled pixel) are pinned.
+    "m03_ppm_resize" -> { (s, dir) =>
+      val media = Multimodal.asPpm(docs(s, dir), "doc_id", "text")
+      Multimodal.extractPpmMeta(s,
+          Multimodal.resizePpm(s, media, denom = 2).toDF()
+            .select(col("doc_id"), col("media_type"), col("payload")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+          col("sha256"))
         .orderBy(col("doc_id"))
     },
 
@@ -622,9 +648,69 @@ object LlmQueries {
              (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
          FROM documents WHERE length(text) > 0 ORDER BY doc_id""",
 
+    // rebuild the PPM payload (ASCII corpus: string ops == byte ops) and
+    // recompute every value the decoder claims to have read from it
     "m01_media_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
-         FROM documents ORDER BY doc_id""",
+      """WITH g AS (SELECT doc_id, text,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(3 + doc_id % 7 AS INT) AS height,
+             CAST((4 + doc_id % 13) * (3 + doc_id % 7) * 3 AS INT) AS n3
+           FROM documents),
+         p AS (SELECT doc_id, width, height, n3,
+             'P6' || chr(10) || CAST(width AS VARCHAR) || ' ' ||
+               CAST(height AS VARCHAR) || chr(10) || '255' || chr(10) ||
+               substr(repeat(text, CAST(ceil(n3 / length(text)) AS INT)),
+                 1, n3) AS payload,
+             substr(repeat(text, CAST(ceil(n3 / length(text)) AS INT)),
+               1, n3) AS pix
+           FROM g),
+         px AS (SELECT doc_id, width, height, n3, payload,
+             list_transform(generate_series(1, n3),
+               i -> ascii(substr(pix, CAST(i AS INT), 1))) AS b
+           FROM p)
+         SELECT doc_id, octet_length(encode(payload)) AS n_bytes,
+           sha256(payload) AS sha256, width, height, 255 AS maxval,
+           round(list_sum(list_filter(list_transform(generate_series(1, n3),
+             i -> CASE WHEN (i - 1) % 3 = 0 THEN b[CAST(i AS INT)] END),
+             v -> v IS NOT NULL)) * 1.0 / (width * height), 4) AS mean_r,
+           round(list_sum(list_filter(list_transform(generate_series(1, n3),
+             i -> CASE WHEN (i - 1) % 3 = 1 THEN b[CAST(i AS INT)] END),
+             v -> v IS NOT NULL)) * 1.0 / (width * height), 4) AS mean_g,
+           round(list_sum(list_filter(list_transform(generate_series(1, n3),
+             i -> CASE WHEN (i - 1) % 3 = 2 THEN b[CAST(i AS INT)] END),
+             v -> v IS NOT NULL)) * 1.0 / (width * height), 4) AS mean_b
+         FROM px ORDER BY doc_id""",
+
+    // same raster reconstruction, then the floor-mapped nearest-neighbor
+    // resample in SQL; the resized payload is hashed byte for byte
+    "m03_ppm_resize" ->
+      """WITH g AS (SELECT doc_id, text,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(3 + doc_id % 7 AS INT) AS height,
+             CAST((4 + doc_id % 13) * (3 + doc_id % 7) * 3 AS INT) AS n3
+           FROM documents),
+         p AS (SELECT doc_id, width, height,
+             substr(repeat(text, CAST(ceil(n3 / length(text)) AS INT)),
+               1, n3) AS pix
+           FROM g),
+         r AS (SELECT doc_id, width, height, pix,
+             greatest(width // 2, 1) AS nw, greatest(height // 2, 1) AS nh
+           FROM p),
+         rp AS (SELECT doc_id, nw, nh,
+             array_to_string(list_transform(generate_series(1, nw * nh * 3),
+               i -> substr(pix,
+                 ((((((i - 1) // (3 * nw))) * height) // nh) * width
+                   + ((((i - 1) // 3) % nw) * width) // nw) * 3
+                   + ((i - 1) % 3) + 1, 1)), '') AS npix
+           FROM r),
+         enc AS (SELECT doc_id, nw, nh,
+             'P6' || chr(10) || CAST(nw AS VARCHAR) || ' ' ||
+               CAST(nh AS VARCHAR) || chr(10) || '255' || chr(10) || npix
+               AS payload
+           FROM rp)
+         SELECT doc_id, nw AS width, nh AS height,
+           octet_length(encode(payload)) AS n_bytes, sha256(payload) AS sha256
+         FROM enc ORDER BY doc_id""",
 
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -1,58 +1,169 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads travel as opaque `binary`
-  * columns with typed metadata alongside. The decode step is a clearly
-  * marked STUB (no image/audio codecs in this container) — but the
-  * Spark-side shape is real: schema, batch iteration via mapPartitions
-  * (the JVM analog of arrow-batched pandas UDFs), deterministic output,
-  * and per-partition decoder initialization exactly where a real codec
-  * would be opened once per partition.
+  * columns with typed metadata alongside. The decode path is REAL for the
+  * one codec a JVM can parse without native libraries — binary P6 PPM
+  * (the netpbm interchange format): [[PpmCodec]] is a strict header parser
+  * + pixel reader, [[extractPpmMeta]] decodes genuine width/height/maxval
+  * and per-channel means, and [[resizePpm]] is an actual nearest-neighbor
+  * resample producing a valid PPM. The Spark-side shape is what matters at
+  * 100 TB and is identical for any codec: payload construction stays
+  * columnar (`functions._`, codegen'd), decode runs via `mapPartitions`
+  * with per-partition decoder/digest initialization (the JVM analog of
+  * arrow-batched pandas UDFs), and outputs are typed Datasets. Swapping in
+  * a JPEG/audio codec changes only the per-record decode call.
   */
 object Multimodal {
 
   /** A media record as it would arrive from ingestion. */
   case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted metadata (what a real decoder would emit alongside tensors). */
-  case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
-    sha256: String, head_byte: Int, stub_width: Int, stub_height: Int)
-
-  /** STUB decoder: deterministic pseudo-decode of a payload. A real
-    * implementation would parse the container format here; the container
-    * image has no codecs, so we derive stable fake dimensions from the
-    * digest. Everything else (bytes, hashing) is real.
+  /** Decoded PPM metadata — dimensions and channel statistics come from
+    * actually parsing the payload bytes, not from any side channel.
     */
-  def decodeStub(r: MediaRecord, md: java.security.MessageDigest): MediaMeta = {
-    md.reset()
-    val digest = md.digest(r.payload)
-    val hex = digest.map("%02x".format(_)).mkString
-    // fake-but-deterministic "decoded" dimensions from the first digest bytes
-    val w = 16 + (java.lang.Byte.toUnsignedInt(digest(0)) % 64)
-    val h = 16 + (java.lang.Byte.toUnsignedInt(digest(1)) % 64)
-    MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong, hex,
-      if (r.payload.nonEmpty) java.lang.Byte.toUnsignedInt(r.payload(0)) else -1,
-      w, h)
+  case class PpmMeta(doc_id: Long, media_type: String, n_bytes: Long,
+    sha256: String, width: Int, height: Int, maxval: Int,
+    mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Minimal strict binary-PPM (P6) codec. Format: `P6`, then
+    * whitespace-separated ASCII width/height/maxval (with `#` comments
+    * allowed in the header, per the netpbm spec), then ONE whitespace
+    * byte, then width*height*3 raw samples (maxval < 256 => 1 byte each).
+    */
+  object PpmCodec {
+
+    /** Parsed header: dimensions plus the byte offset of the pixel data. */
+    case class Header(width: Int, height: Int, maxval: Int, offset: Int)
+
+    private def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t'
+
+    def parseHeader(p: Array[Byte]): Header = {
+      require(p.length >= 2 && p(0) == 'P' && p(1) == '6', "not a P6 PPM")
+      var i = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < p.length) {
+          if (isWs(p(i))) i += 1
+          else if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+          else go = false
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        require(i < p.length && p(i) >= '0' && p(i) <= '9',
+          s"malformed PPM header at byte $i")
+        var v = 0
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+          v = v * 10 + (p(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = int(); val h = int(); val m = int()
+      require(i < p.length && isWs(p(i)), "missing whitespace after maxval")
+      i += 1 // exactly one whitespace byte before the raster
+      require(m > 0 && m < 256, s"unsupported maxval $m (1-byte samples only)")
+      require(w > 0 && h > 0, s"degenerate dimensions ${w}x$h")
+      require(p.length - i >= w * h * 3, "truncated pixel data")
+      Header(w, h, m, i)
+    }
+
+    def encode(width: Int, height: Int, maxval: Int,
+        pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length == width * height * 3, "pixel buffer size mismatch")
+      val header = s"P6\n$width $height\n$maxval\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(pixels, 0, out, header.length, pixels.length)
+      out
+    }
+
+    /** Nearest-neighbor resample to nw x nh: target pixel (x, y) takes
+      * source pixel (x*width/nw, y*height/nh) (integer division — the
+      * standard floor mapping). Returns a complete, re-parseable PPM.
+      */
+    def resizeNearest(payload: Array[Byte], nw: Int, nh: Int): Array[Byte] = {
+      val hd = parseHeader(payload)
+      val out = new Array[Byte](nw * nh * 3)
+      var y = 0
+      while (y < nh) {
+        val sy = y * hd.height / nh
+        var x = 0
+        while (x < nw) {
+          val sx = x * hd.width / nw
+          val src = hd.offset + (sy * hd.width + sx) * 3
+          val dst = (y * nw + x) * 3
+          out(dst) = payload(src)
+          out(dst + 1) = payload(src + 1)
+          out(dst + 2) = payload(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encode(nw, nh, hd.maxval, out)
+    }
   }
 
   /** Wrap a text table as fake media payloads (UTF-8 bytes) — the ingestion
-    * shim for the test fixture, where no true binary media column exists.
+    * shim for byte-level plumbing gates (frame sampling, features) where
+    * the payload content is opaque by design.
     */
   def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("bigint").as("doc_id"),
       lit("text/plain").as("media_type"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** Distributed metadata extraction: one decoder instance per partition,
-    * streaming batches through it (never materializes a partition).
+  /** Synthesize a REAL P6 PPM payload per document: width = 4 + id % 13,
+    * height = 3 + id % 7, raster = the document's text repeated to
+    * width*height*3 bytes (the fixture corpus is ASCII, so bytes ==
+    * characters and a SQL oracle can rebuild the identical payload with
+    * string functions). Construction is pure `functions._` — columnar and
+    * codegen'd; only DECODING needs the per-record JVM parser.
     */
-  def extractMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+  def asPpm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("bigint").as("doc_id"), col(textCol).as("t"))
+      .withColumn("width", (lit(4) + col("doc_id") % 13).cast("int"))
+      .withColumn("height", (lit(3) + col("doc_id") % 7).cast("int"))
+      .withColumn("n3", col("width") * col("height") * 3)
+      .select(col("doc_id"), lit("image/x-portable-pixmap").as("media_type"),
+        encode(concat(
+          lit("P6\n"), col("width").cast("string"), lit(" "),
+          col("height").cast("string"), lit("\n255\n"),
+          expr("substring(repeat(t, cast(ceil(n3 / length(t)) as int)), 1, n3)")
+        ), "UTF-8").as("payload"))
+
+  /** Distributed REAL decode: one digest instance per partition, payloads
+    * streamed through the strict [[PpmCodec]] parser — dimensions, maxval
+    * and per-channel means all come from the bytes. This is the shape a
+    * production image pipeline has (codec opened once per partition,
+    * per-record decode, typed output); nothing here knows how the fixture
+    * payloads were generated.
+    */
+  def extractPpmMeta(spark: SparkSession, media: DataFrame): Dataset[PpmMeta] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
-      it.map(r => decodeStub(r, md))
+      it.map { r =>
+        md.reset()
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        val hd = PpmCodec.parseHeader(r.payload)
+        val n = hd.width * hd.height
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var j = hd.offset; var k = 0
+        while (k < n) {
+          sr += java.lang.Byte.toUnsignedInt(r.payload(j))
+          sg += java.lang.Byte.toUnsignedInt(r.payload(j + 1))
+          sb += java.lang.Byte.toUnsignedInt(r.payload(j + 2))
+          j += 3; k += 1
+        }
+        PpmMeta(r.doc_id, r.media_type, r.payload.length.toLong, hex,
+          hd.width, hd.height, hd.maxval,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
     }
   }
 
@@ -86,33 +197,32 @@ object Multimodal {
   case class ResizedMedia(doc_id: Long, media_type: String,
       payload: Array[Byte], orig_bytes: Long)
 
-  /** Resize stub: deterministic byte decimation to a bounded payload size
-    * (a real implementation would rescale pixels here — the plumbing that
-    * matters at scale is identical: bounded output rows, per-partition
-    * streaming, original size kept for provenance).
+  /** REAL image resize: each PPM payload is decoded and nearest-neighbor
+    * resampled to (max(width/denom, 1), max(height/denom, 1)), emitting a
+    * valid PPM that round-trips through [[extractPpmMeta]]. Per-partition
+    * streaming, bounded output rows, original size kept for provenance —
+    * the plumbing a thumbnailing stage needs at scale, with the pixel work
+    * genuinely performed.
     */
-  def resizeStub(spark: SparkSession, media: DataFrame,
-      maxBytes: Int): Dataset[ResizedMedia] = {
+  def resizePpm(spark: SparkSession, media: DataFrame,
+      denom: Int = 2): Dataset[ResizedMedia] = {
     import spark.implicits._
-    require(maxBytes > 0)
+    require(denom > 0)
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        val n = r.payload.length
-        val out =
-          if (n <= maxBytes) r.payload
-          else {
-            val stride = math.ceil(n.toDouble / maxBytes).toInt
-            Array.tabulate((n + stride - 1) / stride)(i => r.payload(i * stride))
-          }
-        ResizedMedia(r.doc_id, r.media_type, out, n.toLong)
+        val hd = PpmCodec.parseHeader(r.payload)
+        val nw = math.max(hd.width / denom, 1)
+        val nh = math.max(hd.height / denom, 1)
+        ResizedMedia(r.doc_id, r.media_type,
+          PpmCodec.resizeNearest(r.payload, nw, nh), r.payload.length.toLong)
       }
     }
   }
 
-  /** Frame sampling stub: split a payload into fixed-size "frames" and keep
+  /** Frame sampling: split a payload into fixed-size "frames" and keep
     * every `stride`-th one — the plumbing (explode to one row per frame,
     * frame index, bounded frame size) is what a video pipeline needs; the
-    * "frame" content is just the byte slice.
+    * "frame" content is the byte slice.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     media.select(col("doc_id"), posexplode(expr(

@@ -295,14 +295,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.map(_.toString).sorted === b.map(_.toString).sorted)
   }
 
-  test("multimodal metadata matches payload bytes") {
-    val meta = Multimodal.extractMeta(spark,
-      Multimodal.asMedia(docs, "doc_id", "text"))
+  test("PPM decode reads genuine dimensions and channel means from bytes") {
+    val meta = Multimodal.extractPpmMeta(spark,
+      Multimodal.asPpm(docs, "doc_id", "text"))
     val row = meta.filter(_.doc_id == 0L).head()
-    val text = docs.filter(col("doc_id") === 0).head().getAs[String]("text")
-    assert(row.n_bytes === text.getBytes("UTF-8").length.toLong)
+    // doc 0: width = 4 + 0 % 13, height = 3 + 0 % 7 — decoded, not assumed
+    assert(row.width === 4 && row.height === 3 && row.maxval === 255)
+    assert(row.n_bytes === "P6\n4 3\n255\n".length + 4 * 3 * 3)
     assert(row.sha256.length === 64)
-    assert(row.stub_width >= 16 && row.stub_height >= 16)
+    // ASCII raster: every channel mean is a printable-byte average
+    assert(row.mean_r >= 32.0 && row.mean_r < 127.0)
+    // the decoder is a REAL parser: corrupt magic must be rejected
+    val bad = "P5\n4 3\n255\n".getBytes ++ Array.fill(36)(65.toByte)
+    assertThrows[IllegalArgumentException](
+      Multimodal.PpmCodec.parseHeader(bad))
+    // header comments (netpbm spec) are honored
+    val commented = "P6\n# a comment\n2 2\n255\n".getBytes ++
+      Array.fill(12)(66.toByte)
+    val hd = Multimodal.PpmCodec.parseHeader(commented)
+    assert(hd.width === 2 && hd.height === 2)
   }
 
   test("curation pipeline composes lang + quality + dedup into one verdict") {
@@ -347,15 +358,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(topk.count() === queries.count() * 5)
   }
 
-  test("resize stub bounds payloads and keeps small ones intact") {
+  test("PPM resize halves dimensions and round-trips through the decoder") {
     import graft.llm.Multimodal
-    val media = Multimodal.asMedia(docs, "doc_id", "text")
-    val resized = Multimodal.resizeStub(spark, media, maxBytes = 64)
-    val rows = resized.collect()
-    assert(rows.forall(_.payload.length <= 64))
-    assert(rows.forall(r => r.orig_bytes >= r.payload.length))
-    val small = Multimodal.resizeStub(spark, media, maxBytes = 1 << 20).collect()
-    assert(small.forall(r => r.payload.length.toLong == r.orig_bytes))
+    val media = Multimodal.asPpm(docs, "doc_id", "text")
+    val orig = Multimodal.extractPpmMeta(spark, media).collect()
+      .map(m => m.doc_id -> m).toMap
+    val resized = Multimodal.resizePpm(spark, media, denom = 2).toDF()
+      .select(col("doc_id"), col("media_type"), col("payload"))
+    val meta = Multimodal.extractPpmMeta(spark, resized).collect()
+    assert(meta.length === orig.size)
+    meta.foreach { m =>
+      val o = orig(m.doc_id)
+      assert(m.width === math.max(o.width / 2, 1), s"doc ${m.doc_id}")
+      assert(m.height === math.max(o.height / 2, 1), s"doc ${m.doc_id}")
+      // every resized byte is a genuine source pixel: a constant-channel
+      // bound survives resampling (means stay within the original range)
+      assert(m.mean_r >= 32.0 && m.mean_r < 127.0)
+      assert(m.n_bytes < o.n_bytes)
+    }
   }
 
   test("frame sampling keeps every stride-th frame with bounded size") {
