@@ -28,6 +28,18 @@ object LlmQueries {
       Dedup.jaccardPairs(Dedup.shingles(docs(s, dir), "doc_id", "text", 3), 0.6)
     },
 
+    // the d02 inverted-index join WITH the stop-shingle skew guard ON:
+    // shingles in more than autoShingleDocFreqCap(n) documents are dropped
+    // before the join (they cost O(df^2) candidate rows each and buy no
+    // precision), and Jaccard is computed exactly over the PRUNED shingle
+    // universe — which the oracle reproduces with the same cap, so the
+    // 100 TB skew path is hash-verified instead of merely documented
+    "d10_dedup_jaccard_guarded" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.jaccardPairs(Dedup.shingles(d, "doc_id", "text", 3), 0.6,
+        maxShingleDocFreq = Some(Dedup.autoShingleDocFreqCap(d.count())))
+    },
+
     // MinHash+LSH with exact-Jaccard verification: candidates via banding,
     // recall ~1 at the 0.6 threshold => output equals the exact d02 result
     "d03_dedup_minhash_lsh" -> { (s, dir) =>
@@ -442,6 +454,30 @@ object LlmQueries {
          FROM documents GROUP BY text ORDER BY keep_id""",
 
     "d02_dedup_ngram_jaccard" -> jaccardOracle,
+
+    // d02 with the stop-shingle guard: identical pipeline, but shingles
+    // with doc-frequency above the corpus-derived cap are dropped before
+    // the join and Jaccard is exact over the pruned universe
+    "d10_dedup_jaccard_guarded" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                        WHERE len(string_split(text, ' ')) >= 3),
+         sh0 AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM words),
+         keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+                  HAVING count(*) <= greatest(4, CAST(ceil(0.01 *
+                    (SELECT count(*) FROM documents)) AS BIGINT))),
+         sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+       SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+       ORDER BY a_id, b_id""",
     "d03_dedup_minhash_lsh" -> jaccardOracle,
     "d04_dedup_simhash" -> jaccardOracle,
 

@@ -97,6 +97,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"),
         sort_array(collect_list(col(idCol))).as("ids"))
 
+  /** Default stop-shingle cap for [[jaccardPairs]]'s `maxShingleDocFreq`,
+    * derived from corpus size: a shingle present in more than 1% of
+    * documents (floor 4) is boilerplate — it contributes candidate PAIRS
+    * quadratically (a shingle shared by d docs expands to d(d-1)/2 join
+    * rows) but almost no precision, the classic stop-word argument
+    * applied to the inverted-index join. At 100 TB this cap is what keeps
+    * a single "the the the" key from turning the self-join quadratic;
+    * the d10 gate runs WITH the cap and its oracle prunes identically,
+    * so the guarded path is hash-verified, not just benchmarked.
+    */
+  def autoShingleDocFreqCap(nDocs: Long): Long =
+    math.max(4L, math.ceil(nDocs * 0.01).toLong)
+
   /** Exact n-gram Jaccard similarity >= threshold, via inverted-index join.
     * Output: (a_id, b_id, jaccard) with a_id < b_id.
     * `maxShingleDocFreq`: optionally drop shingles present in more than N

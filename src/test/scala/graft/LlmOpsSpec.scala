@@ -172,6 +172,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(11L) === 0.0)
   }
 
+  test("stop-shingle guard bounds inverted-index candidates and stays " +
+      "exact on the pruned universe") {
+    import spark.implicits._
+    // 60 docs sharing one boilerplate trigram + all-unique tails: without
+    // the guard the shared shingle ALONE contributes C(60,2) = 1770 join
+    // pairs — the quadratic single-key blowup that kills the join at scale
+    val n = 60
+    val corpus = (0 until n).map { i =>
+      (i.toLong, s"common boiler plate u${i}a u${i}b u${i}c u${i}d")
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+    val cap = Dedup.autoShingleDocFreqCap(n)
+    def candidatePairs(s: org.apache.spark.sql.DataFrame) = {
+      val a = s.select(col("doc_id").as("a_id"), col("shingle"))
+      val b = s.select(col("doc_id").as("b_id"), col("shingle"))
+      a.join(b, "shingle").filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct().count()
+    }
+    val unguarded = candidatePairs(sh)
+    val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("shingle")
+    val guarded = candidatePairs(sh.join(keep, "shingle"))
+    assert(unguarded >= n.toLong * (n - 1) / 2, s"unguarded=$unguarded")
+    assert(guarded === 0, s"guarded=$guarded")
+    // operator semantics: exact Jaccard over the pruned universe — the
+    // boilerplate-only overlaps vanish entirely...
+    assert(Dedup.jaccardPairs(sh, 0.3, Some(cap)).count() === 0)
+    // ...while genuine near-dups (doc-specific shingles) still surface
+    val nd = corpus.union(Seq(
+      (1000L, "x1 x2 x3 x4 x5 x6"),
+      (1001L, "x1 x2 x3 x4 x5 zz")).toDF("doc_id", "text"))
+    val out = Dedup.jaccardPairs(Dedup.shingles(nd, "doc_id", "text", 3),
+        0.3, Some(Dedup.autoShingleDocFreqCap(n + 2L))).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1000L, 1001L)))
+  }
+
   test("exact dedup groups cover all documents") {
     val g = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
     assert(g.agg(sum(col("n_copies"))).head().getLong(0) === docs.count())
