@@ -453,18 +453,30 @@ object Dedup {
     * never emitted as a pair).
     *
     * Scale shape: each round is one edges-⋈-labels join + a min
-    * aggregation — all equality shuffles, no driver-side graph. Rounds
-    * needed = component diameter; near-dup components are tiny cliques /
-    * short chains, so a handful of rounds converges (the round cap guards
-    * pathological chains; the large-star/small-star contraction of
-    * Kiveris et al. is the drop-in upgrade if diameters ever grow).
-    * Labels are localCheckpointed per round: iterative self-joins
-    * otherwise stack exponentially-growing lineage. Convergence is
-    * detected with one count per round (changed labels).
+    * aggregation — all equality shuffles, no driver-side graph. Labels
+    * are localCheckpointed per round: iterative self-joins otherwise
+    * stack exponentially-growing lineage. Convergence detection rides
+    * INSIDE the same materializing job via `observe()` (a CollectMetrics
+    * sum of changed labels) — no separate count() job per round.
+    *
+    * Rounds needed: component diameter with `shortcut = false` (fine for
+    * the tiny cliques/short chains near-dup graphs produce), or
+    * O(log diameter) with `shortcut = true`, which adds one
+    * pointer-doubling self-join per round (label(v) := label(label(v)),
+    * the path-halving of Shiloach-Vishkin / the star-contraction family
+    * of Kiveris et al.) — the right trade on long-chain graphs, and the
+    * output is identical either way.
     * Output: (id, component) for every vertex in `vertices`.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxRounds: Int = 15): DataFrame = {
+      maxRounds: Int = 30, shortcut: Boolean = false): DataFrame =
+    connectedComponentsWithStats(vertices, edges, maxRounds, shortcut)._1
+
+  /** [[connectedComponents]] plus the number of rounds actually run —
+    * the observable the convergence specs assert on.
+    */
+  def connectedComponentsWithStats(vertices: DataFrame, edges: DataFrame,
+      maxRounds: Int = 30, shortcut: Boolean = false): (DataFrame, Int) = {
     val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
     var labels = vertices.select(col("id"), col("id").as("component"))
@@ -476,17 +488,31 @@ object Dedup {
       val viaNeighbor = sym
         .join(labels.withColumnRenamed("id", "u"), "u")
         .select(col("v").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+      val propagated = labels.select(col("id"), col("component"))
         .union(viaNeighbor)
         .groupBy("id").agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      // pointer doubling: follow the label's own label one hop, halving
+      // chain depth per round (left join: a label that is already a
+      // component root maps to itself)
+      val jumped = if (shortcut) {
+        val parent = propagated
+          .select(col("id").as("component"), col("component").as("jump"))
+        propagated.join(parent, Seq("component"), "left")
+          .select(col("id"),
+            coalesce(col("jump"), col("component")).as("component"))
+      } else propagated
+      val obs = org.apache.spark.sql.Observation()
+      labels = jumped
+        .join(labels.withColumnRenamed("component", "old"), "id")
+        .select(col("id"), col("component"),
+          (col("component") =!= col("old")).cast("long").as("chg"))
+        .observe(obs, coalesce(sum(col("chg")), lit(0L)).as("changed"))
+        .select("id", "component")
+        .localCheckpoint(true) // the one job of the round; fires the metric
+      converged = obs.get("changed") == 0L
       round += 1
     }
-    labels
+    (labels, round)
   }
 
   /** Near-duplicate CLUSTERS of a document corpus: MinHash+LSH pairs →

@@ -141,6 +141,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("connected components run ONE Spark job per round (observe-fused " +
+      "convergence) and pointer doubling collapses a chain of 100 in " +
+      "O(log n) rounds") {
+    import spark.implicits._
+    val n = 100
+    val vertices = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("a_id", "b_id")
+    // count ACTIONS (query executions), not Spark jobs: AQE legitimately
+    // splits one action into several jobs, but a separate per-round
+    // convergence count() would show up as an extra execution
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet(): Unit
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (labels, rounds) = Dedup.connectedComponentsWithStats(
+        vertices, edges, maxRounds = 30, shortcut = true)
+      val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(cc.forall(_._2 == 0L), "chain must collapse to component 0")
+      assert(cc.length === n)
+      // min-label alone needs diameter (99) rounds; path halving needs
+      // ~log2(99). Allow slack for the final no-change round.
+      assert(rounds <= 12, s"pointer doubling did not engage: $rounds rounds")
+      // listener delivery is async; give the bus a moment to drain
+      Thread.sleep(1500)
+      // one materializing action per round + the initial label checkpoint
+      // + the final collect (convergence must NOT cost a count() action)
+      assert(actions.get() <= rounds + 2,
+        s"${actions.get()} actions for $rounds rounds — convergence not fused")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("duplicate clusters keep exactly one representative per component") {
     val clusters = Dedup.duplicateClusters(docs, "doc_id", "text", 0.6)
     assert(clusters.count() === docs.count())
