@@ -11,13 +11,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Representative, scale-meaningful subset of the query surface:
-    * heavy aggregation, multi-join, window, dedup, ANN, optimizer path. */
+    * heavy aggregation, multi-join, window, dedup (incl. the blocked
+    * embedding all-pairs and cluster formation — the heaviest LLM paths),
+    * temporal joins, SCD2 merge, ANN, optimizer path. */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q02_flagship_spj", "q03_topk_revenue",
     "q04_semijoin_exists", "q07_left_join_hist", "q12_distinct_on",
     "q25_window_rank", "q30_count_distinct", "q40_events_hourly",
     "q41_events_sessions", "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
-    "s01_ann_topk", "t01_lang_id", "t03_token_count", "opt01_ues_flagship")
+    "d05_dedup_embedding", "d07_dup_clusters", "j01_asof_join",
+    "w01_scd2_merge", "s01_ann_topk", "t01_lang_id", "t03_token_count",
+    "opt01_ues_flagship")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -15,6 +15,38 @@ object LlmQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Staging directory for the streaming gates: the file stream source
+    * requires a DIRECTORY, so the single events file is copied into one.
+    * Keyed by the data fingerprint (like the b01/z01 artifacts) so
+    * repeated invocations — verify, five bench reps — stage zero new
+    * bytes and nothing leaks per run (the previous per-invocation
+    * createTempDirectory left one copied parquet behind every call:
+    * deleteOnExit removes only empty directories). A regenerated fixture
+    * gets a fresh tag; stale tags are swept. The copy lands under a temp
+    * name and is atomically moved, so an interrupted run never leaves a
+    * torn file a later run would stream from.
+    */
+  private def stagedEventsDir(dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = System.getProperty("java.io.tmpdir")
+    val tag = Tables.dataFingerprint(dir)
+    val staged = new java.io.File(s"$tmp/graft_stream_$tag")
+    val dst = new java.io.File(staged, "events.parquet")
+    if (!dst.exists()) {
+      Relational.staleArtifactSweep(new java.io.File(tmp), "graft_stream_", tag)
+      staged.mkdirs()
+      val t = Files.createTempFile(staged.toPath, "events", ".tmp")
+      Files.copy(Paths.get(s"$dir/events.parquet"), t,
+        StandardCopyOption.REPLACE_EXISTING)
+      try Files.move(t, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(t): Unit // lost a benign race: reuse theirs
+      }
+    }
+    staged.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup groups (hash-groupBy on content digest)
     "d01_dedup_exact" -> { (s, dir) =>
@@ -236,12 +268,8 @@ object LlmQueries {
       import org.apache.spark.sql.streaming.Trigger
       // the file stream source requires a directory: stage the single
       // events file into one
-      val staged = java.nio.file.Files.createTempDirectory("graft_st01")
-      staged.toFile.deleteOnExit()
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"))
-      val stream = graft.streaming.EventOps.readEventStream(s, staged.toString)
+      val stream = graft.streaming.EventOps.readEventStream(s,
+        stagedEventsDir(dir))
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -284,12 +312,8 @@ object LlmQueries {
     // gaps-and-islands SQL.
     "st02_stream_sessions" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
-      val staged = java.nio.file.Files.createTempDirectory("graft_st02")
-      staged.toFile.deleteOnExit()
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"))
-      val stream = graft.streaming.EventOps.readEventStream(s, staged.toString)
+      val stream = graft.streaming.EventOps.readEventStream(s,
+        stagedEventsDir(dir))
       val sessions = graft.streaming.EventOps
         .sessionizeWithState(stream, gapMinutes = 30, watermark = "87600 hours")
         .toDF()
@@ -313,12 +337,8 @@ object LlmQueries {
     // join — which the DuckDB oracle expresses directly.
     "st03_stream_interval_join" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
-      val staged = java.nio.file.Files.createTempDirectory("graft_st03")
-      staged.toFile.deleteOnExit()
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"))
-      val stream = graft.streaming.EventOps.readEventStream(s, staged.toString)
+      val stream = graft.streaming.EventOps.readEventStream(s,
+        stagedEventsDir(dir))
       val joined = graft.streaming.EventOps.correlateEvents(stream,
         "signup", "purchase", withinMinutes = 15, watermark = "87600 hours")
       val qname = s"st03_out_${System.nanoTime()}"
@@ -339,12 +359,8 @@ object LlmQueries {
     // which the DuckDB oracle states directly
     "st04_stream_dedup" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
-      val staged = java.nio.file.Files.createTempDirectory("graft_st04")
-      staged.toFile.deleteOnExit()
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"))
-      val stream = graft.streaming.EventOps.readEventStream(s, staged.toString)
+      val stream = graft.streaming.EventOps.readEventStream(s,
+        stagedEventsDir(dir))
       val dedup = graft.streaming.EventOps.dedupeWithinWatermark(
           stream.select(col("ts"), col("user_id"), col("event_type")),
           watermark = "87600 hours", keys = Seq("user_id", "event_type"))
@@ -367,12 +383,8 @@ object LlmQueries {
     // which the DuckDB oracle states directly.
     "st05_stream_static_join" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
-      val staged = java.nio.file.Files.createTempDirectory("graft_st05")
-      staged.toFile.deleteOnExit()
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"))
-      val stream = graft.streaming.EventOps.readEventStream(s, staged.toString)
+      val stream = graft.streaming.EventOps.readEventStream(s,
+        stagedEventsDir(dir))
       val dim = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val enriched = graft.streaming.EventOps

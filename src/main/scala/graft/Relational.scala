@@ -24,7 +24,7 @@ object Relational {
     * data fingerprint in java.io.tmpdir. Best-effort: artifact hygiene
     * must never fail a gate query.
     */
-  private def staleArtifactSweep(root: java.io.File, prefix: String,
+  private[graft] def staleArtifactSweep(root: java.io.File, prefix: String,
       keepTag: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)

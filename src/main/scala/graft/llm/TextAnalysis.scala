@@ -260,6 +260,14 @@ object TextAnalysis {
     * integer-valued so it can be oracle-pinned. Computed entirely in-row
     * (one filter per bucket over the char array — no explode, no
     * shuffle). Output: (doc_id, b0..b7).
+    *
+    * Unicode caveat: splitting on the empty pattern iterates UTF-16 code
+    * UNITS, so a non-BMP character (outside U+0000..U+FFFF) counts as two
+    * surrogates, where a codepoint-iterating engine counts one. The
+    * operator therefore assumes BMP text (the fixtures are ASCII); for
+    * byte-exact histograms on arbitrary input, histogram the UTF-8 BYTES
+    * instead (encode + the Multimodal.extractFeatures approach), which
+    * every engine agrees on.
     */
   def charClassHistogram(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {

@@ -33,11 +33,20 @@ object Scd2 {
     val open = current.filter(col(validTo).isNull)
     val closedHistory = current.filter(col(validTo).isNotNull)
 
+    // one update row per key, ENFORCED: duplicate keys in `updates` would
+    // fan the full-outer join out and yield multiple open rows (violating
+    // the one-open-row invariant), so collapse to the latest effTs first
+    // — max over a (effTs, attrs...) struct gives a deterministic winner
+    // even when effTs ties
+    val dedupedU = updates
+      .groupBy(col(key))
+      .agg(max(struct((Seq(effTs) ++ attrs).map(col): _*)).as("__u"))
+      .select(col(key) +: (attrs :+ effTs).map(a => col(s"__u.$a").as(a)): _*)
     // updates that actually change an attribute of the key's open row
     // (null-safe comparison: NULL -> value and value -> NULL both count);
     // updates for keys absent from the dimension are inserts
     val renamedU = attrs.foldLeft(
-      updates.select(col(key) +: (attrs :+ effTs).map(col): _*)
+      dedupedU.select(col(key) +: (attrs :+ effTs).map(col): _*)
         .withColumnRenamed(key, "__k")) {
       (d, a) => d.withColumnRenamed(a, s"__u_$a")
     }

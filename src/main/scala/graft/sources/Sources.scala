@@ -85,6 +85,13 @@ object Sources {
       numFiles: Int): Unit = {
     val b = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    // empty input / all-null cluster columns: bounds are undefined — no
+    // meaningful interleave exists, so fall back to a plain layout
+    // instead of dying on a null aggregate
+    if ((0 to 3).exists(b.isNullAt)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val z = zorderValue(bucket16(col(colA), b.getDouble(0), b.getDouble(1)),
       bucket16(col(colB), b.getDouble(2), b.getDouble(3)))
     df.withColumn("__z", z)

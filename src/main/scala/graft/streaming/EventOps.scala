@@ -74,15 +74,22 @@ object EventOps {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Stream-static join: enrich a stream with a batch dimension. The
-    * static side is planned per micro-batch as an ordinary equi-join —
-    * broadcast when small (the common case: a dimension vs an unbounded
-    * stream), so the stream never shuffles for the enrichment. No state,
-    * no watermark needed: the join itself is stateless because the static
-    * side is fully known at every batch.
+    * static side is planned per micro-batch as an ordinary equi-join. No
+    * state, no watermark needed: the join itself is stateless because the
+    * static side is fully known at every batch.
+    *
+    * `broadcastDim` (default true — the common case is a small dimension
+    * vs an unbounded stream, and broadcasting means the stream never
+    * shuffles for the enrichment) must be set FALSE for a large static
+    * side: a forced broadcast of a big dimension OOMs the driver instead
+    * of falling back, whereas without the hint the per-batch planner/AQE
+    * picks a shuffled join on its own.
     */
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
-      streamKey: String, dimKey: String): DataFrame =
-    stream.join(broadcast(dim), col(streamKey) === col(dimKey))
+      streamKey: String, dimKey: String,
+      broadcastDim: Boolean = true): DataFrame =
+    stream.join(if (broadcastDim) broadcast(dim) else dim,
+      col(streamKey) === col(dimKey))
 
   /** Per-user running counters via typed stateful processing
     * (KeyValueGroupedDataset.mapGroupsWithState is the custom-state escape

@@ -63,6 +63,25 @@ class Scd2Spec extends SparkSpec {
     assert(merged.count() === 6)
   }
 
+  test("scd2 merge: duplicate update rows per key collapse to the latest " +
+      "effTs — one-open-row invariant holds") {
+    val dupUpd = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "gold", ts("2022-01-01")),
+        Row(1L, "platinum", ts("2022-06-01")), // later: must win
+        Row(9L, "new", ts("2022-03-01")),
+        Row(9L, "new2", ts("2022-02-01"))),    // earlier: must lose
+      updSchema)
+    val out = Scd2.merge(dim, dupUpd, "k", Seq("attr"))
+    val open = out.filter(col("valid_to").isNull)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exactly one open row per key, carrying the latest update's attrs
+    assert(out.filter(col("valid_to").isNull).groupBy("k").count()
+      .filter(col("count") > 1).count() === 0)
+    assert(open(1L) === "platinum")
+    assert(open(9L) === "new")
+  }
+
   test("scd2 merge: idempotent when re-applied with the same updates") {
     val once = Scd2.merge(dim, upd, "k", Seq("attr"))
     val twice = Scd2.merge(once, upd, "k", Seq("attr"))

@@ -18,6 +18,21 @@ class ZOrderSpec extends SparkSpec {
     }.get
   }
 
+  test("z-order write survives empty input and all-null cluster columns") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zempty").toString
+    // empty input: undefined bounds must fall back to a plain write
+    val empty = Seq.empty[(Long, Long, Double)]
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+    Sources.writeZOrdered(empty, s"$tmp/empty", "l_orderkey", "l_partkey", 4)
+    assert(spark.read.parquet(s"$tmp/empty").count() === 0)
+    // all-null cluster column: same fallback, rows preserved
+    val nulls = Seq((1L, 2.0), (2L, 3.0)).toDF("l_orderkey", "price")
+      .withColumn("l_partkey", lit(null).cast("bigint"))
+    Sources.writeZOrdered(nulls, s"$tmp/nulls", "l_orderkey", "l_partkey", 4)
+    assert(spark.read.parquet(s"$tmp/nulls").count() === 2)
+  }
+
   test("z-order layout preserves content and skips on the non-sort dimension") {
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
