@@ -279,8 +279,39 @@ object OptQueries {
         joinOrder = Some(new UESJoinOrderOptimizer),
         operators = Some(new UESOperatorSelection),
         stats = statsFor(s, dir)).optimize(jobSql("q03_10way_order_pair"))
+    },
+
+    // CEB template-GENERATED workload through the full UES pipeline: 12
+    // queries instantiated from the 3 in-repo YAML templates (weighted /
+    // uniform / IN / LIKE slots, fixed seed), each optimized and enforced,
+    // results unioned under their generated labels. The oracle runs the
+    // BYTE-IDENTICAL generated SQL natively in DuckDB — so both the
+    // generator's determinism and the "plan changes never change answers"
+    // invariant are hash-checked on queries no human wrote
+    "g01_ceb_generated" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      Tables.registerAll(s, dir)
+      val pipeline = new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer),
+        operators = Some(new UESOperatorSelection),
+        stats = statsFor(s, dir))
+      cebWorkload.map { case (label, sql) =>
+        pipeline.optimize(sql).select(lit(label).as("label"), col("n"))
+      }.reduce(_.unionAll(_)).orderBy("label")
     }
   )
+
+  /** CEB-generated workload, deterministic in (templates, seed): built
+    * once and shared by the g01 gate query AND its oracle, so both
+    * engines run byte-identical SQL. The gate templates use list-typed
+    * predicates only — the oracle string is assembled without a
+    * SparkSession; the sql-typed candidate path (live candidate queries
+    * with dependencies) is exercised in CebSpec.
+    */
+  private lazy val cebWorkload: Seq[(String, String)] =
+    graft.bench.Ceb.generateWorkload(
+      graft.bench.Ceb.templatesFromDirectory(s"$workloadsRoot/ceb"),
+      queriesPerTemplate = 4, seed = 20260812L)
 
   private val sharedKeySql =
     """SELECT n_name, count(*) AS c FROM nation, supplier, customer
@@ -349,6 +380,12 @@ object OptQueries {
                 (SELECT count(DISTINCT o_orderstatus) FROM orders)""",
     "opt19_ues_job_10way" -> jobSql("q03_10way_order_pair"),
     "opt20_adaptive_reopt" -> flagshipSql,
-    "opt21_ues_stack_funnel" -> stackSql("q01_funnel_3step")
+    "opt21_ues_stack_funnel" -> stackSql("q01_funnel_3step"),
+
+    // the generated queries, verbatim, labeled and unioned — DuckDB runs
+    // exactly what the Spark pipeline optimized
+    "g01_ceb_generated" -> cebWorkload.map { case (label, sql) =>
+      s"SELECT '$label' AS label, n FROM ($sql) AS ${label.replace('-', '_')}"
+    }.mkString("", " UNION ALL ", " ORDER BY label")
   )
 }
