@@ -281,6 +281,36 @@ object OptQueries {
         stats = statsFor(s, dir)).optimize(jobSql("q03_10way_order_pair"))
     },
 
+    // TrainingDataRepository warm start: execute natively ONCE, harvest
+    // per-join (path, operator, actual-rows) samples from the executed
+    // plan's SQLMetrics, persist them to the parquet-backed repository,
+    // then reload into a FRESH repository + FRESH QEP-S trie (no state
+    // shared with the learning run — the new-JVM contract) and steer the
+    // same query through TONIC backed only by the reloaded corpus.
+    // Warm-started steering must preserve answers, which the flagship
+    // oracle checks
+    "tr01_training_warmstart" -> { (s, dir) =>
+      import graft.train.{TrainingDataRepository, TrainingHarvest}
+      Tables.registerAll(s, dir)
+      val executed = s.sql(flagshipSql)
+      executed.collect() // fill SQLMetrics: the harvest reads actual rows
+      val data = TrainingHarvest.fromExecution(s, "flagship", flagshipSql,
+        executed, runtimeMs = 0.0)
+        .getOrElse(throw new IllegalStateException("no joins harvested"))
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_train_${Tables.dataFingerprint(dir)}"
+      new TrainingDataRepository(s, root).register("flagship", data)
+      val corpus = new TrainingDataRepository(s, root)
+        .retrieveMerged(TrainingHarvest.tonicSpec)
+        .getOrElse(throw new IllegalStateException("repository empty"))
+      val warm = new TonicOperatorSelection(
+        TrainingHarvest.warmStartTonic(corpus))
+      new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer),
+        operators = Some(warm),
+        stats = statsFor(s, dir)).optimize(flagshipSql)
+    },
+
     // CEB template-GENERATED workload through the full UES pipeline: 12
     // queries instantiated from the 3 in-repo YAML templates (weighted /
     // uniform / IN / LIKE slots, fixed seed), each optimized and enforced,
@@ -381,6 +411,7 @@ object OptQueries {
     "opt19_ues_job_10way" -> jobSql("q03_10way_order_pair"),
     "opt20_adaptive_reopt" -> flagshipSql,
     "opt21_ues_stack_funnel" -> stackSql("q01_funnel_3step"),
+    "tr01_training_warmstart" -> flagshipSql,
 
     // the generated queries, verbatim, labeled and unioned — DuckDB runs
     // exactly what the Spark pipeline optimized

@@ -121,6 +121,37 @@ object QepSynopsis {
   }
 }
 
+/** Canonical QEP-S path construction, shared by the TONIC stage and the
+  * training-data harvester (graft.train) so persisted samples replay into
+  * a trie under EXACTLY the paths live learning would have used.
+  */
+private[graft] object TriePaths {
+
+  /** Canonical trie label of a branch: a scan is its table name, a join
+    * subtree its sorted table-set signature. */
+  def labelOf(t: JoinTree[Cardinality]): String = t match {
+    case ScanNode(tr, _) => tr.identifier
+    case j: JoinNode[Cardinality] =>
+      j.tableSet.toSeq.sorted.mkString("[", "+", "]")
+  }
+
+  /** Canonical trie path: outer spine labels, one per joined-in branch.
+    * For a left-deep tree this is exactly the table join order. */
+  def pathOf(tree: JoinTree[Cardinality]): Seq[String] = tree match {
+    case ScanNode(tr, _) => Seq(tr.identifier)
+    case JoinNode(outer, inner, _) => pathOf(outer) :+ labelOf(inner)
+  }
+
+  /** All join nodes, pre-order (node, then outer subtree, then inner) —
+    * the traversal order of physical joins in the compiled plan. */
+  def joinsPreOrder(t: JoinTree[Cardinality]): Seq[JoinNode[Cardinality]] =
+    t match {
+      case _: ScanNode[Cardinality] => Seq.empty
+      case j @ JoinNode(o, i, _) =>
+        j +: (joinsPreOrder(o) ++ joinsPreOrder(i))
+    }
+}
+
 /** Operator-selection stage backed by a QEP-S, with a fallback stage for
   * unseen prefixes, and online learning from executed plans (the
   * learn_from_feedback hook of the reference's stage taxonomy,
@@ -145,29 +176,7 @@ final class TonicOperatorSelection(val synopsis: QepSynopsis,
   def describe: String =
     s"""{"name":"tonic","synopsis_nodes":${synopsis.size},"fallback":${fallback.describe}}"""
 
-  /** Canonical trie label of a branch: a scan is its table name, a join
-    * subtree its sorted table-set signature. */
-  private def labelOf(t: JoinTree[Cardinality]): String = t match {
-    case ScanNode(tr, _) => tr.identifier
-    case j: JoinNode[Cardinality] =>
-      j.tableSet.toSeq.sorted.mkString("[", "+", "]")
-  }
-
-  /** Canonical trie path: outer spine labels, one per joined-in branch.
-    * For a left-deep tree this is exactly the table join order. */
-  private def pathOf(tree: JoinTree[Cardinality]): Seq[String] = tree match {
-    case ScanNode(tr, _) => Seq(tr.identifier)
-    case JoinNode(outer, inner, _) => pathOf(outer) :+ labelOf(inner)
-  }
-
-  /** All join nodes, pre-order (node, then outer subtree, then inner) —
-    * the traversal order of physical joins in the compiled plan. */
-  private def joinsPreOrder(t: JoinTree[Cardinality]): Seq[JoinNode[Cardinality]] =
-    t match {
-      case _: ScanNode[Cardinality] => Seq.empty
-      case j @ JoinNode(o, i, _) =>
-        j +: (joinsPreOrder(o) ++ joinsPreOrder(i))
-    }
+  import TriePaths.{labelOf, pathOf, joinsPreOrder}
 
   def selectPhysicalOperators(q: QueryFacade, graph: JoinGraph,
       joinOrder: Option[JoinTree[Cardinality]]): PhysicalOperatorAssignment = {

@@ -75,6 +75,14 @@ final class QueryPlanOps(df: DataFrame) {
         val name = s.relation.location.rootPaths.headOption
           .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
         Some(ScanNode(graft.core.TableRef(name), rowsOf(s)))
+      // AQE materializes exchanges as query stages that report NO
+      // children (`plan` holds the subtree) — without this case every
+      // joinTree under adaptive execution dies at the first stage
+      // boundary
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        walk(r.child)
       case other => other.children match {
         case Seq(only) => walk(only)
         case _ => None
