@@ -664,6 +664,24 @@ object Relational {
       GraftShims.ofRows(s, grouped).orderBy(col("c_mktsegment"))
     },
 
+    // SQL-text EMISSION in the gate (the reference's format_quick analog):
+    // a multi-join grouped-and-ordered query is parsed to a logical plan,
+    // rendered BACK to SQL text by SqlEmitter, and the emitted text is
+    // re-executed — and the oracle runs the SAME emitted dialect-neutral
+    // shape natively, so plan -> text -> execution is pinned end to end
+    "x05_sql_roundtrip" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val analyzedPlan = qal.QueryFacade(s,
+        """SELECT n_name, count(*) AS order_cnt,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM customer, orders, lineitem, nation
+           WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+             AND c_nationkey = n_nationkey
+             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           GROUP BY n_name ORDER BY n_name""").analyzed
+      s.sql(transforms.SqlEmitter.toSql(analyzedPlan))
+    },
+
     // §2.12 drop_hints IN THE GATE: a hinted plan stripped of its
     // ResolvedHint/JoinHint carriers must produce the unhinted answer
     "x02_drop_hints" -> { (s, dir) =>
@@ -1325,6 +1343,15 @@ object Relational {
     "x02_drop_hints" ->
       """SELECT s_name, n_name FROM supplier JOIN nation
          ON s_nationkey = n_nationkey ORDER BY s_name""",
+
+    "x05_sql_roundtrip" ->
+      """SELECT n_name, count(*) AS order_cnt,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND c_nationkey = n_nationkey
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name ORDER BY n_name""",
 
     "x03_move_into_subquery" ->
       """SELECT n_name, count(*) AS n FROM supplier, nation, region

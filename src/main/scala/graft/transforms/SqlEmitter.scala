@@ -1,0 +1,215 @@
+package graft.transforms
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** SQL-text emission for (possibly transformed) logical plans — the
+  * Spark-side analog of the reference's `format_quick` (/root/reference/
+  * postbound/qal/_formatter.py, used throughout transform.py and the
+  * hinting backends): every QAL tree there can be rendered back to SQL;
+  * here the transform library rewrites `LogicalPlan`s, and this emitter
+  * closes the loop so a rewritten plan can be diffed, logged, persisted,
+  * or re-executed AS TEXT by Spark or any ANSI engine.
+  *
+  * Coverage is the clause surface the QAL facade and transform library
+  * produce: SELECT/DISTINCT, FROM with inner/outer/cross join trees and
+  * aliased or derived relations, WHERE, GROUP BY (+HAVING), ORDER BY,
+  * LIMIT/OFFSET, and UNION/INTERSECT/EXCEPT (ALL). Anything else —
+  * window nodes, CTE containers, lateral/semi structures — throws
+  * `UnsupportedOperationException` naming the node, mirroring the
+  * reference's contract that formatting is defined for QAL trees only
+  * (not arbitrary engine plans). Expressions render through Catalyst's
+  * own `Expression.sql` with attributes re-qualified by their source
+  * alias, so self-joined relations stay unambiguous.
+  */
+object SqlEmitter {
+
+  def toSql(plan: LogicalPlan): String = new SqlEmitter().emitQuery(plan)
+}
+
+private final class SqlEmitter {
+
+  /** Synthetic derived-table aliases, deterministic per emission. */
+  private var subqueryCount = 0
+  private def nextSubAlias(): String = {
+    subqueryCount += 1
+    s"__sub$subqueryCount"
+  }
+
+  private def unsupported(p: LogicalPlan): Nothing =
+    throw new UnsupportedOperationException(
+      s"SQL emission does not cover ${p.getClass.getSimpleName} nodes")
+
+  def emitQuery(plan: LogicalPlan): String = plan match {
+    case GlobalLimit(l, LocalLimit(_, child)) =>
+      s"${emitQuery(child)} LIMIT ${l.sql}"
+    case Offset(o, child) =>
+      s"${emitQuery(child)} OFFSET ${o.sql}"
+    case Sort(order, true, child, _) =>
+      val aliases = aliasMap(child)
+      val by = order.map(o => renderExpr(o, aliases)).mkString(", ")
+      s"${emitQuery(child)} ORDER BY $by"
+    case Distinct(child) => emitSelect(child, distinct = true)
+    case u: Union =>
+      u.children.map(c => s"(${emitQuery(c)})")
+        .mkString(if (u.byName) unsupported(u) else " UNION ALL ")
+    case Intersect(l, r, isAll) =>
+      s"(${emitQuery(l)}) INTERSECT${if (isAll) " ALL" else ""} (${emitQuery(r)})"
+    case Except(l, r, isAll) =>
+      s"(${emitQuery(l)}) EXCEPT${if (isAll) " ALL" else ""} (${emitQuery(r)})"
+    case other => emitSelect(other, distinct = false)
+  }
+
+  /** The SELECT...FROM...WHERE...[GROUP BY...HAVING] block. */
+  private def emitSelect(plan: LogicalPlan, distinct: Boolean): String = {
+    val d = if (distinct) "DISTINCT " else ""
+    plan match {
+      case Project(exprs, child) =>
+        val aliases = aliasMap(child)
+        val items = exprs.map(e => renderExpr(e, aliases)).mkString(", ")
+        s"SELECT $d$items FROM ${emitFromWhere(child, aliases)}"
+      case Filter(having, agg: Aggregate) =>
+        emitAggregate(agg, Some(having), d)
+      case agg: Aggregate =>
+        emitAggregate(agg, None, d)
+      // bare join/filter root (e.g. after a projection-dropping transform)
+      case other =>
+        val aliases = aliasMap(other)
+        s"SELECT $d* FROM ${emitFromWhere(other, aliases)}"
+    }
+  }
+
+  private def emitAggregate(agg: Aggregate, having: Option[Expression],
+      distinct: String): String = {
+    val aliases = aliasMap(agg.child)
+    val items = agg.aggregateExpressions
+      .map(e => renderExpr(e, aliases)).mkString(", ")
+    val group =
+      if (agg.groupingExpressions.isEmpty) ""
+      else " GROUP BY " + agg.groupingExpressions
+        .map(e => renderExpr(e, aliases)).mkString(", ")
+    val hav = having.map(h => s" HAVING ${renderExpr(h, aliases)}").getOrElse("")
+    s"SELECT $distinct$items FROM ${emitFromWhere(agg.child, aliases)}$group$hav"
+  }
+
+  /** FROM clause body (+ WHERE when filters exist): renders the join tree
+    * under a query block. Filters directly above the join tree become the
+    * WHERE conjunction; filters on individual leaves stay inside derived
+    * subqueries only when the leaf itself is one.
+    */
+  private def emitFromWhere(plan: LogicalPlan,
+      aliases: Map[ExprId, Seq[String]]): String = {
+    val (fromPlan, wheres) = splitFilters(plan)
+    val from = emitRelation(fromPlan, aliases)
+    if (wheres.isEmpty) from
+    else s"$from WHERE ${wheres.map(w => renderExpr(w, aliases)).mkString(" AND ")}"
+  }
+
+  private def splitFilters(plan: LogicalPlan): (LogicalPlan, Seq[Expression]) =
+    plan match {
+      case Filter(c, child) =>
+        val (p, rest) = splitFilters(child)
+        (p, splitConjuncts(c) ++ rest)
+      case other => (other, Seq.empty)
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def joinKeyword(t: JoinType): String = t match {
+    case Inner => "JOIN"
+    case LeftOuter => "LEFT JOIN"
+    case RightOuter => "RIGHT JOIN"
+    case FullOuter => "FULL JOIN"
+    case Cross => "CROSS JOIN"
+    case other => throw new UnsupportedOperationException(
+      s"SQL emission does not cover $other joins")
+  }
+
+  private def emitRelation(plan: LogicalPlan,
+      aliases: Map[ExprId, Seq[String]]): String = plan match {
+    case Join(l, r, t, cond, _) =>
+      val left = emitRelation(l, aliases)
+      val right = emitRelation(r, aliases)
+      val on = cond.map(c => s" ON ${renderExpr(c, aliases)}").getOrElse(
+        t match {
+          case Inner | Cross => ""
+          case other => throw new UnsupportedOperationException(
+            s"$other join without condition")
+        })
+      val kw = cond match {
+        case None if t == Inner => "CROSS JOIN" // ANSI spelling of bare product
+        case _ => joinKeyword(t)
+      }
+      s"$left $kw $right$on"
+    // table AS alias (double wrap) or plain table
+    case SubqueryAlias(outer, SubqueryAlias(inner, _)) =>
+      if (outer.name == inner.name) quoted(inner.name)
+      else s"${quoted(inner.name)} AS ${quoted(outer.name)}"
+    case SubqueryAlias(id, child) if isLeafRelation(child) => quoted(id.name)
+    // derived table: a full subquery under an alias
+    case SubqueryAlias(id, child) =>
+      s"(${emitQuery(child)}) AS ${quoted(id.name)}"
+    // a bare query block in relation position (e.g. an aggregate built
+    // over a projected block by asCountStar): a derived table with a
+    // synthetic, deterministic alias
+    case p @ (_: Project | _: Aggregate | _: Distinct | _: GlobalLimit) =>
+      s"(${emitQuery(p)}) AS ${quoted(nextSubAlias())}"
+    case other => unsupported(other)
+  }
+
+  private def isLeafRelation(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode => true
+    // temp views analyze to SubqueryAlias(name, View(_, _, plan)) — the
+    // view is addressable by name, so it IS a base relation for emission
+    case v: View => true
+    case SubqueryAlias(_, child) => isLeafRelation(child)
+    case _ => false
+  }
+
+  private def quoted(name: String): String =
+    org.apache.spark.sql.catalyst.util.quoteIfNeeded(name)
+
+  /** Alias qualification for every attribute reachable from the FROM
+    * tree: exprId -> Seq(alias, column). Attributes outside the map
+    * (e.g. aggregate outputs referenced by ORDER BY) render unqualified.
+    */
+  private def aliasMap(plan: LogicalPlan): Map[ExprId, Seq[String]] = {
+    val m = Map.newBuilder[ExprId, Seq[String]]
+    def leafAlias(p: LogicalPlan): Option[String] = p match {
+      case SubqueryAlias(outer, _) => Some(outer.name)
+      case _ => None
+    }
+    def walk(p: LogicalPlan): Unit = p match {
+      case Join(l, r, _, _, _) => walk(l); walk(r)
+      case Filter(_, child) => walk(child)
+      case s @ SubqueryAlias(id, _) =>
+        s.output.foreach(a => m += a.exprId -> Seq(id.name, a.name))
+      case other =>
+        leafAlias(other).foreach { al =>
+          other.output.foreach(a => m += a.exprId -> Seq(al, a.name))
+        }
+    }
+    walk(plan)
+    m.result()
+  }
+
+  /** Render an expression as SQL, with source attributes re-qualified by
+    * their relation alias (Catalyst's own `.sql` leaves resolved
+    * attributes bare, which breaks self-joins).
+    */
+  private def renderExpr(e: Expression,
+      aliases: Map[ExprId, Seq[String]]): String = {
+    val requalified = e.transform {
+      case a: AttributeReference =>
+        aliases.get(a.exprId)
+          .map(parts => UnresolvedAttribute(parts): Expression)
+          .getOrElse(UnresolvedAttribute(Seq(a.name)))
+    }
+    requalified.sql
+  }
+}

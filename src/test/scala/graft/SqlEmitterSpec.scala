@@ -1,0 +1,87 @@
+package graft
+
+import graft.qal.QueryFacade
+import graft.transforms.{SqlEmitter, Transforms}
+
+/** SQL-text emission (the reference's format_quick analog): for every
+  * covered clause shape, parse -> emit -> re-execute must return the
+  * original query's results; transformed plans emit runnable text too;
+  * uncovered nodes fail loudly instead of emitting wrong SQL.
+  */
+class SqlEmitterSpec extends SparkSpec {
+
+  private def roundTrips(sql: String): Unit = {
+    Tables.registerAll(spark, sfDir)
+    val plan = QueryFacade(spark, sql).analyzed
+    val emitted = SqlEmitter.toSql(plan)
+    assert(sameResults(spark.sql(emitted), spark.sql(sql)),
+      s"round trip diverged.\noriginal: $sql\nemitted:  $emitted")
+  }
+
+  test("SPJ + aggregate + order round-trips") {
+    roundTrips(
+      """SELECT n_name, count(*) AS n FROM customer, orders, nation
+         WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey
+           AND o_totalprice < 100000
+         GROUP BY n_name ORDER BY n_name""")
+  }
+
+  test("self-join with aliases stays unambiguous") {
+    roundTrips(
+      """SELECT a.n_name, b.n_name AS other FROM nation a
+         JOIN nation b ON a.n_regionkey = b.n_regionkey
+         WHERE a.n_nationkey < b.n_nationkey
+         ORDER BY a.n_name, other""")
+  }
+
+  test("outer join, distinct, limit/offset, having round-trip") {
+    roundTrips(
+      """SELECT c_mktsegment, count(o_orderkey) AS n
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment HAVING count(o_orderkey) > 0
+         ORDER BY c_mktsegment""")
+    roundTrips("SELECT DISTINCT n_regionkey FROM nation ORDER BY n_regionkey")
+    roundTrips(
+      "SELECT s_name FROM supplier ORDER BY s_name LIMIT 5")
+  }
+
+  test("set operations and derived tables round-trip") {
+    roundTrips(
+      """(SELECT n_name FROM nation WHERE n_regionkey = 0)
+         UNION ALL (SELECT n_name FROM nation WHERE n_regionkey = 1)""")
+    roundTrips(
+      """SELECT n_name FROM nation WHERE n_regionkey < 3
+         INTERSECT SELECT n_name FROM nation WHERE n_regionkey > 1""")
+    roundTrips(
+      """SELECT t.n, r_name FROM
+           (SELECT n_regionkey AS k, count(*) AS n FROM nation GROUP BY n_regionkey) AS t
+         JOIN region ON t.k = r_regionkey ORDER BY r_name""")
+  }
+
+  test("transformed plans emit runnable SQL") {
+    Tables.registerAll(spark, sfDir)
+    val base = QueryFacade(spark,
+      """SELECT s_name, n_name FROM supplier, nation
+         WHERE s_nationkey = n_nationkey ORDER BY s_name""").analyzed
+    // drop the ORDER BY, re-emit, re-run: same rows, any order
+    val noSort = SqlEmitter.toSql(Transforms.dropOrderBy(base))
+    assert(!noSort.toUpperCase.contains("ORDER BY"))
+    assert(sameResults(spark.sql(noSort),
+      spark.sql("""SELECT s_name, n_name FROM supplier, nation
+                   WHERE s_nationkey = n_nationkey""")))
+    // count-star rewrite (on the sort-free block: ORDER BY under an
+    // aggregate is meaningless and the emitter refuses to bury it)
+    val counted = SqlEmitter.toSql(
+      Transforms.asCountStar(Transforms.dropOrderBy(base)))
+    assert(spark.sql(counted).head().getLong(0)
+      === spark.table("supplier").count())
+  }
+
+  test("uncovered nodes are rejected, not mis-emitted") {
+    Tables.registerAll(spark, sfDir)
+    val windowed = QueryFacade(spark,
+      """SELECT s_name, row_number() OVER (ORDER BY s_name) AS rn
+         FROM supplier""").analyzed
+    assertThrows[UnsupportedOperationException](SqlEmitter.toSql(windowed))
+  }
+}
