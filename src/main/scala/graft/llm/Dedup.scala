@@ -408,15 +408,20 @@ object Dedup {
     * essentially all pairs. Exact threshold-joins on gapless data are
     * inherently Θ(n²) comparisons; the scale question is only HOW those
     * comparisons are distributed. This operator answers it the standard
-    * way: hash each id into one of `numBlocks` blocks, materialize the
-    * (numBlocks·(numBlocks+1)/2) unordered block pairs as a tiny broadcast
-    * relation, and compute each doc pair exactly once inside an EQUALITY
-    * join keyed on the partner block — so the plan contains no
-    * CartesianProduct / BroadcastNestedLoopJoin, every task holds one
+    * way — the classic TRIANGLE join: hash each id into one of
+    * `numBlocks` blocks, materialize the (numBlocks·(numBlocks+1)/2)
+    * unordered block pairs as a tiny broadcast relation, replicate BOTH
+    * sides to their block pairs, and compute each doc pair exactly once
+    * inside an equality join on the COMPOSITE (ba, bb) key. The
+    * composite key matters at scale: joining on the partner block alone
+    * has only B distinct shuffle keys, so a 1000-executor cluster would
+    * run B tasks — pair keys give B(B+1)/2-way parallelism for a B-factor
+    * replication of the shuffle (the standard all-pairs trade; size B to
+    * the cluster, ~sqrt(2·parallelism)). The plan contains no
+    * CartesianProduct / BroadcastNestedLoopJoin; every task holds one
     * block-pair (n²/B² comparisons, B sized so a block fits in executor
-    * memory), and work is balanced across the cluster. For corpora with a
-    * genuine near-dup gap (cos ≥ ~0.9), [[embeddingNearDuplicatesLsh]] is
-    * the sub-quadratic route.
+    * memory). For corpora with a genuine near-dup gap (cos ≥ ~0.9),
+    * [[embeddingNearDuplicatesLsh]] is the sub-quadratic route.
     */
   def embeddingNearDuplicatesBlocked(emb: DataFrame, idCol: String,
       vecCol: String, threshold: Double, numBlocks: Int = 8): DataFrame = {
@@ -429,13 +434,14 @@ object Dedup {
       yield (i, j)).toDF("ba", "bb")
     val a = e.select(col("id").as("a_id"), col("v").as("va"),
       col("blk").as("ba"))
+      .join(broadcast(blockPairs), "ba") // replicate to partner pairs
     val b = e.select(col("id").as("b_id"), col("v").as("vb"),
       col("blk").as("bb"))
-    a.join(broadcast(blockPairs), "ba") // fan each row out to its partner blocks
-      .join(b, Seq("bb"))               // equality join on the partner block
+      .join(broadcast(blockPairs), "bb") // replicate to partner pairs
+    a.join(b, Seq("ba", "bb"))           // composite-key equality join
       // same-block pairs appear from both sides — keep one; cross-block
-      // pairs appear exactly once (only the lower block fans out to the
-      // higher one)
+      // pairs appear exactly once (each (ba, bb) cell pairs block ba's
+      // a-rows with block bb's b-rows only)
       .filter(col("ba") =!= col("bb") || col("a_id") < col("b_id"))
       .withColumn("cos_sim",
         graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")))

@@ -109,20 +109,22 @@ object Similarity {
     val planes = hyperplanes(numBands * rowsPerBand, d, seed)
     val v = col(vecCol).cast("array<double>")
     // one sign bit per plane (plane vector inlined as a literal array),
-    // packed into a per-band bucket id
+    // packed into a per-band bucket id. All buckets are computed in ONE
+    // projection: the earlier per-plane withColumn chain stacked
+    // numBands*rowsPerBand nested Projects, which serialized to
+    // multi-megabyte task binaries and pushed whole-stage codegen toward
+    // the JVM method-size cliff.
     val base = df.select(col(idCol).cast("bigint").as("id"), v.as("_v"))
-    val withBits = planes.zipWithIndex.foldLeft(base) { case (acc, (p, i)) =>
-      acc.withColumn(s"bit_$i",
-        when(expr(s"aggregate(zip_with(_v, array(${p.mkString(",")}), (x, y) -> x * y), 0D, (acc, q) -> acc + q)") > 0, 1L)
-          .otherwise(0L))
-    }
     val bands = (0 until numBands).map { b =>
-      val bucket = (0 until rowsPerBand)
-        .map(r => shiftleft(col(s"bit_${b * rowsPerBand + r}"), r))
-        .reduce(_.bitwiseOR(_))
+      val bucket = (0 until rowsPerBand).map { r =>
+        val p = planes(b * rowsPerBand + r)
+        val dot = expr(s"aggregate(zip_with(_v, array(${p.mkString(",")})," +
+          " (x, y) -> x * y), 0D, (acc, q) -> acc + q)")
+        when(dot > 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
-    withBits.select(col("id"), explode(array(bands: _*)).as("bb"))
+    base.select(col("id"), explode(array(bands: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
