@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline query surface (dedup, similarity search, text analysis,
-  * multimodal plumbing) over the `documents`/`embeddings` fixtures, with
-  * DuckDB oracles where the operator is SQL-expressible. Approximate
-  * operators (LSH ANN) are declared without oracle => rows-only check, and
-  * their recall is asserted against the exact path in ScalaTest instead.
+  * multimodal decode) over the `documents`/`embeddings` fixtures — every
+  * entry carries a DuckDB oracle. Approximate operators (LSH/IVF ANN) get
+  * HARD oracles by running over a planted gapped corpus where their recall
+  * is provably 1, so their output must equal the exact path (the same move
+  * d03 makes against the exact d02 Jaccard result).
   */
 object LlmQueries {
 

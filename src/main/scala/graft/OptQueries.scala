@@ -311,6 +311,35 @@ object OptQueries {
         stats = statsFor(s, dir)).optimize(flagshipSql)
     },
 
+    // BAO warm start from the training repository: the persisted corpus'
+    // per-intermediate ACTUAL cardinalities (not estimates) feed
+    // PreComputedCardinalities, and BAO-style selection costs its operator
+    // candidates with observed truth — the second learned stage the same
+    // persisted samples train. Steering with learned cardinalities must
+    // preserve answers (flagship oracle)
+    "tr02_training_bao" -> { (s, dir) =>
+      import graft.train.{TrainingDataRepository, TrainingHarvest}
+      import graft.train.{TrainingSpec => TSpec}
+      Tables.registerAll(s, dir)
+      val executed = s.sql(flagshipSql)
+      executed.collect()
+      val data = TrainingHarvest.fromExecution(s, "flagship", flagshipSql,
+        executed, runtimeMs = 0.0)
+        .getOrElse(throw new IllegalStateException("no joins harvested"))
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_train_${Tables.dataFingerprint(dir)}"
+      new TrainingDataRepository(s, root).register("flagship_bao", data)
+      val corpus = new TrainingDataRepository(s, root)
+        .retrieveMerged(TSpec(Seq(TrainingHarvest.TableSet,
+          graft.train.Training.CardinalityF)))
+        .getOrElse(throw new IllegalStateException("repository empty"))
+      val lookup = TrainingHarvest.cardinalityLookup(corpus)
+      new IntegratedOptimizationPipeline(s,
+        new BaoStylePlanSelection(new PreComputedCardinalities(lookup,
+          fallback = new StatisticalCardinalityEstimator)),
+        stats = statsFor(s, dir)).optimize(flagshipSql)
+    },
+
     // CEB template-GENERATED workload through the full UES pipeline: 12
     // queries instantiated from the 3 in-repo YAML templates (weighted /
     // uniform / IN / LIKE slots, fixed seed), each optimized and enforced,
@@ -412,6 +441,7 @@ object OptQueries {
     "opt20_adaptive_reopt" -> flagshipSql,
     "opt21_ues_stack_funnel" -> stackSql("q01_funnel_3step"),
     "tr01_training_warmstart" -> flagshipSql,
+    "tr02_training_bao" -> flagshipSql,
 
     // the generated queries, verbatim, labeled and unioned — DuckDB runs
     // exactly what the Spark pipeline optimized
