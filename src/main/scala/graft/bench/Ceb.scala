@@ -321,6 +321,21 @@ object Ceb {
         java.nio.charset.StandardCharsets.UTF_8), candidateSql))
   }
 
+  /** Store a generated workload one `<label>.sql` file per query
+    * (reference `persist_workload`, ceb.py :825-840) — the on-disk shape
+    * [[Workload.fromDirectory]] loads, so generated workloads round-trip
+    * through the same kit loaders as JOB/SSB/Stack.
+    */
+  def persistWorkload(dir: String, workload: Seq[(String, String)]): Unit = {
+    val root = new java.io.File(dir)
+    root.mkdirs()
+    workload.foreach { case (label, sql) =>
+      java.nio.file.Files.write(
+        root.toPath.resolve(s"$label.sql"),
+        (sql.trim + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** Generate `queriesPerTemplate` UNIQUE queries per template (reference
     * `generate_raw_workload` ceb.py :720-795: global dedup set, shared
     * retry budget, labels `template-idx`). Deterministic in (templates,

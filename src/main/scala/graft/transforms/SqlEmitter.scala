@@ -16,8 +16,9 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * Coverage is the clause surface the QAL facade and transform library
   * produce: SELECT/DISTINCT, FROM with inner/outer/cross join trees and
   * aliased or derived relations, WHERE, GROUP BY (+HAVING), ORDER BY,
-  * LIMIT/OFFSET, and UNION/INTERSECT/EXCEPT (ALL). Anything else —
-  * window nodes, CTE containers, lateral/semi structures — throws
+  * LIMIT/OFFSET, window functions (folded back into the SELECT list with
+  * their analyzed frames), and UNION/INTERSECT/EXCEPT (ALL). Anything
+  * else — generators, CTE containers, lateral/semi structures — throws
   * `UnsupportedOperationException` naming the node, mirroring the
   * reference's contract that formatting is defined for QAL trees only
   * (not arbitrary engine plans). Expressions render through Catalyst's
@@ -66,6 +67,17 @@ private final class SqlEmitter {
   private def emitSelect(plan: LogicalPlan, distinct: Boolean): String = {
     val d = if (distinct) "DISTINCT " else ""
     plan match {
+      // window functions: the analyzer stacks
+      // Project(outer) -> [forwarding Project ->] Window -> Project(inputs);
+      // fold the Window back into the SELECT list by inlining each window
+      // output's defining expression (Expression.sql renders the full
+      // OVER (...) clause including the analyzed frame)
+      case Project(exprs, WindowBelow(w)) =>
+        val from = stripForwardingProject(w.child)
+        val aliases = aliasMap(from)
+        val items = inlineWindows(exprs, w)
+          .map(e => renderExpr(e, aliases)).mkString(", ")
+        s"SELECT $d$items FROM ${emitFromWhere(from, aliases)}"
       case Project(exprs, child) =>
         val aliases = aliasMap(child)
         val items = exprs.map(e => renderExpr(e, aliases)).mkString(", ")
@@ -160,6 +172,47 @@ private final class SqlEmitter {
     case p @ (_: Project | _: Aggregate | _: Distinct | _: GlobalLimit) =>
       s"(${emitQuery(p)}) AS ${quoted(nextSubAlias())}"
     case other => unsupported(other)
+  }
+
+  /** Matches a Window directly below, or behind the attribute-only
+    * forwarding Project the analyzer inserts above Window nodes.
+    */
+  private object WindowBelow {
+    def unapply(p: LogicalPlan): Option[Window] = p match {
+      case w: Window => Some(w)
+      case Project(es, w: Window)
+          if es.forall(_.isInstanceOf[AttributeReference]) => Some(w)
+      case _ => None
+    }
+  }
+
+  /** Drops an attribute-only projection (the analyzer's input-forwarding
+    * shim under Window) so the real FROM tree emits directly.
+    */
+  private def stripForwardingProject(p: LogicalPlan): LogicalPlan = p match {
+    case Project(es, child)
+        if es.forall(_.isInstanceOf[AttributeReference])
+          && es.map(_.exprId).toSet == child.outputSet.map(_.exprId) =>
+      child
+    case other => other
+  }
+
+  /** Replace references to Window outputs with their defining window
+    * expressions, preserving output names.
+    */
+  private def inlineWindows(exprs: Seq[NamedExpression],
+      w: Window): Seq[NamedExpression] = {
+    val winMap: Map[ExprId, Expression] = w.windowExpressions.collect {
+      case a: Alias => a.exprId -> a.child
+    }.toMap
+    exprs.map {
+      case ar: AttributeReference if winMap.contains(ar.exprId) =>
+        Alias(winMap(ar.exprId), ar.name)()
+      case e => e.transform {
+        case ar: AttributeReference if winMap.contains(ar.exprId) =>
+          winMap(ar.exprId)
+      }.asInstanceOf[NamedExpression]
+    }
   }
 
   private def isLeafRelation(p: LogicalPlan): Boolean = p match {

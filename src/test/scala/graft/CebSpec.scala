@@ -101,6 +101,17 @@ class CebSpec extends SparkSpec {
     }
   }
 
+  test("persisted workload round-trips through the kit loader") {
+    val wl = Ceb.generateWorkload(gateTemplates, 3, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cebwl").toString
+    Ceb.persistWorkload(dir, wl)
+    val loaded = graft.bench.Workload.fromDirectory("gen", dir)
+    assert(loaded.queries.size === wl.size)
+    wl.foreach { case (label, sql) =>
+      assert(loaded.queries(label).trim === sql.trim, label)
+    }
+  }
+
   test("template YAML parsing round-trips structure and rejects garbage") {
     val t = gateTemplates.head
     assert(t.label === "ceb-spj-orders")

@@ -77,11 +77,27 @@ class SqlEmitterSpec extends SparkSpec {
       === spark.table("supplier").count())
   }
 
+  test("window functions round-trip with partitions, frames and lag") {
+    roundTrips(
+      """SELECT s_name, row_number() OVER (ORDER BY s_name) AS rn
+         FROM supplier ORDER BY rn""")
+    roundTrips(
+      """SELECT s_nationkey, s_name,
+           round(sum(s_acctbal) OVER (PARTITION BY s_nationkey
+             ORDER BY s_name
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+         FROM supplier ORDER BY s_nationkey, s_name""")
+    roundTrips(
+      """SELECT s_name,
+           lag(s_acctbal, 1) OVER (PARTITION BY s_nationkey
+             ORDER BY s_name) AS prev
+         FROM supplier WHERE s_acctbal > 0 ORDER BY s_name""")
+  }
+
   test("uncovered nodes are rejected, not mis-emitted") {
     Tables.registerAll(spark, sfDir)
-    val windowed = QueryFacade(spark,
-      """SELECT s_name, row_number() OVER (ORDER BY s_name) AS rn
-         FROM supplier""").analyzed
-    assertThrows[UnsupportedOperationException](SqlEmitter.toSql(windowed))
+    val generated = QueryFacade(spark,
+      "SELECT explode(array(1, 2)) AS v FROM supplier").analyzed
+    assertThrows[UnsupportedOperationException](SqlEmitter.toSql(generated))
   }
 }
