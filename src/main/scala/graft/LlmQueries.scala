@@ -99,6 +99,21 @@ object LlmQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // the SUB-QUADRATIC embedding dedup route with a HARD oracle: on the
+    // planted gapped corpus the true pairs sit at cos >= ~0.9 (query-to-
+    // planted at 0.95-0.98, planted siblings of one query at ~0.92), so
+    // 64 bands x 10 rows recall every true pair with miss probability
+    // < 1e-6 per pair and the banded output EQUALS the exact threshold
+    // join, which the oracle computes brute-force over the identically
+    // constructed corpus
+    "d11_dedup_embedding_lsh" -> { (s, dir) =>
+      val planted = Similarity.plantedGappedCorpus(embs(s, dir), "vec_id",
+        "embedding")
+      Dedup.embeddingNearDuplicatesLsh(planted, "vec_id", "embedding", 0.9,
+          numBands = 64, rowsPerBand = 10)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // near-dup CLUSTERS: MinHash pairs -> connected components -> one kept
     // representative per component (transitive chains collapse correctly)
     "d07_dup_clusters" -> { (s, dir) =>
@@ -462,6 +477,26 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "s02_ann_lsh" -> plantedAnnOracle,
     "s03_ann_ivf" -> plantedAnnOracle,
+
+    // exact cosine threshold join over the planted corpus — what the
+    // banded d11 path must reproduce pair for pair
+    "d11_dedup_embedding_lsh" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           planted AS (
+             SELECT 100000 + q.vec_id * 5 + t.j AS vec_id,
+               list_transform(generate_series(1, len(q.v)),
+                 i -> q.v[i] + 0.3 * p.v[i]) AS v
+             FROM base q
+             CROSS JOIN unnest(generate_series(0, 4)) AS t(j)
+             JOIN base p ON p.vec_id = 10 + q.vec_id * 5 + t.j
+             WHERE q.vec_id < 10),
+           corpus AS (SELECT vec_id, v FROM base
+                      UNION ALL SELECT vec_id, v FROM planted)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+         ORDER BY a_id, b_id""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY text ORDER BY keep_id""",
