@@ -438,7 +438,10 @@ object Dedup {
     val b = e.select(col("id").as("b_id"), col("v").as("vb"),
       col("blk").as("bb"))
       .join(broadcast(blockPairs), "bb") // replicate to partner pairs
-    a.join(b, Seq("ba", "bb"))           // composite-key equality join
+    // SHUFFLE_HASH: with B(B+1)/2 distinct composite keys and huge
+    // many-to-many groups, sort-merge pays two sorts for nothing — the
+    // hash join builds one side's block per task and streams the other
+    a.join(b.hint("SHUFFLE_HASH"), Seq("ba", "bb"))
       // same-block pairs appear from both sides — keep one; cross-block
       // pairs appear exactly once (each (ba, bb) cell pairs block ba's
       // a-rows with block bb's b-rows only)
