@@ -110,7 +110,7 @@ object LlmQueries {
       val planted = Similarity.plantedGappedCorpus(embs(s, dir), "vec_id",
         "embedding")
       Dedup.embeddingNearDuplicatesLsh(planted, "vec_id", "embedding", 0.9,
-          numBands = 64, rowsPerBand = 10)
+          numBands = 64, rowsPerBand = 10, dim = Some(64))
         .orderBy(col("a_id"), col("b_id"))
     },
 

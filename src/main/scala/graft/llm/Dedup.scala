@@ -554,9 +554,10 @@ object Dedup {
     */
   def embeddingNearDuplicatesLsh(emb: DataFrame, idCol: String,
       vecCol: String, threshold: Double, numBands: Int = 32,
-      rowsPerBand: Int = 12, seed: Long = 7L): DataFrame = {
+      rowsPerBand: Int = 12, seed: Long = 7L,
+      dim: Option[Int] = None): DataFrame = {
     val bk = Similarity.rhpBuckets(emb, idCol, vecCol, numBands, rowsPerBand,
-      seed)
+      seed, dim = dim)
     val a = bk.select(col("id").as("a_id"), col("band"), col("bucket"))
     val b = bk.select(col("id").as("b_id"), col("band"), col("bucket"))
     val cands = a.join(b, Seq("band", "bucket"))
