@@ -682,6 +682,45 @@ object Relational {
       s.sql(transforms.SqlEmitter.toSql(analyzedPlan))
     },
 
+    // CTE EMISSION in the gate: a two-CTE query (the second referencing
+    // the first) analyzes to a WithCTE container; SqlEmitter renders it
+    // back as a WITH clause and the emitted text is re-executed — the
+    // reference formats its CommonTableExpression clause the same way
+    // (/root/reference/postbound/qal/_formatter.py)
+    "x06_cte_roundtrip" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val analyzedPlan = qal.QueryFacade(s,
+        """WITH picked AS (
+             SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 3
+           ),
+           cust AS (
+             SELECT c_nationkey, count(*) AS n_cust,
+                    round(sum(c_acctbal), 2) AS bal
+             FROM customer GROUP BY c_nationkey
+           )
+           SELECT p.n_name, c.n_cust, c.bal
+           FROM picked p JOIN cust c ON p.n_nationkey = c.c_nationkey
+           ORDER BY p.n_name""").analyzed
+      s.sql(transforms.SqlEmitter.toSql(analyzedPlan))
+    },
+
+    // SEMI/ANTI-JOIN EMISSION in the gate: a DataFrame-built
+    // LeftSemi + LeftAnti join tree renders back as correlated
+    // EXISTS / NOT EXISTS predicates and the emitted text is re-executed
+    "x07_semijoin_roundtrip" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val c = s.table("customer")
+      val o = s.table("orders")
+      val analyzedPlan = c
+        .join(o, expr("c_custkey = o_custkey"), "left_semi")
+        .join(o.filter("o_orderstatus = 'F'"),
+          expr("c_custkey = o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+        .queryExecution.analyzed
+      s.sql(transforms.SqlEmitter.toSql(analyzedPlan))
+    },
+
     // §2.12 drop_hints IN THE GATE: a hinted plan stripped of its
     // ResolvedHint/JoinHint carriers must produce the unhinted answer
     "x02_drop_hints" -> { (s, dir) =>
@@ -1352,6 +1391,26 @@ object Relational {
            AND c_nationkey = n_nationkey
            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY n_name ORDER BY n_name""",
+
+    "x06_cte_roundtrip" ->
+      """WITH picked AS (
+           SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 3
+         ),
+         cust AS (
+           SELECT c_nationkey, count(*) AS n_cust,
+                  round(sum(c_acctbal), 2) AS bal
+           FROM customer GROUP BY c_nationkey
+         )
+         SELECT p.n_name, c.n_cust, c.bal
+         FROM picked p JOIN cust c ON p.n_nationkey = c.c_nationkey
+         ORDER BY p.n_name""",
+
+    "x07_semijoin_roundtrip" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE c_custkey = o_custkey)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderstatus = 'F' AND c_custkey = o_custkey)
+         ORDER BY c_custkey""",
 
     "x03_move_into_subquery" ->
       """SELECT n_name, count(*) AS n FROM supplier, nation, region

@@ -17,8 +17,11 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * produce: SELECT/DISTINCT, FROM with inner/outer/cross join trees and
   * aliased or derived relations, WHERE, GROUP BY (+HAVING), ORDER BY,
   * LIMIT/OFFSET, window functions (folded back into the SELECT list with
-  * their analyzed frames), and UNION/INTERSECT/EXCEPT (ALL). Anything
-  * else — generators, CTE containers, lateral/semi structures — throws
+  * their analyzed frames), UNION/INTERSECT/EXCEPT (ALL and DISTINCT),
+  * CTE containers (`WithCTE`/`CTERelationRef` render as a WITH clause),
+  * and semi/anti join structures (rendered back as correlated EXISTS /
+  * NOT EXISTS predicates, the reference's `UnaryPredicate` surface).
+  * Anything else — generators, lateral structures — throws
   * `UnsupportedOperationException` naming the node, mirroring the
   * reference's contract that formatting is defined for QAL trees only
   * (not arbitrary engine plans). Expressions render through Catalyst's
@@ -44,6 +47,20 @@ private final class SqlEmitter {
       s"SQL emission does not cover ${p.getClass.getSimpleName} nodes")
 
   def emitQuery(plan: LogicalPlan): String = plan match {
+    // WITH clause: the analyzer hoists every named CTE into a WithCTE
+    // container whose defs are SubqueryAlias(name, plan); reference
+    // sites become CTERelationRef leaves that emitRelation renders by
+    // that name. Defs may reference earlier defs — definition order is
+    // preserved, so the emitted WITH list stays valid.
+    case w: WithCTE =>
+      val defs = w.cteDefs.map { d =>
+        d.child match {
+          case SubqueryAlias(id, body) =>
+            s"${quoted(id.name)} AS (${emitQuery(body)})"
+          case other => unsupported(other)
+        }
+      }
+      s"WITH ${defs.mkString(", ")} ${emitQuery(w.plan)}"
     case GlobalLimit(l, LocalLimit(_, child)) =>
       s"${emitQuery(child)} LIMIT ${l.sql}"
     case Offset(o, child) =>
@@ -52,6 +69,8 @@ private final class SqlEmitter {
       val aliases = aliasMap(child)
       val by = order.map(o => renderExpr(o, aliases)).mkString(", ")
       s"${emitQuery(child)} ORDER BY $by"
+    case Distinct(u: Union) if !u.byName =>
+      u.children.map(c => s"(${emitQuery(c)})").mkString(" UNION ")
     case Distinct(child) => emitSelect(child, distinct = true)
     case u: Union =>
       u.children.map(c => s"(${emitQuery(c)})")
@@ -113,10 +132,52 @@ private final class SqlEmitter {
     */
   private def emitFromWhere(plan: LogicalPlan,
       aliases: Map[ExprId, Seq[String]]): String = {
-    val (fromPlan, wheres) = splitFilters(plan)
+    val (filtered, wheres) = splitFilters(plan)
+    val (fromPlan, existsPreds) = stripSemiAnti(filtered, aliases)
     val from = emitRelation(fromPlan, aliases)
-    if (wheres.isEmpty) from
-    else s"$from WHERE ${wheres.map(w => renderExpr(w, aliases)).mkString(" AND ")}"
+    val preds = wheres.map(w => renderExpr(w, aliases)) ++ existsPreds
+    if (preds.isEmpty) from
+    else s"$from WHERE ${preds.mkString(" AND ")}"
+  }
+
+  /** Hoists semi/anti joins out of the join tree into correlated
+    * EXISTS / NOT EXISTS predicates — the inverse of the analyzer's
+    * subquery rewrite and the rendering the reference's formatter uses
+    * for its semi-join structures. Hoisting is semantics-preserving from
+    * under inner joins (the predicate conjoins with the WHERE clause);
+    * semi joins nested under outer joins are left in place and fail in
+    * `joinKeyword`, naming the node.
+    */
+  private def stripSemiAnti(plan: LogicalPlan,
+      aliases: Map[ExprId, Seq[String]]): (LogicalPlan, Seq[String]) =
+    plan match {
+      case Join(l, r, LeftSemi, cond, _) =>
+        val (lp, lpreds) = stripSemiAnti(l, aliases)
+        (lp, lpreds :+ existsPredicate(r, cond, aliases, negated = false))
+      case Join(l, r, LeftAnti, cond, _) =>
+        val (lp, lpreds) = stripSemiAnti(l, aliases)
+        (lp, lpreds :+ existsPredicate(r, cond, aliases, negated = true))
+      case j @ Join(l, r, Inner, _, _) =>
+        val (lp, lpreds) = stripSemiAnti(l, aliases)
+        val (rp, rpreds) = stripSemiAnti(r, aliases)
+        (j.copy(left = lp, right = rp), lpreds ++ rpreds)
+      case other => (other, Seq.empty)
+    }
+
+  /** One [NOT] EXISTS (SELECT 1 FROM right WHERE ...) predicate: the
+    * right side's own filters and the join condition conjoin inside the
+    * subquery; attributes of BOTH sides qualify through the shared alias
+    * map, so the outer correlation renders naturally.
+    */
+  private def existsPredicate(right: LogicalPlan, cond: Option[Expression],
+      aliases: Map[ExprId, Seq[String]], negated: Boolean): String = {
+    val (rp, rFilters) = splitFilters(right)
+    val inner = emitRelation(rp, aliases)
+    val preds = (rFilters ++ cond.toSeq.flatMap(splitConjuncts))
+      .map(e => renderExpr(e, aliases))
+    val where = if (preds.isEmpty) "" else preds.mkString(" WHERE ", " AND ", "")
+    val not = if (negated) "NOT " else ""
+    s"${not}EXISTS (SELECT 1 FROM $inner$where)"
   }
 
   private def splitFilters(plan: LogicalPlan): (LogicalPlan, Seq[Expression]) =

@@ -94,6 +94,36 @@ class SqlEmitterSpec extends SparkSpec {
          FROM supplier WHERE s_acctbal > 0 ORDER BY s_name""")
   }
 
+  test("CTE containers round-trip as WITH clauses") {
+    roundTrips(
+      """WITH picked AS (SELECT n_nationkey, n_name FROM nation
+                         WHERE n_regionkey < 3),
+              cnt AS (SELECT count(*) AS c FROM picked)
+         SELECT p.n_name, c.c AS total FROM picked p CROSS JOIN cnt c
+         ORDER BY p.n_name""")
+  }
+
+  test("UNION DISTINCT round-trips") {
+    roundTrips(
+      """SELECT n_regionkey AS k FROM nation
+         UNION SELECT r_regionkey AS k FROM region""")
+  }
+
+  test("semi/anti joins emit as EXISTS / NOT EXISTS") {
+    Tables.registerAll(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val c = spark.table("customer")
+    val o = spark.table("orders")
+    val df = c.join(o, expr("c_custkey = o_custkey"), "left_semi")
+      .join(o.filter("o_orderstatus = 'F'"),
+        expr("c_custkey = o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+    val emitted = SqlEmitter.toSql(df.queryExecution.analyzed)
+    assert(emitted.contains("EXISTS") && emitted.contains("NOT EXISTS"),
+      emitted)
+    assert(sameResults(spark.sql(emitted), df), emitted)
+  }
+
   test("uncovered nodes are rejected, not mis-emitted") {
     Tables.registerAll(spark, sfDir)
     val generated = QueryFacade(spark,
