@@ -474,24 +474,48 @@ object Dedup {
     * pointer-doubling self-join per round (label(v) := label(label(v)),
     * the path-halving of Shiloach-Vishkin / the star-contraction family
     * of Kiveris et al.) — the right trade on long-chain graphs, and the
-    * output is identical either way.
+    * output is identical either way. Measured on the near-dup fixture
+    * (clique-shaped components, diameter ~2) always-on doubling is ~2x
+    * SLOWER end to end — the extra self-join buys no rounds — so the
+    * default is ADAPTIVE (`autoShortcut`): propagation starts plain and
+    * doubling switches on mid-run iff the per-round changed-label count
+    * stops halving, the signature of long chains (each plain round on a
+    * chain moves only the frontier, so `changed` decays slowly; on
+    * cliques it collapses to 0 in 2-3 rounds and doubling never fires).
     * Output: (id, component) for every vertex in `vertices`.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxRounds: Int = 30, shortcut: Boolean = false): DataFrame =
-    connectedComponentsWithStats(vertices, edges, maxRounds, shortcut)._1
+      maxRounds: Int = 30, shortcut: Boolean = false,
+      autoShortcut: Boolean = true): DataFrame =
+    connectedComponentsWithStats(vertices, edges, maxRounds, shortcut,
+      autoShortcut)._1
 
   /** [[connectedComponents]] plus the number of rounds actually run —
     * the observable the convergence specs assert on.
     */
   def connectedComponentsWithStats(vertices: DataFrame, edges: DataFrame,
-      maxRounds: Int = 30, shortcut: Boolean = false): (DataFrame, Int) = {
+      maxRounds: Int = 30, shortcut: Boolean = false,
+      autoShortcut: Boolean = true): (DataFrame, Int) = {
+    // materialize the (possibly expensive) edge pipeline ONCE: every
+    // round's job re-reads the symmetrized edges, and without this
+    // barrier each round would recompute the full upstream candidate
+    // generation (for duplicateClusters that is the entire MinHash+LSH
+    // pipeline — the dominant cost, paid diameter+1 times)
     val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
-    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    // iterate over edge ENDPOINTS only: a vertex with no edge can never
+    // change its label, so singletons sit out the loop entirely and
+    // rejoin at the end as their own component. At corpus scale the
+    // duplicate graph is orders of magnitude smaller than the corpus —
+    // per-round shuffles size with the dup set, not the dataset.
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
     var round = 0
     var converged = false
+    var doubling = shortcut
+    var prevChanged = Long.MaxValue
     while (round < maxRounds && !converged) {
       // candidate label for v: min label among v and its neighbours
       val viaNeighbor = sym
@@ -503,7 +527,7 @@ object Dedup {
       // pointer doubling: follow the label's own label one hop, halving
       // chain depth per round (left join: a label that is already a
       // component root maps to itself)
-      val jumped = if (shortcut) {
+      val jumped = if (doubling) {
         val parent = propagated
           .select(col("id").as("component"), col("component").as("jump"))
         propagated.join(parent, Seq("component"), "left")
@@ -518,10 +542,22 @@ object Dedup {
         .observe(obs, coalesce(sum(col("chg")), lit(0L)).as("changed"))
         .select("id", "component")
         .localCheckpoint(true) // the one job of the round; fires the metric
-      converged = obs.get("changed") == 0L
+      val changed = obs.get("changed").asInstanceOf[Long]
+      // changed-count decay rides the same observed metric: on chains a
+      // plain round advances only the frontier (changed stays flat), so
+      // switch doubling on for the remaining rounds
+      if (!doubling && autoShortcut && changed > 0L && changed * 2 > prevChanged)
+        doubling = true
+      prevChanged = changed
+      converged = changed == 0L
       round += 1
     }
-    (labels, round)
+    // singletons (and any vertex absent from the edge set) are their own
+    // component; one outer join at the end instead of riding every round
+    val all = vertices.select(col("id"))
+      .join(labels.withColumnRenamed("component", "comp"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+    (all, round)
   }
 
   /** Near-duplicate CLUSTERS of a document corpus: MinHash+LSH pairs →

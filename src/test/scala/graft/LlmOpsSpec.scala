@@ -173,11 +173,45 @@ class LlmOpsSpec extends SparkSpec {
       assert(rounds <= 12, s"pointer doubling did not engage: $rounds rounds")
       // listener delivery is async; give the bus a moment to drain
       Thread.sleep(1500)
-      // one materializing action per round + the initial label checkpoint
-      // + the final collect (convergence must NOT cost a count() action)
-      assert(actions.get() <= rounds + 2,
+      // one materializing action per round + the edge checkpoint + the
+      // initial label checkpoint + the final collect (convergence must
+      // NOT cost a count() action)
+      assert(actions.get() <= rounds + 3,
         s"${actions.get()} actions for $rounds rounds — convergence not fused")
     } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("adaptive shortcut engages on chains but stays out of the way " +
+      "on cliques") {
+    import spark.implicits._
+    // chain of 100: plain min-label needs diameter (99) rounds; the
+    // changed-count stays flat round over round, so autoShortcut flips
+    // doubling on after the first non-halving round and the rest run in
+    // O(log n)
+    val n = 100
+    val chainV = (0L until n.toLong).toDF("id")
+    val chainE = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("a_id", "b_id")
+    val (chainLabels, chainRounds) = Dedup.connectedComponentsWithStats(
+      chainV, chainE, maxRounds = 50)
+    assert(chainLabels.collect().forall(_.getLong(1) == 0L))
+    assert(chainRounds <= 15,
+      s"adaptive doubling did not engage on a chain: $chainRounds rounds")
+
+    // clique of 8: converges in 2 rounds either way — the changed count
+    // collapses immediately, so adaptive must not add doubling overhead
+    // (identical round count to plain propagation)
+    val k = 8
+    val cliqueV = (0L until k.toLong).toDF("id")
+    val cliqueE = (for {
+      i <- 0L until k.toLong; j <- (i + 1) until k.toLong
+    } yield (i, j)).toDF("a_id", "b_id")
+    val (_, adaptiveRounds) = Dedup.connectedComponentsWithStats(
+      cliqueV, cliqueE, maxRounds = 50)
+    val (_, plainRounds) = Dedup.connectedComponentsWithStats(
+      cliqueV, cliqueE, maxRounds = 50, autoShortcut = false)
+    assert(adaptiveRounds === plainRounds,
+      s"adaptive ($adaptiveRounds) vs plain ($plainRounds) on a clique")
   }
 
   test("duplicate clusters keep exactly one representative per component") {
