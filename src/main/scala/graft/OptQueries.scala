@@ -357,8 +357,32 @@ object OptQueries {
       cebWorkload.map { case (label, sql) =>
         pipeline.optimize(sql).select(lit(label).as("label"), col("n"))
       }.reduce(_.unionAll(_)).orderBy("label")
+    },
+
+    // FK-graph random-WALK generated workload (the reference's second
+    // generator, experiments/querygen.py: shell-jump walk over the
+    // schema graph, all-pairs FK join predicates, distinct-value-sampled
+    // filters, count-star wrapping) through the full UES pipeline; the
+    // oracle runs the BYTE-IDENTICAL generated SQL natively in DuckDB
+    "g02_randomwalk_generated" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      Tables.registerAll(s, dir)
+      val pipeline = new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer),
+        operators = Some(new UESOperatorSelection),
+        stats = statsFor(s, dir))
+      walkWorkload.map { case (label, sql) =>
+        pipeline.optimize(sql).select(lit(label).as("label"), col("n"))
+      }.reduce(_.unionAll(_)).orderBy("label")
     }
   )
+
+  /** FK-walk workload, deterministic in seed; shared by the g02 gate and
+    * its oracle so both engines run byte-identical SQL (the g01 move).
+    */
+  private lazy val walkWorkload: Seq[(String, String)] =
+    graft.bench.QueryGenerator.randomWalkWorkload("g02", n = 8,
+      seed = 20260813L).queries.toSeq.sortBy(_._1)
 
   /** CEB-generated workload, deterministic in (templates, seed): built
     * once and shared by the g01 gate query AND its oracle, so both
@@ -446,6 +470,10 @@ object OptQueries {
     // the generated queries, verbatim, labeled and unioned — DuckDB runs
     // exactly what the Spark pipeline optimized
     "g01_ceb_generated" -> cebWorkload.map { case (label, sql) =>
+      s"SELECT '$label' AS label, n FROM ($sql) AS ${label.replace('-', '_')}"
+    }.mkString("", " UNION ALL ", " ORDER BY label"),
+
+    "g02_randomwalk_generated" -> walkWorkload.map { case (label, sql) =>
       s"SELECT '$label' AS label, n FROM ($sql) AS ${label.replace('-', '_')}"
     }.mkString("", " UNION ALL ", " ORDER BY label")
   )

@@ -74,4 +74,150 @@ object QueryGenerator {
   def randomWorkload(name: String, n: Int, seed: Long = 42L): Workload =
     Workload.inline(name,
       (1 to n).map(i => f"gen$i%03d" -> randomQuery(seed + i)): _*)
+
+  // ------------------------------------------------- FK random-walk walk
+
+  /** Where filter literals come from: the reference samples each
+    * filtered column's DISTINCT VALUES from the live database
+    * (querygen.py `_generate_filter`, `SELECT DISTINCT {col} FROM {tab}`).
+    * [[DataValueSource]] is that route on Spark; [[FixtureValueSource]]
+    * carries the fixture schema's scale-stable domains statically so a
+    * generated workload (and its oracle text) can be assembled without a
+    * session — the same split the CEB generator's list-typed templates
+    * use.
+    */
+  trait ValueSource {
+    /** Distinct values of `table.column`, already rendered as SQL
+      * literals (strings quoted, numerics bare). */
+    def distinctValues(table: String, column: String): Seq[String]
+  }
+
+  /** Filterable columns per table: low-cardinality value columns (the
+    * reference's `filter_key_columns = False` mode — join keys carry the
+    * FK predicates instead). */
+  val filterCatalog: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_name"),
+    "nation" -> Seq("n_name", "n_regionkey"),
+    "customer" -> Seq("c_mktsegment"),
+    "supplier" -> Seq("s_nationkey"),
+    "part" -> Seq("p_brand", "p_type", "p_size"),
+    "orders" -> Seq("o_orderstatus", "o_orderpriority"),
+    "lineitem" -> Seq("l_returnflag", "l_linestatus", "l_quantity"))
+
+  /** The fixture's categorical/numeric domains, identical at every scale
+    * factor (verified sf0.001 vs sf0.1), rendered as SQL literals. */
+  object FixtureValueSource extends ValueSource {
+    private def q(vs: Seq[String]): Seq[String] = vs.map(v => s"'$v'")
+    private val domains: Map[(String, String), Seq[String]] = Map(
+      ("region", "r_name") ->
+        q(Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")),
+      ("nation", "n_name") -> q((0 until 25).map(i => s"NATION_$i")),
+      ("nation", "n_regionkey") -> (0 until 5).map(_.toString),
+      ("customer", "c_mktsegment") -> q(Seq("AUTOMOBILE", "BUILDING",
+        "FURNITURE", "HOUSEHOLD", "MACHINERY")),
+      ("supplier", "s_nationkey") -> (0 until 25).map(_.toString),
+      ("part", "p_brand") -> q((1 to 25).map(i => s"Brand#$i")),
+      ("part", "p_type") -> q(Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO",
+        "SMALL", "STANDARD")),
+      ("part", "p_size") -> (1 to 50).map(_.toString),
+      ("orders", "o_orderstatus") -> q(Seq("F", "O", "P")),
+      ("orders", "o_orderpriority") -> q(Seq("1-URGENT", "2-HIGH",
+        "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+      ("lineitem", "l_returnflag") -> q(Seq("A", "N", "R")),
+      ("lineitem", "l_linestatus") -> q(Seq("F", "O")),
+      ("lineitem", "l_quantity") -> (1 to 50).map(_.toString))
+    def distinctValues(table: String, column: String): Seq[String] =
+      domains((table, column))
+  }
+
+  /** Live distinct-value sampling through a SparkSession — the
+    * reference's `SELECT DISTINCT` route, capped so a high-cardinality
+    * column cannot flood the generator (the reference TABLESAMPLEs for
+    * the same reason). */
+  final class DataValueSource(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Int = 64) extends ValueSource {
+    def distinctValues(table: String, column: String): Seq[String] = {
+      val rows = graft.Tables.load(spark, dir, table)
+        .select(column).distinct().orderBy(column).limit(cap).collect()
+      rows.toSeq.map(_.get(0)).collect {
+        case s: String => s"'${s.replace("'", "''")}'"
+        case n => n.toString
+      }
+    }
+  }
+
+  /** Random walk over the undirected FK graph with shell jumps: each
+    * step moves to a uniformly random UNVISITED neighbor of ANY visited
+    * node (not just the current one) — the reference's modified
+    * `nx_random_walk` (/root/reference/postbound/util/nx.py:75-130),
+    * which guarantees every prefix of the walk is a connected table set.
+    */
+  def randomWalkTables(rnd: Random, nTables: Int): Seq[String] = {
+    val adj: Map[String, Set[String]] = schemaEdges
+      .flatMap(e => Seq(e._1 -> e._3, e._3 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val allTables = adj.keys.toSeq.sorted
+    var current = allTables(rnd.nextInt(allTables.size))
+    val visited = scala.collection.mutable.LinkedHashSet(current)
+    val shell = scala.collection.mutable.SortedSet.empty[String]
+    while (visited.size < nTables && visited.size < allTables.size) {
+      shell ++= adj(current).diff(visited)
+      val pick = shell.toSeq.apply(rnd.nextInt(shell.size))
+      shell -= pick
+      visited += pick
+      current = pick
+    }
+    visited.toSeq
+  }
+
+  /** Equi-join predicates for EVERY FK-connected pair among `tables` —
+    * not just the walk tree — mirroring querygen.py
+    * `_generate_join_predicates` (each pair checked once, both FK
+    * directions). The walk guarantees at least a spanning set exists.
+    */
+  def fkJoinPredicates(tables: Seq[String]): Seq[String] =
+    for {
+      i <- tables.indices; j <- (i + 1) until tables.size
+      e <- schemaEdges.find(e =>
+        (e._1 == tables(i) && e._3 == tables(j)) ||
+          (e._1 == tables(j) && e._3 == tables(i)))
+    } yield s"${e._2} = ${e._4}"
+
+  /** One random FK-walk query (querygen.py `generate_query`):
+    * walk-selected connected tables, all-pairs FK join predicates,
+    * `nFilters` filters on randomly sampled catalog columns with
+    * operators drawn from {=, <>, >, <} and literals drawn from the
+    * column's distinct values. `countStar` wraps the SELECT clause as
+    * COUNT(*) — the cardinality-experiment shape the reference generates
+    * for. Deterministic per (seed, values).
+    */
+  def randomWalkQuery(seed: Long, minTables: Int = 2, maxTables: Int = 5,
+      minFilters: Int = 1, maxFilters: Int = 3, countStar: Boolean = true,
+      values: ValueSource = FixtureValueSource): String = {
+    val rnd = new Random(seed)
+    val nTables = minTables + rnd.nextInt(maxTables - minTables + 1)
+    val tables = randomWalkTables(rnd, nTables)
+    val joins = fkJoinPredicates(tables)
+    val available = tables.sorted.flatMap(t =>
+      filterCatalog.getOrElse(t, Seq.empty).map(c => (t, c)))
+    val nFilters = math.min(
+      minFilters + rnd.nextInt(maxFilters - minFilters + 1), available.size)
+    val ops = Seq("=", "<>", ">", "<")
+    val filters = rnd.shuffle(available).take(nFilters).map { case (t, c) =>
+      val op = ops(rnd.nextInt(ops.size))
+      val domain = values.distinctValues(t, c)
+      s"$c $op ${domain(rnd.nextInt(domain.size))}"
+    }
+    val select = if (countStar) "count(*) AS n" else "*"
+    val where = joins ++ filters
+    s"SELECT $select FROM ${tables.sorted.mkString(", ")}" +
+      (if (where.isEmpty) "" else s" WHERE ${where.mkString(" AND ")}")
+  }
+
+  /** N FK-walk queries as a labeled workload, deterministic in seed. */
+  def randomWalkWorkload(name: String, n: Int, seed: Long = 42L,
+      values: ValueSource = FixtureValueSource): Workload =
+    Workload.inline(name,
+      (1 to n).map(i =>
+        f"walk$i%03d" -> randomWalkQuery(seed + i, values = values)): _*)
 }

@@ -45,4 +45,60 @@ class FuzzSpec extends SparkSpec {
         assert(sameResults(res.df, spark.sql(sql)), s"$label differs: $sql")
     }
   }
+
+  test("FK random walk yields connected prefixes and all-pairs FK joins") {
+    val rnd = new scala.util.Random(13L)
+    (1 to 20).foreach { _ =>
+      val n = 2 + rnd.nextInt(5)
+      val tables = QueryGenerator.randomWalkTables(
+        new scala.util.Random(rnd.nextLong()), n)
+      assert(tables.size === n)
+      assert(tables.distinct.size === n, "walk revisited a table")
+      // connectivity: every prefix must touch the FK graph of the prior
+      // prefix (the shell-jump invariant)
+      (2 to n).foreach { k =>
+        val prefix = tables.take(k).toSet
+        val joins = QueryGenerator.fkJoinPredicates(tables.take(k))
+        assert(joins.nonEmpty, s"disconnected prefix $prefix")
+      }
+      // all-pairs: every FK-connected pair among the tables has exactly
+      // one predicate
+      val expected = (for {
+        i <- tables.indices; j <- (i + 1) until tables.size
+        if QueryGenerator.schemaEdges.exists(e =>
+          Set(e._1, e._3) == Set(tables(i), tables(j)))
+      } yield 1).size
+      assert(QueryGenerator.fkJoinPredicates(tables).size === expected)
+    }
+  }
+
+  test("FK-walk generator is deterministic and executes under UES with " +
+      "native parity") {
+    Tables.registerAll(spark, sfDir)
+    assert(QueryGenerator.randomWalkQuery(5L)
+      === QueryGenerator.randomWalkQuery(5L))
+    val stats = new EmulatedStatistics(spark)
+    val pipeline = new MultiStageOptimizationPipeline(spark,
+      joinOrder = Some(new UESJoinOrderOptimizer),
+      operators = Some(new UESOperatorSelection),
+      stats = stats)
+    QueryGenerator.randomWalkWorkload("walkfuzz", 6, seed = 777L)
+      .queries.foreach { case (label, sql) =>
+        val res = pipeline.optimizeQuery(sql)
+        assert(sameResults(res.df, spark.sql(sql)), s"$label differs: $sql")
+      }
+  }
+
+  test("live distinct-value sampling renders executable literals") {
+    Tables.registerAll(spark, sfDir)
+    val live = new QueryGenerator.DataValueSource(spark, sfDir)
+    // the live route must agree with the static fixture domains on a
+    // categorical column (the premise that lets the gate's oracle be
+    // assembled without a session)
+    assert(live.distinctValues("orders", "o_orderstatus")
+      === QueryGenerator.FixtureValueSource
+        .distinctValues("orders", "o_orderstatus").sorted)
+    val sql = QueryGenerator.randomWalkQuery(31L, values = live)
+    assert(spark.sql(sql).count() === 1L) // count-star query runs
+  }
 }
