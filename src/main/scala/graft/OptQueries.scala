@@ -243,8 +243,13 @@ object OptQueries {
     // to completion concurrently
     "opt18_parallel_exec" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      // harvesting ON in the gate: accumulating training samples from a
+      // benchmark run must never perturb its results
+      val harvestRoot = s"${sys.props("java.io.tmpdir")}/" +
+        s"graft_harness_harvest_${Tables.dataFingerprint(dir)}"
       val rs = graft.bench.BenchHarness.executeWorkloadParallel(
-        s, parWorkload, poolSize = 2)
+        s, parWorkload, poolSize = 2,
+        harvest = Some(new graft.train.TrainingDataRepository(s, harvestRoot)))
       import s.implicits._
       rs.map(r => (r.label, r.status, r.result_rows))
         .toDF("label", "status", "n_rows")

@@ -60,11 +60,14 @@ object Workload {
 
 /** One query execution's outcome — the reference's result-column contract
   * (label, status, exec_time, result rows, failure reason, repetition
-  * indices; /root/reference/postbound/bench.py:1093-1112).
+  * indices; /root/reference/postbound/bench.py:1093-1112). `opt_time_ms`
+  * is the optimization phase (plan construction through the configured
+  * optimizer) separated from execution wall time, the reference's
+  * optimization-time vs exec-time split in the same contract.
   */
 final case class ExecutionResult(label: String, status: String,
-    exec_time: Double, result_rows: Long, failure_reason: String,
-    workload_repetition: Int, query_repetition: Int)
+    exec_time: Double, opt_time_ms: Double, result_rows: Long,
+    failure_reason: String, workload_repetition: Int, query_repetition: Int)
 
 /** Repeatable measurement harness, port of bench.execute_workload
   * (/root/reference/postbound/bench.py:1019-1235): workload x repetitions,
@@ -78,7 +81,8 @@ object BenchHarness {
       workloadRepetitions: Int = 1, perQueryRepetitions: Int = 1,
       shuffled: Boolean = false, timeoutSec: Option[Double] = None,
       optimizer: String => DataFrame = null,
-      onExecuted: (String, DataFrame, ExecutionResult) => Unit = null):
+      onExecuted: (String, DataFrame, ExecutionResult) => Unit = null,
+      harvest: Option[graft.train.TrainingDataRepository] = None):
       Seq[ExecutionResult] = {
     val runQuery: String => DataFrame =
       Option(optimizer).getOrElse((sql: String) => spark.sql(sql))
@@ -86,12 +90,14 @@ object BenchHarness {
       val wl = if (shuffled) workload.shuffle(seed = wrep.toLong) else workload
       wl.queries.toSeq.flatMap { case (label, sql) =>
         (1 to perQueryRepetitions).map { qrep =>
+          val tOpt = System.nanoTime()
           val df = try Right(runQuery(sql)) catch {
             case e: Throwable => Left(e)
           }
+          val optMs = (System.nanoTime() - tOpt) / 1e6
           df match {
             case Left(e) =>
-              ExecutionResult(label, "optimization-error", -1.0, -1L,
+              ExecutionResult(label, "optimization-error", -1.0, optMs, -1L,
                 String.valueOf(e.getMessage), wrep, qrep)
             case Right(frame) =>
               val t0 = System.nanoTime()
@@ -101,21 +107,32 @@ object BenchHarness {
                   case None => frame.count()
                 }
                 val r = ExecutionResult(label, "ok",
-                  (System.nanoTime() - t0) / 1e9, rows, "", wrep, qrep)
+                  (System.nanoTime() - t0) / 1e9, optMs, rows, "", wrep, qrep)
                 // post-execution hook (reference exec_callback +
                 // learn_from_feedback call site, bench.py:1014): the frame
                 // has been executed, so its SQLMetrics carry actuals —
                 // wire `pipeline.learnFromFeedback` through this to close
                 // the online-learning loop
                 if (onExecuted != null) onExecuted(sql, frame, r)
+                // accumulate per-query training samples into a run-scoped
+                // repository (reference: the repository fills from
+                // benchmark runs, _train.py:463 + the bench.py learn
+                // hooks). Queries without joins yield no samples.
+                harvest.foreach { repo =>
+                  graft.train.TrainingHarvest.fromExecution(spark, label,
+                      sql, frame, r.exec_time * 1000)
+                    .foreach(d => repo.register(
+                      s"${workload.name}-$label-rep$wrep.$qrep", d))
+                }
                 r
               } catch {
                 case _: java.util.concurrent.TimeoutException =>
-                  ExecutionResult(label, "timeout", (System.nanoTime() - t0) / 1e9,
+                  ExecutionResult(label, "timeout",
+                    (System.nanoTime() - t0) / 1e9, optMs,
                     -1L, s"exceeded ${timeoutSec.get}s", wrep, qrep)
                 case e: Throwable =>
                   ExecutionResult(label, "execution-error",
-                    (System.nanoTime() - t0) / 1e9, -1L,
+                    (System.nanoTime() - t0) / 1e9, optMs, -1L,
                     String.valueOf(e.getMessage), wrep, qrep)
               }
           }
@@ -172,7 +189,8 @@ object BenchHarness {
     * pool config so one heavy query cannot starve the rest.
     */
   def executeWorkloadParallel(spark: SparkSession, workload: Workload,
-      poolSize: Int, optimizer: String => DataFrame = null):
+      poolSize: Int, optimizer: String => DataFrame = null,
+      harvest: Option[graft.train.TrainingDataRepository] = None):
       Seq[ExecutionResult] = {
     require(poolSize > 0)
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -185,18 +203,26 @@ object BenchHarness {
       val futures = workload.queries.toSeq.map { case (label, sql) =>
         Future {
           val sc = spark.sparkContext
-          val t0 = System.nanoTime()
           // job group is thread-local: set per task because pool threads
           // are reused across queries
           sc.setJobGroup(s"graft-par-$label", label, interruptOnCancel = true)
           try {
-            val rows = runQuery(sql).count()
-            ExecutionResult(label, "ok", (System.nanoTime() - t0) / 1e9,
-              rows, "", 1, 1)
+            val tOpt = System.nanoTime()
+            val frame = runQuery(sql)
+            val optMs = (System.nanoTime() - tOpt) / 1e6
+            val t0 = System.nanoTime()
+            val rows = frame.count()
+            val execSec = (System.nanoTime() - t0) / 1e9
+            harvest.foreach { repo =>
+              // distinct per-label dirs → safe from concurrent submitters
+              graft.train.TrainingHarvest.fromExecution(spark, label, sql,
+                  frame, execSec * 1000)
+                .foreach(d => repo.register(s"${workload.name}-$label", d))
+            }
+            ExecutionResult(label, "ok", execSec, optMs, rows, "", 1, 1)
           } catch {
             case e: Throwable =>
-              ExecutionResult(label, "execution-error",
-                (System.nanoTime() - t0) / 1e9, -1L,
+              ExecutionResult(label, "execution-error", -1.0, -1.0, -1L,
                 String.valueOf(e.getMessage), 1, 1)
           } finally sc.clearJobGroup()
         }
@@ -232,6 +258,7 @@ object BenchHarness {
     } + "\""
     val results = rs.map { r =>
       s"""{"label":${q(r.label)},"status":${q(r.status)},"exec_time":${r.exec_time},""" +
+        s""""opt_time_ms":${r.opt_time_ms},""" +
         s""""result_rows":${r.result_rows},"failure_reason":${q(r.failure_reason)},""" +
         s""""workload_repetition":${r.workload_repetition},"query_repetition":${r.query_repetition}}"""
     }.mkString("[", ",", "]")

@@ -102,6 +102,45 @@ class HarnessSpec extends SparkSpec {
     assert(rs.head.result_rows > 0)
   }
 
+  test("results separate optimization time from execution time") {
+    Tables.registerAll(spark, sfDir)
+    val ok = wl.filterBy((l, _) => l != "w3")
+    val rs = BenchHarness.executeWorkload(spark, ok)
+    assert(rs.forall(_.opt_time_ms >= 0))
+    // the exported artifacts carry the column too
+    val df = BenchHarness.resultsToDf(spark, rs)
+    assert(df.columns.contains("opt_time_ms"))
+    assert(BenchHarness.exportJson(ok, rs).contains("\"opt_time_ms\""))
+    // a failing optimization still reports how long it took to fail
+    val bad = BenchHarness.executeWorkload(spark,
+      Workload.inline("bad", "b1" -> "SELECT 1 FROM no_such_table"))
+    assert(bad.head.status === "optimization-error")
+    assert(bad.head.opt_time_ms >= 0)
+  }
+
+  test("a workload run populates the training repository when harvesting " +
+      "is on") {
+    Tables.registerAll(spark, sfDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_harvest_spec").toString
+    val repo = new graft.train.TrainingDataRepository(spark, root)
+    // w2 has a join -> yields samples; w1 is joinless -> contributes none
+    val ok = wl.filterBy((l, _) => l != "w3")
+    val rs = BenchHarness.executeWorkload(spark, ok, harvest = Some(repo))
+    assert(rs.forall(_.status == "ok"))
+    val names = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .map(_.getName)
+    assert(names.exists(_.contains("w2")), s"repo not populated: $names")
+    assert(!names.exists(_.contains("w1")), "joinless query harvested")
+    // the harvested samples satisfy the cardinality-feature spec a
+    // warm-start consumer would ask for
+    val spec = graft.train.TrainingSpec(Seq(
+      graft.train.TrainingHarvest.TableSet,
+      graft.train.Training.CardinalityF))
+    val merged = repo.retrieveMerged(spec)
+    assert(merged.isDefined && merged.get.count() > 0)
+  }
+
   test("workload container operations") {
     val w = wl
     assert(w.first(2).labels === Seq("w1", "w2"))
