@@ -57,6 +57,59 @@ class PlanVizSpec extends SparkSpec {
     assert(dot.contains("rows=5"), dot)
   }
 
+  test("force-directed layout is deterministic and pulls joined tables " +
+      "together") {
+    import graft.vis.Vis
+    val nodes = Seq("a", "b", "c", "d", "e", "f")
+    // two cliques {a,b,c} and {d,e,f} with no cross edges
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"))
+    val l1 = Vis.forceDirectedLayout(nodes, edges, seed = 7L)
+    val l2 = Vis.forceDirectedLayout(nodes, edges, seed = 7L)
+    assert(l1 === l2, "layout not deterministic")
+    def dist(p: (Double, Double), q: (Double, Double)) =
+      math.hypot(p._1 - q._1, p._2 - q._2)
+    val intra = for {
+      (x, y) <- edges
+    } yield dist(l1(x), l1(y))
+    val inter = for {
+      x <- Seq("a", "b", "c"); y <- Seq("d", "e", "f")
+    } yield dist(l1(x), l1(y))
+    assert(intra.sum / intra.size < inter.sum / inter.size,
+      s"clique members not closer than cross-clique pairs: $l1")
+  }
+
+  test("join graph SVG renders every table, FK orientation, and is " +
+      "well-formed XML") {
+    val (_, graph) = graphFor(
+      """SELECT count(*) AS n FROM nation, supplier, customer
+         WHERE n_nationkey = s_nationkey AND n_nationkey = c_nationkey""")
+    val svg = graft.vis.Vis.svgJoinGraph(graph)
+    Seq("nation", "supplier", "customer").foreach(t =>
+      assert(svg.contains(s">$t</text>"), s"missing label $t"))
+    assert(svg.contains("marker-end"), "FK edges must carry the arrowhead")
+    // well-formedness: the JDK parser must accept it as-is
+    javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(
+        svg.getBytes("UTF-8")))
+  }
+
+  test("result grid SVG has one cell per label and marks failures") {
+    import graft.bench.ExecutionResult
+    val rs = Seq(
+      ExecutionResult("q1", "ok", 1.0, 5.0, 10L, "", 1, 1),
+      ExecutionResult("q1", "ok", 2.0, 5.0, 10L, "", 1, 2),
+      ExecutionResult("q2", "ok", 0.5, 3.0, 4L, "", 1, 1),
+      ExecutionResult("q3", "timeout", -1.0, 3.0, -1L, "limit", 1, 1))
+    val svg = graft.vis.Vis.svgResultGrid(rs)
+    Seq("q1", "q2", "q3").foreach(l => assert(svg.contains(s">$l</text>")))
+    assert(svg.contains("stroke-dasharray"), "failed rep not marked")
+    javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(svg.getBytes("UTF-8")))
+  }
+
   test("TONIC trie ASCII lists prefixes with observed costs") {
     val syn = new QepSynopsis
     syn.recordCost(Seq("nation", "supplier"), JoinOperator.HashJoin, 3.0)
