@@ -704,6 +704,25 @@ object Relational {
       s.sql(transforms.SqlEmitter.toSql(analyzedPlan))
     },
 
+    // HINT EMISSION in the gate: a hinted query's ResolvedHint carriers
+    // render back as the standard hint comment and the emitted text is
+    // re-executed by Spark WITH the hints intact (hinted SQL text is the
+    // reference's hinting-backend output format); the oracle runs the
+    // unhinted equivalent — hints must never change answers
+    "x08_hint_roundtrip" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val analyzedPlan = s.sql(
+        """SELECT /*+ BROADCAST(nation), MERGEJOIN(supplier) */
+             s_name, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_regionkey < 2 ORDER BY s_name""")
+        .queryExecution.analyzed
+      val emitted = transforms.SqlEmitter.toSql(analyzedPlan)
+      require(emitted.contains("BROADCAST") && emitted.contains("MERGE"),
+        s"hints lost in emission: $emitted")
+      s.sql(emitted)
+    },
+
     // SEMI/ANTI-JOIN EMISSION in the gate: a DataFrame-built
     // LeftSemi + LeftAnti join tree renders back as correlated
     // EXISTS / NOT EXISTS predicates and the emitted text is re-executed
@@ -1411,6 +1430,11 @@ object Relational {
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_orderstatus = 'F' AND c_custkey = o_custkey)
          ORDER BY c_custkey""",
+
+    "x08_hint_roundtrip" ->
+      """SELECT s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_regionkey < 2 ORDER BY s_name""",
 
     "x03_move_into_subquery" ->
       """SELECT n_name, count(*) AS n FROM supplier, nation, region

@@ -19,8 +19,11 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * LIMIT/OFFSET, window functions (folded back into the SELECT list with
   * their analyzed frames), UNION/INTERSECT/EXCEPT (ALL and DISTINCT),
   * CTE containers (`WithCTE`/`CTERelationRef` render as a WITH clause),
-  * and semi/anti join structures (rendered back as correlated EXISTS /
-  * NOT EXISTS predicates, the reference's `UnaryPredicate` surface).
+  * semi/anti join structures (rendered back as correlated EXISTS /
+  * NOT EXISTS predicates, the reference's `UnaryPredicate` surface), and
+  * join-strategy hints (`ResolvedHint` carriers render as the standard
+  * hint comment on their enclosing block — hinted SQL text is the
+  * reference's hinting-backend output format).
   * Anything else — generators, lateral structures — throws
   * `UnsupportedOperationException` naming the node, mirroring the
   * reference's contract that formatting is defined for QAL trees only
@@ -82,8 +85,26 @@ private final class SqlEmitter {
     case other => emitSelect(other, distinct = false)
   }
 
+  /** Join-strategy hints collected from ResolvedHint carriers while the
+    * enclosing block's FROM tree renders; each SELECT block opens its own
+    * scope and prepends its hints as the standard hint comment — the
+    * reference's formatter emits hint blocks the same way (its hinting
+    * backends' whole output IS hinted SQL text).
+    */
+  private val hintScopes =
+    scala.collection.mutable.Stack.empty[scala.collection.mutable.ListBuffer[String]]
+
   /** The SELECT...FROM...WHERE...[GROUP BY...HAVING] block. */
   private def emitSelect(plan: LogicalPlan, distinct: Boolean): String = {
+    hintScopes.push(scala.collection.mutable.ListBuffer.empty)
+    val body = emitSelectBody(plan, distinct)
+    val hints = hintScopes.pop()
+    if (hints.isEmpty) body
+    else s"SELECT /*+ ${hints.mkString(", ")} */ " +
+      body.stripPrefix("SELECT ")
+  }
+
+  private def emitSelectBody(plan: LogicalPlan, distinct: Boolean): String = {
     val d = if (distinct) "DISTINCT " else ""
     plan match {
       // window functions: the analyzer stacks
@@ -205,6 +226,27 @@ private final class SqlEmitter {
 
   private def emitRelation(plan: LogicalPlan,
       aliases: Map[ExprId, Seq[String]]): String = plan match {
+    // join-strategy hint carrier: record the hint against the relation's
+    // alias in the enclosing SELECT block's scope, emit the child as-is
+    case ResolvedHint(child, info) =>
+      info.strategy.foreach { st =>
+        val name = st match {
+          case BROADCAST => "BROADCAST"
+          case SHUFFLE_MERGE => "MERGE"
+          case SHUFFLE_HASH => "SHUFFLE_HASH"
+          case SHUFFLE_REPLICATE_NL => "SHUFFLE_REPLICATE_NL"
+          case other => other.toString
+        }
+        val alias = child match {
+          case SubqueryAlias(id, _) => Some(id.name)
+          case _ => None
+        }
+        (alias, hintScopes.headOption) match {
+          case (Some(a), Some(scope)) => scope += s"$name(${quoted(a)})"
+          case _ => // un-aliased or scope-less hint: drop, never mis-emit
+        }
+      }
+      emitRelation(child, aliases)
     case Join(l, r, t, cond, _) =>
       val left = emitRelation(l, aliases)
       val right = emitRelation(r, aliases)
@@ -301,6 +343,7 @@ private final class SqlEmitter {
     def walk(p: LogicalPlan): Unit = p match {
       case Join(l, r, _, _, _) => walk(l); walk(r)
       case Filter(_, child) => walk(child)
+      case ResolvedHint(child, _) => walk(child)
       case s @ SubqueryAlias(id, _) =>
         s.output.foreach(a => m += a.exprId -> Seq(id.name, a.name))
       case other =>

@@ -124,6 +124,21 @@ class SqlEmitterSpec extends SparkSpec {
     assert(sameResults(spark.sql(emitted), df), emitted)
   }
 
+  test("join-strategy hints survive emission and steer the re-executed " +
+      "plan") {
+    Tables.registerAll(spark, sfDir)
+    val hinted = spark.sql(
+      """SELECT /*+ BROADCAST(nation) */ s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey""")
+    val emitted = SqlEmitter.toSql(hinted.queryExecution.analyzed)
+    assert(emitted.contains("/*+ BROADCAST(nation) */"), emitted)
+    val reExec = spark.sql(emitted)
+    assert(sameResults(reExec, hinted))
+    // the hint must actually reach the physical planner of the re-run
+    val phys = reExec.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), phys)
+  }
+
   test("uncovered nodes are rejected, not mis-emitted") {
     Tables.registerAll(spark, sfDir)
     val generated = QueryFacade(spark,
