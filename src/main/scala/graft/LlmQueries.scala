@@ -69,8 +69,13 @@ object LlmQueries {
     // 100 TB skew path is hash-verified instead of merely documented
     "d10_dedup_jaccard_guarded" -> { (s, dir) =>
       val d = docs(s, dir)
+      // corpus size via the fingerprint-keyed stats cache: warm runs pay
+      // no count() job at plan-construction time (the cache persists
+      // across JVMs alongside the optimizer gates' probe cache)
+      val stats = graft.OptQueries.statsFor(s, dir)
+      val corpusSize = stats.rowCount(d.queryExecution.analyzed)
       Dedup.jaccardPairs(Dedup.shingles(d, "doc_id", "text", 3), 0.6,
-        maxShingleDocFreq = Some(Dedup.autoShingleDocFreqCap(d.count())))
+        maxShingleDocFreq = Some(Dedup.autoShingleDocFreqCap(corpusSize)))
     },
 
     // MinHash+LSH with exact-Jaccard verification: candidates via banding,

@@ -33,7 +33,7 @@ object OptQueries {
     * means probes run again. */
   private val statsCache = TrieMap.empty[(SparkSession, String), EmulatedStatistics]
 
-  private def statsFor(s: SparkSession, dir: String): EmulatedStatistics =
+  private[graft] def statsFor(s: SparkSession, dir: String): EmulatedStatistics =
     statsCache.getOrElseUpdate((s, dir), {
       val st = new EmulatedStatistics(s)
       val f = s"${System.getProperty("java.io.tmpdir")}/graft_stats_cache_${Tables.dataFingerprint(dir)}.json"

@@ -72,12 +72,11 @@ private final class SqlEmitter {
       val aliases = aliasMap(child)
       val by = order.map(o => renderExpr(o, aliases)).mkString(", ")
       s"${emitQuery(child)} ORDER BY $by"
-    case Distinct(u: Union) if !u.byName =>
-      u.children.map(c => s"(${emitQuery(c)})").mkString(" UNION ")
+    case Distinct(u: Union) =>
+      unionChildren(u).map(c => s"(${emitQuery(c)})").mkString(" UNION ")
     case Distinct(child) => emitSelect(child, distinct = true)
     case u: Union =>
-      u.children.map(c => s"(${emitQuery(c)})")
-        .mkString(if (u.byName) unsupported(u) else " UNION ALL ")
+      unionChildren(u).map(c => s"(${emitQuery(c)})").mkString(" UNION ALL ")
     case Intersect(l, r, isAll) =>
       s"(${emitQuery(l)}) INTERSECT${if (isAll) " ALL" else ""} (${emitQuery(r)})"
     case Except(l, r, isAll) =>
@@ -93,6 +92,23 @@ private final class SqlEmitter {
     */
   private val hintScopes =
     scala.collection.mutable.Stack.empty[scala.collection.mutable.ListBuffer[String]]
+
+  /** UNION children, positional. A by-name union (the DataFrame
+    * `unionByName` shape) emits as positional SQL by reordering every
+    * non-first child's projection to the first child's column-name
+    * order — name resolution happens HERE so the emitted text means the
+    * same thing in any ANSI engine. Ragged schemas (allowMissingCol)
+    * stay unsupported.
+    */
+  private def unionChildren(u: Union): Seq[LogicalPlan] = {
+    if (!u.byName) return u.children
+    val lead = u.children.head.output.map(_.name)
+    u.children.head +: u.children.tail.map { c =>
+      val byName = c.output.map(a => a.name -> a).toMap
+      if (lead.exists(n => !byName.contains(n))) unsupported(u)
+      Project(lead.map(n => byName(n)), c)
+    }
+  }
 
   /** The SELECT...FROM...WHERE...[GROUP BY...HAVING] block. */
   private def emitSelect(plan: LogicalPlan, distinct: Boolean): String = {

@@ -109,6 +109,15 @@ class SqlEmitterSpec extends SparkSpec {
          UNION SELECT r_regionkey AS k FROM region""")
   }
 
+  test("by-name unions emit as positional SQL via reordered projections") {
+    Tables.registerAll(spark, sfDir)
+    val a = spark.sql("SELECT n_name AS name, n_regionkey AS k FROM nation")
+    val b = spark.sql("SELECT r_regionkey AS k, r_name AS name FROM region")
+    val df = a.unionByName(b) // columns cross-ordered on purpose
+    val emitted = SqlEmitter.toSql(df.queryExecution.analyzed)
+    assert(sameResults(spark.sql(emitted), df), emitted)
+  }
+
   test("semi/anti joins emit as EXISTS / NOT EXISTS") {
     Tables.registerAll(spark, sfDir)
     import org.apache.spark.sql.functions._
