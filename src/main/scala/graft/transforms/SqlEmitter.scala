@@ -23,8 +23,9 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * NOT EXISTS predicates, the reference's `UnaryPredicate` surface), and
   * join-strategy hints (`ResolvedHint` carriers render as the standard
   * hint comment on their enclosing block — hinted SQL text is the
-  * reference's hinting-backend output format).
-  * Anything else — generators, lateral structures — throws
+  * reference's hinting-backend output format), and correlated LATERAL
+  * subqueries (outer references re-qualify against the enclosing block).
+  * Anything else — generators chiefly — throws
   * `UnsupportedOperationException` naming the node, mirroring the
   * reference's contract that formatting is defined for QAL trees only
   * (not arbitrary engine plans). Expressions render through Catalyst's
@@ -240,8 +241,34 @@ private final class SqlEmitter {
       s"SQL emission does not cover $other joins")
   }
 
+  /** Alias context of enclosing blocks, consulted when a lateral
+    * subquery's OuterReference needs qualification by an OUTER relation's
+    * alias (the inner block's own alias map cannot know it). */
+  private var outerScope: Map[ExprId, Seq[String]] = Map.empty
+
   private def emitRelation(plan: LogicalPlan,
       aliases: Map[ExprId, Seq[String]]): String = plan match {
+    // correlated lateral subquery in relation position: `left, LATERAL
+    // (sub) AS alias` (comma form for the plain inner shape, JOIN LATERAL
+    // with ON otherwise); the outer block's aliases become the subquery's
+    // outer scope so correlation predicates render qualified
+    case lj: LateralJoin =>
+      val left = emitRelation(lj.left, aliases)
+      val (kw, on) = (lj.joinType, lj.condition) match {
+        case (Inner, None) => (",", "")
+        case (Inner, Some(c)) => (" JOIN", s" ON ${renderExpr(c, aliases)}")
+        case (LeftOuter, c) => (" LEFT JOIN",
+          s" ON ${c.map(renderExpr(_, aliases)).getOrElse("true")}")
+        case _ => unsupported(lj)
+      }
+      val (alias, sub) = lj.right.plan match {
+        case SubqueryAlias(id, child) => (id.name, child)
+        case p => (nextSubAlias(), p)
+      }
+      val saved = outerScope
+      outerScope = outerScope ++ aliases
+      val subSql = try emitQuery(sub) finally outerScope = saved
+      s"$left$kw LATERAL ($subSql) AS ${quoted(alias)}$on"
     // join-strategy hint carrier: record the hint against the relation's
     // alias in the enclosing SELECT block's scope, emit the child as-is
     case ResolvedHint(child, info) =>
@@ -358,6 +385,7 @@ private final class SqlEmitter {
     }
     def walk(p: LogicalPlan): Unit = p match {
       case Join(l, r, _, _, _) => walk(l); walk(r)
+      case lj: LateralJoin => walk(lj.left); walk(lj.right.plan)
       case Filter(_, child) => walk(child)
       case ResolvedHint(child, _) => walk(child)
       case s @ SubqueryAlias(id, _) =>
@@ -378,6 +406,12 @@ private final class SqlEmitter {
   private def renderExpr(e: Expression,
       aliases: Map[ExprId, Seq[String]]): String = {
     val requalified = e.transform {
+      // correlation marker: resolve against the ENCLOSING block's aliases
+      // (Catalyst's own .sql would print the non-SQL `outer(...)` form)
+      case OuterReference(a: AttributeReference) =>
+        outerScope.get(a.exprId)
+          .map(parts => UnresolvedAttribute(parts): Expression)
+          .getOrElse(UnresolvedAttribute(Seq(a.name)))
       case a: AttributeReference =>
         aliases.get(a.exprId)
           .map(parts => UnresolvedAttribute(parts): Expression)

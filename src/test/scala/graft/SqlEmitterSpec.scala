@@ -133,6 +133,14 @@ class SqlEmitterSpec extends SparkSpec {
     assert(sameResults(spark.sql(emitted), df), emitted)
   }
 
+  test("lateral subqueries round-trip with qualified correlation") {
+    roundTrips(
+      """SELECT n_name, top_bal FROM nation,
+           LATERAL (SELECT max(c_acctbal) AS top_bal FROM customer
+                    WHERE c_nationkey = n_nationkey) t
+         WHERE top_bal IS NOT NULL ORDER BY n_name""")
+  }
+
   test("join-strategy hints survive emission and steer the re-executed " +
       "plan") {
     Tables.registerAll(spark, sfDir)
