@@ -129,6 +129,27 @@ private final class SqlEmitter {
       // fold the Window back into the SELECT list by inlining each window
       // output's defining expression (Expression.sql renders the full
       // OVER (...) clause including the analyzed frame)
+      // single-column generator in the SELECT list (`SELECT explode(x)
+      // AS v FROM t`): inline the generator expression back into the
+      // projection. Multi-output generators (posexplode), outer and
+      // qualified forms stay unsupported — their inlining would not be
+      // expressible as a plain SELECT item.
+      case Project(exprs, g: Generate)
+          if g.generatorOutput.size == 1 && !g.outer && g.qualifier.isEmpty =>
+        val genAttr = g.generatorOutput.head
+        val aliases = aliasMap(g.child)
+        val items = exprs.map { e =>
+          val inlined = e match {
+            case ar: AttributeReference if ar.exprId == genAttr.exprId =>
+              Alias(g.generator, ar.name)()
+            case other => other.transform {
+              case ar: AttributeReference if ar.exprId == genAttr.exprId =>
+                g.generator
+            }.asInstanceOf[NamedExpression]
+          }
+          renderExpr(inlined, aliases)
+        }.mkString(", ")
+        s"SELECT $d$items FROM ${emitFromWhere(g.child, aliases)}"
       case Project(exprs, WindowBelow(w)) =>
         val from = stripForwardingProject(w.child)
         val aliases = aliasMap(from)

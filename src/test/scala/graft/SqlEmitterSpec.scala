@@ -156,10 +156,19 @@ class SqlEmitterSpec extends SparkSpec {
     assert(phys.contains("BroadcastHashJoin"), phys)
   }
 
+  test("single-column generators round-trip inline") {
+    roundTrips("SELECT explode(array(1, 2)) AS v FROM supplier")
+    roundTrips(
+      """SELECT s_nationkey, explode(sequence(1, 3)) AS step
+         FROM supplier WHERE s_suppkey < 5 ORDER BY s_nationkey, step""")
+  }
+
   test("uncovered nodes are rejected, not mis-emitted") {
     Tables.registerAll(spark, sfDir)
+    // posexplode yields TWO generator columns — not expressible as one
+    // inline SELECT item, must fail loudly
     val generated = QueryFacade(spark,
-      "SELECT explode(array(1, 2)) AS v FROM supplier").analyzed
+      "SELECT posexplode(array(1, 2)) FROM supplier").analyzed
     assertThrows[UnsupportedOperationException](SqlEmitter.toSql(generated))
   }
 }
