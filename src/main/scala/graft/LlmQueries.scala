@@ -84,6 +84,23 @@ object LlmQueries {
       Dedup.minhashNearDuplicates(docs(s, dir), "doc_id", "text", 0.6)
     },
 
+    // INCREMENTAL dedup in the gate — the daily-ingest shape: even doc
+    // ids play the pre-existing indexed corpus, odd ids the newly
+    // ingested batch. The batch probes the persisted band index
+    // (new-vs-old) plus itself (new-vs-new); with d03's parameters the
+    // banding recall is ~1, so the result must equal the exact Jaccard
+    // join RESTRICTED to pairs touching the batch — which the oracle
+    // computes from scratch with the parity predicate
+    "d12_dedup_incremental" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val existing = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+      val index = Dedup.minhashBandIndex(existing, "doc_id", "text")
+      Dedup.incrementalMinhashNearDuplicates(batch, d, index,
+          "doc_id", "text", 0.6)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // SimHash 64-bit + chunk banding + hamming filter + exact verification
     "d04_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashNearDuplicates(docs(s, dir), "doc_id", "text",
@@ -532,6 +549,26 @@ object LlmQueries {
        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
        ORDER BY a_id, b_id""",
     "d03_dedup_minhash_lsh" -> jaccardOracle,
+
+    // the exact Jaccard join restricted to pairs touching the "new"
+    // (odd-id) batch — what the incremental index probe must reproduce
+    "d12_dedup_incremental" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                        WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+       SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+         AND (a_id % 2 = 1 OR b_id % 2 = 1)
+       ORDER BY a_id, b_id""",
     "d04_dedup_simhash" -> jaccardOracle,
 
     // connected components of the near-dup pair graph via recursive CTE:

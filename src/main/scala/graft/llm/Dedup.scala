@@ -247,13 +247,21 @@ object Dedup {
         array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** Banded signature rows (doc_id, band, bh): one row per document and
+    * band, bh = hash of the band's signature slice. This IS the
+    * persistable LSH index shape — see [[minhashBandIndex]].
+    */
+  def bandSignatures(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b*$rowsPerBand+1, $rowsPerBand)))"))
+      .as(Seq("band", "bh")))
+
   /** LSH banding: candidate pairs whose signatures collide in >=1 band.
     * bands*rowsPerBand must equal the signature length.
     */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b*$rowsPerBand+1, $rowsPerBand)))"))
-      .as(Seq("band", "bh")))
+    val banded = bandSignatures(sigs, bands, rowsPerBand)
     val a = banded.select(col("doc_id").as("a_id"), col("band"), col("bh"))
     val b = banded.select(col("doc_id").as("b_id"), col("band"), col("bh"))
     a.join(b, Seq("band", "bh"))
@@ -292,6 +300,64 @@ object Dedup {
       .filter(col("est") >= threshold - margin)
       .select("a_id", "b_id")
     verifyJaccard(sh, cands, threshold)
+  }
+
+  /** Banded MinHash signature index of a corpus: (doc_id, band, bh), the
+    * structure an INCREMENTAL dedup pipeline persists between ingest
+    * batches. Permutations are deterministic, so an index built today
+    * collides correctly with signatures computed tomorrow. At scale,
+    * write it bucketed by (band, bh) — the per-batch probe join is then
+    * shuffle-free on the index side, and the index grows by appending
+    * each batch's [[bandSignatures]].
+    */
+  def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, numPerm: Int = 128, bands: Int = 32): DataFrame =
+    bandSignatures(
+      minHashSignatures(shingles(docs, idCol, textCol, ngram), numPerm),
+      bands, numPerm / bands)
+
+  /** Incremental MinHash+LSH near-duplicates: all near-dup pairs that
+    * TOUCH a newly ingested batch — new-vs-indexed-corpus plus
+    * new-vs-new — without recomputing anything over the existing corpus
+    * except the exact-verification texts of the touched documents (a
+    * semi-join pulls just those). The daily-ingest shape at corpus
+    * scale: per-batch cost is proportional to the batch and its
+    * collision set, never the corpus.
+    *
+    * `corpus` must contain every document (old and new) so candidates
+    * can be exactly verified; `index` is [[minhashBandIndex]] of the
+    * PRE-EXISTING corpus (excluding the batch), built with identical
+    * (ngram, numPerm, bands). With d03's parameters the banding recall
+    * at the threshold is ~1, so the output equals the exact Jaccard join
+    * restricted to pairs touching the batch — the d12 gate's oracle.
+    */
+  def incrementalMinhashNearDuplicates(newDocs: DataFrame, corpus: DataFrame,
+      index: DataFrame, idCol: String, textCol: String, threshold: Double,
+      ngram: Int = 3, numPerm: Int = 128, bands: Int = 32): DataFrame = {
+    val newSigs = scopedCache(minHashSignatures(
+      shingles(newDocs, idCol, textCol, ngram), numPerm))
+    val newBanded = scopedCache(bandSignatures(newSigs, bands, numPerm / bands))
+    val n = newBanded.select(col("doc_id").as("n_id"), col("band"), col("bh"))
+    val o = index.select(col("doc_id").as("o_id"), col("band"), col("bh"))
+    // new-vs-old collisions (the index side carries no new docs) ...
+    val vsOld = n.join(o, Seq("band", "bh"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"))
+    // ... plus new-vs-new collisions within the batch
+    val m = newBanded.select(col("doc_id").as("m_id"), col("band"), col("bh"))
+    val vsNew = n.join(m, Seq("band", "bh"))
+      .filter(col("n_id") < col("m_id"))
+      .select(col("n_id").as("a_id"), col("m_id").as("b_id"))
+    val cands = vsOld.union(vsNew).distinct()
+    // exact verification touches only candidate documents: semi-join the
+    // corpus down to them before shingling
+    val touched = cands.select(col("a_id").as("doc_id"))
+      .union(cands.select(col("b_id").as("doc_id"))).distinct()
+    val docsTouched = corpus
+      .join(touched, corpus(idCol).cast("bigint") === touched("doc_id"),
+        "left_semi")
+    verifyJaccard(shingles(docsTouched, idCol, textCol, ngram), cands,
+      threshold)
   }
 
   /** MinHash+LSH near-duplicates with exact-duplicate pre-collapse — the

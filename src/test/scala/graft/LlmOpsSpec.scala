@@ -122,6 +122,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("incremental dedup equals the full run restricted to the batch, " +
+      "and the index composes by append") {
+    import org.apache.spark.sql.functions._
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val index = Dedup.minhashBandIndex(existing, "doc_id", "text")
+    val inc = Dedup.incrementalMinhashNearDuplicates(batch, docs, index,
+        "doc_id", "text", 0.6)
+      .collect().map(_.toString).sorted.toSeq
+    val full = Dedup.minhashNearDuplicates(docs, "doc_id", "text", 0.6)
+      .filter(col("a_id") % 2 === 1 || col("b_id") % 2 === 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(inc.nonEmpty, "fixture has no cross-parity near-dups")
+    assert(inc === full)
+    // append-compose: index(existing) ∪ bands(batch) == index(all) — the
+    // property that lets a pipeline maintain the index incrementally
+    val appended = index.unionAll(
+      Dedup.minhashBandIndex(batch, "doc_id", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    val rebuilt = Dedup.minhashBandIndex(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(appended === rebuilt)
+  }
+
   test("simhash chunk count auto-couples to maxHamming") {
     assert(Dedup.simhashChunksFor(0) === 1)
     assert(Dedup.simhashChunksFor(3) === 4)
