@@ -101,6 +101,17 @@ object LlmQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // sequence PACKING: concat-and-chunk the curated document stream
+    // into 512-token training sequences via a TWO-LEVEL distributed
+    // prefix sum (chunk size 64 so the gate actually exercises the
+    // chunk-base composition); the oracle recomputes the same cut
+    // points with one global window in DuckDB
+    "d13_sequence_packing" -> { (s, dir) =>
+      Curation.packSequences(docs(s, dir), "doc_id", "text",
+          budget = 512, chunkSize = 64)
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash 64-bit + chunk banding + hamming filter + exact verification
     "d04_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashNearDuplicates(docs(s, dir), "doc_id", "text",
@@ -549,6 +560,22 @@ object LlmQueries {
        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
        ORDER BY a_id, b_id""",
     "d03_dedup_minhash_lsh" -> jaccardOracle,
+
+    // one global running sum reproduces the two-level prefix sum's cut
+    // points exactly (whitespace tokens are engine-independent)
+    "d13_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+               FROM t)
+       SELECT doc_id, n_tokens,
+              CAST(floor(cum_before / 512) AS BIGINT) AS seq_id,
+              cum_before % 512 AS seq_offset
+       FROM c ORDER BY doc_id""",
 
     // the exact Jaccard join restricted to pairs touching the "new"
     // (odd-id) batch — what the incremental index probe must reproduce

@@ -38,4 +38,47 @@ object Curation {
       .select(col("doc_id"), col("pred_lang"), col("quality_score"),
         col("is_dup_copy"), col("kept"))
   }
+
+  /** Sequence PACKING: the deterministic document stream (ordered by id)
+    * is concatenated token-wise and cut into fixed `budget`-token
+    * training sequences — the concat-and-chunk packing LLM training
+    * pipelines run after curation. Each document reports the sequence
+    * its first token lands in and its offset there.
+    * Output: (doc_id, n_tokens, seq_id, seq_offset).
+    *
+    * Scale shape: the global prefix sum is TWO-LEVEL, not one global
+    * window — documents group into id-range chunks of `chunkSize`, the
+    * per-chunk token totals (a tiny relation, one row per chunk) get a
+    * single-partition running sum, and each chunk then computes its
+    * local prefix sums in parallel with the chunk's base offset added.
+    * A naive `sum().over(orderBy(id))` would sort the entire corpus into
+    * ONE partition; this shape's only serial step is over n/chunkSize
+    * rows. Tokens are whitespace tokens ([[TextAnalysis.tokenCounts]]
+    * ws_tokens), so any engine reproduces the cut points exactly.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, chunkSize: Int = 4096): DataFrame = {
+    require(budget > 0 && chunkSize > 0)
+    val perDoc = docs.select(col(idCol).cast("bigint").as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("chunk", floor(col("doc_id") / chunkSize))
+    // serial step over the tiny chunk relation only
+    val chunkBase = perDoc.groupBy("chunk")
+      .agg(sum(col("n_tokens")).as("chunk_tokens"))
+      .withColumn("chunk_base",
+        coalesce(sum(col("chunk_tokens")).over(
+          Window.orderBy("chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("chunk_base"))
+    val localWin = Window.partitionBy("chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("local_before",
+        coalesce(sum(col("n_tokens")).over(localWin), lit(0L)))
+      .join(chunkBase, "chunk")
+      .withColumn("cum_before", col("chunk_base") + col("local_before"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("cum_before") / budget).as("seq_id"),
+        (col("cum_before") % budget).as("seq_offset"))
+  }
 }

@@ -460,6 +460,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(v.filter(col("is_dup_copy") && col("kept")).count() === 0)
   }
 
+  test("sequence packing: cut points are chunk-size invariant and " +
+      "sequences respect the token budget") {
+    import graft.llm.Curation
+    val budget = 256
+    val packed = Curation.packSequences(docs, "doc_id", "text",
+      budget, chunkSize = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // chunking is an implementation detail: a different chunk size (and
+    // the degenerate single-chunk case) must produce identical packing
+    val other = Curation.packSequences(docs, "doc_id", "text",
+      budget, chunkSize = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(packed.toSeq === other.toSeq)
+    // offsets stay inside the budget and the stream is gapless: each
+    // document starts exactly where the previous one ended
+    assert(packed.forall(p => p._4 >= 0 && p._4 < budget))
+    packed.sliding(2).foreach {
+      case Array((_, n1, s1, o1), (_, _, s2, o2)) =>
+        val endAbs = s1 * budget + o1 + n1
+        assert(s2 * budget + o2 === endAbs,
+          s"gap between consecutive docs: $endAbs vs ${s2 * budget + o2}")
+      case _ =>
+    }
+    assert(packed.map(_._3).distinct.length > 1, "budget never crossed")
+  }
+
   test("int8 quantization bounds reconstruction error") {
     val q = Similarity.quantizeInt8(embs, "vec_id", "embedding")
     // codes fit int8
