@@ -19,7 +19,8 @@ object Bench {
     "q04_semijoin_exists", "q07_left_join_hist", "q12_distinct_on",
     "q25_window_rank", "q30_count_distinct", "q40_events_hourly",
     "q41_events_sessions", "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
-    "d05_dedup_embedding", "d07_dup_clusters", "j01_asof_join",
+    "d05_dedup_embedding", "d07_dup_clusters", "d12_dedup_incremental",
+    "j01_asof_join",
     "w01_scd2_merge", "s01_ann_topk", "t01_lang_id", "t03_token_count",
     "opt01_ues_flagship")
 

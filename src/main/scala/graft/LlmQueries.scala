@@ -112,6 +112,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // deterministic training-order SHUFFLE: seed-reproducible affine
+    // permutation ranks via the two-level prefix sum (16 buckets so the
+    // gate exercises the bucket-base composition); the oracle recomputes
+    // the same keys with the shared constants and one global row_number
+    "d14_corpus_shuffle" -> { (s, dir) =>
+      Curation.shuffleRanks(docs(s, dir), "doc_id", seed = 7L,
+          nBuckets = 16)
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash 64-bit + chunk banding + hamming filter + exact verification
     "d04_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashNearDuplicates(docs(s, dir), "doc_id", "text",
@@ -560,6 +570,18 @@ object LlmQueries {
        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
        ORDER BY a_id, b_id""",
     "d03_dedup_minhash_lsh" -> jaccardOracle,
+
+    // same affine permutation, one global row_number — the constants are
+    // interpolated from the SHARED shuffleConstants(7) so both engines
+    // compute byte-identical keys
+    "d14_corpus_shuffle" -> {
+      val (a, b) = Curation.shuffleConstants(7L)
+      s"""SELECT doc_id,
+            row_number() OVER (ORDER BY
+              ((doc_id % 2147483647) * $a + $b) % 2147483647) - 1
+              AS shuffle_rank
+          FROM documents ORDER BY doc_id"""
+    },
 
     // one global running sum reproduces the two-level prefix sum's cut
     // points exactly (whitespace tokens are engine-independent)

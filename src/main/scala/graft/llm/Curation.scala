@@ -56,6 +56,57 @@ object Curation {
     * rows. Tokens are whitespace tokens ([[TextAnalysis.tokenCounts]]
     * ws_tokens), so any engine reproduces the cut points exactly.
     */
+  private val ShuffleP = 2147483647L // 2^31 - 1, prime
+
+  /** Seed-derived affine constants (a, b) of the shuffle permutation —
+    * shared by [[shuffleRanks]] and the gate's oracle text so both
+    * engines compute byte-identical keys. a in [1, P-1], b in [0, P-1];
+    * P prime makes x -> (x*a + b) mod P a BIJECTION on [0, P), so
+    * distinct document ids below P can never collide.
+    */
+  def shuffleConstants(seed: Long): (Long, Long) = {
+    val mixed = seed * 0x9E3779B97F4A7C15L // golden-ratio scatter: a
+    // small seed must not yield a small multiplier (monotone ordering)
+    val a = math.abs(mixed % (ShuffleP - 1)) + 1
+    val b = math.abs((seed * 0xC2B2AE3D27D4EB4FL) % ShuffleP)
+    (a, b)
+  }
+
+  /** Deterministic corpus SHUFFLE for training order: every document
+    * gets a pseudo-random but seed-reproducible global rank. The shuffle
+    * key is the affine permutation ((doc_id mod P) * a + b) mod P with
+    * [[shuffleConstants]] — exact integer arithmetic (the inner mod
+    * keeps the product under 2^63 for any doc_id), so any engine
+    * recomputes identical ranks. Output: (doc_id, shuffle_rank),
+    * 0-based and dense.
+    *
+    * Scale shape: rank assignment is the same two-level trick as
+    * [[packSequences]] — keys bucket into `nBuckets` ranges, per-bucket
+    * counts (one row per bucket) take the only serial running sum, and
+    * each bucket row_numbers locally in parallel with its base offset
+    * added. No global single-partition sort.
+    */
+  def shuffleRanks(docs: DataFrame, idCol: String, seed: Long,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0)
+    val P = ShuffleP
+    val (a, b) = shuffleConstants(seed)
+    val keyed = docs.select(col(idCol).cast("bigint").as("doc_id"))
+      .withColumn("skey", ((col("doc_id") % P) * a + b) % P)
+      .withColumn("bucket", floor(col("skey") / ((P / nBuckets) + 1)))
+    val bucketBase = keyed.groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("base", coalesce(sum(col("n")).over(
+        Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("base"))
+    val localWin = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    keyed
+      .withColumn("local_rank", row_number().over(localWin).cast("long") - 1)
+      .join(bucketBase, "bucket")
+      .select(col("doc_id"), (col("base") + col("local_rank")).as("shuffle_rank"))
+  }
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       budget: Int, chunkSize: Int = 4096): DataFrame = {
     require(budget > 0 && chunkSize > 0)

@@ -488,6 +488,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(packed.map(_._3).distinct.length > 1, "budget never crossed")
   }
 
+  test("corpus shuffle ranks are dense, seed-reproducible, and " +
+      "bucket-count invariant") {
+    import graft.llm.Curation
+    val r1 = Curation.shuffleRanks(docs, "doc_id", seed = 3L, nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val r2 = Curation.shuffleRanks(docs, "doc_id", seed = 3L, nBuckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(r1.toSeq === r2.toSeq, "bucketing leaked into the ranks")
+    // dense permutation of [0, n)
+    assert(r1.map(_._2).sorted.toSeq === (0L until r1.length.toLong))
+    // a different seed produces a genuinely different order
+    val r3 = Curation.shuffleRanks(docs, "doc_id", seed = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.count { case (id, rk) => r3(id) != rk } > r1.length / 2)
+    // and the shuffle actually scatters: the identity order survives
+    // nowhere near the front
+    val byRank = r1.sortBy(_._2).map(_._1)
+    assert(byRank.take(20).toSeq !== byRank.take(20).sorted.toSeq)
+  }
+
   test("int8 quantization bounds reconstruction error") {
     val q = Similarity.quantizeInt8(embs, "vec_id", "embedding")
     // codes fit int8
