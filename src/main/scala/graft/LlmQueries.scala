@@ -122,6 +122,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // data MIXING: exact per-language document counts picked in
+    // seed-shuffled order (de absent from the targets -> dropped; the en
+    // target exceeds nothing at sf0.01, zh undershoots its stratum);
+    // oracle recomputes with the shared constants and one per-stratum
+    // window
+    "d15_corpus_mix" -> { (s, dir) =>
+      Curation.mixCorpus(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 120L, "zh" -> 25L, "fr" -> 40L, "es" -> 1000L),
+          seed = 11L, nBuckets = 16)
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash 64-bit + chunk banding + hamming filter + exact verification
     "d04_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashNearDuplicates(docs(s, dir), "doc_id", "text",
@@ -581,6 +593,22 @@ object LlmQueries {
               ((doc_id % 2147483647) * $a + $b) % 2147483647) - 1
               AS shuffle_rank
           FROM documents ORDER BY doc_id"""
+    },
+
+    // per-stratum shuffled row_number with the same shared constants;
+    // CASE carries the per-language targets
+    "d15_corpus_mix" -> {
+      val (a, b) = Curation.shuffleConstants(11L)
+      s"""WITH ranked AS (
+            SELECT doc_id, lang AS stratum,
+              row_number() OVER (PARTITION BY lang ORDER BY
+                ((doc_id % 2147483647) * $a + $b) % 2147483647, doc_id)
+                AS rk
+            FROM documents WHERE lang IN ('en', 'zh', 'fr', 'es'))
+          SELECT doc_id, stratum FROM ranked
+          WHERE rk <= CASE stratum WHEN 'en' THEN 120 WHEN 'zh' THEN 25
+                                   WHEN 'fr' THEN 40 ELSE 1000 END
+          ORDER BY doc_id"""
     },
 
     // one global running sum reproduces the two-level prefix sum's cut

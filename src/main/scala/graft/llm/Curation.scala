@@ -107,6 +107,51 @@ object Curation {
       .select(col("doc_id"), (col("base") + col("local_rank")).as("shuffle_rank"))
   }
 
+  /** Deterministic data MIXING: keep an EXACT target number of documents
+    * per stratum (language, source domain, ...), chosen in seed-shuffled
+    * order — the mixture-reweighting step a training pipeline runs after
+    * curation ("200 B tokens web, 40 B code, ..."). Strata absent from
+    * `targets` are dropped entirely; a target larger than the stratum
+    * keeps the whole stratum. Output: (doc_id, stratum).
+    *
+    * Scale shape: the per-stratum rank does NOT window by stratum alone
+    * (5 languages would mean 5 partitions — a skew cliff); shuffle keys
+    * bucket into ranges, per-(stratum, bucket) counts take a running sum
+    * over the tiny (strata x buckets) relation, and each (stratum,
+    * bucket) cell row_numbers locally in parallel. Keys within bucket i
+    * all precede bucket i+1's, so cell-local rank + bucket base IS the
+    * stratum-global shuffled rank.
+    */
+  def mixCorpus(docs: DataFrame, idCol: String, strataCol: String,
+      targets: Map[String, Long], seed: Long,
+      nBuckets: Int = 1024): DataFrame = {
+    require(targets.nonEmpty && nBuckets > 0)
+    val P = ShuffleP
+    val (a, b) = shuffleConstants(seed)
+    val keyed = docs
+      .select(col(idCol).cast("bigint").as("doc_id"),
+        col(strataCol).as("stratum"))
+      .filter(col("stratum").isin(targets.keys.toSeq: _*))
+      .withColumn("skey", ((col("doc_id") % P) * a + b) % P)
+      .withColumn("bucket", floor(col("skey") / ((P / nBuckets) + 1)))
+    val base = keyed.groupBy("stratum", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum_before", coalesce(sum(col("n")).over(
+        Window.partitionBy("stratum").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stratum"), col("bucket"), col("cum_before"))
+    val localWin = Window.partitionBy("stratum", "bucket")
+      .orderBy("skey", "doc_id")
+    val target = targets.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(col("stratum") === s, k).otherwise(acc)
+    }
+    keyed
+      .withColumn("local_rank", row_number().over(localWin).cast("long"))
+      .join(base, Seq("stratum", "bucket"))
+      .filter(col("cum_before") + col("local_rank") <= target)
+      .select(col("doc_id"), col("stratum"))
+  }
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       budget: Int, chunkSize: Int = 4096): DataFrame = {
     require(budget > 0 && chunkSize > 0)

@@ -508,6 +508,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(byRank.take(20).toSeq !== byRank.take(20).sorted.toSeq)
   }
 
+  test("data mixing keeps exact per-stratum targets, deterministically") {
+    import graft.llm.Curation
+    val targets = Map("en" -> 30L, "es" -> 10L, "zh" -> 100000L)
+    val m1 = Curation.mixCorpus(docs, "doc_id", "lang", targets, seed = 5L,
+      nBuckets = 8).collect().map(r => r.getLong(0) -> r.getString(1))
+    val m2 = Curation.mixCorpus(docs, "doc_id", "lang", targets, seed = 5L,
+      nBuckets = 256).collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(m1.sortBy(_._1).toSeq === m2.sortBy(_._1).toSeq,
+      "bucketing leaked into the pick")
+    val byLang = m1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("en") === 30)
+    assert(byLang("es") === 10)
+    // oversized target keeps the whole stratum; absent strata are dropped
+    assert(byLang("zh") === docs.filter(col("lang") === "zh").count())
+    assert(!byLang.contains("fr") && !byLang.contains("de"))
+    // a different seed picks a different en-subset
+    val m3 = Curation.mixCorpus(docs, "doc_id", "lang", targets, seed = 6L)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(m1.filter(_._2 == "en").map(_._1).toSet
+      !== m3.filter(_._2 == "en").map(_._1).toSet)
+  }
+
   test("int8 quantization bounds reconstruction error") {
     val q = Similarity.quantizeInt8(embs, "vec_id", "embedding")
     // codes fit int8
