@@ -447,6 +447,56 @@ object LlmQueries {
       s.table(qname)
     },
 
+    // STREAMING incremental dedup — the foreachBatch + index-append
+    // production architecture: newly ingested documents arrive as a file
+    // stream in MULTIPLE micro-batches (maxFilesPerTrigger=1 over a
+    // two-file batch); each micro-batch probes the persisted band index,
+    // exact-verifies its candidates, and APPENDS its own band signatures
+    // to the index before the next batch runs. The cumulative streamed
+    // result is exactly-once and micro-batch-split-INVARIANT: a pair
+    // within one batch surfaces via new-vs-new, a pair across batches
+    // surfaces when the later batch probes the index that now contains
+    // the earlier one — so the output equals the one-shot incremental
+    // run, and the oracle is d12's exact restricted Jaccard join.
+    "st06_stream_incremental_dedup" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val d = docs(s, dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val run = s"$tmp/graft_st06_${System.nanoTime()}"
+      val indexDir = s"$run/index"
+      val batchDir = s"$run/incoming"
+      Dedup.minhashBandIndex(d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text").write.mode("overwrite").parquet(indexDir)
+      d.filter(col("doc_id") % 2 === 1).repartition(2)
+        .write.mode("overwrite").parquet(batchDir)
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(batchDir)
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = stream.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val idx = s.read.parquet(indexDir)
+          val pairs = Dedup.incrementalMinhashNearDuplicates(
+            batch, d, idx, "doc_id", "text", 0.6)
+          acc ++= pairs.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          // append AFTER probing: the index must not contain the batch
+          // while the batch probes it (self-pairs), and must contain it
+          // before any later batch does
+          Dedup.minhashBandIndex(batch, "doc_id", "text")
+            .write.mode("append").parquet(indexDir)
+          ()
+        }
+        .start()
+      require(q.awaitTermination(300000),
+        "streaming gate query timed out after 300 s")
+      try Relational.staleArtifactSweep(new java.io.File(tmp),
+        "graft_st06_", "") catch { case _: Throwable => }
+      import s.implicits._
+      acc.toSeq.toDF("a_id", "b_id", "jaccard")
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // STREAM-STATIC join in the gate: the event stream enriched with the
     // (batch) customer dimension — broadcast per micro-batch, stateless —
     // then aggregated per (segment, event_type) in complete mode. On
@@ -626,6 +676,26 @@ object LlmQueries {
               CAST(floor(cum_before / 512) AS BIGINT) AS seq_id,
               cum_before % 512 AS seq_offset
        FROM c ORDER BY doc_id""",
+
+    // the streamed cumulative result must equal the one-shot incremental
+    // run — same oracle as d12 (exactly-once, split-invariant)
+    "st06_stream_incremental_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                        WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+       SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+         AND (a_id % 2 = 1 OR b_id % 2 = 1)
+       ORDER BY a_id, b_id""",
 
     // the exact Jaccard join restricted to pairs touching the "new"
     // (odd-id) batch — what the incremental index probe must reproduce

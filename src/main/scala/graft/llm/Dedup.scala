@@ -43,17 +43,27 @@ object Dedup {
     * (MEMORY_AND_DISK — spills, never OOMs).
     */
   private val MaxLiveCaches = 8
+  // keyed by the canonicalized PLAN OBJECT, never its string rendering:
+  // plan.toString truncates past spark.sql.maxPlanStringLength, so two
+  // different large plans that agree on their prefix (e.g. consecutive
+  // streaming micro-batches whose file lists sit deep in the tree) would
+  // collide and silently serve the WRONG cached relation. Case-class
+  // equality on the canonicalized tree is exact.
   private val liveCaches =
-    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+    new java.util.LinkedHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+          e: java.util.Map.Entry[
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            DataFrame]): Boolean =
         if (size > MaxLiveCaches) {
           try e.getValue.unpersist(false) catch { case _: Throwable => }
           true
         } else false
     }
   private def scopedCache(df: DataFrame): DataFrame = liveCaches.synchronized {
-    val key = df.queryExecution.analyzed.canonicalized.toString
+    val key = df.queryExecution.analyzed.canonicalized
     val hit = liveCaches.get(key)
     if (hit != null) hit
     else { val c = df.cache(); liveCaches.put(key, c); c }
