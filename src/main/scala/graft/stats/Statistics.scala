@@ -52,8 +52,14 @@ final class EmulatedStatistics(spark: SparkSession,
   private def sTag = sampleFraction.map(x => s"@s$x").getOrElse("")
   private def scaled(n: Long): Long = math.round(n / f)
 
+  // the string rendering alone is NOT collision-safe: plan.toString
+  // truncates past spark.sql.maxPlanStringLength, so two large plans
+  // sharing a prefix would collide (the bug class the dedup cache hit);
+  // the appended structural semanticHash disambiguates while keeping the
+  // key a persistable string
   private def key(plan: LogicalPlan, tag: String): (String, String) =
-    (plan.canonicalized.toString, tag)
+    (s"${plan.canonicalized.toString}#${plan.canonicalized.semanticHash()}",
+      tag)
 
   private def df(plan: LogicalPlan) = GraftShims.ofRows(spark, plan)
 
@@ -81,7 +87,8 @@ final class EmulatedStatistics(spark: SparkSession,
 
   def rowCount(plan: LogicalPlan, filter: Option[Expression]): Long =
     filter match {
-      case Some(fl) => memo(plan, s"count[${fl.canonicalized}]$sTag")(
+      case Some(fl) => memo(plan,
+          s"count[${fl.canonicalized}#${fl.canonicalized.hashCode}]$sTag")(
         scaled(sampledDf(Filter(fl, plan)).count()))
       case None => rowCount(plan)
     }
