@@ -23,5 +23,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => StatsOverrideStrategy)
     ext.injectOptimizerRule(_ => AugmentEquiJoinPredicates)
+    // SQL-callable custom kernels: `SELECT cosine_sim(a, b)`,
+    // `SELECT rolling_hash(text)` work from any SQL surface (thrift,
+    // connect) without imperative per-session registration
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.size == 2, "cosine_sim(a, b) takes two array args")
+        graft.functions.CosineSimilarity(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.RollingHash].getName, "rolling_hash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.size == 1, "rolling_hash(text) takes one arg")
+        graft.functions.RollingHash(args.head)
+      }))
   }
 }
