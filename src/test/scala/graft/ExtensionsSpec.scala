@@ -21,11 +21,15 @@ class ExtensionsSpec extends AnyFunSuite {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
+      // withExtensions, not .config("spark.sql.extensions", ...): the
+      // conf is STATIC, so Spark ignores it when the builder reuses an
+      // existing SparkContext (the full-suite case) — the builder API
+      // applies our class either way
       val spark = SparkSession.builder()
         .master("local[2]")
         .appName("graft-extensions-spec")
         .config("spark.sql.shuffle.partitions", 2)
-        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .withExtensions(new GraftExtensions)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
