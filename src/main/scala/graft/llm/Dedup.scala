@@ -366,8 +366,11 @@ object Dedup {
     val docsTouched = corpus
       .join(touched, corpus(idCol).cast("bigint") === touched("doc_id"),
         "left_semi")
-    verifyJaccard(shingles(docsTouched, idCol, textCol, ngram), cands,
-      threshold)
+    // cached: verification reads the shingle relation three times (sizes
+    // + both intersection legs) — uncached, each leg would re-run the
+    // semi-join and corpus scan
+    verifyJaccard(scopedCache(shingles(docsTouched, idCol, textCol, ngram)),
+      cands, threshold)
   }
 
   /** MinHash+LSH near-duplicates with exact-duplicate pre-collapse — the
