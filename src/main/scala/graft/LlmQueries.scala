@@ -209,6 +209,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the bloom-pruned decontamination path: a broadcast bloom of the
+    // eval shingles prunes the corpus side before the exact join — no
+    // false negatives, false positives removed by the join, so the
+    // output (and oracle) is IDENTICAL to t06's exact path
+    "t11_decontaminate_bloom" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.contaminationBloom(d.filter(col("doc_id") < 490),
+          d.filter(col("doc_id") >= 490), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // exact brute-force cosine top-5 for query vectors vec_id < 10
     "s01_ann_topk" -> { (s, dir) =>
       val e = embs(s, dir)
@@ -770,6 +781,23 @@ object LlmQueries {
          GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
 
     "t06_decontamination" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                        WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM words),
+         corpus AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 490),
+         ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 490)
+         SELECT ev.doc_id, count(*) AS n_shingles,
+           count(corpus.shingle) AS n_contaminated,
+           round(count(corpus.shingle) * 1.0 / count(*), 4) AS contamination_ratio
+         FROM ev LEFT JOIN corpus ON ev.shingle = corpus.shingle
+         GROUP BY ev.doc_id ORDER BY ev.doc_id""",
+
+    // identical to t06 by construction (bloom pre-filter is lossless
+    // after exact verification)
+    "t11_decontaminate_bloom" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
                         WHERE len(string_split(text, ' ')) >= 3),
          sh AS (SELECT DISTINCT doc_id,

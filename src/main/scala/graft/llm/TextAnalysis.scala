@@ -118,6 +118,42 @@ object TextAnalysis {
         round(col("n_contaminated") / col("n_shingles"), 4))
   }
 
+  /** [[contamination]] with a broadcast bloom-filter pre-filter — the
+    * 100 TB shape. The EVAL side's distinct shingles (benchmarks: small)
+    * build a bloom filter that broadcasts to every executor and prunes
+    * the CORPUS side's distinct-shingle relation BEFORE the join; blooms
+    * have no false negatives and the exact join removes false positives,
+    * so the output is IDENTICAL to the exact path while the corpus-side
+    * join input shrinks from |corpus shingles| to ~|eval shingles| — the
+    * difference between shuffling terabytes of training shingles and
+    * megabytes of candidates. The probe is a UDF by necessity (Spark
+    * exposes no public might_contain expression); it is one hash per
+    * row against broadcast bits, not a compute kernel.
+    */
+  def contaminationBloom(corpus: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, ngram: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusSh = Dedup.shingles(corpus, idCol, textCol, ngram)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+    val evalSh = Dedup.shingles(eval_, idCol, textCol, ngram)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val evalDistinct = evalSh.select("h").distinct()
+    // the count job runs on the SMALL side only; it sizes the filter
+    val n = math.max(1L, evalDistinct.count())
+    val bf = evalDistinct.stat.bloomFilter("h", n, fpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bcast.value.mightContainLong(h))
+    val candidates = corpusSh.filter(mightContain(col("h")))
+    evalSh
+      .join(candidates.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        round(col("n_contaminated") / col("n_shingles"), 4))
+  }
+
   /** Deterministic hash-based train/eval split: a document's split is a
     * pure function of its id (first byte of md5 of the decimal id string
     * against a 0-255 threshold), so the split is reproducible across

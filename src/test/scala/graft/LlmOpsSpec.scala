@@ -530,6 +530,28 @@ class LlmOpsSpec extends SparkSpec {
       !== m3.filter(_._2 == "en").map(_._1).toSet)
   }
 
+  test("bloom-pruned decontamination equals the exact path and actually " +
+      "prunes") {
+    import graft.llm.TextAnalysis
+    import org.apache.spark.sql.functions.xxhash64
+    val corpus = docs.filter(col("doc_id") < 450)
+    val eval_ = docs.filter(col("doc_id") >= 450)
+    val exact = TextAnalysis.contamination(corpus, eval_, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val bloom = TextAnalysis.contaminationBloom(corpus, eval_, "doc_id",
+      "text").collect().map(_.toString).sorted.toSeq
+    assert(bloom === exact)
+    // the pre-filter must shrink the corpus side: survivors are bounded
+    // by ~|eval shingles| x (1 + fpp), far below |corpus shingles|
+    val corpusSh = Dedup.shingles(corpus, "doc_id", "text", 3)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+    val evalN = Dedup.shingles(eval_, "doc_id", "text", 3)
+      .select(xxhash64(col("shingle")).as("h")).distinct().count()
+    val total = corpusSh.count()
+    assert(evalN * 3 < total,
+      s"fixture degenerate: eval $evalN vs corpus $total shingles")
+  }
+
   test("int8 quantization bounds reconstruction error") {
     val q = Similarity.quantizeInt8(embs, "vec_id", "embedding")
     // codes fit int8
