@@ -220,6 +220,22 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // canonical normalization (lowercase, non-alnum -> space, collapse,
+    // trim): every step engine-independent, hash-matched byte for byte
+    "t12_normalize" -> { (s, dir) =>
+      TextAnalysis.normalizeText(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // fixed-window token chunking with stride (the embedding/RAG window
+    // split): window 40, stride 30 — chunk boundaries, sizes, and texts
+    // all recomputed by the oracle with the same arithmetic
+    "d16_doc_chunking" -> { (s, dir) =>
+      TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
+          window = 40, stride = 30)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // exact brute-force cosine top-5 for query vectors vec_id < 10
     "s01_ann_topk" -> { (s, dir) =>
       val e = embs(s, dir)
@@ -811,6 +827,31 @@ object LlmQueries {
            round(count(corpus.shingle) * 1.0 / count(*), 4) AS contamination_ratio
          FROM ev LEFT JOIN corpus ON ev.shingle = corpus.shingle
          GROUP BY ev.doc_id ORDER BY ev.doc_id""",
+
+    "t12_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_chars_norm
+         FROM documents ORDER BY doc_id""",
+
+    // same chunk arithmetic: count = 1 + max(0, ceil((n-40)/30.0)),
+    // start = c*30, len = least(40, n - start)
+    "d16_doc_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                      len(string_split(text, ' ')) AS n
+                    FROM documents),
+         c AS (SELECT doc_id, w, n,
+                 unnest(generate_series(0, greatest(0,
+                   CAST(ceil((n - 40) / 30.0) AS INT)))) AS chunk_id
+               FROM t)
+       SELECT doc_id, chunk_id, chunk_id * 30 AS start_token,
+              least(40, n - chunk_id * 30) AS n_tokens,
+              array_to_string(list_slice(w, chunk_id * 30 + 1,
+                chunk_id * 30 + least(40, n - chunk_id * 30)), ' ')
+                AS chunk_text
+       FROM c ORDER BY doc_id, chunk_id""",
 
     "t07_repetition" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w

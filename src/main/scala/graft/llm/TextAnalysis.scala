@@ -68,6 +68,52 @@ object TextAnalysis {
     * (regexp_extract_all would allocate every token per row only to take
     * its size — pure garbage pressure at corpus scale).
     */
+  /** Canonical text normalization for dedup/fingerprint preprocessing:
+    * lowercase, non-alphanumerics to spaces, whitespace runs collapsed,
+    * ends trimmed — every step an engine-independent string function, so
+    * normalized text (and everything keyed on it downstream) is
+    * bit-reproducible across engines. Pure per-row narrow transform.
+    * Output: (doc_id, norm_text, n_chars_norm).
+    */
+  def normalizeText(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col(textCol)),
+      "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(col(idCol).as("doc_id"), norm.as("norm_text"),
+      length(norm).as("n_chars_norm"))
+  }
+
+  /** Fixed-window token CHUNKING with stride — the window split an
+    * embedding/RAG pipeline runs before encoding: chunk c covers tokens
+    * [c*stride, c*stride + window). The last chunk is the first one
+    * whose window reaches the document's end (chunk count =
+    * 1 + max(0, ceil((n - window) / stride))), so every token is
+    * covered and no chunk is fully contained in an earlier one.
+    * Entirely per-row (split + explode of a computed sequence) — no
+    * shuffle, no state; chunk counts scale with document length, never
+    * corpus size.
+    * Output: (doc_id, chunk_id, start_token, n_tokens, chunk_text).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(expr("sequence(0, greatest(0, cast(ceil(" +
+          s"(n - $window) / cast($stride as double)) as int)))"))
+          .as("chunk_id"))
+      .withColumn("start_token", col("chunk_id") * stride)
+      .withColumn("n_tokens",
+        least(lit(window), col("n") - col("start_token")))
+      .select(col("doc_id"), col("chunk_id"), col("start_token"),
+        col("n_tokens"),
+        array_join(slice(col("w"), col("start_token") + 1,
+          col("n_tokens")), " ").as("chunk_text"))
+  }
+
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       size(split(col(textCol), " ")).as("ws_tokens"),

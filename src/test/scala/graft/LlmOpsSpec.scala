@@ -552,6 +552,43 @@ class LlmOpsSpec extends SparkSpec {
       s"fixture degenerate: eval $evalN vs corpus $total shingles")
   }
 
+  test("chunking covers every token, reaches the end, and normalization " +
+      "is idempotent") {
+    import graft.llm.TextAnalysis
+    val window = 16
+    val stride = 10
+    val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+      window, stride).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val tokens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val n = tokens(id)
+      val sorted = cs.sortBy(_._2)
+      // first chunk starts at 0; consecutive starts advance by stride
+      assert(sorted.head._3 === 0)
+      sorted.foreach { case (_, c, start, len) =>
+        assert(start === c * stride)
+        assert(len === math.min(window, n - start))
+        assert(len > 0)
+      }
+      // the last chunk's window reaches the final token, and the chunk
+      // before it (if any) does not — no subsumed tails
+      assert(sorted.last._3 + sorted.last._4 === n)
+      if (sorted.length > 1)
+        assert(sorted(sorted.length - 2)._3 + window < n ||
+          sorted.length == 2 && n <= window + stride)
+    }
+    // normalization is a projection: applying it twice changes nothing
+    val once = TextAnalysis.normalizeText(docs, "doc_id", "text")
+    val twice = TextAnalysis.normalizeText(
+      once.withColumnRenamed("norm_text", "text"), "doc_id", "text")
+    assert(sameResults(
+      once.select("doc_id", "norm_text"),
+      twice.select("doc_id", "norm_text")))
+  }
+
   test("int8 quantization bounds reconstruction error") {
     val q = Similarity.quantizeInt8(embs, "vec_id", "embedding")
     // codes fit int8
