@@ -271,6 +271,32 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // IVF probe against a PERSISTED index (the ANN-service shape):
+    // centroids + cell-partitioned assignments staged fingerprint-keyed,
+    // the gate measures only the probe — same planted-corpus hard oracle
+    // as s03 (probe output equals exact top-k)
+    "s05_ann_ivf_indexed" -> { (s, dir) =>
+      val planted = Similarity.plantedGappedCorpus(embs(s, dir), "vec_id",
+        "embedding")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = Tables.dataFingerprint(dir)
+      val root = new java.io.File(s"$tmp/graft_ivfidx_$tag")
+      if (!root.exists()) {
+        Relational.staleArtifactSweep(new java.io.File(tmp),
+          "graft_ivfidx_", tag)
+        val (centroids, assignments) = Similarity.ivfIndex(planted,
+          "vec_id", "embedding", nlist = 16)
+        centroids.write.mode("overwrite").parquet(s"$root/centroids")
+        assignments.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$root/assignments")
+      }
+      Similarity.cosineTopKIvfIndexed(planted.filter(col("vec_id") < 10),
+          "vec_id", "embedding",
+          s.read.parquet(s"$root/centroids"),
+          s.read.parquet(s"$root/assignments"), 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // language ID (marker-word argmax + CJK script detection)
     "t01_lang_id" -> { (s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
@@ -620,6 +646,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "s02_ann_lsh" -> plantedAnnOracle,
     "s03_ann_ivf" -> plantedAnnOracle,
+    "s05_ann_ivf_indexed" -> plantedAnnOracle,
 
     // exact cosine threshold join over the planted corpus — what the
     // banded d11 path must reproduce pair for pair

@@ -136,35 +136,65 @@ object Similarity {
     * at 100 TB that is the difference between a full scan and a targeted
     * read. Approximate => no SQL oracle; recall asserted in specs.
     */
-  def cosineTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** Nearest-`n` coarse-quantizer cells per vector (ties broken by cell
+    * id): the assignment step shared by index construction (n=1) and
+    * query probing (n=nProbe). Output: (idOut, cell, v).
+    */
+  private def nearestCells(df: DataFrame, idCol: String, vecCol: String,
+      idOut: String, n: Int, centroids: DataFrame): DataFrame =
+    df.select(col(idCol).cast("bigint").as(idOut), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cosineSim(col("v"), col("centroid")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idOut)).orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rnk") <= n)
+      .select(col(idOut), col("cell"), col("v"))
+
+  /** IVF INDEX construction — the persistable pair an ANN service
+    * maintains: a tiny broadcastable centroid table (cell, centroid) and
+    * the corpus assignments (cell, neighbor_id, v). At scale, persist
+    * the assignments `partitionBy("cell")`: a probe then touches only
+    * its nProbe/nlist cells (static or dynamic partition pruning on the
+    * cell key), and new batches append their own assignments without
+    * re-clustering — re-fit centroids only when drift warrants it.
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val train = corpus.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
-    // centroid table as a broadcastable literal DataFrame
     import spark.implicits._
-    val cdf = centroids.zipWithIndex.toSeq.toDF("centroid", "cell")
-    def cellsOf(df: DataFrame, id: String, n: Int): DataFrame =
-      df.select(col(idCol).cast("bigint").as(id), col(vecCol).as("v"))
-        .crossJoin(broadcast(cdf))
-        .withColumn("sim", cosineSim(col("v"), col("centroid")))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell"))))
-        .filter(col("rnk") <= n)
-        .select(col(id), col("cell"), col("v"))
-    val corpusCells = cellsOf(corpus, "neighbor_id", 1) // each vector in 1 cell
-    val queryCells = cellsOf(queries, "query_id", nProbe)
-      .withColumnRenamed("v", "vq")
+    val cdf = model.clusterCenters.map(_.toArray).zipWithIndex.toSeq
+      .toDF("centroid", "cell")
+    (cdf, nearestCells(corpus, idCol, vecCol, "neighbor_id", 1, cdf))
+  }
+
+  /** Probe a prebuilt IVF index: queries rank the centroid table for
+    * their nProbe cells, join the cell-partitioned assignments, and
+    * exact cosine re-ranks within the probe set — identical output to
+    * [[cosineTopKIvf]] over the same index parameters.
+    */
+  def cosineTopKIvfIndexed(queries: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, assignments: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val queryCells = nearestCells(queries, idCol, vecCol, "query_id",
+      nProbe, centroids).withColumnRenamed("v", "vq")
     topKPerQuery(
-      queryCells.join(corpusCells, "cell")
+      queryCells.join(assignments, "cell")
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("sim", cosineSim(col("vq"), col("v")))
         .select("query_id", "neighbor_id", "sim"), k)
+  }
+
+  def cosineTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (centroids, assignments) = ivfIndex(corpus, idCol, vecCol, nlist)
+    cosineTopKIvfIndexed(queries, idCol, vecCol, centroids, assignments,
+      k, nProbe)
   }
 
   /** LSH-bucketed ANN: candidates collide with the query in >=1 band; exact

