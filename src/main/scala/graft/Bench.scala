@@ -40,11 +40,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = {
+    /** (total, build) seconds: build covers DataFrame construction — for
+      * the opt-gates that is the whole optimization pipeline — so the
+      * artifact separates optimization from execution per rep, the same
+      * split the harness reports as opt_time_ms.
+      */
+    def runOnce(name: String): (Double, Double) = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val tBuilt = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9, (tBuilt - t0) / 1e9)
     }
 
     /** Fixed-cost environment canary: a constant-shape 10 M-row range
@@ -80,7 +86,7 @@ object Bench {
     // the median survives two stalled runs, not just one.
     canary() // warm the range/agg codegen paths before measuring
     val canaryBefore = canary()
-    val results: Seq[(String, Seq[Double])] = selected
+    val results: Seq[(String, Seq[(Double, Double)])] = selected
       .filter(SparkEntry.queries.contains)
       .map { name =>
         try {
@@ -89,7 +95,7 @@ object Bench {
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            name -> Seq.empty[Double]
+            name -> Seq.empty[(Double, Double)]
         }
       }
     val canaryAfter = canary()
@@ -97,16 +103,16 @@ object Bench {
     def fmt(d: Double): String = f"$d%.4f"
     def median(ts: Seq[Double]): Double =
       if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
-    val qs = results.map { case (k, ts) => s""""$k":${fmt(median(ts))}""" }.mkString("{", ",", "}")
-    val qmins = results.map { case (k, ts) =>
-      s""""$k":${fmt(if (ts.isEmpty) -1.0 else ts.min)}"""
-    }.mkString("{", ",", "}")
-    val qreps = results.map { case (k, ts) =>
-      s""""$k":${ts.map(fmt).mkString("[", ",", "]")}"""
-    }.mkString("{", ",", "}")
-    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
-    val totalMin = results.flatMap(r => r._2.minOption).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$qreps,"canary_sec":{"before":${fmt(canaryBefore)},"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"sf":"$sfDir"}""")
+    def obj(f: Seq[(Double, Double)] => String): String =
+      results.map { case (k, ts) => s""""$k":${f(ts)}""" }
+        .mkString("{", ",", "}")
+    val qs = obj(ts => fmt(median(ts.map(_._1))))
+    val qmins = obj(ts => fmt(ts.map(_._1).minOption.getOrElse(-1.0)))
+    val qreps = obj(ts => ts.map(t => fmt(t._1)).mkString("[", ",", "]"))
+    val qbuild = obj(ts => fmt(median(ts.map(_._2))))
+    val total = results.map(r => median(r._2.map(_._1))).filter(_ >= 0).sum
+    val totalMin = results.flatMap(r => r._2.map(_._1).minOption).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$qreps,"build_sec":$qbuild,"canary_sec":{"before":${fmt(canaryBefore)},"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
