@@ -13,24 +13,41 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects. Read nanos as long, then truncate to micros —
-    // identical to how DuckDB surfaces the same column (its TIMESTAMP is
-    // microsecond precision), so oracle comparisons agree.
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-      else df
-    } else spark.read.parquet(s"$dir/$name.parquet")
-  }
+  // every spark.read.parquet lists the directory and reads footers —
+  // ~60 ms per table, ~600 ms for a registerAll, and nearly every gate
+  // query pays it. DataFrames are immutable plans, so memoize per
+  // (session, dir, fingerprint): a regenerated fixture at the same path
+  // changes the fingerprint and misses cleanly.
+  private val loadCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, String), DataFrame]
+  private val registeredCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), Boolean]
 
-  /** Register every table as a temp view. Idempotent, cheap (schema-only). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadCache.getOrElseUpdate((spark, dir, name, dataFingerprint(dir)), {
+      // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read nanos as long, then truncate to micros —
+      // identical to how DuckDB surfaces the same column (its TIMESTAMP is
+      // microsecond precision), so oracle comparisons agree.
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          df.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
+        else df
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    })
+
+  /** Register every table as a temp view. Idempotent; memoized per
+    * (session, dir, fingerprint) — repeat calls are a map lookup. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    registeredCache.getOrElseUpdate((spark, dir, dataFingerprint(dir)), {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      true
+    })
+    ()
+  }
 
   /** Content fingerprint (file sizes + mtimes) of a fixture directory —
     * the cache key for anything derived from the data and persisted
