@@ -739,7 +739,7 @@ object LlmQueries {
                FROM t)
        SELECT doc_id, n_tokens,
               CAST(floor(cum_before / 512) AS BIGINT) AS seq_id,
-              cum_before % 512 AS seq_offset
+              CAST(cum_before % 512 AS BIGINT) AS seq_offset
        FROM c ORDER BY doc_id""",
 
     // the streamed cumulative result must equal the one-shot incremental

@@ -3,6 +3,17 @@
 parquet against DuckDB oracle results on the same testdata.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query...]
+
+Values are compared via fetchall (like the driver's hash over cell
+reprs), and additionally pandas dtypes are compared via fetchdf —
+the driver fetches through pandas, where e.g. an uncast DuckDB
+HUGEINT (any sum(BIGINT)) lands as float64 while Spark's int64 stays
+int64: identical values, different reprs, hash mismatch. The dtype
+check makes that class of oracle-typing drift fail locally. Dtypes
+are compared by KIND (int family / float / bool / object / datetime),
+mirroring the driver's actual sensitivity: int32 vs int64 cells repr
+identically (the full gate has 17 such benign pairs), int64 vs
+float64 does not ("5" vs "5.0").
 """
 import sys, json, math, glob
 import duckdb
@@ -39,6 +50,12 @@ def main():
                 print(f"FAIL {name}: no spark output")
                 n_fail += 1
                 continue
+            got_df = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            exp_df = con.execute(sql).fetchdf()
+            kind = lambda t: {"u": "i"}.get(t.kind, t.kind)
+            gd = {c: kind(t) for c, t in got_df.dtypes.items()}
+            ed = {c: kind(t) for c, t in exp_df.dtypes.items()}
             got = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchall()
             got_cols = [d[0] for d in con.description]
@@ -46,8 +63,13 @@ def main():
             exp_cols = [d[0] for d in con.description]
             gc, gr = norm_rows(got_cols, got)
             ec, er = norm_rows(exp_cols, exp)
+            dtype_diff = {c: (gd.get(c), ed.get(c))
+                          for c in set(gd) | set(ed) if gd.get(c) != ed.get(c)}
             if gc != ec:
                 print(f"FAIL {name}: columns {gc} != {ec}")
+                n_fail += 1
+            elif dtype_diff:
+                print(f"FAIL {name}: dtype drift (spark, oracle) = {dtype_diff}")
                 n_fail += 1
             elif gr != er:
                 n_fail += 1
