@@ -172,9 +172,10 @@ object TextAnalysis {
     * so the output is IDENTICAL to the exact path while the corpus-side
     * join input shrinks from |corpus shingles| to ~|eval shingles| — the
     * difference between shuffling terabytes of training shingles and
-    * megabytes of candidates. The probe is a UDF by necessity (Spark
-    * exposes no public might_contain expression); it is one hash per
-    * row against broadcast bits, not a compute kernel.
+    * megabytes of candidates. The probe is a codegen'd native expression
+    * ([[graft.functions.BloomMightContain]]) so the corpus-side scan —
+    * the hottest path of the whole operator — stays inside whole-stage
+    * codegen instead of crossing a UDF boundary per row.
     */
   def contaminationBloom(corpus: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String, ngram: Int = 3,
@@ -189,8 +190,8 @@ object TextAnalysis {
     val n = math.max(1L, evalDistinct.count())
     val bf = evalDistinct.stat.bloomFilter("h", n, fpp)
     val bcast = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bcast.value.mightContainLong(h))
-    val candidates = corpusSh.filter(mightContain(col("h")))
+    val candidates =
+      corpusSh.filter(graft.functions.BloomMightContain.probe(col("h"), bcast))
     evalSh
       .join(candidates.withColumn("hit", lit(1)), Seq("h"), "left")
       .groupBy("doc_id")

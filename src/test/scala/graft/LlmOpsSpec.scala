@@ -538,9 +538,18 @@ class LlmOpsSpec extends SparkSpec {
     val eval_ = docs.filter(col("doc_id") >= 450)
     val exact = TextAnalysis.contamination(corpus, eval_, "doc_id", "text")
       .collect().map(_.toString).sorted.toSeq
-    val bloom = TextAnalysis.contaminationBloom(corpus, eval_, "doc_id",
-      "text").collect().map(_.toString).sorted.toSeq
+    val bloomDf = TextAnalysis.contaminationBloom(corpus, eval_, "doc_id",
+      "text")
+    val bloom = bloomDf.collect().map(_.toString).sorted.toSeq
     assert(bloom === exact)
+    // the corpus-side probe is a native codegen'd expression: no
+    // ScalaUDF/eval-interpreter boundary anywhere in the physical plan,
+    // and the probing Filter sits inside a WholeStageCodegen span
+    // (rendered with a "*(n)" prefix)
+    val planStr = bloomDf.queryExecution.executedPlan.toString
+    assert(!planStr.contains("UDF"), planStr)
+    assert("""\*\(\d+\) Filter .*bloom_might_contain""".r
+      .findFirstIn(planStr).isDefined, planStr)
     // the pre-filter must shrink the corpus side: survivors are bounded
     // by ~|eval shingles| x (1 + fpp), far below |corpus shingles|
     val corpusSh = Dedup.shingles(corpus, "doc_id", "text", 3)
