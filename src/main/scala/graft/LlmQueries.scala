@@ -523,41 +523,23 @@ object LlmQueries {
     // the earlier one — so the output equals the one-shot incremental
     // run, and the oracle is d12's exact restricted Jaccard join.
     "st06_stream_incremental_dedup" -> { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       val d = docs(s, dir)
       val tmp = System.getProperty("java.io.tmpdir")
-      val run = s"$tmp/graft_st06_${System.nanoTime()}"
+      val tag = System.nanoTime().toString
+      val run = s"$tmp/graft_st06_$tag"
       val indexDir = s"$run/index"
       val batchDir = s"$run/incoming"
-      Dedup.minhashBandIndex(d.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text").write.mode("overwrite").parquet(indexDir)
+      val pairsDir = s"$run/pairs"
+      // sweep PREVIOUS runs' artifacts, keep this run's (the returned
+      // DataFrame reads the sink lazily; the next run sweeps this one)
+      try Relational.staleArtifactSweep(new java.io.File(tmp),
+        "graft_st06_", tag) catch { case _: Throwable => }
+      graft.streaming.IncrementalDedup.writeIndex(
+        d.filter(col("doc_id") % 2 === 0), indexDir, batchId = -1L)
       d.filter(col("doc_id") % 2 === 1).repartition(2)
         .write.mode("overwrite").parquet(batchDir)
-      val stream = s.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1).parquet(batchDir)
-      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      val q = stream.writeStream.outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val idx = s.read.parquet(indexDir)
-          val pairs = Dedup.incrementalMinhashNearDuplicates(
-            batch, d, idx, "doc_id", "text", 0.6)
-          acc ++= pairs.collect().map(r =>
-            (r.getLong(0), r.getLong(1), r.getDouble(2)))
-          // append AFTER probing: the index must not contain the batch
-          // while the batch probes it (self-pairs), and must contain it
-          // before any later batch does
-          Dedup.minhashBandIndex(batch, "doc_id", "text")
-            .write.mode("append").parquet(indexDir)
-          ()
-        }
-        .start()
-      require(q.awaitTermination(300000),
-        "streaming gate query timed out after 300 s")
-      try Relational.staleArtifactSweep(new java.io.File(tmp),
-        "graft_st06_", "") catch { case _: Throwable => }
-      import s.implicits._
-      acc.toSeq.toDF("a_id", "b_id", "jaccard")
+      graft.streaming.IncrementalDedup.runAvailableNow(
+        s, d, batchDir, d.schema, indexDir, pairsDir, 0.6)
         .orderBy(col("a_id"), col("b_id"))
     },
 

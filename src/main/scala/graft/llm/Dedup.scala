@@ -349,8 +349,11 @@ object Dedup {
     val newBanded = scopedCache(bandSignatures(newSigs, bands, numPerm / bands))
     val n = newBanded.select(col("doc_id").as("n_id"), col("band"), col("bh"))
     val o = index.select(col("doc_id").as("o_id"), col("band"), col("bh"))
-    // new-vs-old collisions (the index side carries no new docs) ...
+    // new-vs-old collisions; the self-pair guard matters when the index
+    // ALREADY contains a batch doc (a retried / partially appended ingest
+    // batch) — without it every such doc surfaces as its own duplicate
     val vsOld = n.join(o, Seq("band", "bh"))
+      .filter(col("n_id") =!= col("o_id"))
       .select(least(col("n_id"), col("o_id")).as("a_id"),
         greatest(col("n_id"), col("o_id")).as("b_id"))
     // ... plus new-vs-new collisions within the batch

@@ -149,4 +149,39 @@ class StreamingSpec extends SparkSpec {
     val n = spark.table("dedup_out").count()
     assert(n === ev.count())
   }
+
+  test("incremental-dedup production sink: split-invariant, idempotent " +
+      "under batch retries, no self-pairs") {
+    import graft.streaming.IncrementalDedup
+    val docs = Tables.load(spark, sfDir, "documents")
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    // reference: the one-shot incremental run over the whole new batch
+    val oneShot = {
+      val idx = graft.llm.Dedup.minhashBandIndex(old, "doc_id", "text")
+      graft.llm.Dedup.incrementalMinhashNearDuplicates(
+        newDocs, docs, idx, "doc_id", "text", 0.6)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val run = Files.createTempDirectory("graft_incdedup").toFile
+    run.deleteOnExit()
+    val indexDir = s"$run/index"
+    val pairsDir = s"$run/pairs"
+    IncrementalDedup.writeIndex(old, indexDir, batchId = -1L)
+    val b0 = newDocs.filter(col("doc_id") % 4 === 1)
+    val b1 = newDocs.filter(col("doc_id") % 4 === 3)
+    IncrementalDedup.processBatch(spark, docs, b0, 0L, indexDir, pairsDir, 0.6)
+    IncrementalDedup.processBatch(spark, docs, b1, 1L, indexDir, pairsDir, 0.6)
+    def sink() = spark.read.parquet(pairsDir)
+      .select("a_id", "b_id", "jaccard")
+    // split into micro-batches == one-shot (cross-batch pairs surface via
+    // the index, within-batch via new-vs-new; nothing twice)
+    assert(sink().collect().map(_.toString).sorted.toSeq === oneShot)
+    // foreachBatch is at-least-once: a RETRIED batch id must replace its
+    // own sink/index partitions, not duplicate them, and must not emit
+    // self-pairs even though the index already holds its signatures
+    IncrementalDedup.processBatch(spark, docs, b1, 1L, indexDir, pairsDir, 0.6)
+    assert(sink().collect().map(_.toString).sorted.toSeq === oneShot)
+    assert(sink().filter(col("a_id") === col("b_id")).head(1).isEmpty)
+  }
 }
