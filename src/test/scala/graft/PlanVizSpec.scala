@@ -110,6 +110,56 @@ class PlanVizSpec extends SparkSpec {
       .parse(new java.io.ByteArrayInputStream(svg.getBytes("UTF-8")))
   }
 
+  test("TONIC trie SVG is deterministic, well-formed, and carries every " +
+      "prefix with its learned costs") {
+    val syn = new QepSynopsis
+    syn.recordCost(Seq("nation", "supplier"), JoinOperator.HashJoin, 3.0)
+    syn.recordCost(Seq("nation", "supplier"), JoinOperator.SortMergeJoin, 9.5)
+    syn.recordCost(Seq("nation", "customer"), JoinOperator.HashJoin, 7.0)
+    syn.recordCost(Seq("nation", "customer", "orders"),
+      JoinOperator.IndexNestedLoopJoin, 1.5)
+    val svg = graft.vis.Vis.svgTonicTrie(syn)
+    assert(svg === graft.vis.Vis.svgTonicTrie(syn), "not deterministic")
+    Seq("∅", "nation", "supplier", "customer", "orders").foreach(t =>
+      assert(svg.contains(s">$t</text>"), s"missing trie node $t"))
+    assert(svg.contains("HashJoin=3.0") && svg.contains("SortMergeJoin=9.5"),
+      "per-operator costs missing from node label")
+    javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(svg.getBytes("UTF-8")))
+  }
+
+  test("optimizer stage SVG shows join graph, join order, and physical " +
+      "assignment panels") {
+    import graft.core.Cardinality
+    import graft.plans.{PhysicalOperatorAssignment, PlanParameterization}
+    val (q, graph) = graphFor(
+      """SELECT count(*) AS n FROM nation, supplier, customer
+         WHERE n_nationkey = s_nationkey AND n_nationkey = c_nationkey""")
+    val tree = JoinTree.leftDeep(q.joinBlock.get.tables)
+      .map(_ => Cardinality(25))
+    val result = graft.pipeline.OptimizationResult(
+      df = spark.range(1).toDF(),
+      joinOrder = Some(tree),
+      operators = PhysicalOperatorAssignment()
+        .withJoin(Set("nation", "supplier"), JoinOperator.HashJoin),
+      parameters = PlanParameterization(cardinalityHints =
+        Map(Set("nation", "supplier") -> Cardinality(40))),
+      usedNativeFallback = false,
+      describe = "spec")
+    val svg = graft.vis.Vis.svgOptimizerStages(graph, result)
+    assert(svg === graft.vis.Vis.svgOptimizerStages(graph, result),
+      "not deterministic")
+    Seq("1 · join graph", "2 · join order", "3 · physical operators")
+      .foreach(t => assert(svg.contains(t), s"missing panel title $t"))
+    assert(svg.contains("card=25"), "estimated cardinality missing")
+    assert(svg.contains("HashJoin"), "assigned operator missing")
+    assert(svg.contains("hint=40"), "cardinality hint missing")
+    javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(svg.getBytes("UTF-8")))
+  }
+
   test("TONIC trie ASCII lists prefixes with observed costs") {
     val syn = new QepSynopsis
     syn.recordCost(Seq("nation", "supplier"), JoinOperator.HashJoin, 3.0)
