@@ -46,23 +46,33 @@ private final class SqlEmitter {
     s"__sub$subqueryCount"
   }
 
-  private def unsupported(p: LogicalPlan): Nothing =
+  private def unsupported(p: LogicalPlan, why: String = ""): Nothing =
     throw new UnsupportedOperationException(
-      s"SQL emission does not cover ${p.getClass.getSimpleName} nodes")
+      s"SQL emission does not cover ${p.nodeName} nodes" +
+        (if (why.isEmpty) "" else s" ($why)") +
+        s": ${p.simpleString(maxFields = 8).take(200)}")
+
+  /** CTE def id -> emitted WITH name, for reference sites that are NOT
+    * wrapped in a SubqueryAlias carrying the name (a transform may have
+    * rebuilt the def without one — the name is then synthetic). */
+  private var cteNames: Map[Long, String] = Map.empty
 
   def emitQuery(plan: LogicalPlan): String = plan match {
     // WITH clause: the analyzer hoists every named CTE into a WithCTE
     // container whose defs are SubqueryAlias(name, plan); reference
     // sites become CTERelationRef leaves that emitRelation renders by
     // that name. Defs may reference earlier defs — definition order is
-    // preserved, so the emitted WITH list stays valid.
+    // preserved, so the emitted WITH list stays valid. A def a transform
+    // rebuilt WITHOUT its SubqueryAlias still emits — under a synthetic
+    // name that its reference sites resolve through [[cteNames]].
     case w: WithCTE =>
       val defs = w.cteDefs.map { d =>
-        d.child match {
-          case SubqueryAlias(id, body) =>
-            s"${quoted(id.name)} AS (${emitQuery(body)})"
-          case other => unsupported(other)
+        val (name, body) = d.child match {
+          case SubqueryAlias(id, b) => (id.name, b)
+          case other => (s"__cte${d.id}", other)
         }
+        cteNames += d.id -> name
+        s"${quoted(name)} AS (${emitQuery(body)})"
       }
       s"WITH ${defs.mkString(", ")} ${emitQuery(w.plan)}"
     case GlobalLimit(l, LocalLimit(_, child)) =>
@@ -98,16 +108,29 @@ private final class SqlEmitter {
     * `unionByName` shape) emits as positional SQL by reordering every
     * non-first child's projection to the first child's column-name
     * order — name resolution happens HERE so the emitted text means the
-    * same thing in any ANSI engine. Ragged schemas (allowMissingCol)
-    * stay unsupported.
+    * same thing in any ANSI engine. Ragged schemas with
+    * `allowMissingColumns` follow Spark's own semantics: the target
+    * column list is the first child's columns plus every later child's
+    * extra columns in order of first appearance, and EVERY child projects
+    * to that list with typed NULLs where a column is missing. Ragged
+    * without the flag is an analysis error upstream and stays
+    * unsupported here.
     */
   private def unionChildren(u: Union): Seq[LogicalPlan] = {
     if (!u.byName) return u.children
-    val lead = u.children.head.output.map(_.name)
-    u.children.head +: u.children.tail.map { c =>
+    val target = scala.collection.mutable.LinkedHashMap
+      .empty[String, Attribute]
+    u.children.foreach(_.output.foreach(a =>
+      if (!target.contains(a.name)) target += a.name -> a))
+    val ragged = u.children.exists(_.output.size != target.size)
+    if (ragged && !u.allowMissingCol)
+      unsupported(u, "ragged by-name union without allowMissingColumns")
+    u.children.map { c =>
       val byName = c.output.map(a => a.name -> a).toMap
-      if (lead.exists(n => !byName.contains(n))) unsupported(u)
-      Project(lead.map(n => byName(n)), c)
+      Project(target.toSeq.map { case (n, lead) =>
+        byName.getOrElse(n,
+          Alias(Cast(Literal(null), lead.dataType), n)())
+      }, c)
     }
   }
 
@@ -194,9 +217,41 @@ private final class SqlEmitter {
     val (filtered, wheres) = splitFilters(plan)
     val (fromPlan, existsPreds) = stripSemiAnti(filtered, aliases)
     val from = emitRelation(fromPlan, aliases)
-    val preds = wheres.map(w => renderExpr(w, aliases)) ++ existsPreds
+    val preds = wheres.map(w => renderPredicate(w, aliases)) ++ existsPreds
     if (preds.isEmpty) from
     else s"$from WHERE ${preds.mkString(" AND ")}"
+  }
+
+  /** A WHERE conjunct. Subquery expressions need their own rendering:
+    * an ANALYZED (pre-optimizer) `EXISTS`/`IN (SELECT ...)` is still an
+    * [[Exists]]/[[InSubquery]] expression whose `Expression.sql` prints
+    * the non-SQL `exists(outerAttrs...)` form — emitting that silently
+    * produces broken text. The subquery plan emits as a full block with
+    * the enclosing aliases as its outer scope (correlation predicates
+    * live INSIDE the plan as OuterReference filters), so hints inside the
+    * subquery land on the subquery's own block.
+    */
+  private def renderPredicate(e: Expression,
+      aliases: Map[ExprId, Seq[String]]): String = e match {
+    case ex: Exists => subquerySql(ex.plan, aliases, "EXISTS")
+    case Not(ex: Exists) => "NOT " + subquerySql(ex.plan, aliases, "EXISTS")
+    case InSubquery(values, lq: ListQuery) =>
+      val v = values.map(renderExpr(_, aliases)).mkString(", ")
+      val lhs = if (values.size == 1) v else s"($v)"
+      s"$lhs IN ${subquerySql(lq.plan, aliases, "")}"
+    case Not(InSubquery(values, lq: ListQuery)) =>
+      val v = values.map(renderExpr(_, aliases)).mkString(", ")
+      val lhs = if (values.size == 1) v else s"($v)"
+      s"$lhs NOT IN ${subquerySql(lq.plan, aliases, "")}"
+    case other => renderExpr(other, aliases)
+  }
+
+  private def subquerySql(plan: LogicalPlan,
+      aliases: Map[ExprId, Seq[String]], keyword: String): String = {
+    val saved = outerScope
+    outerScope = outerScope ++ aliases
+    val sub = try emitQuery(plan) finally { outerScope = saved }
+    s"$keyword ($sub)"
   }
 
   /** Hoists semi/anti joins out of the join tree into correlated
@@ -231,12 +286,22 @@ private final class SqlEmitter {
   private def existsPredicate(right: LogicalPlan, cond: Option[Expression],
       aliases: Map[ExprId, Seq[String]], negated: Boolean): String = {
     val (rp, rFilters) = splitFilters(right)
-    val inner = emitRelation(rp, aliases)
+    // the subquery opens its OWN hint scope: a ResolvedHint inside the
+    // EXISTS right side names an alias visible only in the subquery
+    // block, so registering it on the enclosing SELECT would emit a
+    // comment Spark drops with a warning (silent hint loss)
+    hintScopes.push(scala.collection.mutable.ListBuffer.empty)
+    val inner =
+      try emitRelation(rp, aliases)
+      finally ()
+    val hints = hintScopes.pop()
+    val hintTxt =
+      if (hints.isEmpty) "" else s"/*+ ${hints.mkString(", ")} */ "
     val preds = (rFilters ++ cond.toSeq.flatMap(splitConjuncts))
       .map(e => renderExpr(e, aliases))
     val where = if (preds.isEmpty) "" else preds.mkString(" WHERE ", " AND ", "")
     val not = if (negated) "NOT " else ""
-    s"${not}EXISTS (SELECT 1 FROM $inner$where)"
+    s"${not}EXISTS (SELECT ${hintTxt}1 FROM $inner$where)"
   }
 
   private def splitFilters(plan: LogicalPlan): (LogicalPlan, Seq[Expression]) =
@@ -325,6 +390,13 @@ private final class SqlEmitter {
         case _ => joinKeyword(t)
       }
       s"$left $kw $right$on"
+    // CTE reference under its name-carrying alias: the emitted WITH name
+    // may be synthetic (alias-stripped def), so resolve through the
+    // registry and re-alias when they differ
+    case SubqueryAlias(id, r: CTERelationRef) =>
+      val base = cteNames.getOrElse(r.cteId, id.name)
+      if (base == id.name) quoted(id.name)
+      else s"${quoted(base)} AS ${quoted(id.name)}"
     // table AS alias (double wrap) or plain table
     case SubqueryAlias(outer, SubqueryAlias(inner, _)) =>
       if (outer.name == inner.name) quoted(inner.name)
@@ -333,12 +405,32 @@ private final class SqlEmitter {
     // derived table: a full subquery under an alias
     case SubqueryAlias(id, child) =>
       s"(${emitQuery(child)}) AS ${quoted(id.name)}"
+    // a CTE reference a transform left bare (no SubqueryAlias): resolve
+    // the name through the enclosing WITH clause's def registry
+    case r: CTERelationRef =>
+      quoted(cteNames.getOrElse(r.cteId,
+        unsupported(r, "reference outside any emitted WITH clause")))
     // a bare query block in relation position (e.g. an aggregate built
-    // over a projected block by asCountStar): a derived table with a
-    // synthetic, deterministic alias
-    case p @ (_: Project | _: Aggregate | _: Distinct | _: GlobalLimit) =>
+    // over a projected block by asCountStar, or a set operation /
+    // sort / offset / filtered block a transform spliced in): a derived
+    // table with a synthetic, deterministic alias. Only shapes emitQuery
+    // handles at top level belong here — anything else would recurse
+    // back to this case.
+    case p @ (_: Project | _: Aggregate | _: Distinct | _: GlobalLimit |
+        _: Union | _: Intersect | _: Except | _: Sort | _: Offset |
+        _: WithCTE) =>
       s"(${emitQuery(p)}) AS ${quoted(nextSubAlias())}"
-    case other => unsupported(other)
+    // a filtered join leg CANNOT become a synthetic derived table: the
+    // alias map already qualified the leg's attributes by the inner
+    // relation's alias, which the derived table would hide — the emitted
+    // SQL would fail resolution. Name the fix instead of mis-emitting.
+    case f: Filter =>
+      unsupported(f, "filtered relation inside a join tree; hoist the " +
+        "filter into the block's WHERE or alias the leg as a derived table")
+    case g: Generate =>
+      unsupported(g, "generator in relation position; only the " +
+        "single-column SELECT-list form `SELECT explode(x) AS v` emits")
+    case other => unsupported(other, "relation position")
   }
 
   /** Matches a Window directly below, or behind the attribute-only

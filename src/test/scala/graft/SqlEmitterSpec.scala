@@ -163,6 +163,84 @@ class SqlEmitterSpec extends SparkSpec {
          FROM supplier WHERE s_suppkey < 5 ORDER BY s_nationkey, step""")
   }
 
+  test("ragged by-name union emits Spark's allowMissingColumns semantics") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Union}
+    Tables.registerAll(spark, sfDir)
+    val a = spark.sql("SELECT n_nationkey AS k, n_name AS name FROM nation")
+    val b = spark.sql(
+      "SELECT r_name AS name, r_regionkey AS k, 1 AS extra FROM region")
+    // the DataFrame API's own result is the semantics to reproduce
+    val expected = a.unionByName(b, allowMissingColumns = true)
+    // build the ragged by-name node directly (the shape a transform
+    // hands the emitter before any analyzer rewrite)
+    val u = Union(Seq(a.queryExecution.analyzed, b.queryExecution.analyzed),
+      byName = true, allowMissingCol = true)
+    val emitted = SqlEmitter.toSql(u)
+    assert(emitted.contains("NULL"), emitted) // typed null padding
+    assert(sameResults(spark.sql(emitted), expected),
+      s"ragged union diverged: $emitted")
+    // DISTINCT over the same shape
+    val emittedD = SqlEmitter.toSql(Distinct(u))
+    assert(sameResults(spark.sql(emittedD), expected.distinct()), emittedD)
+  }
+
+  test("CTE defs stripped of their SubqueryAlias still emit (synthetic " +
+      "names resolved at every reference site)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, WithCTE}
+    Tables.registerAll(spark, sfDir)
+    val sql =
+      """WITH big AS (SELECT o_custkey, sum(o_totalprice) AS t
+                      FROM orders GROUP BY o_custkey)
+         SELECT c_name, t FROM customer JOIN big ON c_custkey = o_custkey
+         WHERE t > 100000 ORDER BY c_name"""
+    val analyzed = QueryFacade(spark, sql).analyzed
+    // a transform that rebuilds defs can drop the name-carrying alias
+    val stripped = analyzed.transform {
+      case w: WithCTE => w.copy(cteDefs = w.cteDefs.map(d =>
+        d.child match {
+          case SubqueryAlias(_, body) => d.copy(child = body)
+          case _ => d
+        }))
+    }
+    val emitted = SqlEmitter.toSql(stripped)
+    assert(emitted.contains("__cte"), emitted)
+    assert(sameResults(spark.sql(emitted), spark.sql(sql)),
+      s"stripped-CTE round trip diverged: $emitted")
+  }
+
+  test("a hint inside an EXISTS subquery emits on the subquery block, " +
+      "not the enclosing SELECT") {
+    Tables.registerAll(spark, sfDir)
+    val sql =
+      """SELECT n_name FROM nation
+         WHERE EXISTS (SELECT /*+ BROADCAST(supplier) */ 1 FROM supplier
+                       WHERE s_nationkey = n_nationkey)
+         ORDER BY n_name"""
+    val emitted = SqlEmitter.toSql(QueryFacade(spark, sql).analyzed)
+    // the hint must sit inside the EXISTS block where its alias is
+    // visible; on the outer block Spark drops it with a warning
+    assert(emitted.matches("(?s).*EXISTS \\(SELECT /\\*\\+ BROADCAST.*"),
+      emitted)
+    assert(!emitted.matches("(?s)^SELECT /\\*\\+.*"), emitted)
+    assert(sameResults(spark.sql(emitted), spark.sql(sql)), emitted)
+  }
+
+  test("every generated workload query round-trips through the emitter") {
+    Tables.registerAll(spark, sfDir)
+    val ceb = graft.bench.Ceb.generateWorkload(
+      graft.bench.Ceb.templatesFromDirectory("/root/repo/workloads/ceb"),
+      queriesPerTemplate = 4, seed = 20260812L)
+    val walk = graft.bench.QueryGenerator
+      .randomWalkWorkload("g02", n = 8, seed = 20260813L).queries.toSeq
+    val spj = graft.bench.QueryGenerator
+      .randomWorkload("fuzz", 20, seed = 4242L).queries.toSeq
+    (ceb ++ walk ++ spj).foreach { case (label, sql) =>
+      val emitted = SqlEmitter.toSql(QueryFacade(spark, sql).analyzed)
+      assert(sameResults(spark.sql(emitted), spark.sql(sql)),
+        s"$label diverged.\noriginal: $sql\nemitted:  $emitted")
+    }
+  }
+
   test("uncovered nodes are rejected, not mis-emitted") {
     Tables.registerAll(spark, sfDir)
     // posexplode yields TWO generator columns — not expressible as one
