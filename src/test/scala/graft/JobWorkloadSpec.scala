@@ -8,7 +8,7 @@ import graft.stats.EmulatedStatistics
 /** The JOB-style many-join workload kit (reference: the Join Order Benchmark
   * loader surface, /root/reference/postbound/workloads.py:936-1038 — JOB is
   * THE workload the UES paper evaluates on). JOB's defining property is not
-  * its schema but its shape: 8-12-way joins with aliased repeat relations
+  * its schema but its shape: 6-13-way joins with aliased repeat relations
   * and selective dimension filters, where join ORDER dominates runtime.
   * This kit reproduces that shape over our fixtures (lineitem self-joins as
   * the repeated fact, doubled nation/region dims), so the join-order
@@ -17,10 +17,10 @@ import graft.stats.EmulatedStatistics
   */
 class JobWorkloadSpec extends SparkSpec {
 
-  test("JOB kit: 8-12-way queries optimize through UES and match native") {
+  test("JOB kit: 6-13-way queries optimize through UES and match native") {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("job", "/root/repo/workloads/job")
-    assert(wl.size === 6)
+    assert(wl.size === 20)
     val pipeline = Presets.ues(spark, new EmulatedStatistics(spark))
     val rs = BenchHarness.executeWorkload(spark, wl,
       optimizer = pipeline.optimize _)
@@ -29,7 +29,8 @@ class JobWorkloadSpec extends SparkSpec {
       val res = pipeline.optimizeQuery(sql)
       assert(!res.usedNativeFallback, s"$label fell back to native")
       // the enforced plan honors a full UES order over all relations
-      assert(res.joinOrder.get.tableSet.size >= 8, label)
+      // (the kit spans 6-13-way shapes)
+      assert(res.joinOrder.get.tableSet.size >= 6, label)
       assert(sameResults(res.df, spark.sql(sql)), label)
     }
   }
