@@ -20,8 +20,11 @@ object Bench {
     "q25_window_rank", "q30_count_distinct", "q40_events_hourly",
     "q41_events_sessions", "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
     "d05_dedup_embedding", "d07_dup_clusters", "d12_dedup_incremental",
-    "j01_asof_join",
-    "w01_scd2_merge", "s01_ann_topk", "t01_lang_id", "t03_token_count",
+    "d13_sequence_packing", "d14_corpus_shuffle", "d15_corpus_mix",
+    "d16_doc_chunking", "j01_asof_join",
+    "w01_scd2_merge", "s01_ann_topk", "s05_ann_ivf_indexed",
+    "t01_lang_id", "t03_token_count", "t11_decontaminate_bloom",
+    "t12_normalize", "st06_stream_incremental_dedup",
     "opt01_ues_flagship")
 
   def main(args: Array[String]): Unit = {
@@ -112,7 +115,32 @@ object Bench {
     val qbuild = obj(ts => fmt(median(ts.map(_._2))))
     val total = results.map(r => median(r._2.map(_._1))).filter(_ >= 0).sum
     val totalMin = results.flatMap(r => r._2.map(_._1).minOption).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$qreps,"build_sec":$qbuild,"canary_sec":{"before":${fmt(canaryBefore)},"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"sf":"$sfDir"}""")
+    // Per-query OPTIMIZATION time over the JOB kit (plan construction
+    // through the full UES pipeline, no execution): the distribution the
+    // reference reports for its JOB runs (bench.py's optimization_time
+    // column). Driver-side and bounded — 20 queries, one pass each after
+    // a warm-up that pays fixture registration.
+    val jobOptMs: String = try {
+      val root = sys.props.get("graft.workloads.dir")
+        .orElse(sys.env.get("GRAFT_WORKLOADS_DIR"))
+        .getOrElse("/root/repo/workloads")
+      val wl = graft.bench.Workload.fromDirectory("job", s"$root/job")
+      Tables.registerAll(spark, sfDir)
+      val pipeline = graft.opt.Presets.ues(spark,
+        new graft.stats.EmulatedStatistics(spark))
+      val kit = wl.queries.toSeq.sortBy(_._1)
+      kit.headOption.foreach { case (_, sql) => pipeline.optimizeQuery(sql) }
+      kit.map { case (label, sql) =>
+        val t0 = System.nanoTime()
+        pipeline.optimizeQuery(sql)
+        s""""$label":${fmt((System.nanoTime() - t0) / 1e6)}"""
+      }.mkString("{", ",", "}")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] job kit opt timing failed: ${e.getMessage}")
+        "{}"
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$qreps,"build_sec":$qbuild,"canary_sec":{"before":${fmt(canaryBefore)},"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"job_opt_ms":$jobOptMs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -650,8 +650,18 @@ object Dedup {
     * ships — pairs alone under-delete transitive chains.
     */
   def duplicateClusters(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, ngram: Int = 3): DataFrame = {
-    val pairs = minhashNearDuplicates(docs, idCol, textCol, threshold, ngram)
+      threshold: Double, ngram: Int = 3): DataFrame =
+    duplicateClustersFromPairs(docs,
+      minhashNearDuplicates(docs, idCol, textCol, threshold, ngram), idCol)
+
+  /** [[duplicateClusters]] over an already-materialized pair relation
+    * (a_id, b_id[, ...]) — the production shape: at corpus scale the
+    * pair-mining job persists its pairs and cluster formation consumes
+    * the pair TABLE, so re-clustering (new threshold, new keep policy)
+    * never re-runs MinHash over the corpus.
+    */
+  def duplicateClustersFromPairs(docs: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
     val vertices = docs.select(col(idCol).cast("bigint").as("id"))
     connectedComponents(vertices, pairs)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
