@@ -23,8 +23,15 @@ object Tables {
   private val registeredCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), Boolean]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    loadCache.getOrElseUpdate((spark, dir, name, dataFingerprint(dir)), {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val fp = dataFingerprint(dir)
+    // evict superseded fingerprints for the same slot so a long session
+    // over regenerating fixtures doesn't pin every old plan (and its
+    // session reference) forever
+    loadCache.keys
+      .filter(k => k._1 == spark && k._2 == dir && k._3 == name && k._4 != fp)
+      .foreach(loadCache.remove)
+    loadCache.getOrElseUpdate((spark, dir, name, fp), {
       // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects. Read nanos as long, then truncate to micros —
       // identical to how DuckDB surfaces the same column (its TIMESTAMP is
@@ -38,11 +45,24 @@ object Tables {
         else df
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
+  }
 
   /** Register every table as a temp view. Idempotent; memoized per
-    * (session, dir, fingerprint) — repeat calls are a map lookup. */
+    * (session, dir, fingerprint) — repeat calls are a catalog probe plus
+    * a map lookup. A view DROPPED after first registration invalidates
+    * the memo (the memo says "I registered", not "the views still
+    * exist"); a view deliberately shadowed by the caller is left alone —
+    * re-registering would clobber the caller's override. Superseded
+    * fingerprints for the same (session, dir) are evicted rather than
+    * accumulated. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    registeredCache.getOrElseUpdate((spark, dir, dataFingerprint(dir)), {
+    val fp = dataFingerprint(dir)
+    registeredCache.keys
+      .filter(k => k._1 == spark && k._2 == dir && k._3 != fp)
+      .foreach(registeredCache.remove)
+    if (!all.forall(n => spark.catalog.tableExists(n)))
+      registeredCache.remove((spark, dir, fp))
+    registeredCache.getOrElseUpdate((spark, dir, fp), {
       all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
       true
     })

@@ -65,10 +65,15 @@ object Curation {
     * distinct document ids below P can never collide.
     */
   def shuffleConstants(seed: Long): (Long, Long) = {
-    val mixed = seed * 0x9E3779B97F4A7C15L // golden-ratio scatter: a
-    // small seed must not yield a small multiplier (monotone ordering)
-    val a = math.abs(mixed % (ShuffleP - 1)) + 1
-    val b = math.abs((seed * 0xC2B2AE3D27D4EB4FL) % ShuffleP)
+    // splitmix64 finalizer: EVERY seed scatters before the constants
+    // derive — a bare multiply left seed 0 at (a=1, b=0), the identity
+    // permutation, exactly the monotone ordering a shuffle must avoid
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    val a = math.abs(z % (ShuffleP - 1)) + 1
+    val b = math.abs((z * 0xC2B2AE3D27D4EB4FL) % ShuffleP)
     (a, b)
   }
 
