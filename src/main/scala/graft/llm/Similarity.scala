@@ -58,6 +58,47 @@ object Similarity {
         .select("query_id", "neighbor_id", "sim"), k)
   }
 
+  /** Exact k-nearest-neighbor GRAPH of an embedding corpus: every
+    * vector's top-k neighbors by cosine — the primitive semantic dedup
+    * and density-based curation build on (SemDeDup prunes within the
+    * clusters this graph induces). Unlike [[cosineTopK]] both sides are
+    * the corpus, so neither side broadcasts at scale; the pairing is the
+    * same TRIANGLE block-pair equality join as the blocked embedding
+    * dedup (graft.llm.Dedup.embeddingNearDuplicatesBlocked — composite
+    * (ba, bb) key, B(B+1)/2-way parallelism, no CartesianProduct): each
+    * unordered pair's cosine computes ONCE, both directions fan out of
+    * it, and ranking is the bounded top-k UDAF per source — partition
+    * parallel, no global sort. Exact kNN is the verification baseline;
+    * the sub-quadratic scale path restricts the pairing with IVF/LSH
+    * (s03/s05) once recall < 1 is acceptable.
+    * Output: (vec_id, rnk, neighbor_id, cos_sim).
+    */
+  def knnGraph(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      numBlocks: Int = 8): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val e = embs.select(col(idCol).cast("bigint").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(numBlocks)).cast("int"))
+    val blockPairs = (for { i <- 0 until numBlocks; j <- i until numBlocks }
+      yield (i, j)).toDF("ba", "bb")
+    val a = e.select(col("id").as("a_id"), col("v").as("va"),
+      col("blk").as("ba")).join(broadcast(blockPairs), "ba")
+    val b = e.select(col("id").as("b_id"), col("v").as("vb"),
+      col("blk").as("bb")).join(broadcast(blockPairs), "bb")
+    val sims = a.join(b.hint("SHUFFLE_HASH"), Seq("ba", "bb"))
+      // same-block cells see every pair from both sides — keep one
+      .filter(col("ba") =!= col("bb") || col("a_id") < col("b_id"))
+      .withColumn("sim", cosineSim(col("va"), col("vb")))
+      .select(col("a_id"), col("b_id"), col("sim"))
+    val directed = sims
+      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+        col("sim"))
+      .union(sims.select(col("b_id").as("query_id"),
+        col("a_id").as("neighbor_id"), col("sim")))
+    topKPerQuery(directed, k).withColumnRenamed("query_id", "vec_id")
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * storage-compression lever for 100 TB embedding tables (4x smaller
     * than float32, and int8 dot products are SIMD-friendly downstream).

@@ -299,6 +299,42 @@ object TextAnalysis {
     * (the approximate profile lives in [[corpusProfile]]).
     * Output: (doc_id, n_words, oov_frac, median_word_freq).
     */
+  /** BM25 relevance of every document against a fixed bag-of-words query
+    * — the retrieval scorer data-curation pipelines use to mine
+    * domain-relevant training documents (query = a topic's seed terms).
+    * IDF is the Robertson–Spärck Jones form `ln(1 + (N - df + 0.5) /
+    * (df + 0.5))`; the per-term saturation uses the standard (k1, b)
+    * length normalization.
+    *
+    * Scale shape: one exploded-word relation feeds three hash
+    * aggregations — per-document length, per-(doc, term) term frequency
+    * over the query-filtered words (the filter prunes the corpus to
+    * query-term rows BEFORE any shuffle), and per-term document
+    * frequency; N and avgdl are a two-value broadcast. No windows, no
+    * UDFs — the scoring expression is codegen'd arithmetic. Documents
+    * containing no query term score 0 and are not emitted.
+    * Output: (doc_id, bm25).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val words = docs.select(col(idCol).cast("bigint").as("doc_id"),
+      explode(expr(s"filter(split($textCol, ' '), w -> w != '')")).as("word"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qw = words.filter(col("word").isInCollection(terms))
+    val tf = qw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = qw.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(
+        s"ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ($k1 + 1) " +
+          s"/ (tf + $k1 * (1 - $b + $b * dl / avgdl))"))
+      .groupBy("doc_id").agg(round(sum(col("contrib")), 4).as("bm25"))
+  }
+
   def lexicalRarity(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 100): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),

@@ -686,4 +686,51 @@ class LlmOpsSpec extends SparkSpec {
     assert(idx.forall(_ % 2 == 0))
     assert(frames.filter(length(col("frame")) > 32).count() === 0)
   }
+
+  test("span dedup drops a copied passage from the later doc only, " +
+      "keeps clean docs verbatim") {
+    import spark.implicits._
+    val passage = (0 until 8).map(i => s"p$i").mkString(" ") // 2 spans of 4
+    val clean = (0 until 12).map(i => s"a$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$passage $clean"),
+      (2L, s"${(0 until 4).map(i => s"b$i").mkString(" ")} $passage"),
+      (3L, (0 until 8).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDeduplicate(corpus, "doc_id", "text", span = 4)
+      .orderBy("doc_id").collect()
+    // doc 1 saw the passage first: fully kept
+    assert(out(0).getString(1) === s"$passage $clean")
+    assert(out(0).getLong(2) === 5L && out(0).getLong(3) === 5L)
+    // doc 2's copy of the passage aligns on span boundaries: dropped
+    assert(out(1).getString(1) === (0 until 4).map(i => s"b$i").mkString(" "))
+    assert(out(1).getLong(2) === 3L && out(1).getLong(3) === 1L)
+    // untouched doc survives verbatim
+    assert(out(2).getString(1) === (0 until 8).map(i => s"c$i").mkString(" "))
+  }
+
+  test("bm25 ranks the term-dense doc above the sparse one and skips " +
+      "term-free docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark spark join merge data table"),
+      (2L, "spark row data table group filter"),
+      (3L, "row data table group filter sort")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(corpus, "doc_id", "text",
+        Seq("spark", "join", "merge"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(1L, 2L), "term-free doc must not score")
+    assert(out(1L) > out(2L), s"dense doc must outrank sparse: $out")
+  }
+
+  test("knn graph equals per-query exact top-k and avoids cartesian plans") {
+    val g = Similarity.knnGraph(embs, "vec_id", "embedding", k = 3)
+    val viaTopK = Similarity.cosineTopK(embs, embs, "vec_id", "embedding", 3)
+      .withColumnRenamed("query_id", "vec_id")
+    assert(sameResults(g, viaTopK))
+    val plan = g.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
