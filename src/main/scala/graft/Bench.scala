@@ -23,9 +23,11 @@ object Bench {
     "d13_sequence_packing", "d14_corpus_shuffle", "d15_corpus_mix",
     "d16_doc_chunking", "d17_span_dedup", "j01_asof_join",
     "w01_scd2_merge", "s01_ann_topk", "s05_ann_ivf_indexed",
-    "s06_knn_graph", "t01_lang_id", "t03_token_count",
+    "s06_knn_graph", "s07_semdedup", "s08_knn_classify",
+    "t01_lang_id", "t03_token_count",
     "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",
-    "st06_stream_incremental_dedup", "opt01_ues_flagship")
+    "t14_dsir_weights", "st06_stream_incremental_dedup",
+    "st07_stream_ann_serve", "opt01_ues_flagship")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -16,6 +16,29 @@ object LlmQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Stage (once per fixture fingerprint) the persisted IVF index over
+    * the planted gapped corpus — the static side shared by the batch
+    * probe gate (s05) and the streaming serve gate (st07). Centroids are
+    * a plain parquet, assignments are cell-partitioned so probes prune
+    * to their nProbe cells. */
+  private def stagedIvfIndexDir(s: SparkSession, dir: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val tag = Tables.dataFingerprint(dir)
+    val root = new java.io.File(s"$tmp/graft_ivfidx_$tag")
+    if (!root.exists()) {
+      Relational.staleArtifactSweep(new java.io.File(tmp),
+        "graft_ivfidx_", tag)
+      val planted = Similarity.plantedGappedCorpus(embs(s, dir), "vec_id",
+        "embedding")
+      val (centroids, assignments) = Similarity.ivfIndex(planted,
+        "vec_id", "embedding", nlist = 16)
+      centroids.write.mode("overwrite").parquet(s"$root/centroids")
+      assignments.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/assignments")
+    }
+    root.toString
+  }
+
   /** Staging directory for the streaming gates: the file stream source
     * requires a DIRECTORY, so the single events file is copied into one.
     * Keyed by the data fingerprint (like the b01/z01 artifacts) so
@@ -268,6 +291,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // DSIR importance weights against the lang='en' target slice: exact
+    // unigram log-likelihood ratios, alpha=0.5 smoothing, raw-word
+    // features (the hashed-bucket scale path is spec-pinned)
+    "t14_dsir_weights" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.dsirWeights(d, d.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // exact k-nearest-neighbor GRAPH (corpus vs corpus, k = 3) via the
     // triangle block-pair join — the SemDeDup primitive; the oracle
     // ranks the same brute-force cosines
@@ -318,23 +351,35 @@ object LlmQueries {
     "s05_ann_ivf_indexed" -> { (s, dir) =>
       val planted = Similarity.plantedGappedCorpus(embs(s, dir), "vec_id",
         "embedding")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val tag = Tables.dataFingerprint(dir)
-      val root = new java.io.File(s"$tmp/graft_ivfidx_$tag")
-      if (!root.exists()) {
-        Relational.staleArtifactSweep(new java.io.File(tmp),
-          "graft_ivfidx_", tag)
-        val (centroids, assignments) = Similarity.ivfIndex(planted,
-          "vec_id", "embedding", nlist = 16)
-        centroids.write.mode("overwrite").parquet(s"$root/centroids")
-        assignments.write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$root/assignments")
-      }
+      val root = stagedIvfIndexDir(s, dir)
       Similarity.cosineTopKIvfIndexed(planted.filter(col("vec_id") < 10),
           "vec_id", "embedding",
           s.read.parquet(s"$root/centroids"),
           s.read.parquet(s"$root/assignments"), 5, nProbe = 4)
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // SemDeDup pruning over the exact blocked pair relation: keep-first
+    // (smallest-id) semantics are one-pass deterministic — a vector is
+    // pruned iff a smaller-id vector sits within cosine 0.45 — so the
+    // oracle restates the same EXISTS in SQL. The pair generator is
+    // swappable (IVF/LSH-restricted pairs at scale; parity with the
+    // banded generator on the planted corpus is spec-pinned).
+    "s07_semdedup" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.semDedupPrune(e,
+          Dedup.embeddingNearDuplicatesBlocked(e, "vec_id", "embedding",
+            0.45), "vec_id")
+        .orderBy(col("vec_id"))
+    },
+
+    // leave-one-out 5-NN majority-vote label prediction (ties toward the
+    // smaller label id) — fully deterministic, so the oracle replays the
+    // vote over the brute-force neighbor ranking
+    "s08_knn_classify" -> { (s, dir) =>
+      Similarity.knnClassify(embs(s, dir), "vec_id", "embedding",
+          "label", 5)
+        .orderBy(col("vec_id"))
     },
 
     // language ID (marker-word argmax + CJK script detection)
@@ -602,6 +647,34 @@ object LlmQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // STREAMING similarity serving: query vectors arrive as a 2-file
+    // stream (2 micro-batches), each batch probes the PERSISTED IVF
+    // index (same staged index as s05), top-k lands in a batch-id-
+    // partitioned sink. Batches are independent (no state append), so
+    // the cumulative sink equals the batch probe — which on the planted
+    // gapped corpus equals the exact top-k the oracle computes.
+    "st07_stream_ann_serve" -> { (s, dir) =>
+      val planted = Similarity.plantedGappedCorpus(embs(s, dir), "vec_id",
+        "embedding")
+      val idxRoot = stagedIvfIndexDir(s, dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val fpTag = Tables.dataFingerprint(dir)
+      val boot = new java.io.File(s"$tmp/graft_st07boot_$fpTag")
+      if (!boot.exists()) {
+        Relational.staleArtifactSweep(new java.io.File(tmp),
+          "graft_st07boot_", fpTag)
+        planted.filter(col("vec_id") < 10).repartition(2)
+          .write.mode("overwrite").parquet(s"$boot/queries")
+      }
+      val runTag = System.nanoTime().toString
+      val run = s"$tmp/graft_st07run_$runTag"
+      try Relational.staleArtifactSweep(new java.io.File(tmp),
+        "graft_st07run_", runTag) catch { case _: Throwable => }
+      graft.streaming.AnnServe.runAvailableNow(s, s"$boot/queries",
+          planted.schema, idxRoot, s"$run/topk", 5, 4)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // STREAM-STATIC join in the gate: the event stream enriched with the
     // (batch) customer dimension — broadcast per micro-batch, stateless —
     // then aggregated per (segment, event_type) in complete mode. On
@@ -688,6 +761,49 @@ object LlmQueries {
     "s02_ann_lsh" -> plantedAnnOracle,
     "s03_ann_ivf" -> plantedAnnOracle,
     "s05_ann_ivf_indexed" -> plantedAnnOracle,
+    // stream-served probe of the same index over the same queries: batch
+    // independence makes the cumulative sink equal the batch probe, and
+    // the planted gap makes the probe equal the exact top-k
+    "st07_stream_ann_serve" -> plantedAnnOracle,
+
+    // pruned iff a smaller-id vector sits within the cosine threshold;
+    // first_pruner = the smallest such id — the same one-pass keep-first
+    // semantics the Spark side aggregates from the pair relation
+    "s07_semdedup" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+           pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                     FROM c a JOIN c b ON a.vec_id < b.vec_id
+                     WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+           pr AS (SELECT b_id AS vec_id, min(a_id) AS first_pruner
+                  FROM pairs GROUP BY 1)
+         SELECT c.vec_id, pr.vec_id IS NULL AS kept,
+                CAST(coalesce(pr.first_pruner, -1) AS BIGINT) AS pruned_by
+         FROM c LEFT JOIN pr ON c.vec_id = pr.vec_id
+         ORDER BY c.vec_id""",
+
+    // identical neighbor ranking (sim desc, id asc) and identical vote
+    // tie-break (votes desc, label asc) as the Spark max-struct argmax
+    "s08_knn_classify" ->
+      """WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+           sims AS (SELECT a.vec_id, b.vec_id AS nb, b.label AS n_label,
+                      list_cosine_similarity(a.v, b.v) AS sim
+                    FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+           ranked AS (SELECT vec_id, n_label,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, nb) AS rnk
+                      FROM sims),
+           votes AS (SELECT vec_id, n_label, count(*) AS votes
+                     FROM ranked WHERE rnk <= 5 GROUP BY 1, 2),
+           best AS (SELECT vec_id, n_label AS pred_label, votes,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY votes DESC, n_label) AS brn
+                    FROM votes)
+         SELECT c.vec_id, CAST(c.label AS INTEGER) AS label,
+                CAST(b.pred_label AS INTEGER) AS pred_label, b.votes
+         FROM c JOIN best b ON c.vec_id = b.vec_id AND b.brn = 1
+         ORDER BY c.vec_id""",
 
     // exact cosine threshold join over the planted corpus — what the
     // banded d11 path must reproduce pair for pair
@@ -970,6 +1086,31 @@ object LlmQueries {
        FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id)
        CROSS JOIN stats
        GROUP BY doc_id ORDER BY doc_id""",
+
+    // identical smoothed log-ratio table over the union vocabulary; the
+    // totals feed only double arithmetic, so DuckDB's HUGEINT sums never
+    // reach an output column
+    "t14_dsir_weights" ->
+      """WITH words AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w != ''))
+               AS word
+           FROM documents),
+         tw AS (SELECT w.doc_id, w.word FROM words w
+                JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+         rc AS (SELECT word, count(*) AS cr FROM words GROUP BY 1),
+         tc AS (SELECT word, count(*) AS ct FROM tw GROUP BY 1),
+         vocab AS (SELECT coalesce(rc.word, tc.word) AS word,
+                     coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+                   FROM rc FULL OUTER JOIN tc ON rc.word = tc.word),
+         stats AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v
+                   FROM vocab),
+         lr AS (SELECT word,
+                  ln((ct + 0.5) / (nt + 0.5 * v)) -
+                  ln((cr + 0.5) / (nr + 0.5 * v)) AS lr
+                FROM vocab CROSS JOIN stats)
+       SELECT w.doc_id, round(sum(l.lr), 4) AS dsir_logw
+       FROM words w JOIN lr l ON w.word = l.word
+       GROUP BY 1 ORDER BY 1""",
 
     "s06_knn_graph" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v

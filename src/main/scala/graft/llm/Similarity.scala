@@ -99,6 +99,67 @@ object Similarity {
     topKPerQuery(directed, k).withColumnRenamed("query_id", "vec_id")
   }
 
+  /** SemDeDup-style semantic pruning: given the corpus and a relation of
+    * near-duplicate pairs `(a_id, b_id, ...)` with `a_id < b_id` (any of
+    * the pair generators — exact blocked, LSH-banded, or IVF-restricted —
+    * produces this shape), a vector is PRUNED iff some pair names it as
+    * the higher id, i.e. it has a near-neighbor with a smaller id. One
+    * deterministic pass, no cascading: a pruned vector can itself prune a
+    * later one (the chain x0~x1, x1~x2, x0!~x2 drops BOTH x1 and x2) —
+    * the keep-first-occurrence semantics of the published SemDeDup
+    * recipe, which keeps one representative per similarity neighborhood
+    * rather than re-running closure over survivors.
+    *
+    * Scale shape: one hash aggregation over the pair relation (min
+    * pruner per victim) plus one left join back to the corpus ids — cost
+    * is proportional to the pair set, and the pair set comes from a
+    * sub-quadratic generator at scale. Output: (vec_id, kept,
+    * pruned_by) with pruned_by = -1 for survivors.
+    */
+  def semDedupPrune(corpus: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val pruners = pairs
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("first_pruner"))
+    corpus.select(col(idCol).cast("bigint").as("vec_id"))
+      .join(pruners, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("first_pruner").isNull.as("kept"),
+        coalesce(col("first_pruner"), lit(-1L)).as("pruned_by"))
+  }
+
+  /** Leave-one-out k-nearest-neighbor label prediction over the corpus —
+    * the embedding-space quality/domain classifier shape data-curation
+    * pipelines use (label a small seed set, propagate to the corpus by
+    * nearest neighbors, filter on the prediction). Each vector's label is
+    * predicted by majority vote of its k nearest OTHER vectors' labels
+    * (ties broken toward the smaller label id — deterministic).
+    *
+    * Scale shape: rides on [[knnGraph]] (triangle block-pair join,
+    * bounded top-k), then one equality join to the label table keyed by
+    * neighbor id and two hash aggregations (vote count per (vector,
+    * label), max-struct argmax per vector) — no windows, no driver
+    * state. Output: (vec_id, label, pred_label, votes).
+    */
+  def knnClassify(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, numBlocks: Int = 8): DataFrame = {
+    val labels = embs.select(col(idCol).cast("bigint").as("neighbor_id"),
+      col(labelCol).cast("int").as("n_label"))
+    val votes = knnGraph(embs, idCol, vecCol, k, numBlocks)
+      .join(labels, "neighbor_id")
+      .groupBy(col("vec_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    // argmax by (votes, then smaller label): max of struct orders
+    // lexicographically, so negate the label for the tie preference
+    val best = votes
+      .groupBy("vec_id")
+      .agg(max(struct(col("votes"), (-col("n_label")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).as("pred_label"),
+        col("m.votes").as("votes"))
+    embs.select(col(idCol).cast("bigint").as("vec_id"),
+        col(labelCol).cast("int").as("label"))
+      .join(best, "vec_id")
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * storage-compression lever for 100 TB embedding tables (4x smaller
     * than float32, and int8 dot products are SIMD-friendly downstream).

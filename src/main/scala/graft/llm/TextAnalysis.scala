@@ -335,6 +335,52 @@ object TextAnalysis {
       .groupBy("doc_id").agg(round(sum(col("contrib")), 4).as("bm25"))
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every raw-corpus
+    * document by how much more likely its words are under a TARGET
+    * domain's unigram bag-of-words model than under the raw corpus's own
+    * model. weight(doc) = sum over word occurrences of
+    * `ln p_target(w) - ln p_raw(w)` with additive-alpha smoothing over
+    * the union vocabulary; top-weight documents are the ones to keep when
+    * mining domain-relevant training data (the importance-resampling
+    * step samples proportional to exp(weight)).
+    *
+    * Scale shape: two word-count hash aggregations (raw and target), a
+    * full outer join into one log-ratio table, and a per-document
+    * sum-join — the ratio table is vocabulary-sized, which
+    * `hashBuckets = Some(m)` caps at m rows by hashing words to buckets
+    * (the paper's hashed n-gram features; collisions merge counts, an
+    * accepted approximation at scale). The scalar totals (N_raw,
+    * N_target, |V|) ride along as a broadcast. All arithmetic is
+    * codegen'd ln/sum — no UDFs. Output: (doc_id, dsir_logw), log
+    * weights rounded to 4 places.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.5,
+      hashBuckets: Option[Int] = None): DataFrame = {
+    def feats(df: DataFrame) = {
+      val w = df.select(col(idCol).cast("bigint").as("doc_id"),
+        explode(expr(s"filter(split($textCol, ' '), w -> w != '')"))
+          .as("word"))
+      hashBuckets.fold(w.withColumnRenamed("word", "f"))(m =>
+        w.select(col("doc_id"), pmod(xxhash64(col("word")), lit(m)).as("f")))
+    }
+    val rawFeats = feats(raw)
+    val rawCnt = rawFeats.groupBy("f").agg(count(lit(1)).as("cr"))
+    val tgtCnt = feats(target).groupBy("f").agg(count(lit(1)).as("ct"))
+    val vocab = rawCnt.join(tgtCnt, Seq("f"), "full_outer")
+      .select(col("f"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val stats = vocab.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val logRatio = vocab.crossJoin(broadcast(stats))
+      .select(col("f"), expr(
+        s"ln((ct + $alpha) / (nt + $alpha * v)) - " +
+          s"ln((cr + $alpha) / (nr + $alpha * v))").as("lr"))
+    rawFeats.join(logRatio, "f")
+      .groupBy("doc_id").agg(round(sum(col("lr")), 4).as("dsir_logw"))
+  }
+
   def lexicalRarity(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 100): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),

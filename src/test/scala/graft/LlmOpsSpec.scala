@@ -724,6 +724,115 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L) > out(2L), s"dense doc must outrank sparse: $out")
   }
 
+  test("semdedup prune keeps the first occurrence and lets a pruned doc " +
+      "prune later ones (one-pass, no cascade)") {
+    import spark.implicits._
+    val corpus = Seq(0L, 1L, 2L, 3L).toDF("vec_id")
+    // chain 0~1, 1~2 with 0 !~ 2: doc 1 is pruned by 0, and doc 2 is
+    // pruned by 1 even though 1 is itself pruned — keep-first semantics
+    // never re-runs closure over survivors
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("a_id", "b_id")
+    val out = Similarity.semDedupPrune(corpus, pairs, "vec_id")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    assert(out === Seq((0L, true, -1L), (1L, false, 0L),
+      (2L, false, 1L), (3L, true, -1L)))
+  }
+
+  test("semdedup pruning is identical under the exact and LSH-banded " +
+      "pair generators on the gapped corpus") {
+    val planted = Similarity.plantedGappedCorpus(embs, "vec_id", "embedding")
+    val exact = Similarity.semDedupPrune(planted,
+      Dedup.embeddingNearDuplicatesBlocked(planted, "vec_id", "embedding",
+        0.9), "vec_id")
+    val banded = Similarity.semDedupPrune(planted,
+      Dedup.embeddingNearDuplicatesLsh(planted, "vec_id", "embedding", 0.9,
+        numBands = 64, rowsPerBand = 10, dim = Some(64)), "vec_id")
+    assert(sameResults(exact, banded))
+  }
+
+  test("knn classify recovers planted cluster labels leave-one-out") {
+    import spark.implicits._
+    // 3 tight clusters around orthogonal axes: every vector's 3 nearest
+    // neighbors are its own cluster's other members
+    val rows = for { c <- 0 until 3; j <- 0 until 4 } yield {
+      val v = Array.tabulate(8)(i =>
+        if (i == c) 1.0 else if (i == c + 4) 0.01 * (j + 1) else 0.0)
+      ((c * 4 + j).toLong, v, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(df, "vec_id", "embedding", "label", 3)
+      .collect()
+    assert(out.length === 12)
+    assert(out.forall(r => r.getInt(1) == r.getInt(2)),
+      "every leave-one-out prediction must equal the cluster label")
+    assert(out.forall(r => r.getLong(3) == 3L), "all 3 votes in-cluster")
+  }
+
+  test("knn classify breaks vote ties toward the smaller label") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0, 0.0, 0.0), 9), // query
+      (1L, Array(0.9, 0.1, 0.0), 5), // nearest, label 5
+      (2L, Array(0.8, 0.2, 0.0), 2), // second, label 2
+      (3L, Array(0.0, 0.0, 1.0), 7)  // far
+    ).toDF("vec_id", "embedding", "label")
+    val pred = Similarity.knnClassify(df, "vec_id", "embedding", "label", 2)
+      .filter(col("vec_id") === 0L).head()
+    assert(pred.getInt(2) === 2, s"1-1 tie must resolve to label 2: $pred")
+  }
+
+  test("dsir weights rank target-like docs above background; hashed " +
+      "buckets reproduce raw-word weights when collision-free") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "gamma delta gamma delta"),
+      (3L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") === 1L)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = asMap(TextAnalysis.dsirWeights(raw, target, "doc_id", "text"))
+    assert(w(1L) > w(3L) && w(3L) > w(2L), s"ordering violated: $w")
+    // 4 distinct words into 2^24 buckets: collision-free (deterministic
+    // hash — passes once, passes always), so weights are identical
+    val wb = asMap(TextAnalysis.dsirWeights(raw, target, "doc_id", "text",
+      hashBuckets = Some(1 << 24)))
+    assert(wb === w)
+  }
+
+  test("streaming ann serve equals the batch probe, is idempotent per " +
+      "batch id, and is micro-batch-split-invariant") {
+    val e = embs
+    val (centroids, assignments) =
+      Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 4)
+    val root = java.nio.file.Files.createTempDirectory("annserve").toString
+    centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    assignments.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/assignments")
+    val queries = e.filter(col("vec_id") < 6)
+    queries.repartition(2).write.mode("overwrite").parquet(s"$root/queries")
+    val batch = Similarity.cosineTopKIvfIndexed(queries, "vec_id",
+      "embedding", centroids, assignments, 3, nProbe = 2)
+    val streamed = graft.streaming.AnnServe.runAvailableNow(spark,
+      s"$root/queries", queries.schema, root, s"$root/sink1", 3, 2)
+    assert(sameResults(streamed, batch))
+    val onePass = graft.streaming.AnnServe.runAvailableNow(spark,
+      s"$root/queries", queries.schema, root, s"$root/sink2", 3, 2,
+      maxFilesPerTrigger = 2)
+    assert(sameResults(onePass, batch))
+    graft.streaming.AnnServe.processBatch(queries, 7L, centroids,
+      assignments, s"$root/sink3", 3, 2)
+    val once = spark.read.parquet(s"$root/sink3").collect()
+      .map(_.toString).sorted.toSeq
+    graft.streaming.AnnServe.processBatch(queries, 7L, centroids,
+      assignments, s"$root/sink3", 3, 2)
+    val twice = spark.read.parquet(s"$root/sink3").collect()
+      .map(_.toString).sorted.toSeq
+    assert(once === twice && once.nonEmpty)
+  }
+
   test("knn graph equals per-query exact top-k and avoids cartesian plans") {
     val g = Similarity.knnGraph(embs, "vec_id", "embedding", k = 3)
     val viaTopK = Similarity.cosineTopK(embs, embs, "vec_id", "embedding", 3)
