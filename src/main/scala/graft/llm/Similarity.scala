@@ -91,11 +91,16 @@ object Similarity {
       .filter(col("ba") =!= col("bb") || col("a_id") < col("b_id"))
       .withColumn("sim", cosineSim(col("va"), col("vb")))
       .select(col("a_id"), col("b_id"), col("sim"))
+    // both directions from ONE pass over the pair pipeline: a
+    // union(sims, sims.flipped) would re-execute the triangle join —
+    // and its cosine — twice; the explode fans each pair out in place
     val directed = sims
-      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
-        col("sim"))
-      .union(sims.select(col("b_id").as("query_id"),
-        col("a_id").as("neighbor_id"), col("sim")))
+      .select(explode(array(
+        struct(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+          col("sim")),
+        struct(col("b_id").as("query_id"), col("a_id").as("neighbor_id"),
+          col("sim")))).as("p"))
+      .select(col("p.query_id"), col("p.neighbor_id"), col("p.sim"))
     topKPerQuery(directed, k).withColumnRenamed("query_id", "vec_id")
   }
 

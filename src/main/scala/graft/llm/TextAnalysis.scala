@@ -365,8 +365,12 @@ object TextAnalysis {
       hashBuckets.fold(w.withColumnRenamed("word", "f"))(m =>
         w.select(col("doc_id"), pmod(xxhash64(col("word")), lit(m)).as("f")))
     }
-    val rawFeats = feats(raw)
-    val rawCnt = rawFeats.groupBy("f").agg(count(lit(1)).as("cr"))
+    // per-(doc, feature) counts first: the corpus totals derive from
+    // them map-side-combined, and the final scoring join/shuffle moves
+    // one row per DISTINCT (doc, feature) instead of one per occurrence
+    val docFeat = feats(raw).groupBy("doc_id", "f")
+      .agg(count(lit(1)).as("c"))
+    val rawCnt = docFeat.groupBy("f").agg(sum(col("c")).as("cr"))
     val tgtCnt = feats(target).groupBy("f").agg(count(lit(1)).as("ct"))
     val vocab = rawCnt.join(tgtCnt, Seq("f"), "full_outer")
       .select(col("f"), coalesce(col("cr"), lit(0L)).as("cr"),
@@ -377,8 +381,9 @@ object TextAnalysis {
       .select(col("f"), expr(
         s"ln((ct + $alpha) / (nt + $alpha * v)) - " +
           s"ln((cr + $alpha) / (nr + $alpha * v))").as("lr"))
-    rawFeats.join(logRatio, "f")
-      .groupBy("doc_id").agg(round(sum(col("lr")), 4).as("dsir_logw"))
+    docFeat.join(logRatio, "f")
+      .groupBy("doc_id")
+      .agg(round(sum(col("lr") * col("c")), 4).as("dsir_logw"))
   }
 
   def lexicalRarity(docs: DataFrame, idCol: String, textCol: String,
