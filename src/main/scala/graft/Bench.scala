@@ -21,12 +21,14 @@ object Bench {
     "q41_events_sessions", "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
     "d05_dedup_embedding", "d07_dup_clusters", "d12_dedup_incremental",
     "d13_sequence_packing", "d14_corpus_shuffle", "d15_corpus_mix",
-    "d16_doc_chunking", "d17_span_dedup", "j01_asof_join",
+    "d16_doc_chunking", "d17_span_dedup", "d18_dedup_report",
+    "j01_asof_join",
     "w01_scd2_merge", "s01_ann_topk", "s05_ann_ivf_indexed",
     "s06_knn_graph", "s07_semdedup", "s08_knn_classify",
     "t01_lang_id", "t03_token_count",
     "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",
-    "t14_dsir_weights", "st06_stream_incremental_dedup",
+    "t14_dsir_weights", "t15_quality_band",
+    "st06_stream_incremental_dedup",
     "st07_stream_ann_serve", "opt01_ues_flagship")
 
   def main(args: Array[String]): Unit = {

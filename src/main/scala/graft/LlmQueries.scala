@@ -291,6 +291,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // per-source duplication-rate rollup over the MinHash pair relation
+    // (recall ~1 at 0.6 => the pairs equal the exact Jaccard join, so
+    // the report is exactly recomputable)
+    "d18_dedup_report" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.dedupReport(d,
+          Dedup.minhashNearDuplicates(d, "doc_id", "text", 0.6),
+          "doc_id", "source")
+        .orderBy(col("group_key"))
+    },
+
+    // percentile-band quality trim: keep docs inside the exact
+    // [p10, p90] band of the composite quality score (the approximate
+    // sketch path is spec-pinned)
+    "t15_quality_band" -> { (s, dir) =>
+      TextAnalysis.scoreBandFilter(
+          TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+            .select(col("doc_id"), col("quality_score")),
+          "quality_score", 0.1, 0.9)
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR importance weights against the lang='en' target slice: exact
     // unigram log-likelihood ratios, alpha=0.5 smoothing, raw-word
     // features (the hashed-bucket scale path is spec-pinned)
@@ -1086,6 +1108,58 @@ object LlmQueries {
        FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id)
        CROSS JOIN stats
        GROUP BY doc_id ORDER BY doc_id""",
+
+    // the d03 exact-Jaccard pair relation rolled up per source; counts
+    // of non-null join hits keep every aggregate BIGINT on both engines
+    "d18_dedup_report" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents
+                        WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                     AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT a_id, b_id FROM inter
+                   JOIN sizes sa ON sa.doc_id = a_id
+                   JOIN sizes sb ON sb.doc_id = b_id
+                   WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6),
+         dup AS (SELECT DISTINCT doc_id FROM
+                   (SELECT a_id AS doc_id FROM pairs
+                    UNION ALL SELECT b_id FROM pairs)),
+         base AS (SELECT d.doc_id, d.source, dup.doc_id AS hit
+                  FROM documents d
+                  LEFT JOIN dup ON d.doc_id = dup.doc_id)
+       SELECT source AS group_key, count(*) AS n_docs,
+              count(hit) AS n_dup_docs,
+              round(count(hit) * 1.0 / count(*), 4) AS dup_frac
+       FROM base GROUP BY 1 ORDER BY 1""",
+
+    // same composite score as t02, trimmed to the exact continuous
+    // [p10, p90] band — Spark's percentile and DuckDB's quantile_cont
+    // share the linear-interpolation definition over identical
+    // round-4 inputs
+    "t15_quality_band" ->
+      """WITH q AS (SELECT doc_id,
+             round(least(len(string_split(text, ' ')) / 30.0, 1.0) * 0.5 +
+               CASE WHEN (length(text) - (length(text) -
+                      length(replace(text, ' ', ''))))
+                      * 1.0 / len(string_split(text, ' '))
+                      BETWEEN 3.0 AND 8.0
+                    THEN 0.3 ELSE 0.0 END +
+               CASE WHEN (length(text) - length(replace(text, ' ', '')))
+                      * 1.0 / length(text) BETWEEN 0.1 AND 0.3
+                    THEN 0.2 ELSE 0.0 END, 4) AS quality_score
+           FROM documents),
+         b AS (SELECT quantile_cont(quality_score, 0.1) AS lo,
+                      quantile_cont(quality_score, 0.9) AS hi FROM q)
+       SELECT q.doc_id, q.quality_score FROM q CROSS JOIN b
+       WHERE quality_score BETWEEN lo AND hi
+       ORDER BY doc_id""",
 
     // identical smoothed log-ratio table over the union vocabulary; the
     // totals feed only double arithmetic, so DuckDB's HUGEINT sums never

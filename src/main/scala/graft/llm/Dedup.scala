@@ -702,6 +702,35 @@ object Dedup {
         col("n_blocks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Per-group duplication-rate rollup — the observability surface a
+    * production dedup pipeline publishes after pair mining: for each
+    * value of `groupCol` (source, language, shard, crawl...), how many
+    * documents exist and how many participate in at least one
+    * near-duplicate pair. Consumes any pair relation `(a_id, b_id, ...)`
+    * — exact, MinHash, SimHash or embedding pairs alike.
+    *
+    * Scale shape: the pair relation explodes to its endpoint ids and
+    * distincts (cost ∝ pairs, never corpus), then one left join against
+    * the id+group projection of the corpus and a per-group count —
+    * document text is never touched. Output: (group_key, n_docs,
+    * n_dup_docs, dup_frac).
+    */
+  def dedupReport(docs: DataFrame, pairs: DataFrame, idCol: String,
+      groupCol: String): DataFrame = {
+    val dupIds = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1))
+    docs.select(col(idCol).cast("bigint").as("doc_id"),
+        col(groupCol).cast("string").as("group_key"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .groupBy("group_key")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("is_dup")).as("n_dup_docs"))
+      .withColumn("dup_frac",
+        round(col("n_dup_docs") / col("n_docs"), 4))
+  }
+
   /** [[duplicateClusters]] over an already-materialized pair relation
     * (a_id, b_id[, ...]) — the production shape: at corpus scale the
     * pair-mining job persists its pairs and cluster formation consumes

@@ -386,6 +386,32 @@ object TextAnalysis {
       .agg(round(sum(col("lr") * col("c")), 4).as("dsir_logw"))
   }
 
+  /** Percentile-band filter over a per-document score column — the
+    * heavy-tail trimming step of quality filtering: drop the lowest and
+    * highest score percentiles, keep the middle band (outliers at both
+    * ends are usually boilerplate/gibberish or degenerate near-empty
+    * docs). Exact percentile (`approx = false`) funnels one double per
+    * row into a single aggregation — fine into the billions of rows; at
+    * 100 TB set `approx = true` for approx_percentile, the same plan
+    * with a mergeable map-side-combined sketch instead (rank error
+    * bounded by 1/accuracy). The two bounds ride along as a one-row
+    * broadcast; the filter itself is a narrow scan.
+    */
+  def scoreBandFilter(scored: DataFrame, scoreCol: String, loPct: Double,
+      hiPct: Double, approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(loPct >= 0 && hiPct <= 1 && loPct <= hiPct,
+      s"bad percentile band [$loPct, $hiPct]")
+    val pct = if (approx)
+      expr(s"approx_percentile($scoreCol, array($loPct, $hiPct), $accuracy)")
+    else expr(s"percentile($scoreCol, array($loPct, $hiPct))")
+    val bounds = scored.agg(pct.as("b"))
+      .select(col("b").getItem(0).as("lo"), col("b").getItem(1).as("hi"))
+    scored.crossJoin(broadcast(bounds))
+      .filter(col(scoreCol).between(col("lo"), col("hi")))
+      .drop("lo", "hi")
+  }
+
   def lexicalRarity(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 100): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),

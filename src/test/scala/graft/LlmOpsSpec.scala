@@ -833,6 +833,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(once === twice && once.nonEmpty)
   }
 
+  test("dedup report counts each group's documents touching any pair, " +
+      "zero-dup groups included") {
+    import spark.implicits._
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("a_id", "b_id")
+    val out = Dedup.dedupReport(d, pairs, "doc_id", "source")
+      .orderBy("group_key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out === Seq(("a", 2L, 2L, 1.0), ("b", 2L, 1L, 0.5),
+      ("c", 1L, 0L, 0.0)))
+  }
+
+  test("score band filter keeps the interpolated percentile band; the " +
+      "approx sketch path tracks rank") {
+    import spark.implicits._
+    val s = (1 to 10).map(i => (i.toLong, i.toDouble))
+      .toDF("doc_id", "score")
+    val kept = TextAnalysis.scoreBandFilter(s, "score", 0.1, 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // p10 = 1.9, p90 = 9.1 under linear interpolation => keep 2..9
+    assert(kept === (2L to 9L))
+    val big = (0 until 1000).map(i => (i.toLong, i.toDouble))
+      .toDF("doc_id", "score")
+    val ak = TextAnalysis.scoreBandFilter(big, "score", 0.1, 0.9,
+      approx = true).count()
+    assert(math.abs(ak - 801L) <= 2, s"approx band kept $ak of 1000")
+  }
+
   test("knn graph equals per-query exact top-k and avoids cartesian plans") {
     val g = Similarity.knnGraph(embs, "vec_id", "embedding", k = 3)
     val viaTopK = Similarity.cosineTopK(embs, embs, "vec_id", "embedding", 3)
