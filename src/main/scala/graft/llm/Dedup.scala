@@ -675,13 +675,14 @@ object Dedup {
     */
   def spanDeduplicate(docs: DataFrame, idCol: String, textCol: String,
       span: Int = 4): DataFrame = {
-    val blocks = docs
+    val base = docs
       .select(col(idCol).cast("bigint").as("doc_id"),
         expr(s"filter(split($textCol, ' '), w -> w != '')").as("w"))
       .filter(size(col("w")) > 0)
-      .withColumn("blks", expr(
+      .select(col("doc_id"), expr(
         s"transform(sequence(0, cast(ceil(size(w) / ${span}.0) as int) - 1), " +
-          s"i -> concat_ws(' ', slice(w, i * $span + 1, $span)))"))
+          s"i -> concat_ws(' ', slice(w, i * $span + 1, $span)))").as("blks"))
+    val blocks = base
       .select(col("doc_id"), posexplode(col("blks")).as(Seq("idx", "block")))
     val firsts = blocks.groupBy("block")
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
@@ -695,7 +696,10 @@ object Dedup {
       .select(col("doc_id"),
         expr("concat_ws(' ', transform(ks, x -> x.block))").as("text_dedup"),
         col("n_kept"))
-    blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+    // per-doc totals come from the UNEXPLODED block arrays: a narrow
+    // projection, where a blocks.groupBy(doc_id).count() would pay a
+    // third explode plus a whole extra shuffle of the block relation
+    base.select(col("doc_id"), size(col("blks")).cast("bigint").as("n_blocks"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"),
