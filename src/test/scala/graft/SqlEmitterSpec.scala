@@ -241,6 +241,23 @@ class SqlEmitterSpec extends SparkSpec {
     }
   }
 
+  test("every JOB and SSB kit query round-trips through the emitter") {
+    // the hand-written kits carry the shapes the generators don't:
+    // HAVING, count-DISTINCT, OR-disjunctions, non-equi dim pairs,
+    // triple self-joins, LIKE chains
+    Tables.registerAll(spark, sfDir)
+    val kits = graft.bench.Workload
+      .fromDirectory("job", "/root/repo/workloads/job").queries.toSeq ++
+      graft.bench.Workload
+        .fromDirectory("ssb", "/root/repo/workloads/ssb").queries.toSeq
+    assert(kits.size === 43)
+    kits.foreach { case (label, sql) =>
+      val emitted = SqlEmitter.toSql(QueryFacade(spark, sql).analyzed)
+      assert(sameResults(spark.sql(emitted), spark.sql(sql)),
+        s"$label diverged.\noriginal: $sql\nemitted:  $emitted")
+    }
+  }
+
   test("uncovered nodes are rejected, not mis-emitted") {
     Tables.registerAll(spark, sfDir)
     // posexplode yields TWO generator columns — not expressible as one
