@@ -29,7 +29,8 @@ object Bench {
     "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",
     "t14_dsir_weights", "t15_quality_band",
     "st06_stream_incremental_dedup",
-    "st07_stream_ann_serve", "opt01_ues_flagship")
+    "st07_stream_ann_serve", "st08_stream_quality_router",
+    "opt01_ues_flagship")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -697,6 +697,36 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // STREAMING quality routing: documents stream in as 2 micro-batches,
+    // each scored and split into keep/reject sinks against FIXED band
+    // bounds (the exact [p10, p90] of the reference corpus — computed
+    // once, batch-side, exactly like t15). Stateless per-doc routing =>
+    // the cumulative keep sink equals the batch band filter, which is
+    // t15's oracle verbatim.
+    "st08_stream_quality_router" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val b = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .agg(expr("percentile(quality_score, array(0.1, 0.9))").as("b"))
+        .select(col("b").getItem(0).as("lo"), col("b").getItem(1).as("hi"))
+        .head()
+      val tmp = System.getProperty("java.io.tmpdir")
+      val fpTag = Tables.dataFingerprint(dir)
+      val boot = new java.io.File(s"$tmp/graft_st08boot_$fpTag")
+      if (!boot.exists()) {
+        Relational.staleArtifactSweep(new java.io.File(tmp),
+          "graft_st08boot_", fpTag)
+        d.repartition(2).write.mode("overwrite").parquet(s"$boot/incoming")
+      }
+      val runTag = System.nanoTime().toString
+      val run = s"$tmp/graft_st08run_$runTag"
+      try Relational.staleArtifactSweep(new java.io.File(tmp),
+        "graft_st08run_", runTag) catch { case _: Throwable => }
+      graft.streaming.QualityRouter.runAvailableNow(s, s"$boot/incoming",
+          d.schema, b.getDouble(0), b.getDouble(1), s"$run/keep",
+          s"$run/reject")
+        .orderBy(col("doc_id"))
+    },
+
     // STREAM-STATIC join in the gate: the event stream enriched with the
     // (batch) customer dimension — broadcast per micro-batch, stateless —
     // then aggregated per (segment, event_type) in complete mode. On
@@ -730,6 +760,28 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }
   )
+
+  /** t02's composite quality score trimmed to the exact continuous
+    * [p10, p90] band (shared by the batch t15 gate and the streamed
+    * st08 router, whose fixed-bound routing makes the cumulative keep
+    * sink equal the batch filter). */
+  private val qualityBandOracle =
+    """WITH q AS (SELECT doc_id,
+           round(least(len(string_split(text, ' ')) / 30.0, 1.0) * 0.5 +
+             CASE WHEN (length(text) - (length(text) -
+                    length(replace(text, ' ', ''))))
+                    * 1.0 / len(string_split(text, ' '))
+                    BETWEEN 3.0 AND 8.0
+                  THEN 0.3 ELSE 0.0 END +
+             CASE WHEN (length(text) - length(replace(text, ' ', '')))
+                    * 1.0 / length(text) BETWEEN 0.1 AND 0.3
+                  THEN 0.2 ELSE 0.0 END, 4) AS quality_score
+         FROM documents),
+       b AS (SELECT quantile_cont(quality_score, 0.1) AS lo,
+                    quantile_cont(quality_score, 0.9) AS hi FROM q)
+     SELECT q.doc_id, q.quality_score FROM q CROSS JOIN b
+     WHERE quality_score BETWEEN lo AND hi
+     ORDER BY doc_id"""
 
   private val jaccardOracle =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1143,23 +1195,10 @@ object LlmQueries {
     // [p10, p90] band — Spark's percentile and DuckDB's quantile_cont
     // share the linear-interpolation definition over identical
     // round-4 inputs
-    "t15_quality_band" ->
-      """WITH q AS (SELECT doc_id,
-             round(least(len(string_split(text, ' ')) / 30.0, 1.0) * 0.5 +
-               CASE WHEN (length(text) - (length(text) -
-                      length(replace(text, ' ', ''))))
-                      * 1.0 / len(string_split(text, ' '))
-                      BETWEEN 3.0 AND 8.0
-                    THEN 0.3 ELSE 0.0 END +
-               CASE WHEN (length(text) - length(replace(text, ' ', '')))
-                      * 1.0 / length(text) BETWEEN 0.1 AND 0.3
-                    THEN 0.2 ELSE 0.0 END, 4) AS quality_score
-           FROM documents),
-         b AS (SELECT quantile_cont(quality_score, 0.1) AS lo,
-                      quantile_cont(quality_score, 0.9) AS hi FROM q)
-       SELECT q.doc_id, q.quality_score FROM q CROSS JOIN b
-       WHERE quality_score BETWEEN lo AND hi
-       ORDER BY doc_id""",
+    "t15_quality_band" -> qualityBandOracle,
+    // the streamed router's cumulative keep sink equals the batch band
+    // filter (fixed bounds => stateless routing, batch-split-invariant)
+    "st08_stream_quality_router" -> qualityBandOracle,
 
     // identical smoothed log-ratio table over the union vocabulary; the
     // totals feed only double arithmetic, so DuckDB's HUGEINT sums never

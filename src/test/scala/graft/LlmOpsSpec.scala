@@ -863,6 +863,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(ak - 801L) <= 2, s"approx band kept $ak of 1000")
   }
 
+  test("streaming quality router partitions the stream into disjoint " +
+      "keep/reject sinks equal to the batch band filter, idempotently") {
+    val d = docs
+    val scored = TextAnalysis.qualityScore(d, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val b = scored
+      .agg(expr("percentile(quality_score, array(0.25, 0.75))").as("b"))
+      .select(col("b").getItem(0), col("b").getItem(1)).head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val root = java.nio.file.Files.createTempDirectory("qrouter").toString
+    d.repartition(2).write.mode("overwrite").parquet(s"$root/incoming")
+    val keep = graft.streaming.QualityRouter.runAvailableNow(spark,
+      s"$root/incoming", d.schema, lo, hi, s"$root/keep", s"$root/reject")
+    val batchKeep = scored.filter(col("quality_score").between(lo, hi))
+    assert(sameResults(keep, batchKeep))
+    // keep + reject partition the corpus exactly
+    val reject = spark.read.parquet(s"$root/reject")
+      .select("doc_id", "quality_score")
+    assert(reject.count() + keep.count() === d.count())
+    assert(keep.join(reject, "doc_id").count() === 0)
+    // retrying a batch replaces its own partitions byte-identically
+    graft.streaming.QualityRouter.processBatch(d, 3L, lo, hi,
+      s"$root/keep2", s"$root/reject2")
+    val once = spark.read.parquet(s"$root/keep2").collect()
+      .map(_.toString).sorted.toSeq
+    graft.streaming.QualityRouter.processBatch(d, 3L, lo, hi,
+      s"$root/keep2", s"$root/reject2")
+    val twice = spark.read.parquet(s"$root/keep2").collect()
+      .map(_.toString).sorted.toSeq
+    assert(once === twice && once.nonEmpty)
+  }
+
   test("knn graph equals per-query exact top-k and avoids cartesian plans") {
     val g = Similarity.knnGraph(embs, "vec_id", "embedding", k = 3)
     val viaTopK = Similarity.cosineTopK(embs, embs, "vec_id", "embedding", 3)
