@@ -903,5 +903,20 @@ class LlmOpsSpec extends SparkSpec {
     val plan = g.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), plan)
+    // ONE triangle join: both pair directions explode out of a single
+    // pass (a union of sims with its flip would re-execute the join —
+    // and every cosine — twice)
+    assert(plan.sliding("ShuffledHashJoin".length).count(
+      _ == "ShuffledHashJoin") === 1, plan)
+  }
+
+  test("span dedup derives totals before exploding: exactly two block " +
+      "explodes in the plan") {
+    val plan = Dedup.spanDeduplicate(docs, "doc_id", "text", span = 4)
+      .queryExecution.executedPlan.toString
+    // kept-join probe side + firsts aggregation; per-doc totals come
+    // from size() of the unexploded arrays, never a third explode
+    assert(plan.sliding("Generate".length).count(_ == "Generate") === 2,
+      plan)
   }
 }
