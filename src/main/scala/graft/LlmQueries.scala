@@ -475,6 +475,20 @@ object LlmQueries {
     // string functions (the corpus is ASCII: bytes == characters) and
     // recomputes every decoded value from it — a hash mismatch means the
     // parser misread actual bytes.
+    // multimodal AUDIO: per-frame RMS / sign crossings / peak decoded
+    // from a real u8-PCM payload by the mapPartitions codec; the oracle
+    // rebuilds the identical sample stream from text with string
+    // functions (bias 64 so the ASCII-range fixture crosses sign)
+    "m04_pcm_frames" -> { (s, dir) =>
+      Multimodal.extractPcmFeatures(s,
+          Multimodal.asPcm(docs(s, dir), "doc_id", "text"), bias = 64)
+        .toDF()
+        .select(col("doc_id"), col("frame_id"),
+          round(col("rms"), 4).as("rms"), col("zero_crossings"),
+          col("peak"))
+        .orderBy(col("doc_id"), col("frame_id"))
+    },
+
     "m01_media_meta" -> { (s, dir) =>
       Multimodal.extractPpmMeta(s,
           Multimodal.asPpm(docs(s, dir), "doc_id", "text"))
@@ -1388,6 +1402,34 @@ object LlmQueries {
 
     // rebuild the PPM payload (ASCII corpus: string ops == byte ops) and
     // recompute every value the decoder claims to have read from it
+    // identical sample reconstruction: byte k of the payload is char
+    // ((k-1) % len) + 1 of the text; integer sums of squares are exact
+    // on both engines, so sqrt/round agree bit for bit; the crossing
+    // sum is CAST to BIGINT (DuckDB HUGEINT gotcha)
+    "m04_pcm_frames" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+                      256 * (2 + doc_id % 3) AS n
+                    FROM documents WHERE length(text) > 0),
+         idx AS (SELECT doc_id, text, L,
+                   unnest(generate_series(0, n - 1)) AS i
+                 FROM d),
+         smp AS (SELECT doc_id, i // 256 AS frame_id, i,
+                   ascii(substr(text, CAST(i % L AS INTEGER) + 1, 1)) - 64
+                     AS c
+                 FROM idx),
+         lagd AS (SELECT doc_id, frame_id, c,
+                    lag(c) OVER (PARTITION BY doc_id, frame_id
+                      ORDER BY i) AS pc
+                  FROM smp)
+       SELECT doc_id, frame_id,
+              round(sqrt(sum(c * c) * 1.0 / 256), 4) AS rms,
+              CAST(sum(CASE WHEN pc IS NOT NULL AND ((c < 0) <> (pc < 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS zero_crossings,
+              max(abs(c)) AS peak
+       FROM lagd GROUP BY doc_id, frame_id
+       ORDER BY doc_id, frame_id""",
+
     "m01_media_meta" ->
       """WITH g AS (SELECT doc_id, text,
              CAST(4 + doc_id % 13 AS INT) AS width,

@@ -117,6 +117,67 @@ object Multimodal {
       lit("text/plain").as("media_type"),
       encode(col(textCol), "UTF-8").as("payload"))
 
+  /** One analysis frame of an unsigned-8-bit PCM audio payload. */
+  case class PcmFrame(doc_id: Long, frame_id: Long, rms: Double,
+    zero_crossings: Long, peak: Int)
+
+  /** Synthesize a headerless unsigned-8-bit PCM payload per document
+    * (the `ffmpeg -f u8` interchange shape — sample rate and sample
+    * count travel as typed metadata next to the opaque binary, which is
+    * exactly the multimodal-column contract): 256 * (2 + id % 3) samples,
+    * bytes = the document's text repeated (ASCII fixtures => bytes ==
+    * characters, so a SQL oracle rebuilds the identical payload with
+    * string functions). Columnar construction, like [[asPpm]].
+    */
+  def asPcm(docs: DataFrame, idCol: String, textCol: String,
+      frameSize: Int = 256): DataFrame =
+    docs.select(col(idCol).cast("bigint").as("doc_id"), col(textCol).as("t"))
+      .filter(length(col("t")) > 0)
+      .withColumn("n",
+        (lit(frameSize) * (lit(2) + col("doc_id") % 3)).cast("int"))
+      .select(col("doc_id"), lit("audio/pcm-u8").as("media_type"),
+        encode(expr(
+          "substring(repeat(t, cast(ceil(n / length(t)) as int)), 1, n)"),
+          "UTF-8").as("payload"))
+
+  /** Distributed REAL audio feature extraction: frames of `frameSize`
+    * samples, per frame the RMS of the bias-centered signal, the number
+    * of sign crossings, and the peak magnitude — the front end of audio
+    * quality filtering and silence/clipping detection. `bias` is the
+    * codec's DC offset (128 for standard u8 PCM; the ASCII fixtures sit
+    * entirely below 128, so the gate centers at 64 to exercise genuine
+    * sign crossings). Same scale shape as [[extractPpmMeta]]: per-record
+    * decode in `mapPartitions`, typed output, one pass over the bytes,
+    * no per-frame shuffling — frames of one payload never leave their
+    * row. Output: (doc_id, frame_id, rms, zero_crossings, peak).
+    */
+  def extractPcmFeatures(spark: SparkSession, media: DataFrame,
+      frameSize: Int = 256, bias: Int = 128): Dataset[PcmFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = r.payload.length / frameSize
+        (0 until nFrames).map { f =>
+          var ss = 0L; var zc = 0L; var peak = 0
+          var prevNeg = false; var first = true
+          var i = f * frameSize
+          val end = i + frameSize
+          while (i < end) {
+            val c = java.lang.Byte.toUnsignedInt(r.payload(i)) - bias
+            ss += c.toLong * c
+            if (math.abs(c) > peak) peak = math.abs(c)
+            val neg = c < 0
+            if (!first && neg != prevNeg) zc += 1
+            prevNeg = neg; first = false
+            i += 1
+          }
+          PcmFrame(r.doc_id, f.toLong,
+            math.sqrt(ss.toDouble / frameSize), zc, peak)
+        }
+      }
+    }
+  }
+
   /** Synthesize a REAL P6 PPM payload per document: width = 4 + id % 13,
     * height = 3 + id % 7, raster = the document's text repeated to
     * width*height*3 bytes (the fixture corpus is ASCII, so bytes ==

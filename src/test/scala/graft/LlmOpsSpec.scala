@@ -895,6 +895,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(once === twice && once.nonEmpty)
   }
 
+  test("pcm frame features decode crossings, rms and peak from raw " +
+      "bytes with per-frame isolation") {
+    import spark.implicits._
+    // frame 0 alternates +/-28 around the 128 bias (a crossing at every
+    // step); frame 1 is a constant +2 — features must not bleed across
+    // the frame boundary
+    val f0 = Array.tabulate(256)(i => (if (i % 2 == 0) 100 else 156).toByte)
+    val f1 = Array.fill(256)(130.toByte)
+    val media = Seq((1L, "audio/pcm-u8", f0 ++ f1))
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.extractPcmFeatures(spark, media).collect()
+      .sortBy(_.frame_id)
+    assert(out.length === 2)
+    assert(out(0).zero_crossings === 255L && out(0).peak === 28)
+    assert(math.abs(out(0).rms - 28.0) < 1e-9)
+    assert(out(1).zero_crossings === 0L && out(1).peak === 2 &&
+      out(1).rms === 2.0)
+    // a trailing partial frame is not emitted
+    val ragged = Seq((2L, "audio/pcm-u8", f0 ++ f1.take(100)))
+      .toDF("doc_id", "media_type", "payload")
+    assert(Multimodal.extractPcmFeatures(spark, ragged).count() === 1)
+  }
+
   test("knn graph equals per-query exact top-k and avoids cartesian plans") {
     val g = Similarity.knnGraph(embs, "vec_id", "embedding", k = 3)
     val viaTopK = Similarity.cosineTopK(embs, embs, "vec_id", "embedding", 3)
