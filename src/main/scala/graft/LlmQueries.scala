@@ -404,6 +404,18 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     },
 
+    // the production classify direction: a small labeled SEED set
+    // (vec_id < 100) broadcast against the unlabeled remainder — same
+    // deterministic vote, seeds-side broadcast so the corpus never
+    // shuffles before its bounded top-k
+    "s09_knn_classify_seeded" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.knnClassifySeeded(e.filter(col("vec_id") >= 100),
+          e.filter(col("vec_id") < 100), "vec_id", "embedding",
+          "label", 5)
+        .orderBy(col("vec_id"))
+    },
+
     // language ID (marker-word argmax + CJK script detection)
     "t01_lang_id" -> { (s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
@@ -892,6 +904,30 @@ object LlmQueries {
                 CAST(b.pred_label AS INTEGER) AS pred_label, b.votes
          FROM c JOIN best b ON c.vec_id = b.vec_id AND b.brn = 1
          ORDER BY c.vec_id""",
+
+    // seeds vs unlabeled are disjoint id ranges, so no self-exclusion;
+    // identical ranking and vote tie-breaks as s08
+    "s09_knn_classify_seeded" ->
+      """WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+           q AS (SELECT vec_id, v FROM c WHERE vec_id >= 100),
+           sd AS (SELECT vec_id, label, v FROM c WHERE vec_id < 100),
+           sims AS (SELECT q.vec_id, sd.vec_id AS nb, sd.label AS n_label,
+                      list_cosine_similarity(q.v, sd.v) AS sim
+                    FROM q CROSS JOIN sd),
+           ranked AS (SELECT vec_id, n_label,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, nb) AS rnk
+                      FROM sims),
+           votes AS (SELECT vec_id, n_label, count(*) AS votes
+                     FROM ranked WHERE rnk <= 5 GROUP BY 1, 2),
+           best AS (SELECT vec_id, n_label AS pred_label, votes,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY votes DESC, n_label) AS brn
+                    FROM votes)
+         SELECT vec_id, CAST(pred_label AS INTEGER) AS pred_label, votes
+         FROM best WHERE brn = 1
+         ORDER BY vec_id""",
 
     // exact cosine threshold join over the planted corpus — what the
     // banded d11 path must reproduce pair for pair

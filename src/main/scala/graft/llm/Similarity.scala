@@ -165,6 +165,46 @@ object Similarity {
       .join(best, "vec_id")
   }
 
+  /** k-NN label prediction for UNLABELED vectors from a labeled SEED
+    * set — the production shape of embedding-space quality/domain
+    * classification: curators hand-label a small seed set, and every
+    * corpus vector takes the majority label of its k nearest seeds
+    * (ties toward the smaller label id). The complement of
+    * [[knnClassify]]'s leave-one-out evaluation: there the corpus
+    * classifies itself; here a tiny labeled side classifies a huge
+    * unlabeled side.
+    *
+    * Scale shape: the seed set is the SMALL side, so the scoring join
+    * broadcasts it ([[cosineTopK]] — every corpus partition scores its
+    * rows against the broadcast seeds locally, bounded top-k per row,
+    * no shuffle of the corpus); the vote is two hash aggregations.
+    * Output: (vec_id, pred_label, votes).
+    */
+  def knnClassifySeeded(unlabeled: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    // NOTE the broadcast direction is the TRANSPOSE of [[cosineTopK]]
+    // (which broadcasts the query side): here the seeds are the small
+    // side, every corpus partition scores its own rows against them, and
+    // the bounded top-k's map-side partial completes within the row's
+    // partition — the shuffle moves at most k rows per corpus vector
+    val q = unlabeled.select(col(idCol).cast("bigint").as("query_id"),
+      col(vecCol).as("vq"))
+    val s = seeds.select(col(idCol).cast("bigint").as("neighbor_id"),
+      col(vecCol).as("vc"), col(labelCol).cast("int").as("n_label"))
+    val scored = q.crossJoin(broadcast(s))
+      .withColumn("sim", cosineSim(col("vq"), col("vc")))
+      .select("query_id", "neighbor_id", "sim")
+    val seedLabels = s.select(col("neighbor_id"), col("n_label"))
+    val votes = topKPerQuery(scored, k)
+      .join(broadcast(seedLabels), "neighbor_id")
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy("query_id")
+      .agg(max(struct(col("votes"), (-col("n_label")).as("neg"))).as("m"))
+      .select(col("query_id").as("vec_id"), (-col("m.neg")).as("pred_label"),
+        col("m.votes").as("votes"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * storage-compression lever for 100 TB embedding tables (4x smaller
     * than float32, and int8 dot products are SIMD-friendly downstream).

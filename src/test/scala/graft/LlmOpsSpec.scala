@@ -769,6 +769,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(3) == 3L), "all 3 votes in-cluster")
   }
 
+  test("seeded knn classify labels unlabeled vectors from broadcast " +
+      "seeds without shuffling the corpus side for scoring") {
+    import spark.implicits._
+    val seeds = (0 until 3).flatMap { c =>
+      (0 until 3).map { j =>
+        val v = Array.tabulate(6)(i =>
+          if (i == c) 1.0 else if (i == c + 3) 0.01 * (j + 1) else 0.0)
+        ((c * 3 + j).toLong, v, c)
+      }
+    }.toDF("vec_id", "embedding", "label")
+    val unlabeled = (0 until 3).map { c =>
+      val v = Array.tabulate(6)(i => if (i == c) 1.0 else 0.005)
+      ((100 + c).toLong, v, -1)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassifySeeded(unlabeled, seeds, "vec_id",
+      "embedding", "label", 3)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows === Map(100L -> 0, 101L -> 1, 102L -> 2))
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "seeds must broadcast into the corpus-side scoring join")
+  }
+
   test("knn classify breaks vote ties toward the smaller label") {
     import spark.implicits._
     val df = Seq(
