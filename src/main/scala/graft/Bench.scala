@@ -28,7 +28,7 @@ object Bench {
     "s09_knn_classify_seeded", "m04_pcm_frames",
     "t01_lang_id", "t03_token_count",
     "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",
-    "t14_dsir_weights", "t15_quality_band",
+    "t14_dsir_weights", "t15_quality_band", "t16_heavy_hitters",
     "st06_stream_incremental_dedup",
     "st07_stream_ann_serve", "st08_stream_quality_router",
     "opt01_ues_flagship")

@@ -313,6 +313,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // exact heavy hitters (freq > n/50) via per-partition Misra-Gries
+    // candidates + exact recount — output provably equals the plain
+    // HAVING-count query the oracle runs
+    "t16_heavy_hitters" -> { (s, dir) =>
+      TextAnalysis.heavyHitters(docs(s, dir), "text", 50)
+        .orderBy(col("word"))
+    },
+
     // DSIR importance weights against the lang='en' target slice: exact
     // unigram log-likelihood ratios, alpha=0.5 smoothing, raw-word
     // features (the hashed-bucket scale path is spec-pinned)
@@ -1249,6 +1257,18 @@ object LlmQueries {
     // the streamed router's cumulative keep sink equals the batch band
     // filter (fixed bounds => stateless routing, batch-split-invariant)
     "st08_stream_quality_router" -> qualityBandOracle,
+
+    // the exact definition the two-phase MG pipeline must reproduce;
+    // integer threshold arithmetic (freq * k > n) on both engines
+    "t16_heavy_hitters" ->
+      """WITH words AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w != ''))
+               AS word
+           FROM documents)
+       SELECT word, count(*) AS freq FROM words
+       GROUP BY 1
+       HAVING count(*) * 50 > (SELECT count(*) FROM words)
+       ORDER BY word""",
 
     // identical smoothed log-ratio table over the union vocabulary; the
     // totals feed only double arithmetic, so DuckDB's HUGEINT sums never

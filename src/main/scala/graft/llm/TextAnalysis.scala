@@ -412,6 +412,56 @@ object TextAnalysis {
       .drop("lo", "hi")
   }
 
+  /** EXACT heavy hitters without shuffling the word stream: every token
+    * whose corpus frequency exceeds total/k, via the classic two-phase
+    * distributed pattern — (1) per-partition Misra–Gries summaries with
+    * k counters emit a CANDIDATE set that provably contains every global
+    * heavy hitter (if freq(x) > n/k globally then freq_p(x) > n_p/k in
+    * at least one partition, else summing the per-partition bounds gives
+    * freq(x) <= n/k; per-partition MG with k counters keeps everything
+    * above its partition's n_p/k), then (2) an exact recount of the
+    * candidates only. The only shuffle moves candidate counts (at most
+    * k * partitions rows); the threshold compare is exact integer
+    * arithmetic (freq * k > n), so the output EQUALS the exact
+    * HAVING-count query a single-node engine runs. The full word-count
+    * aggregation this replaces shuffles one row per distinct token —
+    * at web-corpus vocabulary sizes that is the difference between a
+    * bounded sketch merge and a vocabulary-wide exchange.
+    * Output: (word, freq), freq > n_words / k.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 1, "heavy-hitter threshold needs k > 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(
+      explode(expr(s"filter(split($textCol, ' '), w -> w != '')"))
+        .as("word"))
+    val candidates = words.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        counters.get(w) match {
+          case Some(c) => counters(w) = c + 1
+          case None if counters.size < k => counters(w) = 1L
+          case None => // decrement-all step: drop zeroed counters
+            val keys = counters.keys.toArray
+            var i = 0
+            while (i < keys.length) {
+              val v = counters(keys(i)) - 1
+              if (v == 0) counters.remove(keys(i)) else counters(keys(i)) = v
+              i += 1
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("word").distinct()
+    val total = words.agg(count(lit(1)).as("n"))
+    words.join(broadcast(candidates), "word")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * k > col("n"))
+      .select(col("word"), col("freq"))
+  }
+
   def lexicalRarity(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 100): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),

@@ -856,6 +856,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(once === twice && once.nonEmpty)
   }
 
+  test("misra-gries heavy hitters survive constant eviction on a " +
+      "skewed large vocabulary and recount exactly") {
+    import spark.implicits._
+    // 1000-word singleton tail + 3 planted hitters; capacity 10 forces
+    // eviction in every partition, yet the per-partition superset
+    // guarantee keeps each global hitter regardless of stream order,
+    // and the exact recount discards every surviving tail candidate
+    val words = (0 until 1000).map(i => s"w$i") ++
+      Seq.fill(400)("hot1") ++ Seq.fill(300)("hot2") ++
+      Seq.fill(200)("hot0")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text").repartition(8)
+    // n = 1900, threshold n/10 = 190: exactly the three planted words
+    val out = TextAnalysis.heavyHitters(df, "text", 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("hot0" -> 200L, "hot1" -> 400L, "hot2" -> 300L))
+  }
+
   test("dedup report counts each group's documents touching any pair, " +
       "zero-dup groups included") {
     import spark.implicits._
