@@ -25,7 +25,7 @@ object Bench {
     "j01_asof_join",
     "w01_scd2_merge", "s01_ann_topk", "s05_ann_ivf_indexed",
     "s06_knn_graph", "s07_semdedup", "s08_knn_classify",
-    "s09_knn_classify_seeded", "m04_pcm_frames",
+    "s09_knn_classify_seeded", "s10_hard_negatives", "m04_pcm_frames",
     "t01_lang_id", "t03_token_count",
     "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",
     "t14_dsir_weights", "t15_quality_band", "t16_heavy_hitters",

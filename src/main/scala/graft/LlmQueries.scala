@@ -412,6 +412,20 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     },
 
+    // hard-negative mining on the planted corpus: top-5 per query
+    // EXCLUDING the exact near-dup pair relation at cos >= 0.9 (the
+    // planted duplicates) — the oracle applies the same exclusion as a
+    // predicate, exact because the pair generator is exact
+    "s10_hard_negatives" -> { (s, dir) =>
+      val planted = Similarity.plantedGappedCorpus(embs(s, dir), "vec_id",
+        "embedding")
+      Similarity.hardNegatives(planted, planted.filter(col("vec_id") < 10),
+          "vec_id", "embedding",
+          Dedup.embeddingNearDuplicatesBlocked(planted, "vec_id",
+            "embedding", 0.9), 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // the production classify direction: a small labeled SEED set
     // (vec_id < 100) broadcast against the unlabeled remainder — same
     // deterministic vote, seeds-side broadcast so the corpus never
@@ -873,6 +887,34 @@ object LlmQueries {
     // independence makes the cumulative sink equal the batch probe, and
     // the planted gap makes the probe equal the exact top-k
     "st07_stream_ann_serve" -> plantedAnnOracle,
+
+    // exclusion via the exact pair relation at cos >= 0.9 equals the
+    // predicate sim < 0.9 over identical IEEE cosine arithmetic
+    "s10_hard_negatives" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+           planted AS (
+             SELECT 100000 + q.vec_id * 5 + t.j AS vec_id,
+               list_transform(generate_series(1, len(q.v)),
+                 i -> q.v[i] + 0.3 * p.v[i]) AS v
+             FROM base q
+             CROSS JOIN unnest(generate_series(0, 4)) AS t(j)
+             JOIN base p ON p.vec_id = 10 + q.vec_id * 5 + t.j
+             WHERE q.vec_id < 10),
+           corpus AS (SELECT vec_id, v FROM base
+                      UNION ALL SELECT vec_id, v FROM planted),
+           qs AS (SELECT vec_id AS query_id, v AS vq FROM base
+                  WHERE vec_id < 10),
+           sims AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(vq, c.v) AS sim
+                    FROM qs CROSS JOIN corpus c
+                    WHERE query_id <> c.vec_id),
+           ranked AS (SELECT query_id, neighbor_id, sim,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS rnk
+                      FROM sims WHERE sim < 0.9)
+         SELECT query_id, rnk, neighbor_id, round(sim, 4) AS cos_sim
+         FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
 
     // pruned iff a smaller-id vector sits within the cosine threshold;
     // first_pruner = the smallest such id — the same one-pass keep-first

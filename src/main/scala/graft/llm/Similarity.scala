@@ -205,6 +205,42 @@ object Similarity {
         col("m.votes").as("votes"))
   }
 
+  /** Hard-negative mining for contrastive retrieval training: for each
+    * query vector, the k most similar corpus vectors that are NOT its
+    * near-duplicates — semantically close but genuinely different, the
+    * negatives that make a bi-encoder's loss informative (a near-dup
+    * mislabeled as a negative poisons training; a random negative
+    * teaches nothing). Exclusion consumes the dedup pipeline's own PAIR
+    * RELATION `(a_id, b_id, ...)` rather than re-thresholding cosines,
+    * so whatever near-dup definition curated the corpus (MinHash,
+    * SimHash, embedding, incremental) is exactly what the miner
+    * respects.
+    *
+    * Scale shape: queries broadcast into the corpus scan like
+    * [[cosineTopK]]; the exclusion is one anti-join against the
+    * symmetrized pair relation keyed on (query, neighbor) — cost ∝
+    * pairs touching the queries — and ranking stays the bounded top-k.
+    * Output: (query_id, rnk, neighbor_id, cos_sim).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, pairs: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).cast("bigint").as("neighbor_id"),
+      col(vecCol).as("vc"))
+    val q = queries.select(col(idCol).cast("bigint").as("query_id"),
+      col(vecCol).as("vq"))
+    val exclude = pairs
+      .select(explode(array(
+        struct(col("a_id").as("query_id"), col("b_id").as("neighbor_id")),
+        struct(col("b_id").as("query_id"), col("a_id").as("neighbor_id"))))
+        .as("p"))
+      .select(col("p.query_id"), col("p.neighbor_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineSim(col("vq"), col("vc")))
+      .select("query_id", "neighbor_id", "sim")
+      .join(exclude, Seq("query_id", "neighbor_id"), "left_anti")
+    topKPerQuery(scored, k)
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * storage-compression lever for 100 TB embedding tables (4x smaller
     * than float32, and int8 dot products are SIMD-friendly downstream).

@@ -959,6 +959,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(Multimodal.extractPcmFeatures(spark, ragged).count() === 1)
   }
 
+  test("hard negatives exclude exactly the pair relation's partners " +
+      "and rank the remainder like exact top-k") {
+    import spark.implicits._
+    val planted = Similarity.plantedGappedCorpus(embs, "vec_id", "embedding")
+    val queries = planted.filter(col("vec_id") < 4)
+    val pairs = Dedup.embeddingNearDuplicatesBlocked(planted, "vec_id",
+      "embedding", 0.9)
+    val negs = Similarity.hardNegatives(planted, queries, "vec_id",
+      "embedding", pairs, 5)
+    // no mined negative may appear in the pair relation with its query
+    val sym = pairs.select(col("a_id").as("query_id"),
+        col("b_id").as("neighbor_id"))
+      .union(pairs.select(col("b_id").as("query_id"),
+        col("a_id").as("neighbor_id")))
+    assert(negs.join(sym, Seq("query_id", "neighbor_id")).count() === 0)
+    // each query's planted near-dups sit above 0.9 => all are excluded,
+    // so every mined negative's cosine is strictly below the dup band
+    assert(negs.filter(col("cos_sim") >= 0.9).count() === 0)
+    assert(negs.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 5L))
+    // with an EMPTY pair relation the miner degenerates to exact top-k
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(sameResults(
+      Similarity.hardNegatives(planted, queries, "vec_id", "embedding",
+        empty, 5),
+      Similarity.cosineTopK(planted, queries, "vec_id", "embedding", 5)))
+  }
+
   test("knn graph equals per-query exact top-k and avoids cartesian plans") {
     val g = Similarity.knnGraph(embs, "vec_id", "embedding", k = 3)
     val viaTopK = Similarity.cosineTopK(embs, embs, "vec_id", "embedding", 3)
