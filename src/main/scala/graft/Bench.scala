@@ -29,6 +29,7 @@ object Bench {
     "t01_lang_id", "t03_token_count",
     "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",
     "t14_dsir_weights", "t15_quality_band", "t16_heavy_hitters",
+    "t17_perplexity",
     "st06_stream_incremental_dedup",
     "st07_stream_ann_serve", "st08_stream_quality_router",
     "opt01_ues_flagship")
@@ -124,7 +125,7 @@ object Bench {
     // Per-query OPTIMIZATION time over the JOB kit (plan construction
     // through the full UES pipeline, no execution): the distribution the
     // reference reports for its JOB runs (bench.py's optimization_time
-    // column). Driver-side and bounded — 20 queries, one pass each after
+    // column). Driver-side and bounded — 30 queries, one pass each after
     // a warm-up that pays fixture registration.
     val jobOptMs: String = try {
       val root = sys.props.get("graft.workloads.dir")

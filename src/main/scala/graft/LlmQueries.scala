@@ -321,6 +321,15 @@ object LlmQueries {
         .orderBy(col("word"))
     },
 
+    // CCNet-style perplexity filter: a smoothed bigram LM estimated from
+    // the corpus scores every document's fluency; exact counts + closed-
+    // form smoothing make the whole model SQL-recomputable
+    "t17_perplexity" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.bigramPerplexity(d, d, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR importance weights against the lang='en' target slice: exact
     // unigram log-likelihood ratios, alpha=0.5 smoothing, raw-word
     // features (the hashed-bucket scale path is spec-pinned)
@@ -1311,6 +1320,32 @@ object LlmQueries {
        GROUP BY 1
        HAVING count(*) * 50 > (SELECT count(*) FROM words)
        ORDER BY word""",
+
+    // identical bigram extraction (1-based list indexing), identical
+    // smoothed model; self-scoring so every bigram/context is seen, but
+    // the coalesces mirror the engine's unseen-fallbacks anyway
+    "t17_perplexity" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w != '') AS w
+           FROM documents),
+         bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+                FROM (SELECT doc_id, w,
+                        unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM d WHERE len(w) >= 2)),
+         ctx AS (SELECT w1, count(*) AS cw FROM bg GROUP BY 1),
+         big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         stats AS (SELECT count(DISTINCT w2) AS v FROM bg),
+         scored AS (SELECT s.doc_id,
+             ln((coalesce(b.cb, 0) + 0.5) /
+                (coalesce(c.cw, 0) + 0.5 * stats.v)) AS lp
+           FROM bg s
+           LEFT JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+           LEFT JOIN ctx c ON s.w1 = c.w1
+           CROSS JOIN stats)
+       SELECT doc_id, count(*) AS n_bigrams,
+              round(avg(lp), 4) AS avg_logp,
+              round(exp(-avg(lp)), 4) AS ppl
+       FROM scored GROUP BY 1 ORDER BY 1""",
 
     // identical smoothed log-ratio table over the union vocabulary; the
     // totals feed only double arithmetic, so DuckDB's HUGEINT sums never

@@ -462,6 +462,51 @@ object TextAnalysis {
       .select(col("word"), col("freq"))
   }
 
+  /** Bigram-LM perplexity scoring — the CCNet-style "perplexity filter"
+    * of data curation: estimate a smoothed bigram language model from a
+    * reference corpus, score every candidate document by its
+    * per-bigram average log-probability, and keep the docs the model
+    * finds natural (low perplexity ≈ fluent text; degenerate or
+    * gibberish docs sit in the high-perplexity tail). The model is
+    * `P(w2|w1) = (c(w1,w2) + a) / (c(w1·) + a·V)` with context counts
+    * `c(w1·)` = bigrams starting with w1 and V = the successor
+    * vocabulary size; additive-a smoothing keeps unseen bigrams (and
+    * unseen contexts: `ln(1/V)`) finite.
+    *
+    * Scale shape: bigrams explode per row from the token array (no
+    * self-join), the model is two hash aggregations over the TRAIN
+    * corpus, scoring is one equality join keyed on the bigram plus a
+    * per-doc average — the same join/aggregate skeleton as
+    * [[dsirWeights]]. All arithmetic is codegen'd ln/exp.
+    * Output: (doc_id, n_bigrams, avg_logp, ppl), rounded to 4.
+    */
+  def bigramPerplexity(train: DataFrame, toScore: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.5): DataFrame = {
+    def bigrams(df: DataFrame) = df
+      .select(col(idCol).cast("bigint").as("doc_id"),
+        expr(s"filter(split($textCol, ' '), w -> w != '')").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> named_struct('w1', w[i-1], 'w2', w[i]))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val tb = bigrams(train)
+    val ctx = tb.groupBy("w1").agg(count(lit(1)).as("cw"))
+    val big = tb.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val stats = tb.agg(countDistinct(col("w2")).as("v"))
+    bigrams(toScore)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lp", expr(
+        s"ln((coalesce(cb, 0) + $alpha) / (coalesce(cw, 0) + $alpha * v))"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("alp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("alp"), 4).as("avg_logp"),
+        round(exp(-col("alp")), 4).as("ppl"))
+  }
+
   def lexicalRarity(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 100): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),

@@ -874,6 +874,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Map("hot0" -> 200L, "hot1" -> 400L, "hot2" -> 300L))
   }
 
+  test("bigram perplexity ranks in-distribution text below scrambled " +
+      "and gibberish text, with unseen bigrams staying finite") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran on the mat"),
+      (3L, "the dog sat on the rug")
+    ).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat on the mat"), // in-distribution
+      (11L, "mat the on sat cat the"), // same words, scrambled order
+      (12L, "zz qq yy xx ww vv")       // fully out-of-vocabulary
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(10L) < out(11L) && out(10L) < out(12L), s"$out")
+    assert(out.values.forall(p => !p.isNaN && !p.isInfinite && p > 0),
+      s"smoothing must keep every score finite: $out")
+  }
+
   test("dedup report counts each group's documents touching any pair, " +
       "zero-dup groups included") {
     import spark.implicits._
