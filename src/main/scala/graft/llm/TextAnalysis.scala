@@ -494,14 +494,19 @@ object TextAnalysis {
     val ctx = tb.groupBy("w1").agg(count(lit(1)).as("cw"))
     val big = tb.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val stats = tb.agg(countDistinct(col("w2")).as("v"))
-    bigrams(toScore)
+    // per-(doc, bigram) counts first (the dsirWeights move): the model
+    // join and the per-doc shuffle carry one row per DISTINCT bigram
+    // per doc instead of one per occurrence
+    bigrams(toScore).groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("c"))
       .join(big, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(stats))
       .withColumn("lp", expr(
         s"ln((coalesce(cb, 0) + $alpha) / (coalesce(cw, 0) + $alpha * v))"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("alp"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        (sum(col("lp") * col("c")) / sum(col("c"))).as("alp"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("alp"), 4).as("avg_logp"),
         round(exp(-col("alp")), 4).as("ppl"))
