@@ -39,6 +39,31 @@ object LlmQueries {
     root.toString
   }
 
+  /** Stage (once per fixture fingerprint) the persisted PQ index over
+    * the planted gapped corpus: trained codebooks as a tiny (m, k,
+    * centroid) parquet and the corpus CODES (vec_id, codes: array<int>)
+    * — numSub small ints per vector, the compressed scan the ADC probe
+    * reads instead of the float embeddings. */
+  private def stagedPqIndexDir(s: SparkSession, dir: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val tag = Tables.dataFingerprint(dir)
+    val root = new java.io.File(s"$tmp/graft_pqidx_$tag")
+    if (!root.exists()) {
+      Relational.staleArtifactSweep(new java.io.File(tmp),
+        "graft_pqidx_", tag)
+      val planted = Similarity.plantedGappedCorpus(embs(s, dir), "vec_id",
+        "embedding")
+      val cb = Similarity.pqTrainCodebooks(planted, "vec_id", "embedding",
+        numSub = 8, codebookSize = 32, iters = 10, dim = Some(64))
+      Similarity.codebooksDf(s, cb).write.mode("overwrite")
+        .parquet(s"$root/codebooks")
+      Similarity.pqEncode(planted, "vec_id", "embedding", cb,
+          idOut = "neighbor_id")
+        .write.mode("overwrite").parquet(s"$root/codes")
+    }
+    root.toString
+  }
+
   /** Staging directory for the streaming gates: the file stream source
     * requires a DIRECTORY, so the single events file is copied into one.
     * Keyed by the data fingerprint (like the b01/z01 artifacts) so
@@ -395,6 +420,25 @@ object LlmQueries {
           "vec_id", "embedding",
           s.read.parquet(s"$root/centroids"),
           s.read.parquet(s"$root/assignments"), 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // PQ-ADC ANN against a PERSISTED product-quantization index (the
+    // compressed-scan half of an IVF-PQ service): the probe reads only
+    // the 8-int CODES per corpus vector, takes top-64 candidates per
+    // query by table-lookup ADC score, and exact-cosine re-ranks the
+    // candidates — planted near-dups are tiny rotations of their query,
+    // so they quantize to (nearly) the query's own codes and top the ADC
+    // scan; with a 64-of-~550 budget (coverage pinned by spec) the
+    // output equals the exact top-k and shares the s02/s03 hard oracle
+    "s11_ann_pq" -> { (s, dir) =>
+      val planted = Similarity.plantedGappedCorpus(embs(s, dir), "vec_id",
+        "embedding")
+      val root = stagedPqIndexDir(s, dir)
+      Similarity.cosineTopKPq(planted, planted.filter(col("vec_id") < 10),
+          "vec_id", "embedding",
+          Similarity.collectCodebooks(s.read.parquet(s"$root/codebooks")),
+          s.read.parquet(s"$root/codes"), 5, nCandidates = 64)
         .orderBy(col("query_id"), col("rnk"))
     },
 
@@ -892,6 +936,11 @@ object LlmQueries {
     "s02_ann_lsh" -> plantedAnnOracle,
     "s03_ann_ivf" -> plantedAnnOracle,
     "s05_ann_ivf_indexed" -> plantedAnnOracle,
+    // ADC candidate generation is a lossless pre-filter on the gapped
+    // corpus (near-dups quantize onto their query's codes and the 64-wide
+    // budget absorbs the quantization noise — coverage pinned by spec),
+    // so the exact re-rank reproduces the brute-force top-k bit for bit
+    "s11_ann_pq" -> plantedAnnOracle,
     // stream-served probe of the same index over the same queries: batch
     // independence makes the cumulative sink equal the batch probe, and
     // the planted gap makes the probe equal the exact top-k

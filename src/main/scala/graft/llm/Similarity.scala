@@ -414,6 +414,199 @@ object Similarity {
         .select("query_id", "neighbor_id", "sim"), k)
   }
 
+  // ---------------- Product quantization (IVF-PQ's storage half) -------
+
+  /** L2-normalize `vecCol` into `vn` (zero vectors pass through), keeping
+    * `idCol` as `idOut`. Two-step select so the norm computes ONCE per row
+    * (a single transform(v, x -> x / sqrt(aggregate(...))) re-evaluates
+    * the aggregate per element — O(d^2) per row).
+    */
+  private def withUnitVec(df: DataFrame, idCol: String, vecCol: String,
+      idOut: String): DataFrame =
+    df.select(col(idCol).cast("bigint").as(idOut),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_n", expr("sqrt(aggregate(_v, 0D, (a, x) -> a + x * x))"))
+      .select(col(idOut), expr(
+        "CASE WHEN _n = 0D THEN _v ELSE transform(_v, x -> x / _n) END")
+        .as("vn"))
+
+  /** Flattened 3-level SQL literal `array(array(array(double)))` for a
+    * [m][k][i] codebook — tiny (numSub x codebookSize x subDim doubles),
+    * so it rides inside the expression tree like [[rhpBuckets]]' planes.
+    */
+  private def cbLiteral(cb: Array[Array[Array[Double]]]): String =
+    cb.map(_.map(c => s"array(${c.mkString(",")})")
+        .mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+
+  /** Train product-quantization codebooks: split each L2-normalized
+    * vector into `numSub` subvectors of dim/numSub dims and run
+    * `iters` Lloyd rounds with `codebookSize` centroids PER SUBSPACE —
+    * all subspaces in the SAME distributed pass (one assignment join +
+    * one re-estimation aggregation per round moves every (vector,
+    * subspace) pair at once; spark.ml would be numSub sequential fits).
+    * Deterministic: centroids seed from the codebookSize smallest-id
+    * vectors, ties in assignment break toward the smaller centroid id,
+    * empty clusters keep their previous position. The per-round centroid
+    * state is numSub*codebookSize rows, so it collects to the driver
+    * (like spark.ml's own Lloyd loop) and re-broadcasts — the LINEAGE
+    * stays flat without checkpoints. At 100 TB, train on an upstream
+    * sample (codebooks need ~1e5 vectors, not the corpus) and
+    * [[pqEncode]] the full corpus with the result.
+    *
+    * Returns cb[m][k] = centroid (subDim doubles).
+    */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      numSub: Int = 8, codebookSize: Int = 32, iters: Int = 10,
+      dim: Option[Int] = None): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dim.getOrElse(corpus.select(size(col(vecCol))).head().getInt(0))
+    require(d % numSub == 0, s"dim $d not divisible by numSub $numSub")
+    val sub = d / numSub
+    val base = withUnitVec(corpus, idCol, vecCol, "id")
+    // (id, m, sv) — reused every Lloyd round, so cut lineage + materialize
+    val subs = base.select(col("id"), expr(
+        s"explode(transform(sequence(0, ${numSub - 1}), " +
+          s"m -> named_struct('m', m, 'sv', slice(vn, m * $sub + 1, $sub))))")
+        .as("e"))
+      .select(col("id"), col("e.m").as("m"), col("e.sv").as("sv"))
+      .localCheckpoint(true)
+    val seedRows = base.orderBy("id").limit(codebookSize).collect()
+    require(seedRows.length == codebookSize,
+      s"corpus smaller than codebookSize=$codebookSize")
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(numSub) { m =>
+      seedRows.map(_.getSeq[Double](1).slice(m * sub, (m + 1) * sub).toArray)
+    }
+    for (_ <- 0 until iters) {
+      val cdf = cb.indices.flatMap(m => cb(m).indices.map(k =>
+        (m, k, cb(m)(k).toSeq))).toDF("m", "k", "c")
+      val assigned = subs.join(broadcast(cdf), "m")
+        .withColumn("d2", expr(
+          "aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), " +
+            "0D, (a, q) -> a + q)"))
+        .groupBy("id", "m")
+        .agg(min_by(struct(col("k"), col("sv")),
+          struct(col("d2"), col("k"))).as("b"))
+        .select(col("m"), col("b.k").as("k"), col("b.sv").as("sv"))
+      val upd = assigned
+        .select(col("m"), col("k"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("m", "k", "i")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .groupBy("m", "k")
+        .agg(expr("transform(array_sort(collect_list(" +
+          "named_struct('i', i, 'v', sx / cnt))), s -> s.v)").as("c"))
+        .collect()
+      upd.foreach { r =>
+        cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+    }
+    cb
+  }
+
+  /** Persistable codebook relation (m, k, centroid) for [[pqTrainCodebooks]]'
+    * result; [[collectCodebooks]] inverts it.
+    */
+  def codebooksDf(spark: org.apache.spark.sql.SparkSession,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    cb.indices.flatMap(m => cb(m).indices.map(k => (m, k, cb(m)(k).toSeq)))
+      .toDF("m", "k", "centroid")
+  }
+
+  /** Driver-side codebook array from a persisted (m, k, centroid)
+    * relation — numSub x codebookSize rows, i.e. kilobytes.
+    */
+  def collectCodebooks(codebooks: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = codebooks.select("m", "k", "centroid").collect()
+    val numSub = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](numSub, k)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) =
+      r.getSeq[Double](2).toArray)
+    cb.map(_.map(c => c))
+  }
+
+  /** PQ-encode a vector column: one codegen'd PROJECTION per row — the
+    * codebook rides as a literal (like [[rhpBuckets]]' planes) and each
+    * subspace takes the argmax of (subvector . centroid - |centroid|^2/2),
+    * the dot-product form of nearest-centroid (ties toward the smaller
+    * code). No join, no shuffle: this is the shape that encodes a 100 TB
+    * corpus (or an incremental batch) in a single map pass, shrinking
+    * each vector to numSub small ints — the 16x scan-bandwidth lever the
+    * ADC probe exploits. Output: (idOut, codes: array<int>).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Array[Double]]], idOut: String = "vec_id"): DataFrame = {
+    val numSub = cb.length
+    val k = cb(0).length
+    val sub = cb(0)(0).length
+    val cbl = cbLiteral(cb)
+    // ||c||^2/2 per (m, k), as a 2-level literal
+    val cn = cb.map(_.map(c => c.map(x => x * x).sum / 2.0)
+        .mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val dot = s"aggregate(sequence(1, $sub), 0D, (a, i) -> " +
+      s"a + element_at(vn, m * $sub + i) * " +
+      s"element_at(element_at(element_at($cbl, m + 1), k + 1), i))"
+    withUnitVec(df, idCol, vecCol, idOut)
+      .select(col(idOut), expr(
+        s"transform(sequence(0, ${numSub - 1}), m -> CAST(-array_max(" +
+          s"transform(sequence(0, ${k - 1}), k -> named_struct(" +
+          s"'s', $dot - element_at(element_at($cn, m + 1), k + 1), " +
+          "'nk', -k))).nk AS INT))").as("codes"))
+  }
+
+  /** ANN via asymmetric-distance (ADC) PQ scan + exact re-rank: each
+    * query builds a lookup table lut[m][k] = (query subvector . centroid)
+    * — numSub x codebookSize doubles, broadcast with the query — and a
+    * corpus vector's approximate cosine is then numSub table lookups over
+    * its CODES (never its floats): the full scan reads numSub ints per
+    * vector instead of dim doubles, the 100 TB bandwidth win. The top
+    * `nCandidates` per query by ADC score (bounded two-phase top-k, no
+    * global sort) are re-ranked with EXACT cosine over the original
+    * vectors, so with a candidate budget that covers the true top-k the
+    * output EQUALS the exact [[cosineTopK]]. On the gapped corpus that
+    * holds because a planted near-dup is a tiny rotation of its query —
+    * it quantizes onto (nearly) the query's own codes, so its ADC score
+    * tops the scan even though isotropic random fixtures keep per-vector
+    * quantization residuals near the rate-distortion floor (~0.65
+    * relative; real clustered embeddings sit far lower). Output:
+    * (query_id, rnk, neighbor_id, cos_sim).
+    */
+  def cosineTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cb: Array[Array[Array[Double]]], codes: DataFrame,
+      k: Int, nCandidates: Int = 64): DataFrame = {
+    val numSub = cb.length
+    val ksz = cb(0).length
+    val sub = cb(0)(0).length
+    val cbl = cbLiteral(cb)
+    val qlut = withUnitVec(queries, idCol, vecCol, "query_id")
+      .select(col("query_id"), expr(
+        s"transform(sequence(0, ${numSub - 1}), m -> " +
+          s"transform(sequence(0, ${ksz - 1}), k -> " +
+          s"aggregate(sequence(1, $sub), 0D, (a, i) -> " +
+          s"a + element_at(vn, m * $sub + i) * " +
+          s"element_at(element_at(element_at($cbl, m + 1), k + 1), i))))")
+        .as("lut"))
+    val adc = codes
+      .join(broadcast(qlut), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", expr(
+        s"aggregate(sequence(1, $numSub), 0D, (a, m) -> " +
+          "a + element_at(element_at(lut, m), element_at(codes, m) + 1))"))
+      .select("query_id", "neighbor_id", "sim")
+    val cands = topKPerQuery(adc, nCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).cast("bigint").as("neighbor_id"),
+      col(vecCol).as("vc"))
+    val q = queries.select(col(idCol).cast("bigint").as("query_id"),
+      col(vecCol).as("vq"))
+    topKPerQuery(
+      cands.join(c, "neighbor_id").join(broadcast(q), "query_id")
+        .withColumn("sim", cosineSim(col("vq"), col("vc")))
+        .select("query_id", "neighbor_id", "sim"), k)
+  }
+
   /** Deterministic GAPPED ANN corpus: the raw embedding table (isotropic
     * background — pairwise cos <= ~0.5 on the fixtures) plus, for each
     * query id q < `nQueries`, `perQuery` planted near-duplicates

@@ -1031,4 +1031,90 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.sliding("Generate".length).count(_ == "Generate") === 2,
       plan)
   }
+
+  test("PQ-ADC probe equals exact top-5 on the planted corpus, through " +
+      "persisted codebooks and codes") {
+    val planted = Similarity.plantedGappedCorpus(embs, "vec_id", "embedding")
+    val queries = planted.filter(col("vec_id") < 5)
+    val cb = Similarity.pqTrainCodebooks(planted, "vec_id", "embedding",
+      numSub = 8, codebookSize = 32, dim = Some(64))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_spec")
+    Similarity.codebooksDf(spark, cb).write.parquet(s"$dir/cb")
+    Similarity.pqEncode(planted, "vec_id", "embedding", cb,
+      idOut = "neighbor_id").write.parquet(s"$dir/codes")
+    val cb2 = Similarity.collectCodebooks(spark.read.parquet(s"$dir/cb"))
+    assert(cb2.length === 8 && cb2(0).length === 32 &&
+      cb2(0)(0).length === 8)
+    val pq = Similarity.cosineTopKPq(planted, queries, "vec_id",
+        "embedding", cb2, spark.read.parquet(s"$dir/codes"), 5)
+      .collect().map(_.toString).sorted.toSeq
+    val exact = Similarity.cosineTopK(planted, queries, "vec_id",
+      "embedding", 5).collect().map(_.toString).sorted.toSeq
+    assert(pq === exact)
+  }
+
+  test("PQ encode is a single map pass (no shuffle, no join, no UDF) " +
+      "and codes stay inside the codebook") {
+    val cb = Similarity.pqTrainCodebooks(embs, "vec_id", "embedding",
+      numSub = 8, codebookSize = 16, iters = 3, dim = Some(64))
+    val enc = Similarity.pqEncode(embs, "vec_id", "embedding", cb)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+    val bounds = enc.selectExpr(
+      "min(array_min(codes)) AS lo", "max(array_max(codes)) AS hi").head()
+    assert(bounds.getInt(0) >= 0 && bounds.getInt(1) < 16, bounds.toString)
+  }
+
+  test("ADC scores rank every planted neighbor inside the top-64 " +
+      "candidate cut, and reconstructions stay meaningful") {
+    val planted = Similarity.plantedGappedCorpus(embs, "vec_id", "embedding")
+      .localCheckpoint(true)
+    val cb = Similarity.pqTrainCodebooks(planted, "vec_id", "embedding",
+      numSub = 8, codebookSize = 32, dim = Some(64))
+    val codes = Similarity.pqEncode(planted, "vec_id", "embedding", cb,
+      idOut = "neighbor_id").localCheckpoint(true)
+    // reconstruct each vector from its codes; the ADC table-lookup score
+    // sum_m lut[m][codes[m]] IS dot(unit query, reconstruction), so
+    // ranking by that dot reproduces the probe's candidate order exactly
+    val cbDf = Similarity.codebooksDf(spark, cb)
+    val recon = codes.select(col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("m", "k")))
+      .join(broadcast(cbDf), Seq("m", "k"))
+      .groupBy("neighbor_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(" +
+        "named_struct('m', m, 'c', centroid))), s -> s.c))").as("vr"))
+      .localCheckpoint(true)
+    val uq = planted.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> x / sqrt(aggregate(embedding, " +
+          "0D, (a, y) -> a + y * y)))").as("uq"))
+    val ranked = uq.join(recon, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", expr(
+        "aggregate(zip_with(uq, vr, (x, y) -> x * y), 0D, (a, q) -> a + q)"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("adc").desc, col("neighbor_id"))))
+    // every planted near-dup (ids 100000 + q*5 + j) must survive the
+    // nCandidates=64 ADC cut — that is what makes the exact re-rank
+    // lossless on the gapped corpus
+    val missed = ranked.filter(col("neighbor_id") >= 100000L &&
+      col("neighbor_id") - 100000L >= col("query_id") * 5 &&
+      col("neighbor_id") - 100000L < (col("query_id") + 1) * 5 &&
+      col("rnk") > 64).count()
+    assert(missed === 0L)
+    // residual sanity: on isotropic random fixtures 32 centroids in 8-dim
+    // subspaces sit near the rate-distortion floor (~0.65 relative) —
+    // assert the reconstruction is not degenerate, not production-tight
+    val err = planted
+      .select(col("vec_id").as("neighbor_id"),
+        expr("transform(embedding, x -> x / sqrt(aggregate(embedding, " +
+          "0D, (a, y) -> a + y * y)))").as("u"))
+      .join(recon, "neighbor_id")
+      .withColumn("resid", expr(
+        "sqrt(aggregate(zip_with(u, vr, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (a, q) -> a + q))"))
+      .agg(avg("resid")).head()
+    assert(err.getDouble(0) < 0.80, s"mean residual ${err.getDouble(0)}")
+  }
 }
