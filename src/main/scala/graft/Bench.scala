@@ -24,7 +24,7 @@ object Bench {
     "d16_doc_chunking", "d17_span_dedup", "d18_dedup_report",
     "j01_asof_join",
     "w01_scd2_merge", "s01_ann_topk", "s05_ann_ivf_indexed", "s11_ann_pq",
-    "s06_knn_graph", "s07_semdedup", "s08_knn_classify",
+    "s06_knn_graph", "s07_semdedup", "s08_knn_classify", "gr01_pagerank_knn",
     "s09_knn_classify_seeded", "s10_hard_negatives", "m04_pcm_frames",
     "t01_lang_id", "t03_token_count",
     "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline query surface (dedup, similarity search, text analysis,
   * multimodal decode) over the `documents`/`embeddings` fixtures — every
@@ -371,6 +371,18 @@ object LlmQueries {
     "s06_knn_graph" -> { (s, dir) =>
       Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
         .orderBy(col("vec_id"), col("rnk"))
+    },
+
+    // fixed-point PageRank centrality over the exact kNN graph — BIGINT
+    // rank units make every partial sum associative, so the distributed
+    // result is bit-identical to the oracle's serial unrolled iterations
+    // regardless of partitioning (a float PageRank's shuffle-order ulps
+    // would break both the oracle and corpus-curation reproducibility)
+    "gr01_pagerank_knn" -> { (s, dir) =>
+      Graphs.pagerankFixedPoint(
+          Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3),
+          "vec_id", "neighbor_id", iters = 5)
+        .orderBy(col("node"))
     },
 
     // exact brute-force cosine top-5 for query vectors vec_id < 10
@@ -1433,6 +1445,66 @@ object LlmQueries {
                     FROM sims)
        SELECT vec_id, rnk, neighbor_id, round(sim, 4) AS cos_sim
        FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""",
+
+    // five unrolled synchronous iterations of the SAME integer
+    // recurrence the engine runs: share = ((r*85)//100)//deg, teleport
+    // = (15*(S//n))//100 — pure BIGINT, so serial DuckDB and shuffled
+    // Spark agree bit for bit (sums cast back from HUGEINT)
+    "gr01_pagerank_knn" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         sims AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                    list_cosine_similarity(a.v, b.v) AS sim
+                  FROM c a, c b WHERE a.vec_id <> b.vec_id),
+         edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM
+                     (SELECT vec_id, neighbor_id,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, neighbor_id) AS rnk
+                      FROM sims)
+                   WHERE rnk <= 3),
+         nodes AS (SELECT DISTINCT src AS node FROM edges
+                   UNION SELECT DISTINCT dst FROM edges),
+         p AS (SELECT count(*) AS n, 1000000000000 // count(*) AS base,
+                 (15 * (1000000000000 // count(*))) // 100 AS tp
+               FROM nodes),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+         r0 AS (SELECT node, base AS r FROM nodes, p),
+         c1 AS (SELECT e.dst AS node,
+                  CAST(sum(((r.r * 85) // 100) // deg.d) AS BIGINT) AS inc
+                FROM edges e JOIN r0 r ON e.src = r.node
+                JOIN deg ON deg.src = e.src GROUP BY 1),
+         r1 AS (SELECT nd.node, p.tp + coalesce(c1.inc, 0) AS r
+                FROM nodes nd CROSS JOIN p
+                LEFT JOIN c1 ON c1.node = nd.node),
+         c2 AS (SELECT e.dst AS node,
+                  CAST(sum(((r.r * 85) // 100) // deg.d) AS BIGINT) AS inc
+                FROM edges e JOIN r1 r ON e.src = r.node
+                JOIN deg ON deg.src = e.src GROUP BY 1),
+         r2 AS (SELECT nd.node, p.tp + coalesce(c2.inc, 0) AS r
+                FROM nodes nd CROSS JOIN p
+                LEFT JOIN c2 ON c2.node = nd.node),
+         c3 AS (SELECT e.dst AS node,
+                  CAST(sum(((r.r * 85) // 100) // deg.d) AS BIGINT) AS inc
+                FROM edges e JOIN r2 r ON e.src = r.node
+                JOIN deg ON deg.src = e.src GROUP BY 1),
+         r3 AS (SELECT nd.node, p.tp + coalesce(c3.inc, 0) AS r
+                FROM nodes nd CROSS JOIN p
+                LEFT JOIN c3 ON c3.node = nd.node),
+         c4 AS (SELECT e.dst AS node,
+                  CAST(sum(((r.r * 85) // 100) // deg.d) AS BIGINT) AS inc
+                FROM edges e JOIN r3 r ON e.src = r.node
+                JOIN deg ON deg.src = e.src GROUP BY 1),
+         r4 AS (SELECT nd.node, p.tp + coalesce(c4.inc, 0) AS r
+                FROM nodes nd CROSS JOIN p
+                LEFT JOIN c4 ON c4.node = nd.node),
+         c5 AS (SELECT e.dst AS node,
+                  CAST(sum(((r.r * 85) // 100) // deg.d) AS BIGINT) AS inc
+                FROM edges e JOIN r4 r ON e.src = r.node
+                JOIN deg ON deg.src = e.src GROUP BY 1),
+         r5 AS (SELECT nd.node, p.tp + coalesce(c5.inc, 0) AS r
+                FROM nodes nd CROSS JOIN p
+                LEFT JOIN c5 ON c5.node = nd.node)
+       SELECT node, r AS rank_fp FROM r5 ORDER BY node""",
 
     "t07_repetition" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w

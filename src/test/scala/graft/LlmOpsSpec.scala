@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
 
 class LlmOpsSpec extends SparkSpec {
 
@@ -1116,5 +1116,35 @@ class LlmOpsSpec extends SparkSpec {
           "0D, (a, q) -> a + q))"))
       .agg(avg("resid")).head()
     assert(err.getDouble(0) < 0.80, s"mean residual ${err.getDouble(0)}")
+  }
+
+  test("fixed-point PageRank equals a serial reference implementation " +
+      "exactly, and rank mass stays within truncation drift") {
+    val knn = Similarity.knnGraph(embs, "vec_id", "embedding", k = 3)
+      .select(col("vec_id"), col("neighbor_id")).localCheckpoint(true)
+    val got = Graphs.pagerankFixedPoint(knn, "vec_id", "neighbor_id",
+        iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent serial reference over the collected edge list
+    val edges = knn.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val scale = 1000000000000L
+    val base = scale / n
+    val tp = 15L * base / 100L
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 0 until 5) {
+      val inc = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        (r(s) * 85L / 100L) / deg(s)
+      }.sum).toMap
+      r = nodes.map(v => v -> (tp + inc.getOrElse(v, 0L))).toMap
+    }
+    assert(got === r)
+    // mass: scale minus at most 1 unit lost per (edge, round) of integer
+    // truncation plus the initial-division remainder
+    val mass = got.values.sum
+    assert(mass <= scale && mass > scale - (edges.length.toLong + n) * 10,
+      s"mass $mass")
   }
 }
