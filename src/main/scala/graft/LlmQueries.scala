@@ -373,6 +373,18 @@ object LlmQueries {
         .orderBy(col("vec_id"), col("rnk"))
     },
 
+    // PPS systematic weighted sample: exactly 64 slots drawn with
+    // probability proportional to token count — all-BIGINT token-line
+    // positions (two-level prefix sum, join-free slot arithmetic) make
+    // the draw bit-reproducible, so the oracle replays it exactly
+    "d19_weighted_sample" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      Curation.ppsSystematicSample(d, "doc_id", "n_tokens", k = 64,
+          seed = 7L)
+        .orderBy(col("slot"))
+    },
+
     // fixed-point PageRank centrality over the exact kNN graph — BIGINT
     // rank units make every partial sum associative, so the distributed
     // result is bit-identical to the oracle's serial unrolled iterations
@@ -1445,6 +1457,30 @@ object LlmQueries {
                     FROM sims)
        SELECT vec_id, rnk, neighbor_id, round(sim, 4) AS cos_sim
        FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""",
+
+    // replays the identical BIGINT draw serially: exclusive prefix sum
+    // in doc_id order, stride = total//64, affine-mixed offset, interval
+    // containment — the engine's join-free slot arithmetic must land on
+    // the same 64 (slot, doc) pairs
+    "d19_weighted_sample" ->
+      """WITH w AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS weight
+           FROM documents),
+         cum AS (SELECT doc_id, weight,
+             CAST(coalesce(sum(weight) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+           FROM w),
+         p AS (SELECT CAST(sum(weight) AS BIGINT) AS total FROM w),
+         s AS (SELECT total, total // 64 AS stride,
+                 ((7 * 48271) % 2147483647 + 11) % 2147483647
+                   % (total // 64) AS off
+               FROM p),
+         slots AS (SELECT i AS slot, s.off + i * s.stride AS pos
+                   FROM range(0, 64) t(i), s)
+       SELECT slot, c.doc_id, c.weight
+       FROM slots JOIN cum c ON pos >= c.cb AND pos < c.cb + c.weight
+       ORDER BY slot""",
 
     // five unrolled synchronous iterations of the SAME integer
     // recurrence the engine runs: share = ((r*85)//100)//deg, teleport

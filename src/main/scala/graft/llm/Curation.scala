@@ -182,4 +182,64 @@ object Curation {
         floor(col("cum_before") / budget).as("seq_id"),
         (col("cum_before") % budget).as("seq_offset"))
   }
+
+  /** Probability-proportional-to-size SYSTEMATIC sample of exactly `k`
+    * slots: lay the documents out on a token line in doc_id order
+    * (exclusive prefix sum of `weightCol`, the [[packSequences]]
+    * two-level idiom — no global ordered window), then take the k
+    * equally-spaced positions `offset + j * stride` (stride = total/k,
+    * offset an affine-mod-P mix of the seed reduced mod stride) and emit
+    * the document whose interval [cum, cum+w) contains each position. A
+    * document with w >= stride can legitimately win multiple slots —
+    * that IS sampling with replacement proportional to size; inclusion
+    * probability is w/stride for w < stride, the classical PPS
+    * systematic design. Every step is BIGINT, so the draw is
+    * bit-reproducible on any engine and any partitioning — a sampled
+    * pretraining mix must be re-derivable months later.
+    *
+    * Slot assignment is JOIN-FREE: each row computes its covered slot
+    * range arithmetically and explodes it, so the only shuffles are the
+    * prefix sum's (per-chunk local window + tiny serial chunk-base sum)
+    * and `total` is the lone driver-side scalar. At 100 TB nothing else
+    * leaves the row: no positions broadcast, no interval join.
+    *
+    * Output: (slot, doc_id, weight) — exactly k rows, slots 0..k-1.
+    */
+  def ppsSystematicSample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long, chunkSize: Int = 4096): DataFrame = {
+    require(k > 0 && chunkSize > 0)
+    val perDoc = docs.select(col(idCol).cast("bigint").as("doc_id"),
+      col(weightCol).cast("long").as("weight"))
+      .withColumn("chunk", floor(col("doc_id") / chunkSize))
+    val chunkBase = perDoc.groupBy("chunk")
+      .agg(sum(col("weight")).as("chunk_w"))
+      .withColumn("chunk_base",
+        coalesce(sum(col("chunk_w")).over(
+          Window.orderBy("chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("chunk_base"))
+    val localWin = Window.partitionBy("chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = perDoc
+      .withColumn("local_before",
+        coalesce(sum(col("weight")).over(localWin), lit(0L)))
+      .join(chunkBase, "chunk")
+      .withColumn("cb", col("chunk_base") + col("local_before"))
+    val total = perDoc.agg(sum("weight")).head().getLong(0)
+    require(total >= k, s"total weight $total < k=$k")
+    val stride = total / k
+    val P = 2147483647L
+    val off = ((((seed % P) + P) % P) * 48271L % P + 11L) % P % stride
+    withCum
+      .withColumn("jlo", expr(
+        s"CASE WHEN cb <= ${off}L THEN CAST(0 AS BIGINT) " +
+          s"ELSE (cb - ${off}L + ${stride - 1}L) div ${stride}L END"))
+      .withColumn("jhi", expr(
+        s"least(CAST(${k - 1} AS BIGINT), CASE WHEN cb + weight - 1 < " +
+          s"${off}L THEN CAST(-1 AS BIGINT) " +
+          s"ELSE (cb + weight - 1 - ${off}L) div ${stride}L END)"))
+      .filter(col("jlo") <= col("jhi"))
+      .select(explode(expr("sequence(jlo, jhi)")).as("slot"),
+        col("doc_id"), col("weight"))
+  }
 }

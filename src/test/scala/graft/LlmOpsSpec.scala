@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
 
 class LlmOpsSpec extends SparkSpec {
 
@@ -1146,5 +1146,35 @@ class LlmOpsSpec extends SparkSpec {
     val mass = got.values.sum
     assert(mass <= scale && mass > scale - (edges.length.toLong + n) * 10,
       s"mass $mass")
+  }
+
+  test("PPS systematic sample draws exactly k slots, repeats heavy docs " +
+      "proportionally, and assigns slots without an interval join") {
+    import spark.implicits._
+    val d = docs.withColumn("n_tokens", size(split(col("text"), " ")))
+    val got = Curation.ppsSystematicSample(d, "doc_id", "n_tokens",
+      k = 64, seed = 7L)
+    assert(got.select("slot").distinct().count() === 64L)
+    assert(got.count() === 64L)
+    assert(got.agg(min("slot"), max("slot")).head() ===
+      org.apache.spark.sql.Row(0L, 63L))
+    // a document holding >= 2 strides of the total mass must win >= 2
+    // slots (with replacement), and one holding half the line ~ half
+    val skew = Seq((1L, 1000L), (2L, 10L), (3L, 10L), (4L, 10L))
+      .toDF("doc_id", "w")
+    val s2 = Curation.ppsSystematicSample(skew, "doc_id", "w", k = 8,
+      seed = 3L)
+    val heavy = s2.filter(col("doc_id") === 1L).count()
+    assert(heavy >= 7L && s2.count() === 8L, s"heavy=$heavy")
+    // slot assignment is per-row arithmetic: the plan's only joins are
+    // the tiny chunk-base broadcast, never a range/nested-loop join of
+    // positions against intervals
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // deterministic replay: same seed, same draw
+    val again = Curation.ppsSystematicSample(d, "doc_id", "n_tokens",
+      k = 64, seed = 7L).collect().map(_.toString).sorted.toSeq
+    assert(again === got.collect().map(_.toString).sorted.toSeq)
   }
 }
