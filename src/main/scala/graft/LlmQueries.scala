@@ -385,6 +385,18 @@ object LlmQueries {
         .orderBy(col("slot"))
     },
 
+    // temperature-scaled (tau=2) token-budget mixing: per-source
+    // allocations proportional to isqrt(source tokens) settled by
+    // largest-remainder, then whole-document greedy fill — all-BIGINT
+    // (IEEE sqrt is correctly rounded, so isqrt is engine-identical)
+    "d20_temperature_mix" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      Curation.temperatureMix(d, "doc_id", "source", "n_tokens",
+          budget = 10000L)
+        .orderBy(col("doc_id"))
+    },
+
     // fixed-point PageRank centrality over the exact kNN graph — BIGINT
     // rank units make every partial sum associative, so the distributed
     // result is bit-identical to the oracle's serial unrolled iterations
@@ -1481,6 +1493,38 @@ object LlmQueries {
        SELECT slot, c.doc_id, c.weight
        FROM slots JOIN cum c ON pos >= c.cb AND pos < c.cb + c.weight
        ORDER BY slot""",
+
+    // same integer apportionment serially: isqrt weights, floor shares,
+    // largest-remainder (ties by source), per-source running token sum
+    // in doc_id order, keep while the next document still fits
+    "d20_temperature_mix" ->
+      """WITH w AS (SELECT doc_id, source AS stratum,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         t AS (SELECT stratum, CAST(sum(n_tokens) AS BIGINT) AS tw
+               FROM w GROUP BY 1),
+         t2 AS (SELECT stratum,
+                  CAST(floor(sqrt(CAST(tw AS DOUBLE))) AS BIGINT) AS ws
+                FROM t),
+         p AS (SELECT CAST(sum(ws) AS BIGINT) AS wsum FROM t2),
+         a AS (SELECT stratum, (10000 * ws) // wsum AS base_alloc,
+                 row_number() OVER (ORDER BY (10000 * ws) % wsum DESC,
+                   stratum) AS rnk
+               FROM t2, p),
+         a2 AS (SELECT stratum, base_alloc +
+                  CASE WHEN rnk <= 10000 -
+                    (SELECT CAST(sum(base_alloc) AS BIGINT) FROM a)
+                  THEN 1 ELSE 0 END AS alloc
+                FROM a),
+         cum AS (SELECT doc_id, stratum, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY stratum
+                     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS cb
+                 FROM w)
+       SELECT c.doc_id, c.stratum, c.n_tokens
+       FROM cum c JOIN a2 ON c.stratum = a2.stratum
+       WHERE c.cb + c.n_tokens <= a2.alloc
+       ORDER BY c.doc_id""",
 
     // five unrolled synchronous iterations of the SAME integer
     // recurrence the engine runs: share = ((r*85)//100)//deg, teleport

@@ -157,6 +157,69 @@ object Curation {
       .select(col("doc_id"), col("stratum"))
   }
 
+  /** Temperature-scaled (tau = 2) data mixing by TOKEN budget: each
+    * stratum's share of `budget` tokens is proportional to
+    * isqrt(stratum's total tokens) — the sqrt flattening that keeps
+    * small domains represented (the classical multilingual/domain
+    * temperature-sampling move) — with the integer remainder settled by
+    * largest-remainder apportionment (ties toward the lexicographically
+    * smaller stratum). Each stratum then keeps the longest PREFIX of
+    * whole documents (doc_id order) whose token line fits the
+    * allocation. isqrt is floor(sqrt(double)): IEEE sqrt is correctly
+    * rounded, so the result is engine-identical for any BIGINT total,
+    * and every other step is BIGINT — the mix is bit-reproducible.
+    *
+    * Scale: allocations live on the tiny per-stratum relation; the
+    * per-document prefix sum is the [[packSequences]] two-level idiom
+    * partitioned by (stratum, doc_id-chunk), so no stratum-wide ordered
+    * window exists (the d15 lesson) and the single-partition windows
+    * only ever see one row per chunk/stratum.
+    *
+    * Output: (doc_id, stratum, n_tokens) of kept documents.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, strataCol: String,
+      tokenCol: String, budget: Long, chunkSize: Int = 4096): DataFrame = {
+    require(budget > 0 && chunkSize > 0)
+    val perDoc = docs.select(col(idCol).cast("bigint").as("doc_id"),
+      col(strataCol).as("stratum"),
+      col(tokenCol).cast("long").as("n_tokens"))
+    val totals = perDoc.groupBy("stratum")
+      .agg(sum(col("n_tokens")).as("tw"))
+      .withColumn("ws", expr(
+        "CAST(floor(sqrt(CAST(tw AS DOUBLE))) AS BIGINT)"))
+    val wsum = totals.agg(sum(col("ws")).as("wsum"))
+    val alloc = totals.crossJoin(wsum)
+      .withColumn("base_alloc", expr(s"($budget * ws) div wsum"))
+      .withColumn("rem_key", expr(s"($budget * ws) % wsum"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rem_key").desc, col("stratum"))).cast("long"))
+      .withColumn("spare", lit(budget) -
+        sum(col("base_alloc")).over(Window.partitionBy()))
+      .withColumn("alloc",
+        col("base_alloc") + when(col("rnk") <= col("spare"), 1L)
+          .otherwise(0L))
+      .select(col("stratum"), col("alloc"))
+    val chunked = perDoc
+      .withColumn("chunk", floor(col("doc_id") / chunkSize))
+    val chunkBase = chunked.groupBy("stratum", "chunk")
+      .agg(sum(col("n_tokens")).as("chunk_w"))
+      .withColumn("chunk_base",
+        coalesce(sum(col("chunk_w")).over(
+          Window.partitionBy("stratum").orderBy("chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stratum"), col("chunk"), col("chunk_base"))
+    val localWin = Window.partitionBy("stratum", "chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunked
+      .withColumn("local_before",
+        coalesce(sum(col("n_tokens")).over(localWin), lit(0L)))
+      .join(chunkBase, Seq("stratum", "chunk"))
+      .withColumn("cum_before", col("chunk_base") + col("local_before"))
+      .join(broadcast(alloc), "stratum")
+      .filter(col("cum_before") + col("n_tokens") <= col("alloc"))
+      .select(col("doc_id"), col("stratum"), col("n_tokens"))
+  }
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       budget: Int, chunkSize: Int = 4096): DataFrame = {
     require(budget > 0 && chunkSize > 0)

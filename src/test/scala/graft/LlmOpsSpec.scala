@@ -1177,4 +1177,54 @@ class LlmOpsSpec extends SparkSpec {
       k = 64, seed = 7L).collect().map(_.toString).sorted.toSeq
     assert(again === got.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("temperature mix fills each stratum greedily to its isqrt share " +
+      "and flattens the raw token distribution") {
+    val d = docs.withColumn("n_tokens", size(split(col("text"), " ")))
+    val budget = 10000L
+    val kept = Curation.temperatureMix(d, "doc_id", "source", "n_tokens",
+      budget).localCheckpoint(true)
+    // recompute the allocations serially
+    val totals = d.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tw"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ws = totals.view.mapValues(t =>
+      math.sqrt(t.toDouble).toLong).toMap
+    val wsum = ws.values.sum
+    val base = ws.view.mapValues(w => budget * w / wsum).toMap
+    val spare = (budget - base.values.sum).toInt
+    val order = ws.toSeq.sortBy { case (s, w) =>
+      (-(budget * w % wsum), s)
+    }.map(_._1)
+    val alloc = base ++ order.take(spare).map(s => s -> (base(s) + 1L))
+    val keptTok = kept.groupBy("stratum").agg(sum("n_tokens").as("kt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-stratum: within allocation, and greedy-maximal (the first
+    // dropped doc would not have fit)
+    val firstDropped = d.select(col("doc_id").cast("long"), col("source"),
+        col("n_tokens").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    for ((s, a) <- alloc) {
+      val kt = keptTok.getOrElse(s, 0L)
+      assert(kt <= a, s"$s kept $kt > alloc $a")
+      // replay the prefix-fit pass: a doc is kept iff its END position
+      // on the stratum's token line fits, so keep/drop must match the
+      // engine doc for doc (after the first overflow nothing fits)
+      var cum = 0L
+      for ((id, src, nt) <- firstDropped if src == s) {
+        val fits = cum + nt <= a
+        assert(fits === keptIds.contains(id), s"doc $id of $s")
+        cum += nt
+      }
+    }
+    // temperature flattening: the smallest source's budget share strictly
+    // exceeds its raw-token share (sqrt compresses the spread)
+    val smallest = totals.minBy(_._2)._1
+    val largest = totals.maxBy(_._2)._1
+    assert(alloc(smallest).toDouble / alloc(largest) >
+      totals(smallest).toDouble / totals(largest),
+      s"alloc $alloc vs totals $totals")
+  }
 }
