@@ -33,6 +33,7 @@ object Bench {
     "t17_perplexity",
     "st06_stream_incremental_dedup",
     "st07_stream_ann_serve", "st08_stream_quality_router",
+    "st09_stream_pq_serve",
     "opt01_ues_flagship")
 
   def main(args: Array[String]): Unit = {

@@ -834,6 +834,32 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // STREAMING PQ-ADC serving: the same query stream served from the
+    // persisted s11 index (codebooks + compressed codes). Stateless per
+    // batch => the cumulative sink equals the batch probe, so the
+    // planted-gap hard oracle carries over verbatim.
+    "st09_stream_pq_serve" -> { (s, dir) =>
+      val planted = Similarity.plantedGappedCorpus(embs(s, dir), "vec_id",
+        "embedding")
+      val idxRoot = stagedPqIndexDir(s, dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val fpTag = Tables.dataFingerprint(dir)
+      val boot = new java.io.File(s"$tmp/graft_st09boot_$fpTag")
+      if (!boot.exists()) {
+        Relational.staleArtifactSweep(new java.io.File(tmp),
+          "graft_st09boot_", fpTag)
+        planted.filter(col("vec_id") < 10).repartition(2)
+          .write.mode("overwrite").parquet(s"$boot/queries")
+      }
+      val runTag = System.nanoTime().toString
+      val run = s"$tmp/graft_st09run_$runTag"
+      try Relational.staleArtifactSweep(new java.io.File(tmp),
+        "graft_st09run_", runTag) catch { case _: Throwable => }
+      graft.streaming.PqServe.runAvailableNow(s, s"$boot/queries",
+          planted.schema, idxRoot, planted, s"$run/topk", 5, 64)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // STREAMING quality routing: documents stream in as 2 micro-batches,
     // each scored and split into keep/reject sinks against FIXED band
     // bounds (the exact [p10, p90] of the reference corpus — computed
@@ -981,6 +1007,10 @@ object LlmQueries {
     // independence makes the cumulative sink equal the batch probe, and
     // the planted gap makes the probe equal the exact top-k
     "st07_stream_ann_serve" -> plantedAnnOracle,
+    // stateless per batch against a static PQ index: the streamed sink
+    // equals the batch ADC probe, i.e. the exact top-k on the gapped
+    // corpus (s11's argument)
+    "st09_stream_pq_serve" -> plantedAnnOracle,
 
     // exclusion via the exact pair relation at cos >= 0.9 equals the
     // predicate sim < 0.9 over identical IEEE cosine arithmetic

@@ -56,7 +56,7 @@ object Graphs {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
     var r = nodes.select(col("node"), lit(base).as("r"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contrib = e.join(r.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
         .select(col("dst").as("node"),
@@ -65,7 +65,10 @@ object Graphs {
       r = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("inc"), lit(0L))).as("r"))
-        .localCheckpoint(true)
+      // cut lineage every few rounds, not every round: an eager
+      // checkpoint serializes the round into a full materialization,
+      // and a 3-round join chain is well within planner comfort
+      if (i % 3 == 2 && i != iters - 1) r = r.localCheckpoint(true)
     }
     r.select(col("node"), col("r").as("rank_fp"))
   }
