@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Curation, Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Graphs, Multimodal, Perceptron, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline query surface (dedup, similarity search, text analysis,
   * multimodal decode) over the `documents`/`embeddings` fixtures — every
@@ -371,6 +371,19 @@ object LlmQueries {
     "s06_knn_graph" -> { (s, dir) =>
       Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
         .orderBy(col("vec_id"), col("rnk"))
+    },
+
+    // batch perceptron trained IN the engine: hashed bag-of-words
+    // features (rolling_hash buckets), BIGINT margins, sign(0) = -1,
+    // integer batch updates — associative, so the distributed weights
+    // equal the oracle's serial unrolled rounds bit for bit (the en
+    // label exercises the mechanism; the spec proves learning on a
+    // separable label — convergence is pinned there)
+    "t18_perceptron" -> { (s, dir) =>
+      Perceptron.trainHashedBow(
+          docs(s, dir).withColumn("is_en", col("lang") === "en"),
+          "doc_id", "text", "is_en", dims = 64, rounds = 3)
+        .orderBy(col("bucket"))
     },
 
     // PPS systematic weighted sample: exactly 64 slots drawn with
@@ -1499,6 +1512,54 @@ object LlmQueries {
                     FROM sims)
        SELECT vec_id, rnk, neighbor_id, round(sim, 4) AS cos_sim
        FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""",
+
+    // the same three batch-perceptron rounds unrolled serially: round 1
+    // degenerates to summing the positive class (w0 = 0 scores 0, and
+    // sign(0) = -1), rounds 2-3 re-score against the previous weights;
+    // every margin and update is BIGINT (sums cast from HUGEINT)
+    "t18_perceptron" ->
+      """WITH toks AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         feats AS (SELECT doc_id, y,
+             list_reduce(list_transform(string_split(tok, ''),
+               c -> ascii(c)::BIGINT),
+               (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS x
+           FROM toks WHERE length(tok) > 0 GROUP BY 1, 2, 3),
+         buckets AS (SELECT i AS bucket FROM range(0, 64) t(i)),
+         u1 AS (SELECT bucket, CAST(sum(y * x) AS BIGINT) AS u
+                FROM feats WHERE y = 1 GROUP BY 1),
+         w1 AS (SELECT b.bucket, coalesce(u1.u, 0) AS w
+                FROM buckets b LEFT JOIN u1 ON b.bucket = u1.bucket),
+         s2 AS (SELECT f.doc_id, f.y,
+                  CAST(sum(f.x * w1.w) AS BIGINT) AS sc
+                FROM feats f JOIN w1 ON f.bucket = w1.bucket
+                GROUP BY 1, 2),
+         m2 AS (SELECT doc_id, y FROM s2
+                WHERE (CASE WHEN sc > 0 THEN 1 ELSE -1 END) <> y),
+         u2 AS (SELECT f.bucket, CAST(sum(m.y * f.x) AS BIGINT) AS u
+                FROM feats f JOIN m2 m ON f.doc_id = m.doc_id
+                GROUP BY 1),
+         w2 AS (SELECT w1.bucket, w1.w + coalesce(u2.u, 0) AS w
+                FROM w1 LEFT JOIN u2 ON w1.bucket = u2.bucket),
+         s3 AS (SELECT f.doc_id, f.y,
+                  CAST(sum(f.x * w2.w) AS BIGINT) AS sc
+                FROM feats f JOIN w2 ON f.bucket = w2.bucket
+                GROUP BY 1, 2),
+         m3 AS (SELECT doc_id, y FROM s3
+                WHERE (CASE WHEN sc > 0 THEN 1 ELSE -1 END) <> y),
+         u3 AS (SELECT f.bucket, CAST(sum(m.y * f.x) AS BIGINT) AS u
+                FROM feats f JOIN m3 m ON f.doc_id = m.doc_id
+                GROUP BY 1),
+         w3 AS (SELECT w2.bucket, w2.w + coalesce(u3.u, 0) AS w
+                FROM w2 LEFT JOIN u3 ON w2.bucket = u3.bucket)
+       SELECT w3.bucket, w3.w AS weight,
+              w1.w + w2.w + w3.w AS weight_sum
+       FROM w3 JOIN w2 ON w3.bucket = w2.bucket
+       JOIN w1 ON w3.bucket = w1.bucket
+       ORDER BY w3.bucket""",
 
     // replays the identical BIGINT draw serially: exclusive prefix sum
     // in doc_id order, stride = total//64, affine-mixed offset, interval

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Curation, Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Graphs, Multimodal, Perceptron, Similarity, TextAnalysis}
 
 class LlmOpsSpec extends SparkSpec {
 
@@ -1176,6 +1176,68 @@ class LlmOpsSpec extends SparkSpec {
     val again = Curation.ppsSystematicSample(d, "doc_id", "n_tokens",
       k = 64, seed = 7L).collect().map(_.toString).sorted.toSeq
     assert(again === got.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("batch perceptron equals a serial reference, and its averaged " +
+      "model learns a better-than-majority separator") {
+    val d = docs.withColumn("is_en", col("lang") === "en")
+    val got = Perceptron.trainHashedBow(d, "doc_id", "text", "is_en",
+      dims = 64, rounds = 3)
+      .collect()
+      .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    // serial reference over collected (doc, bucket, count, y)
+    def rh(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val rows = d.select("doc_id", "text", "is_en").collect().map { r =>
+      val y = if (r.getBoolean(2)) 1L else -1L
+      val fx = r.getString(1).split(" ").filter(_.nonEmpty)
+        .groupBy(t => (((rh(t) % 64) + 64) % 64).toInt)
+        .view.mapValues(_.length.toLong).toMap
+      (y, fx)
+    }
+    val w = Array.fill(64)(0L)
+    val ws = Array.fill(64)(0L)
+    for (_ <- 0 until 3) {
+      val upd = Array.fill(64)(0L)
+      for ((y, fx) <- rows) {
+        val sc = fx.map { case (b, x) => w(b) * x }.sum
+        val pred = if (sc > 0) 1L else -1L
+        if (pred != y) fx.foreach { case (b, x) => upd(b) += y * x }
+      }
+      for (b <- 0 until 64) { w(b) += upd(b); ws(b) += w(b) }
+    }
+    assert(got === w.indices.map(b => b -> (w(b), ws(b))).toMap)
+    // learning sanity needs a label the TEXT determines (the fixture's
+    // lang is metadata independent of content — no classifier can beat
+    // majority there), balanced, and separable THROUGH THE ORIGIN (the
+    // model has no bias term): count('batch') > count('small') is
+    // exactly w_batch=+1, w_small=-1 in bucket space, ties land on
+    // score 0 = predict -1 = the label's own 'false', and the classes
+    // split near 50/50
+    val sep = docs.withColumn("more_batch", expr(
+      "size(filter(split(text, ' '), t -> t = 'batch')) > " +
+        "size(filter(split(text, ' '), t -> t = 'small'))"))
+    // the AVERAGED model (weight_sum) is the one that classifies: the
+    // final weights oscillate with full-batch steps
+    val w2 = Perceptron.trainHashedBow(sep, "doc_id", "text",
+      "more_batch", dims = 256, rounds = 10)
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
+    val rows2 = sep.select("text", "more_batch").collect().map { r =>
+      val y = if (r.getBoolean(1)) 1L else -1L
+      val fx = r.getString(0).split(" ").filter(_.nonEmpty)
+        .groupBy(t => (((rh(t) % 256) + 256) % 256).toInt)
+        .view.mapValues(_.length.toLong).toMap
+      (y, fx)
+    }
+    val acc = rows2.count { case (y, fx) =>
+      val sc = fx.map { case (b, x) => w2(b) * x }.sum
+      (if (sc > 0) 1L else -1L) == y
+    }.toDouble / rows2.length
+    val majority = math.max(rows2.count(_._1 == 1L),
+      rows2.count(_._1 == -1L)).toDouble / rows2.length
+    // full-batch updates oscillate near the boundary (no per-sample
+    // steps by design — order-freedom is the point), so the bar is
+    // clear learning, not perfect separation
+    assert(acc > majority + 0.1, s"acc $acc vs majority $majority")
   }
 
   test("temperature mix fills each stratum greedily to its isqrt share " +
