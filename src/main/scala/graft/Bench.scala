@@ -30,7 +30,7 @@ object Bench {
     "t01_lang_id", "t03_token_count",
     "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",
     "t14_dsir_weights", "t15_quality_band", "t16_heavy_hitters",
-    "t17_perplexity", "t18_perceptron",
+    "t17_perplexity", "t18_perceptron", "t19_token_ids",
     "st06_stream_incremental_dedup",
     "st07_stream_ann_serve", "st08_stream_quality_router",
     "st09_stream_pq_serve",

@@ -263,6 +263,15 @@ object LlmQueries {
       TextAnalysis.vocabularyTopK(docs(s, dir), "text", 50)
     },
 
+    // corpus encoded to token ids against a frequency-built vocabulary
+    // (dense ranks over the top 32, OOV -> 0): the materialization step
+    // between vocab mining (t05) and sequence packing (d13); the vocab
+    // broadcasts, so the corpus never shuffles
+    "t19_token_ids" -> { (s, dir) =>
+      TextAnalysis.encodeTokenIds(docs(s, dir), "doc_id", "text", 32)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
     // benchmark decontamination: distinct 3-gram overlap of an eval slice
     // (doc_id >= 490) against the training corpus (doc_id < 490)
     "t06_decontamination" -> { (s, dir) =>
@@ -1290,6 +1299,27 @@ object LlmQueries {
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          WHERE length(token) > 0
          GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+
+    // identical dense-rank vocabulary and positional encode, serially:
+    // 1-based positions from the full split (empties filtered after,
+    // like the engine), OOV coalesces to 0
+    "t19_token_ids" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+         toks AS (SELECT doc_id,
+                    CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
+                    unnest(w) AS token
+                  FROM words),
+         vocab AS (SELECT token,
+                     row_number() OVER (ORDER BY freq DESC, token)
+                       AS token_id
+                   FROM (SELECT token, count(*) AS freq FROM toks
+                         WHERE length(token) > 0 GROUP BY 1
+                         ORDER BY freq DESC, token LIMIT 32))
+       SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id
+       FROM toks t LEFT JOIN vocab v USING (token)
+       WHERE length(t.token) > 0
+       ORDER BY t.doc_id, t.pos""",
 
     "t06_decontamination" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

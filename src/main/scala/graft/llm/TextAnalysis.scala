@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators: language ID, quality scoring, token counting,
@@ -139,6 +140,40 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
+
+  /** Encode the corpus to TOKEN IDS against a frequency-built
+    * vocabulary — the materialization step between vocabulary mining
+    * ([[vocabularyTopK]]) and sequence packing ([[Curation
+    * .packSequences]]): ids are dense ranks over the top `vocabSize`
+    * tokens by (freq DESC, token) — fully deterministic — and
+    * out-of-vocabulary tokens map to 0 (the UNK convention). Output is
+    * the FLAT (doc_id, pos, token_id) relation (pos is the 1-based
+    * token position): flat rows keep the result engine-comparable and
+    * downstream array assembly is a cheap collect_list when a consumer
+    * wants it.
+    *
+    * Scale: the vocabulary is `vocabSize` rows — built with one
+    * aggregation and broadcast back; encoding is then a per-row
+    * explode + broadcast join, so the corpus never shuffles. This is
+    * the same static-side/stream-side split as the ANN indexes: build
+    * the vocab once, encode any number of batches against it.
+    */
+  def encodeTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val vocab = vocabularyTopK(docs, textCol, vocabSize)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("freq").desc, col("token")))
+          .cast("long"))
+      .select(col("token"), col("token_id"))
+    docs.select(col(idCol).cast("bigint").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("p", "token")))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"),
+        col("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
 
   /** Benchmark decontamination: per evaluation document, how many of its
     * distinct word n-grams also occur anywhere in the training corpus

@@ -1240,6 +1240,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(acc > majority + 0.1, s"acc $acc vs majority $majority")
   }
 
+  test("token-id encoding is a broadcast join over dense vocab ranks " +
+      "with OOV pinned to zero") {
+    // the corpus side never shuffles: vocab broadcasts into a hash join
+    // (plan read BEFORE checkpointing collapses it to an RDD scan)
+    val plan = TextAnalysis.encodeTokenIds(docs, "doc_id", "text", 32)
+      .queryExecution.executedPlan.toString
+    val enc = TextAnalysis.encodeTokenIds(docs, "doc_id", "text", 32)
+      .localCheckpoint(true)
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan)
+    // ids stay in [0, 32]; position count per doc equals the token count
+    val b = enc.agg(min("token_id"), max("token_id")).head()
+    assert(b.getLong(0) >= 0L && b.getLong(1) <= 32L)
+    val counts = enc.groupBy("doc_id").count()
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")), "doc_id")
+      .filter(col("count") =!= col("n")).count()
+    assert(counts === 0L)
+    // a token encodes to 0 iff it is outside the top-32 vocabulary
+    val vocab = TextAnalysis.vocabularyTopK(docs, "text", 32)
+      .select("token").collect().map(_.getString(0)).toSet
+    val mism = enc
+      .join(docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "token")))
+        .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"),
+          col("token")), Seq("doc_id", "pos"))
+      .filter((col("token_id") === 0L) =!=
+        !col("token").isin(vocab.toSeq: _*))
+      .count()
+    assert(mism === 0L)
+  }
+
   test("temperature mix fills each stratum greedily to its isqrt share " +
       "and flattens the raw token distribution") {
     val d = docs.withColumn("n_tokens", size(split(col("text"), " ")))
