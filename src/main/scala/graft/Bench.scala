@@ -25,7 +25,8 @@ object Bench {
     "d19_weighted_sample", "d20_temperature_mix",
     "j01_asof_join",
     "w01_scd2_merge", "s01_ann_topk", "s05_ann_ivf_indexed", "s11_ann_pq",
-    "s06_knn_graph", "s07_semdedup", "s08_knn_classify", "gr01_pagerank_knn",
+    "s06_knn_graph", "s07_semdedup", "s08_knn_classify", "s12_knn_outliers",
+    "gr01_pagerank_knn",
     "s09_knn_classify_seeded", "s10_hard_negatives", "m04_pcm_frames",
     "t01_lang_id", "t03_token_count",
     "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",

@@ -419,6 +419,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // embedding-space outliers: the 20 vectors with the LOWEST mean
+    // cosine to their own 3 nearest neighbors — the isolated rows a
+    // curation pass routes to review; pure composition over the exact
+    // kNN graph, so the oracle ranks the same brute-force cosines
+    "s12_knn_outliers" -> { (s, dir) =>
+      Similarity.knnOutliers(embs(s, dir), "vec_id", "embedding", k = 3,
+        nOutliers = 20)
+    },
+
     // fixed-point PageRank centrality over the exact kNN graph — BIGINT
     // rank units make every partial sum associative, so the distributed
     // result is bit-identical to the oracle's serial unrolled iterations
@@ -1646,6 +1655,24 @@ object LlmQueries {
        FROM cum c JOIN a2 ON c.stratum = a2.stratum
        WHERE c.cb + c.n_tokens <= a2.alloc
        ORDER BY c.doc_id""",
+
+    // same brute-force kNN means, serially: per-edge cosines rounded
+    // like the engine's graph output, then averaged and re-rounded
+    "s12_knn_outliers" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         sims AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                    list_cosine_similarity(a.v, b.v) AS sim
+                  FROM c a, c b WHERE a.vec_id <> b.vec_id),
+         ranked AS (SELECT vec_id, sim,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, neighbor_id) AS rnk
+                    FROM sims),
+         sel AS (SELECT vec_id, round(sim, 4) AS cs FROM ranked
+                 WHERE rnk <= 3)
+       SELECT vec_id, round(avg(cs), 4) AS mean_knn_sim
+       FROM sel GROUP BY 1
+       ORDER BY mean_knn_sim, vec_id LIMIT 20""",
 
     // five unrolled synchronous iterations of the SAME integer
     // recurrence the engine runs: share = ((r*85)//100)//deg, teleport

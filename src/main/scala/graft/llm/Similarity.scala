@@ -104,6 +104,24 @@ object Similarity {
     topKPerQuery(directed, k).withColumnRenamed("query_id", "vec_id")
   }
 
+  /** Embedding-space OUTLIER detection from the kNN graph: a vector
+    * whose mean cosine to its own k nearest neighbors is lowest sits
+    * isolated in embedding space — mis-embedded, off-distribution, or
+    * garbage input, the rows a curation pass routes to review. Pure
+    * composition: [[knnGraph]] (one triangle-join pass) then a per-node
+    * mean and a bounded top-k of the LOWEST means — no new shuffle
+    * shape, and the threshold list is `k` rows. Output:
+    * (vec_id, mean_knn_sim) for the `nOutliers` most isolated vectors,
+    * ties toward the smaller vec_id.
+    */
+  def knnOutliers(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      nOutliers: Int): DataFrame =
+    knnGraph(embs, idCol, vecCol, k)
+      .groupBy("vec_id")
+      .agg(round(avg(col("cos_sim")), 4).as("mean_knn_sim"))
+      .orderBy(col("mean_knn_sim"), col("vec_id"))
+      .limit(nOutliers)
+
   /** SemDeDup-style semantic pruning: given the corpus and a relation of
     * near-duplicate pairs `(a_id, b_id, ...)` with `a_id < b_id` (any of
     * the pair generators — exact blocked, LSH-banded, or IVF-restricted —

@@ -1240,6 +1240,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(acc > majority + 0.1, s"acc $acc vs majority $majority")
   }
 
+  test("kNN outliers are the isolated vectors: planted near-duplicates " +
+      "never rank as outliers, and means are ordered ascending") {
+    val planted = Similarity.plantedGappedCorpus(embs, "vec_id", "embedding")
+    val out = Similarity.knnOutliers(planted, "vec_id", "embedding",
+      k = 3, nOutliers = 20).collect()
+    // a planted near-dup sits within cosine ~0.95 of its query and its
+    // siblings — nowhere near the isolated tail
+    assert(out.forall(_.getLong(0) < 100000L),
+      out.map(_.getLong(0)).mkString(","))
+    val means = out.map(_.getDouble(1)).toSeq
+    assert(means === means.sorted)
+    assert(out.length === 20)
+  }
+
   test("token-id encoding is a broadcast join over dense vocab ranks " +
       "with OOV pinned to zero") {
     // the corpus side never shuffles: vocab broadcasts into a hash join
