@@ -419,6 +419,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // retrieval eval harness: recall@5 and MRR of a DEGRADED serving
+    // path (exact top-k over only the even half of the corpus — "half
+    // the index shards answered") against full-corpus truth; both
+    // sides are brute-force relations, so the oracle recomputes the
+    // metrics exactly
+    "e01_retrieval_eval" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val truth = Similarity.cosineTopK(e, q, "vec_id", "embedding", 5)
+      val res = Similarity.cosineTopK(e.filter(col("vec_id") % 2 === 0),
+        q, "vec_id", "embedding", 5)
+      Similarity.retrievalEval(res, truth, 5).orderBy(col("query_id"))
+    },
+
     // embedding-space outliers: the 20 vectors with the LOWEST mean
     // cosine to their own 3 nearest neighbors — the isolated rows a
     // curation pass routes to review; pure composition over the exact
@@ -1655,6 +1669,40 @@ object LlmQueries {
        FROM cum c JOIN a2 ON c.stratum = a2.stratum
        WHERE c.cb + c.n_tokens <= a2.alloc
        ORDER BY c.doc_id""",
+
+    // the same two brute-force top-5 relations and the same metric
+    // arithmetic, serially (sums cast off HUGEINT; 1.0/rnk is plain
+    // IEEE division on both engines)
+    "e01_retrieval_eval" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+         truth AS (SELECT query_id, neighbor_id FROM
+                     (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_cosine_similarity(q.v, b.v) DESC,
+                            b.vec_id) AS rnk
+                      FROM q, c b WHERE q.vec_id <> b.vec_id)
+                   WHERE rnk <= 5),
+         res AS (SELECT query_id, rnk, neighbor_id FROM
+                   (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                      row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(q.v, b.v) DESC,
+                          b.vec_id) AS rnk
+                    FROM q, c b
+                    WHERE q.vec_id <> b.vec_id AND b.vec_id % 2 = 0)
+                 WHERE rnk <= 5),
+         j AS (SELECT r.query_id, r.rnk,
+                 CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS rel
+               FROM res r LEFT JOIN truth t
+                 ON r.query_id = t.query_id
+                AND r.neighbor_id = t.neighbor_id)
+       SELECT query_id,
+              round(CAST(sum(rel) AS BIGINT) / 5.0, 4) AS recall_at_k,
+              round(coalesce(max(CASE WHEN rel = 1
+                THEN 1.0 / rnk END), 0), 4) AS mrr
+       FROM j GROUP BY 1 ORDER BY 1""",
 
     // same brute-force kNN means, serially: per-edge cosines rounded
     // like the engine's graph output, then averaged and re-rounded

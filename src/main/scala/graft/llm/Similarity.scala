@@ -122,6 +122,33 @@ object Similarity {
       .orderBy(col("mean_knn_sim"), col("vec_id"))
       .limit(nOutliers)
 
+  /** Retrieval evaluation IN the engine: score a candidate top-k
+    * relation against a ground-truth top-k relation (both shaped
+    * (query_id, rnk, neighbor_id, ...) like every ANN path here
+    * produces) — per query, recall@k (fraction of the true top-k the
+    * candidate list found) and MRR (reciprocal rank of the first
+    * relevant hit, 0 when none). This is the harness that watches a
+    * production ANN index drift: truth from a periodic exact pass over
+    * a query sample, candidates from the serving path.
+    *
+    * One broadcast-sized join (k rows per query on each side) and one
+    * aggregation — the eval costs nothing next to either retrieval.
+    * Output: (query_id, recall_at_k, mrr) rounded to 4.
+    */
+  def retrievalEval(result: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    val t = truth.select(col("query_id").as("query_id"),
+      col("neighbor_id").as("neighbor_id"), lit(1L).as("rel"))
+    result.select(col("query_id"), col("rnk"), col("neighbor_id"))
+      .join(t, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        round(coalesce(sum(col("rel")), lit(0L)) / k.toDouble, 4)
+          .as("recall_at_k"),
+        round(coalesce(max(when(col("rel") === 1L,
+          lit(1.0) / col("rnk"))), lit(0.0)), 4).as("mrr"))
+  }
+
   /** SemDeDup-style semantic pruning: given the corpus and a relation of
     * near-duplicate pairs `(a_id, b_id, ...)` with `a_id < b_id` (any of
     * the pair generators — exact blocked, LSH-banded, or IVF-restricted —

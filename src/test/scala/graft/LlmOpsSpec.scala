@@ -1254,6 +1254,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.length === 20)
   }
 
+  test("retrieval eval: perfect candidates score 1/1, disjoint score " +
+      "0/0, and a known half-degraded list lands in between") {
+    val q = embs.filter(col("vec_id") < 10)
+    val truth = Similarity.cosineTopK(embs, q, "vec_id", "embedding", 5)
+    // truth vs itself: every relevant hit found, first hit at rank 1
+    val self = Similarity.retrievalEval(truth, truth, 5).collect()
+    assert(self.length === 10)
+    assert(self.forall(r => r.getDouble(1) === 1.0 && r.getDouble(2) === 1.0))
+    // candidates that share no neighbor with truth: recall 0, mrr 0
+    val shifted = truth.withColumn("neighbor_id",
+      col("neighbor_id") + 10000000L)
+    val zero = Similarity.retrievalEval(shifted, truth, 5).collect()
+    assert(zero.forall(r => r.getDouble(1) === 0.0 && r.getDouble(2) === 0.0))
+    // drop truth's even-rank rows from the candidate list: recall is
+    // exactly 3/5 and the first relevant hit is still rank 1 (ranks
+    // come from the candidate relation, re-numbered 1..3)
+    val odd = truth.filter(col("rnk") % 2 === 1)
+      .withColumn("rnk", (col("rnk") + 1) / 2)
+    val partial = Similarity.retrievalEval(odd, truth, 5).collect()
+    assert(partial.forall(r => r.getDouble(1) === 0.6 && r.getDouble(2) === 1.0))
+  }
+
   test("token-id encoding is a broadcast join over dense vocab ranks " +
       "with OOV pinned to zero") {
     // the corpus side never shuffles: vocab broadcasts into a hash join
