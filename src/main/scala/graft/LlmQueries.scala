@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Curation, Dedup, Graphs, Multimodal, Perceptron, Similarity, TextAnalysis}
+import graft.llm.{Clustering, Curation, Dedup, Graphs, Multimodal, Perceptron, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline query surface (dedup, similarity search, text analysis,
   * multimodal decode) over the `documents`/`embeddings` fixtures — every
@@ -440,6 +440,17 @@ object LlmQueries {
     "s12_knn_outliers" -> { (s, dir) =>
       Similarity.knnOutliers(embs(s, dir), "vec_id", "embedding", k = 3,
         nOutliers = 20)
+    },
+
+    // fixed-point integer k-means over quantized embeddings: the
+    // semantic-cluster step curation pipelines hang sampling / SemDeDup
+    // / mixture reports off. floor(x * 2^16) quantization is EXACT
+    // (power-of-two multiply), every distance and centroid sum is
+    // BIGINT, so the distributed result is bit-identical to the
+    // oracle's serially unrolled Lloyd rounds on any partitioning
+    "s13_kmeans" -> { (s, dir) =>
+      Clustering.kmeansFixedPoint(embs(s, dir), "vec_id", "embedding",
+        k = 8, iters = 4).orderBy(col("vec_id"))
     },
 
     // fixed-point PageRank centrality over the exact kNN graph — BIGINT
@@ -1703,6 +1714,12 @@ object LlmQueries {
               round(coalesce(max(CASE WHEN rel = 1
                 THEN 1.0 / rnk END), 0), 4) AS mrr
        FROM j GROUP BY 1 ORDER BY 1""",
+
+    // the same Lloyd rounds unrolled serially as a generated CTE chain
+    // (one assignment + one integer centroid update per round) — the
+    // generator shares the engine's round count and constants, so gate
+    // and engine cannot drift
+    "s13_kmeans" -> Clustering.kmeansOracleSql(k = 8, iters = 4),
 
     // same brute-force kNN means, serially: per-edge cosines rounded
     // like the engine's graph output, then averaged and re-rounded

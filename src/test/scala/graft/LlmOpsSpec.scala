@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Curation, Dedup, Graphs, Multimodal, Perceptron, Similarity, TextAnalysis}
+import graft.llm.{Clustering, Curation, Dedup, Graphs, Multimodal, Perceptron, Similarity, TextAnalysis}
 
 class LlmOpsSpec extends SparkSpec {
 
@@ -1252,6 +1252,37 @@ class LlmOpsSpec extends SparkSpec {
     val means = out.map(_.getDouble(1)).toSeq
     assert(means === means.sorted)
     assert(out.length === 20)
+  }
+
+  test("kmeans recovers planted well-separated clusters and is " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    // ids 0..3 are four distant centers; ids 4.. are small jitters of
+    // center (id % 4) — seeding from the 4 smallest ids starts Lloyd at
+    // the true centers, so exact recovery is guaranteed, not just likely
+    val centers = Array(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val rows = (0L until 40L).map { i =>
+      val c = centers((i % 4).toInt)
+      val jit = if (i < 4) 0f else 0.001f * (i.toFloat / 40f)
+      (i, c.map(_ + jit))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Clustering.kmeansFixedPoint(df, "vec_id", "embedding",
+      k = 4, iters = 3)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 40L).forall(i => got(i) === got(i % 4)))
+    assert(got.values.toSet.size === 4)
+    // bit-identical on a different partitioning (integer sums are
+    // associative — the whole point of the fixed-point design)
+    val re = Clustering.kmeansFixedPoint(df.repartition(13), "vec_id",
+      "embedding", k = 4, iters = 3)
+    assert(sameResults(out, re))
+    // the assignment pass is map-side only: centroids are broadcast
+    // literals, so the output plan has no join and no aggregation
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
   }
 
   test("retrieval eval: perfect candidates score 1/1, disjoint score " +
