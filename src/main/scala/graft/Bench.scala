@@ -35,7 +35,7 @@ object Bench {
     "t17_perplexity", "t18_perceptron", "t19_token_ids",
     "st06_stream_incremental_dedup",
     "st07_stream_ann_serve", "st08_stream_quality_router",
-    "st09_stream_pq_serve",
+    "st09_stream_pq_serve", "st10_stream_cluster_route",
     "opt01_ues_flagship")
 
   def main(args: Array[String]): Unit = {

@@ -916,6 +916,34 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // STREAMING cluster routing: vectors arrive as a 2-file stream and
+    // each micro-batch is assigned to its semantic cluster against the
+    // PERSISTED centroid set trained once by the s13 rounds. Stateless
+    // per batch (centroids are frozen broadcast literals, assignment is
+    // a narrow map-side pass) => the cumulative sink equals the batch
+    // assignment, so s13's unrolled-Lloyd oracle carries over verbatim.
+    "st10_stream_cluster_route" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val fpTag = Tables.dataFingerprint(dir)
+      val boot = new java.io.File(s"$tmp/graft_st10boot_$fpTag")
+      if (!boot.exists()) {
+        Relational.staleArtifactSweep(new java.io.File(tmp),
+          "graft_st10boot_", fpTag)
+        Clustering.centroidsDf(s, Clustering.kmeansCentroids(e, "vec_id",
+            "embedding", k = 8, iters = 4))
+          .write.mode("overwrite").parquet(s"$boot/centroids")
+        e.repartition(2).write.mode("overwrite").parquet(s"$boot/incoming")
+      }
+      val runTag = System.nanoTime().toString
+      val run = s"$tmp/graft_st10run_$runTag"
+      try Relational.staleArtifactSweep(new java.io.File(tmp),
+        "graft_st10run_", runTag) catch { case _: Throwable => }
+      graft.streaming.ClusterServe.runAvailableNow(s, s"$boot/incoming",
+          e.schema, s"$boot/centroids", s"$run/assign")
+        .orderBy(col("vec_id"))
+    },
+
     // STREAMING quality routing: documents stream in as 2 micro-batches,
     // each scored and split into keep/reject sinks against FIXED band
     // bounds (the exact [p10, p90] of the reference corpus — computed
@@ -1720,6 +1748,12 @@ object LlmQueries {
     // generator shares the engine's round count and constants, so gate
     // and engine cannot drift
     "s13_kmeans" -> Clustering.kmeansOracleSql(k = 8, iters = 4),
+
+    // stateless-per-batch serving: the cumulative sink equals the batch
+    // assignment, so the streamed result shares the batch twin's
+    // unrolled-Lloyd oracle verbatim
+    "st10_stream_cluster_route" -> Clustering.kmeansOracleSql(k = 8,
+      iters = 4),
 
     // same brute-force kNN means, serially: per-edge cosines rounded
     // like the engine's graph output, then averaged and re-rounded

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
 
 /** Embedding-space clustering for corpus curation: the semantic-cluster
   * step that cluster-balanced sampling, SemDeDup-style pruning, and
@@ -65,17 +66,49 @@ object Clustering {
     * centroids — a narrow, shuffle-free pass.
     */
   def kmeansFixedPoint(embs: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, scale: Long = 65536L): DataFrame = {
+      k: Int, iters: Int, scale: Long = 65536L): DataFrame =
+    assignWithCentroids(embs, idCol, vecCol,
+      kmeansCentroids(embs, idCol, vecCol, k, iters, scale), scale)
+
+  /** Assignment under FIXED centroids — the serving-time pass: quantize,
+    * nearest centroid by squared L2 (ties to smallest cid), all from
+    * broadcast literals, so the plan is narrow (no join, no shuffle).
+    * Output `(idCol, cluster_id, sq_dist)`.
+    */
+  def assignWithCentroids(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Long]], scale: Long = 65536L): DataFrame =
+    quantize(embs.select(col(idCol).cast("bigint").as("id"), col(vecCol)),
+        vecCol, scale)
+      .withColumn("a", assignExpr(centroids))
+      .select(col("id").as(idCol), col("a.cid").as("cluster_id"),
+        col("a.dist").as("sq_dist"))
+
+  /** Persistable form of a trained centroid set: (cid, centroid). */
+  def centroidsDf(spark: SparkSession,
+      centroids: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, j) => (j + 1L, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+  }
+
+  /** Read back what [[centroidsDf]] wrote (cid is 1-based and dense). */
+  def collectCentroids(df: DataFrame): Array[Array[Long]] =
+    df.orderBy(col("cid")).collect()
+      .map((r: Row) => r.getSeq[Long](1).toArray)
+
+  /** Train and return the final centroids themselves (same rounds as
+    * [[kmeansFixedPoint]]) — the artifact a serving path persists. */
+  def kmeansCentroids(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Long = 65536L): Array[Array[Long]] = {
     require(k > 0 && iters >= 0)
     require((scale & (scale - 1)) == 0L, "scale must be a power of two")
     val q = quantize(
       embs.select(col(idCol).cast("bigint").as("id"), col(vecCol)),
       vecCol, scale).select(col("id"), col("qv")).localCheckpoint(true)
-
     var centroids: Array[Array[Long]] = q.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     require(centroids.length == k, s"corpus smaller than k=$k")
-
     for (_ <- 0 until iters) {
       val assigned = q.withColumn("a", assignExpr(centroids))
         .select(col("id"), col("a.cid").as("cid"), col("qv"))
@@ -93,10 +126,7 @@ object Clustering {
       }
       centroids = next
     }
-
-    q.withColumn("a", assignExpr(centroids))
-      .select(col("id").as(idCol), col("a.cid").as("cluster_id"),
-        col("a.dist").as("sq_dist"))
+    centroids
   }
 
   /** DuckDB oracle for [[kmeansFixedPoint]] over the `embeddings` table:

@@ -184,4 +184,29 @@ class StreamingSpec extends SparkSpec {
     assert(sink().collect().map(_.toString).sorted.toSeq === oneShot)
     assert(sink().filter(col("a_id") === col("b_id")).head(1).isEmpty)
   }
+
+  test("cluster-serve sink equals the batch assignment and a retried " +
+      "batch replaces its own partition") {
+    import graft.llm.Clustering
+    import graft.streaming.ClusterServe
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cents = Clustering.kmeansCentroids(e, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val batchTwin = Clustering.assignWithCentroids(e, "vec_id",
+      "embedding", cents).collect().map(_.toString).sorted.toSeq
+    val run = Files.createTempDirectory("graft_clserve").toFile
+    run.deleteOnExit()
+    val sinkDir = s"$run/assign"
+    val b0 = e.filter(col("vec_id") % 2 === 0)
+    val b1 = e.filter(col("vec_id") % 2 === 1)
+    ClusterServe.processBatch(b0, 0L, cents, sinkDir, 65536L)
+    ClusterServe.processBatch(b1, 1L, cents, sinkDir, 65536L)
+    def sink() = spark.read.parquet(sinkDir)
+      .select("vec_id", "cluster_id", "sq_dist")
+      .collect().map(_.toString).sorted.toSeq
+    assert(sink() === batchTwin)
+    // at-least-once retry: dynamic partition overwrite, no duplication
+    ClusterServe.processBatch(b1, 1L, cents, sinkDir, 65536L)
+    assert(sink() === batchTwin)
+  }
 }
