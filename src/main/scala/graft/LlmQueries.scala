@@ -453,6 +453,17 @@ object LlmQueries {
         k = 8, iters = 4).orderBy(col("vec_id"))
     },
 
+    // SemDeDup PROPER (the published recipe, end to end): k-means
+    // clusters bound the candidate space, pairs are generated only
+    // within a cluster (equality join on cluster_id — never a global
+    // cross product), then keep-first pruning. Deterministic throughout
+    // (integer Lloyd + fused-loop cosine), so the oracle replays the
+    // unrolled rounds AND the within-cluster pair predicate exactly
+    "s14_semdedup_kmeans" -> { (s, dir) =>
+      Clustering.semDedupKmeans(embs(s, dir), "vec_id", "embedding",
+        k = 8, iters = 4, threshold = 0.4).orderBy(col("vec_id"))
+    },
+
     // fixed-point PageRank centrality over the exact kNN graph — BIGINT
     // rank units make every partial sum associative, so the distributed
     // result is bit-identical to the oracle's serial unrolled iterations
@@ -1754,6 +1765,11 @@ object LlmQueries {
     // unrolled-Lloyd oracle verbatim
     "st10_stream_cluster_route" -> Clustering.kmeansOracleSql(k = 8,
       iters = 4),
+
+    // the Lloyd chain + final assignment + the same within-cluster pair
+    // predicate on the raw vectors + s07's prune rule, serially
+    "s14_semdedup_kmeans" -> Clustering.semDedupKmeansOracleSql(k = 8,
+      iters = 4, threshold = 0.4),
 
     // same brute-force kNN means, serially: per-edge cosines rounded
     // like the engine's graph output, then averaged and re-rounded

@@ -136,7 +136,11 @@ object Clustering {
     * empty-cluster carry-over. Generated here so gate and engine can
     * never drift on round count or constants.
     */
-  def kmeansOracleSql(k: Int, iters: Int, scale: Long = 65536L): String = {
+  /** The shared Lloyd CTE chain (no `WITH` keyword): quantize, seed from
+    * the k smallest ids, then per round an assignment (row_number over
+    * (dist, cid)) and an integer centroid update with empty-cluster
+    * carry-over. Ends at CTE `c<iters>` — the final centroids. */
+  private def kmeansCtes(k: Int, iters: Int, scale: Long): String = {
     val rounds = (1 to iters).map { r =>
       s"""a$r AS (
          SELECT id, cid FROM (
@@ -156,7 +160,7 @@ object Clustering {
            GROUP BY a.cid, q.d) u
          ON p.cid = u.cid AND p.d = u.d)"""
     }.mkString(",\n")
-    s"""WITH q AS (
+    s"""q AS (
          SELECT vec_id AS id,
            generate_subscripts(embedding, 1) - 1 AS d,
            unnest(list_transform(embedding::DOUBLE[],
@@ -167,14 +171,79 @@ object Clustering {
          FROM (SELECT DISTINCT id FROM q) ORDER BY id LIMIT $k),
        c0 AS (SELECT s.cid, q.d, q.v AS cv
               FROM seeds s JOIN q ON q.id = s.id),
-       $rounds
-       SELECT id AS vec_id, cid AS cluster_id, sq_dist FROM (
+       $rounds"""
+  }
+
+  /** Final-assignment subquery under the last centroids `c<iters>`:
+    * (id, cid, sq_dist) with rk = 1. */
+  private def finalAssign(iters: Int): String =
+    s"""SELECT id, cid, sq_dist FROM (
          SELECT q.id, c.cid,
            CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS sq_dist,
            row_number() OVER (PARTITION BY q.id
              ORDER BY sum((q.v - c.cv) * (q.v - c.cv)), c.cid) AS rk
          FROM q JOIN c$iters c ON q.d = c.d
-         GROUP BY q.id, c.cid) WHERE rk = 1
+         GROUP BY q.id, c.cid) WHERE rk = 1"""
+
+  /** DuckDB oracle for [[kmeansFixedPoint]] over the `embeddings` table:
+    * the same rounds unrolled serially as a CTE chain. Generated here so
+    * gate and engine can never drift on round count or constants.
+    */
+  def kmeansOracleSql(k: Int, iters: Int, scale: Long = 65536L): String =
+    s"""WITH ${kmeansCtes(k, iters, scale)}
+       SELECT id AS vec_id, cid AS cluster_id, sq_dist
+       FROM (${finalAssign(iters)})
        ORDER BY vec_id"""
+
+  /** SemDeDup proper (the published recipe): cluster the corpus with
+    * fixed-point k-means, generate candidate pairs only WITHIN each
+    * cluster (the clusters bound the quadratic blowup — at 100 TB the
+    * per-cluster self-join is an equality join on cluster_id over
+    * corpus/k-sized groups, never a global cross product), prune every
+    * vector whose cosine to a smaller-id same-cluster vector is >=
+    * `threshold` ([[Similarity.semDedupPrune]] keep-first semantics).
+    * The whole pipeline is deterministic: integer Lloyd rounds + the
+    * fused-loop [[graft.functions.CosineSimilarity]] on the raw floats.
+    * Output: (idCol, kept, pruned_by).
+    */
+  def semDedupKmeans(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double,
+      scale: Long = 65536L): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val cents = kmeansCentroids(embs, idCol, vecCol, k, iters, scale)
+    // narrow pass: cluster id from broadcast literals, no join
+    val t = quantize(
+        embs.select(col(idCol).cast("bigint").as("id"),
+          col(vecCol).cast("array<double>").as("v")), "v", scale)
+      .withColumn("cid", assignExpr(cents).getField("cid"))
+      .select(col("id"), col("v"), col("cid"))
+    val a = t.select(col("cid"), col("id").as("a_id"), col("v").as("va"))
+    val b = t.select(col("cid"), col("id").as("b_id"), col("v").as("vb"))
+    val pairs = a.hint("shuffle_hash").join(b,
+        a("cid") === b("cid") && col("a_id") < col("b_id"))
+      .filter(cosineSim(col("va"), col("vb")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+    Similarity.semDedupPrune(embs, pairs, idCol)
   }
+
+  /** DuckDB oracle for [[semDedupKmeans]]: the Lloyd CTE chain, the
+    * final assignment, the same within-cluster pair predicate on the
+    * raw float vectors, and s07's prune rule. */
+  def semDedupKmeansOracleSql(k: Int, iters: Int, threshold: Double,
+      scale: Long = 65536L): String =
+    s"""WITH ${kmeansCtes(k, iters, scale)},
+       asg AS (${finalAssign(iters)}),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       t AS (SELECT e.vec_id, e.v, asg.cid
+             FROM e JOIN asg ON e.vec_id = asg.id),
+       pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                 FROM t a JOIN t b
+                   ON a.cid = b.cid AND a.vec_id < b.vec_id
+                 WHERE list_cosine_similarity(a.v, b.v) >= $threshold),
+       pr AS (SELECT b_id AS vec_id, min(a_id) AS first_pruner
+              FROM pairs GROUP BY 1)
+       SELECT e.vec_id, pr.vec_id IS NULL AS kept,
+              CAST(coalesce(pr.first_pruner, -1) AS BIGINT) AS pruned_by
+       FROM e LEFT JOIN pr ON e.vec_id = pr.vec_id
+       ORDER BY e.vec_id"""
 }

@@ -1285,6 +1285,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
   }
 
+  test("semdedup-kmeans prune set equals the brute-force within-cluster " +
+      "rule and the pair join is an equality join") {
+    import graft.functions.CosineSimilarity.cosineSim
+    val e = embs
+    val out = Clustering.semDedupKmeans(e, "vec_id", "embedding",
+      k = 4, iters = 2, threshold = 0.35)
+    // independent derivation: assignment from the batch op, then a
+    // brute-force all-pairs cosine filtered to same-cluster smaller-id
+    val asg = Clustering.kmeansFixedPoint(e, "vec_id", "embedding",
+      k = 4, iters = 2).select(col("vec_id"), col("cluster_id"))
+    val v = e.join(asg, "vec_id")
+      .select(col("vec_id"), col("cluster_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val x = v.select(col("vec_id").as("a_id"), col("cluster_id").as("ca"),
+      col("v").as("va"))
+    val y = v.select(col("vec_id").as("b_id"), col("cluster_id").as("cb"),
+      col("v").as("vb"))
+    val expect = x.crossJoin(y)
+      .filter(col("ca") === col("cb") && col("a_id") < col("b_id") &&
+        cosineSim(col("va"), col("vb")) >= 0.35)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min("a_id").as("pruned_by"))
+    val got = out.filter(!col("kept")).select("vec_id", "pruned_by")
+    assert(sameResults(got, expect))
+    assert(out.count() === e.count())
+    // the candidate generator is an equality join on cluster_id — the
+    // scale contract: no cartesian, no broadcast-nested-loop
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("retrieval eval: perfect candidates score 1/1, disjoint score " +
       "0/0, and a known half-degraded list lands in between") {
     val q = embs.filter(col("vec_id") < 10)
