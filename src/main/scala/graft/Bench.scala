@@ -33,6 +33,7 @@ object Bench {
     "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",
     "t14_dsir_weights", "t15_quality_band", "t16_heavy_hitters",
     "t17_perplexity", "t18_perceptron", "t19_token_ids",
+    "t20_bpe_merges", "t21_bpe_segment",
     "st06_stream_incremental_dedup",
     "st07_stream_ann_serve", "st08_stream_quality_router",
     "st09_stream_pq_serve", "st10_stream_cluster_route",

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Clustering, Curation, Dedup, Graphs, Multimodal, Perceptron, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Clustering, Curation, Dedup, Graphs, Multimodal, Perceptron, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline query surface (dedup, similarity search, text analysis,
   * multimodal decode) over the `documents`/`embeddings` fixtures — every
@@ -270,6 +270,23 @@ object LlmQueries {
     "t19_token_ids" -> { (s, dir) =>
       TextAnalysis.encodeTokenIds(docs(s, dir), "doc_id", "text", 32)
         .orderBy(col("doc_id"), col("pos"))
+    },
+
+    // BPE tokenizer TRAINING in-engine: 6 merge rounds over the
+    // word-frequency dictionary (the corpus aggregates once; every
+    // round after touches only the vocab). BIGINT pair counts +
+    // byte-order tie-breaks + greedy left-to-right fold application
+    // make the learned merge table bit-reproducible on any partitioning
+    "t20_bpe_merges" -> { (s, dir) =>
+      Bpe.mergesDf(docs(s, dir), "text", numMerges = 6)
+    },
+
+    // the corpus segmented with the learned vocabulary: per-document
+    // piece counts after the 6 merges — the batch-sizer's input; corpus
+    // side re-tokenizes narrowly and joins the vocab-sized dictionary
+    "t21_bpe_segment" -> { (s, dir) =>
+      Bpe.segmentCounts(docs(s, dir), "doc_id", "text", numMerges = 6)
+        .orderBy(col("doc_id"))
     },
 
     // benchmark decontamination: distinct 3-gram overlap of an eval slice
@@ -1393,6 +1410,16 @@ object LlmQueries {
        FROM toks t LEFT JOIN vocab v USING (token)
        WHERE length(t.token) > 0
        ORDER BY t.doc_id, t.pos""",
+
+    // the same merge rounds replayed serially: materialized CTE chain
+    // (adjacency via lead(), argmax pair, run-parity match selection =
+    // greedy left-to-right non-overlapping, dictionary rewrite) —
+    // generated by the engine's own oracle builder so round count and
+    // constants cannot drift
+    "t20_bpe_merges" -> Bpe.mergesOracleSql(numMerges = 6),
+
+    // same chain, then piece counts joined back onto the token instances
+    "t21_bpe_segment" -> Bpe.segmentOracleSql(numMerges = 6),
 
     "t06_decontamination" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

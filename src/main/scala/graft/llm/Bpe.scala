@@ -1,0 +1,203 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING inside the engine — the
+  * vocabulary-learning step of an LLM data pipeline, done the way BPE is
+  * actually trained: on the word-frequency dictionary, not the raw
+  * corpus. One corpus-sized aggregation builds `(word, cnt)`; every
+  * Lloyd-style merge round after that touches only the dictionary
+  * (vocabulary-sized — millions of rows at 100 TB, never the corpus), so
+  * the expensive data passes once and the iteration cost is bounded by
+  * |vocab| x numMerges.
+  *
+  * Reference analog: PostBOUND has no tokenizer (it is a query
+  * optimizer); the published BPE recipe (Sennrich et al. 2016) defines
+  * the semantics this module implements: count adjacent symbol pairs
+  * weighted by word frequency, merge the most frequent pair everywhere
+  * (greedy left-to-right, non-overlapping), repeat.
+  *
+  * Determinism: counts are BIGINT (associative — partitioning cannot
+  * change them), ties break on (count DESC, lhs ASC, rhs ASC) over ASCII
+  * strings (byte order, identical across engines), and merge application
+  * is a per-word left fold — so the learned merge table is
+  * bit-reproducible and a serial SQL oracle can replay every round
+  * (the oracle expresses the same left-to-right non-overlapping pass as
+  * run-parity over match positions: within a run of consecutive
+  * overlapping matches — only possible for self-pairs (a,a) — exactly
+  * the odd positions apply).
+  */
+object Bpe {
+
+  /** One learned merge: rank is 1-based round order. */
+  final case class Merge(rank: Long, lhs: String, rhs: String, count: Long)
+
+  /** Character split without empty-pattern regex ambiguity:
+    * [substring(w, i, 1) for i in 1..length(w)]. */
+  private def charSyms(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** The word-frequency dictionary of a corpus: whitespace tokens with
+    * BIGINT counts and their initial character symbolization. */
+  def wordDict(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", charSyms(col("word")))
+
+  /** Greedy left-to-right non-overlapping application of one merge to a
+    * symbol array: a fold carrying (emitted prefix, pending symbol) —
+    * when the pending symbol is `l` and the next is `r` they fuse and
+    * the scan skips past both (the fused symbol is NOT reconsidered as a
+    * left element this round, exactly the published recipe). Narrow
+    * per-row work, no shuffle. */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    val init = struct(
+      expr("cast(array() as array<string>)").as("out"),
+      lit(null).cast("string").as("pend"))
+    aggregate(syms, init,
+      (acc, t) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pend")
+        when(pend.isNull, struct(out.as("out"), t.as("pend")))
+          .when(pend === lit(l) && t === lit(r),
+            struct(concat(out, array(lit(l + r))).as("out"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(struct(concat(out, array(pend)).as("out"),
+            t.as("pend")))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"),
+          array(acc.getField("pend")))))
+  }
+
+  /** Adjacent-pair counts of the current dictionary, weighted by word
+    * frequency: one vocabulary-sized explode + hash aggregation. */
+  private def pairCounts(dict: DataFrame): DataFrame =
+    dict.select(col("cnt"), explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1).as("lhs"),
+        slice(col("syms"), lit(2), size(col("syms")) - 1).as("rhs")))
+        .as("p"))
+      .select(col("cnt"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .groupBy("lhs", "rhs").agg(sum("cnt").as("c"))
+
+  /** Train `numMerges` BPE merges over the corpus. Returns the learned
+    * merge list (driver-side — numMerges rows) and the final symbolized
+    * dictionary. Each round collects exactly ONE row (the argmax pair —
+    * the map-combined aggregation ships k-row sketches, not the vocab)
+    * and rewrites the dictionary with a narrow fold. */
+  def trainMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 0)
+    var dict = wordDict(docs, textCol).localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1L
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val best = pairCounts(dict)
+        .orderBy(col("c").desc, col("lhs"), col("rhs")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(rank, l, r, c)
+        dict = dict.withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    (merges.result(), dict)
+  }
+
+  /** Gate shape of [[trainMerges]]: (merge_rank, lhs, rhs, pair_count)
+    * — `merge_rank` rather than the reserved-ish `rank`. */
+  def mergesDf(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, textCol, numMerges)._1
+      .map(m => (m.rank, m.lhs, m.rhs, m.count))
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Segment the corpus with the learned vocabulary: per document, the
+    * total piece count after `numMerges` merges — the number a batch
+    * sizer feeds on. The corpus side re-tokenizes (narrow) and joins the
+    * final dictionary on the word key (vocabulary-sized build side). */
+  def segmentCounts(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int): DataFrame = {
+    val (_, dict) = trainMerges(docs, textCol, numMerges)
+    val pieces = dict.select(col("word"), size(col("syms")).as("n"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(pieces, "word")
+      .groupBy(idCol).agg(sum(col("n").cast("long")).as("n_pieces"))
+  }
+
+  /** The shared serial-replay CTE chain (no `WITH`): the token instance
+    * relation, the char-symbolized dictionary, then per round the
+    * adjacency relation, pair counts, the argmax pair, run-parity match
+    * selection and the dictionary rewrite. Ends at `w<numMerges>`. */
+  private def bpeCtes(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { r =>
+      val p = r - 1
+      s"""adj$p AS MATERIALIZED (
+         SELECT word, cnt, i, s,
+           lead(s) OVER (PARTITION BY word ORDER BY i) AS nx
+         FROM (SELECT word, cnt, generate_subscripts(syms, 1) AS i,
+                 unnest(syms) AS s FROM w$p)),
+       b$r AS MATERIALIZED (
+         SELECT s AS lhs, nx AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+         FROM adj$p WHERE nx IS NOT NULL GROUP BY s, nx
+         ORDER BY c DESC, lhs, rhs LIMIT 1),
+       kp$r AS MATERIALIZED (
+         SELECT word, i FROM (
+           SELECT word, i,
+             row_number() OVER (PARTITION BY word, g ORDER BY i) AS rn
+           FROM (SELECT a.word, a.i,
+                   a.i - row_number() OVER (PARTITION BY a.word
+                     ORDER BY a.i) AS g
+                 FROM adj$p a, b$r b
+                 WHERE a.s = b.lhs AND a.nx = b.rhs))
+         WHERE rn % 2 = 1),
+       w$r AS MATERIALIZED (
+         SELECT a.word, a.cnt,
+           list(CASE WHEN k.i IS NOT NULL THEN a.s || a.nx ELSE a.s END
+                ORDER BY a.i) AS syms
+         FROM adj$p a
+         LEFT JOIN kp$r k ON k.word = a.word AND k.i = a.i
+         LEFT JOIN kp$r k2 ON k2.word = a.word AND k2.i = a.i - 1
+         WHERE k2.i IS NULL
+         GROUP BY a.word, a.cnt)"""
+    }.mkString(",\n")
+    s"""toks AS MATERIALIZED (
+         SELECT doc_id, t AS word FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents)
+         WHERE t <> ''),
+       w0 AS MATERIALIZED (
+         SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+           string_split(word, '') AS syms
+         FROM toks GROUP BY word),
+       $rounds"""
+  }
+
+  /** DuckDB oracle for [[mergesDf]]. */
+  def mergesOracleSql(numMerges: Int): String = {
+    val union = (1 to numMerges).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, c AS pair_count" +
+        s" FROM b$r"
+    }.mkString("\n UNION ALL ")
+    s"""WITH ${bpeCtes(numMerges)}
+       SELECT merge_rank, lhs, rhs, pair_count FROM ($union)
+       ORDER BY merge_rank"""
+  }
+
+  /** DuckDB oracle for [[segmentCounts]] over the documents table. */
+  def segmentOracleSql(numMerges: Int): String =
+    s"""WITH ${bpeCtes(numMerges)}
+       SELECT t.doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS n_pieces
+       FROM toks t JOIN w$numMerges w USING (word)
+       GROUP BY t.doc_id ORDER BY t.doc_id"""
+}

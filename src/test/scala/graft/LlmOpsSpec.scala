@@ -1285,6 +1285,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
   }
 
+  test("bpe merges apply greedy left-to-right non-overlapping, " +
+      "including self-pair runs") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    // the adversarial case: (a,a) over odd/even runs. Position counts:
+    // aaaa=3, aaa=2, aaaaa=4 => merge 1 is (a,a,9); application must
+    // take the ODD positions of each run: aaaa->[aa,aa], aaa->[aa,a],
+    // aaaaa->[aa,aa,a]. Round 2: (aa,aa) has 2 positions, (aa,a) has 2
+    // => tie breaks to the lexicographically smaller rhs: (aa,a,2).
+    val d = Seq((1L, "aaaa aaa aaaaa")).toDF("doc_id", "text")
+    val m = Bpe.mergesDf(d, "text", 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq((1L, "a", "a", 9L), (2L, "aa", "a", 2L)))
+    // after both merges: aaaa=[aa,aa] (2), aaa=[aaa] (1),
+    // aaaaa=[aa,aaa] (2) => 5 pieces for the document
+    val seg = Bpe.segmentCounts(d, "doc_id", "text", 2).collect()
+    assert(seg.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 5L)))
+    // frequency weighting: the dictionary collapses duplicates but the
+    // pair count is weighted by word frequency
+    val d2 = Seq((1L, "ab ab ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    val m2 = Bpe.mergesDf(d2, "text", 1).head()
+    assert((m2.getString(1), m2.getString(2), m2.getLong(3)) ===
+      ("a", "b", 4L))
+  }
+
   test("semdedup-kmeans prune set equals the brute-force within-cluster " +
       "rule and the pair join is an equality join") {
     import graft.functions.CosineSimilarity.cosineSim
