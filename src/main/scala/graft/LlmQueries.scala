@@ -436,6 +436,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // length-grouped batch packing: rank by (token count, doc_id) via
+    // the two-level idiom (serial window only over the tiny
+    // one-row-per-distinct-length relation), cut into 32-doc batches,
+    // report each batch's padding economics — the sizer that collapses
+    // padding waste versus arrival-order batching, and quantifies it
+    "d21_length_batching" -> { (s, dir) =>
+      Curation.lengthBatches(docs(s, dir), "doc_id", "text",
+          batchSize = 32)
+        .orderBy(col("batch_id"))
+    },
+
     // retrieval eval harness: recall@5 and MRR of a DEGRADED serving
     // path (exact top-k over only the even half of the corpus — "half
     // the index shards answered") against full-corpus truth; both
@@ -1746,6 +1757,23 @@ object LlmQueries {
        FROM cum c JOIN a2 ON c.stratum = a2.stratum
        WHERE c.cb + c.n_tokens <= a2.alloc
        ORDER BY c.doc_id""",
+
+    // the same (n_tokens, doc_id) ranking as one serial window, then
+    // identical batch arithmetic (integer div on non-negative ranks)
+    "d21_length_batching" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (SELECT doc_id, n_tokens,
+                 row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rk
+               FROM d)
+       SELECT rk // 32 AS batch_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              max(n_tokens) AS max_tokens,
+              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+                AS padding_waste
+       FROM r GROUP BY 1 ORDER BY 1""",
 
     // the same two brute-force top-5 relations and the same metric
     // arithmetic, serially (sums cast off HUGEINT; 1.0/rnk is plain

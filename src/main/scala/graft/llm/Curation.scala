@@ -246,6 +246,45 @@ object Curation {
         (col("cum_before") % budget).as("seq_offset"))
   }
 
+  /** Length-grouped batch packing: rank documents by (token count,
+    * doc_id), cut the ranking into fixed-size batches of `batchSize`
+    * documents, and report each batch's padding economics (a padded
+    * batch costs `n_docs * max_tokens`; the waste is that minus the
+    * real token sum). Sorting by length before batching is the standard
+    * trick that collapses padding waste versus arrival-order batching —
+    * this op both produces the assignment and QUANTIFIES the saving.
+    *
+    * Scale shape: the global (n_tokens, doc_id) rank is the two-level
+    * idiom again — the only serial window runs over the tiny
+    * one-row-per-distinct-length relation; each length group
+    * row_numbers locally in parallel with its base added. No global
+    * single-partition sort. Output: (batch_id, n_docs, max_tokens,
+    * sum_tokens, padding_waste).
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0)
+    val perDoc = docs.select(col(idCol).cast("bigint").as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val base = perDoc.groupBy("n_tokens")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("base", coalesce(sum(col("n")).over(
+        Window.orderBy("n_tokens")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_tokens"), col("base"))
+    val localWin = Window.partitionBy("n_tokens").orderBy("doc_id")
+    perDoc
+      .withColumn("local_rank", row_number().over(localWin).cast("long") - 1)
+      .join(base, "n_tokens")
+      .withColumn("batch_id",
+        floor((col("base") + col("local_rank")) / batchSize))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
   /** Probability-proportional-to-size SYSTEMATIC sample of exactly `k`
     * slots: lay the documents out on a token line in doc_id order
     * (exclusive prefix sum of `weightCol`, the [[packSequences]]

@@ -1285,6 +1285,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
   }
 
+  test("length batching equals the single-window rank and beats " +
+      "arrival-order batching on padding waste") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Curation.lengthBatches(docs, "doc_id", "text", 16)
+    // brute-force twin: one global window (fine in a spec, the scale
+    // cliff the two-level idiom avoids in production)
+    val perDoc = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    def stats(ranked: org.apache.spark.sql.DataFrame) = ranked
+      .withColumn("batch_id", floor((col("rk") - 1) / 16))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+    val sorted = stats(perDoc.withColumn("rk", row_number().over(
+      Window.orderBy("n_tokens", "doc_id")).cast("long")))
+    assert(sameResults(out, sorted))
+    val arrival = stats(perDoc.withColumn("rk", row_number().over(
+      Window.orderBy("doc_id")).cast("long")))
+    val w = out.agg(sum("padding_waste")).head().getLong(0)
+    val wArrival = arrival.agg(sum("padding_waste")).head().getLong(0)
+    assert(w < wArrival, s"sorted $w vs arrival $wArrival")
+    // partition counts: every doc lands in exactly one batch
+    assert(out.agg(sum("n_docs")).head().getLong(0) === docs.count())
+  }
+
   test("bpe merges apply greedy left-to-right non-overlapping, " +
       "including self-pair runs") {
     import spark.implicits._
