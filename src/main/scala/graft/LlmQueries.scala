@@ -492,6 +492,22 @@ object LlmQueries {
         k = 8, iters = 4, threshold = 0.4).orderBy(col("vec_id"))
     },
 
+    // semi-supervised label propagation over the exact kNN graph: 20%
+    // of nodes are clamped seeds (the hand-audited set), the rest take
+    // the per-round majority label of their 3 nearest neighbors (ties
+    // to the smaller label, -1 while unreached) — integer votes, so the
+    // distributed rounds equal the oracle's serial unrolling exactly
+    "gr02_label_prop" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 3)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      val seeds = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("label"))
+      Graphs.labelPropagate(edges, "src", "dst", seeds, "vec_id", "label",
+          iters = 3)
+        .orderBy(col("node"))
+    },
+
     // fixed-point PageRank centrality over the exact kNN graph — BIGINT
     // rank units make every partial sum associative, so the distributed
     // result is bit-identical to the oracle's serial unrolled iterations
@@ -1848,6 +1864,12 @@ object LlmQueries {
     // recurrence the engine runs: share = ((r*85)//100)//deg, teleport
     // = (15*(S//n))//100 — pure BIGINT, so serial DuckDB and shuffled
     // Spark agree bit for bit (sums cast back from HUGEINT)
+    // the same synchronous vote rounds unrolled serially over the
+    // brute-force kNN edges (s06's definition), generated by the
+    // engine's own builder so k/rounds/seed-set cannot drift
+    "gr02_label_prop" -> Graphs.labelPropKnnOracleSql(k = 3, iters = 3,
+      seedMod = 5L),
+
     "gr01_pagerank_knn" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
                     FROM embeddings),

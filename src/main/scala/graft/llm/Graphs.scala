@@ -72,4 +72,99 @@ object Graphs {
     }
     r.select(col("node"), col("r").as("rank_fp"))
   }
+
+  /** Semi-supervised LABEL PROPAGATION over a directed neighbor graph
+    * (e.g. the kNN graph): seed nodes carry a known label (quality tier,
+    * topic, license class — the small hand-audited set); every other
+    * node takes, each synchronous round, the MAJORITY label among its
+    * out-neighbors' current labels, ties to the smallest label id,
+    * staying unlabeled (-1) while no neighbor is labeled. Seeds are
+    * CLAMPED (they never change — the Zhu/Ghahramani semi-supervised
+    * variant), so label mass flows outward from the audited set.
+    *
+    * Everything is integer — vote counts are BIGINT, the argmax is a
+    * lexicographic struct-min — so the result is bit-identical on any
+    * partitioning and a serial oracle can unroll the rounds.
+    *
+    * Scale: per round one edge-sized join + one (node, label)-keyed
+    * aggregation; the label vector is |nodes| rows. Same shuffle
+    * economics as [[pagerankFixedPoint]].
+    *
+    * Output: (node, label) after `iters` rounds.
+    */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0)
+    val e = edges.select(col(srcCol).cast("bigint").as("src"),
+      col(dstCol).cast("bigint").as("dst")).localCheckpoint(true)
+    val sd = seeds.select(col(seedNodeCol).cast("bigint").as("node"),
+      col(seedLabelCol).cast("bigint").as("seed")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var lab = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed"), lit(-1L)).as("lab"))
+    for (i <- 0 until iters) {
+      val best = e
+        .join(lab.select(col("node").as("dst"), col("lab").as("nl")), "dst")
+        .filter(col("nl") =!= -1L)
+        .groupBy("src", "nl").agg(count(lit(1)).as("c"))
+        .groupBy("src")
+        .agg(min(struct((-col("c")).as("nc"), col("nl").as("nl"))).as("m"))
+        .select(col("src").as("node"), col("m.nl").as("best"))
+      lab = nodes.join(best, Seq("node"), "left")
+        .join(sd, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed"), col("best"), lit(-1L)).as("lab"))
+      if (i % 3 == 2 && i != iters - 1) lab = lab.localCheckpoint(true)
+    }
+    lab.select(col("node"), col("lab").as("label"))
+  }
+
+  /** DuckDB oracle for [[labelPropagate]] over the kNN graph of the
+    * `embeddings` table (k nearest by cosine, s06's edge definition),
+    * seeds = rows with `vec_id % seedMod = 0`: the same synchronous
+    * rounds unrolled — majority vote via row_number over
+    * (count DESC, label ASC), seed clamp via coalesce priority. */
+  def labelPropKnnOracleSql(k: Int, iters: Int, seedMod: Long): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""v$r AS MATERIALIZED (
+         SELECT src, lab AS best FROM (
+           SELECT e.src, l.lab,
+             row_number() OVER (PARTITION BY e.src
+               ORDER BY count(*) DESC, l.lab) AS rk
+           FROM edges e JOIN l${r - 1} l ON e.dst = l.node
+           WHERE l.lab <> -1
+           GROUP BY e.src, l.lab) WHERE rk = 1),
+       l$r AS MATERIALIZED (
+         SELECT n.node, coalesce(sd.seed, v.best, CAST(-1 AS BIGINT)) AS lab
+         FROM nodes n LEFT JOIN sd ON sd.node = n.node
+         LEFT JOIN v$r v ON v.src = n.node)"""
+    }.mkString(",\n")
+    s"""WITH c AS MATERIALIZED (
+         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       sims AS MATERIALIZED (
+         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           list_cosine_similarity(a.v, b.v) AS sim
+         FROM c a, c b WHERE a.vec_id <> b.vec_id),
+       edges AS MATERIALIZED (
+         SELECT vec_id AS src, neighbor_id AS dst FROM
+           (SELECT vec_id, neighbor_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM sims)
+         WHERE rnk <= $k),
+       nodes AS MATERIALIZED (
+         SELECT DISTINCT src AS node FROM edges
+         UNION SELECT DISTINCT dst FROM edges),
+       sd AS MATERIALIZED (
+         SELECT vec_id AS node, CAST(label AS BIGINT) AS seed
+         FROM embeddings WHERE vec_id % $seedMod = 0),
+       l0 AS MATERIALIZED (
+         SELECT n.node, coalesce(sd.seed, CAST(-1 AS BIGINT)) AS lab
+         FROM nodes n LEFT JOIN sd ON sd.node = n.node),
+       $rounds
+       SELECT node, lab AS label FROM l$iters ORDER BY node"""
+  }
 }

@@ -1285,6 +1285,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
   }
 
+  test("label propagation: one hop per round, clamped seeds, ties to " +
+      "the smaller label") {
+    import spark.implicits._
+    // chain 2->1, 3->2, 4->3, 5->4 (each votes from its out-neighbor);
+    // node 6 votes from BOTH seed 1 (label 7) and seed 0 (label 3)
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L),
+      (6L, 1L), (6L, 0L)).toDF("src", "dst")
+    val seeds = Seq((1L, 7L), (0L, 3L)).toDF("node", "label")
+    def run(iters: Int) =
+      Graphs.labelPropagate(edges, "src", "dst", seeds, "node", "label",
+        iters).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = run(1)
+    // one hop: 2 and 6 labeled, 3/4/5 unreached; 6's tie breaks to 3
+    assert(r1(2L) === 7L && r1(6L) === 3L)
+    assert(r1(3L) === -1L && r1(4L) === -1L && r1(5L) === -1L)
+    // seeds clamped at their own labels
+    assert(r1(1L) === 7L && r1(0L) === 3L)
+    val r3 = run(3)
+    // three hops down the chain; node 5 still one hop short
+    assert(r3(2L) === 7L && r3(3L) === 7L && r3(4L) === 7L)
+    assert(r3(5L) === -1L)
+  }
+
   test("length batching equals the single-window rank and beats " +
       "arrival-order batching on padding waste") {
     import org.apache.spark.sql.expressions.Window
