@@ -37,6 +37,7 @@ object Bench {
     "st06_stream_incremental_dedup",
     "st07_stream_ann_serve", "st08_stream_quality_router",
     "st09_stream_pq_serve", "st10_stream_cluster_route",
+    "st11_stream_bpe_segment",
     "opt01_ues_flagship")
 
   def main(args: Array[String]): Unit = {

@@ -999,6 +999,33 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     },
 
+    // STREAMING BPE segmentation: documents stream in as 2 micro-batches
+    // and each is tokenized against the PERSISTED merge table by
+    // applying the merge RULES in rank order (pure per-row fold — no
+    // dictionary join, the shape that also handles unseen words).
+    // Stateless per batch => the cumulative sink equals the batch
+    // segmentation, so t21's serially-replayed oracle carries over.
+    "st11_stream_bpe_segment" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val fpTag = Tables.dataFingerprint(dir)
+      val boot = new java.io.File(s"$tmp/graft_st11boot_$fpTag")
+      if (!boot.exists()) {
+        Relational.staleArtifactSweep(new java.io.File(tmp),
+          "graft_st11boot_", fpTag)
+        Bpe.mergesDf(d, "text", numMerges = 6)
+          .write.mode("overwrite").parquet(s"$boot/merges")
+        d.repartition(2).write.mode("overwrite").parquet(s"$boot/incoming")
+      }
+      val runTag = System.nanoTime().toString
+      val run = s"$tmp/graft_st11run_$runTag"
+      try Relational.staleArtifactSweep(new java.io.File(tmp),
+        "graft_st11run_", runTag) catch { case _: Throwable => }
+      graft.streaming.BpeServe.runAvailableNow(s, s"$boot/incoming",
+          d.schema, s"$boot/merges", s"$run/pieces")
+        .orderBy(col("doc_id"))
+    },
+
     // STREAMING quality routing: documents stream in as 2 micro-batches,
     // each scored and split into keep/reject sinks against FIXED band
     // bounds (the exact [p10, p90] of the reference corpus — computed
@@ -1447,6 +1474,11 @@ object LlmQueries {
 
     // same chain, then piece counts joined back onto the token instances
     "t21_bpe_segment" -> Bpe.segmentOracleSql(numMerges = 6),
+
+    // rule application equals dictionary lookup for in-vocabulary text
+    // (same rules, same greedy fold), so the streamed serve shares the
+    // batch twin's oracle verbatim
+    "st11_stream_bpe_segment" -> Bpe.segmentOracleSql(numMerges = 6),
 
     "t06_decontamination" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -135,6 +135,30 @@ object Bpe {
       .groupBy(idCol).agg(sum(col("n").cast("long")).as("n_pieces"))
   }
 
+  /** Apply a learned merge list IN RANK ORDER to one word's symbols —
+    * the serving-time tokenizer: a pure function of the rules, no
+    * dictionary join, so it segments words never seen in training
+    * exactly like the reference BPE encoder. For in-vocabulary corpora
+    * it reproduces the training dictionary bit for bit (same rules,
+    * same greedy application — spec-pinned). */
+  private def applyMergeChain(syms: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (s, (l, r)) => applyMerge(s, l, r) }
+
+  /** Per-row piece count of `text` under the learned merges — narrow
+    * (no join, no shuffle): split, per-word merge-chain fold, sum. */
+  def segmentExpr(text: Column, merges: Seq[(String, String)]): Column =
+    aggregate(
+      filter(split(text, " "), w => length(w) > 0),
+      lit(0L),
+      (acc, w) => acc +
+        size(applyMergeChain(charSyms(w), merges)).cast("long"))
+
+  /** Read back what [[mergesDf]] wrote, in rank order. */
+  def collectMerges(df: DataFrame): Seq[(String, String)] =
+    df.orderBy(col("merge_rank")).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+
   /** The shared serial-replay CTE chain (no `WITH`): the token instance
     * relation, the char-symbolized dictionary, then per round the
     * adjacency relation, pair counts, the argmax pair, run-parity match

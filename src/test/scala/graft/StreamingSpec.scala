@@ -185,6 +185,38 @@ class StreamingSpec extends SparkSpec {
     assert(sink().filter(col("a_id") === col("b_id")).head(1).isEmpty)
   }
 
+  test("bpe-serve applies merge rules to unseen words and a retried " +
+      "batch replaces its own partition") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    import graft.streaming.BpeServe
+    // rules learned from the self-pair corpus: (a,a) then (aa,a)
+    val train = Seq((1L, "aaaa aaa aaaaa")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(train, "text", 2)._1
+      .map(m => (m.lhs, m.rhs))
+    // UNSEEN words segment by rule application, not dictionary lookup:
+    // aaaaaa -> [aa,aa,aa] (3); aaaaaaa -> [aa,aa,aaa] (3)
+    val unseen = Seq((10L, "aaaaaa"), (11L, "aaaaaaa"))
+      .toDF("doc_id", "text")
+    val seg = unseen.select(col("doc_id"),
+      Bpe.segmentExpr(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seg === Map(10L -> 3L, 11L -> 3L))
+    // sink idempotence under foreachBatch's at-least-once retries
+    val run = Files.createTempDirectory("graft_bpeserve").toFile
+    run.deleteOnExit()
+    val sinkDir = s"$run/pieces"
+    BpeServe.processBatch(unseen.filter(col("doc_id") === 10L), 0L,
+      merges, sinkDir)
+    BpeServe.processBatch(unseen.filter(col("doc_id") === 11L), 1L,
+      merges, sinkDir)
+    BpeServe.processBatch(unseen.filter(col("doc_id") === 11L), 1L,
+      merges, sinkDir)
+    val sink = spark.read.parquet(sinkDir).select("doc_id", "n_pieces")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sink === Map(10L -> 3L, 11L -> 3L))
+  }
+
   test("cluster-serve sink equals the batch assignment and a retried " +
       "batch replaces its own partition") {
     import graft.llm.Clustering
