@@ -23,6 +23,7 @@ object Bench {
     "d13_sequence_packing", "d14_corpus_shuffle", "d15_corpus_mix",
     "d16_doc_chunking", "d17_span_dedup", "d18_dedup_report",
     "d19_weighted_sample", "d20_temperature_mix", "d21_length_batching",
+    "d22_domain_cap",
     "j01_asof_join",
     "w01_scd2_merge", "s01_ann_topk", "s05_ann_ivf_indexed", "s11_ann_pq",
     "s06_knn_graph", "s07_semdedup", "s08_knn_classify", "s12_knn_outliers",

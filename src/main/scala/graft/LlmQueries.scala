@@ -436,6 +436,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // per-source frequency cap (the CommonCrawl "domain cap"): keep at
+    // most 15 docs per source as a deterministic seed-shuffled sample.
+    // No per-group window — the bounded top-k UDAF merges cap-row
+    // sketches, so a mega-domain costs O(cap), not a one-task sort
+    "d22_domain_cap" -> { (s, dir) =>
+      Curation.capPerGroup(docs(s, dir), "doc_id", "source", cap = 15,
+          seed = 13L)
+        .orderBy(col("doc_id"))
+    },
+
     // length-grouped batch packing: rank by (token count, doc_id) via
     // the two-level idiom (serial window only over the tiny
     // one-row-per-distinct-length relation), cut into 32-doc batches,
@@ -1805,6 +1815,20 @@ object LlmQueries {
        FROM cum c JOIN a2 ON c.stratum = a2.stratum
        WHERE c.cb + c.n_tokens <= a2.alloc
        ORDER BY c.doc_id""",
+
+    // the same affine-keyed per-source rank as one serial window (the
+    // oracle can afford it), same constants from the shared generator
+    "d22_domain_cap" -> {
+      val (a, b) = Curation.shuffleConstants(13L)
+      s"""WITH r AS (
+            SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY
+                ((doc_id % 2147483647) * $a + $b) % 2147483647, doc_id)
+                AS rk
+            FROM documents)
+          SELECT doc_id, source FROM r WHERE rk <= 15
+          ORDER BY doc_id"""
+    },
 
     // the same (n_tokens, doc_id) ranking as one serial window, then
     // identical batch arithmetic (integer div on non-negative ranks)

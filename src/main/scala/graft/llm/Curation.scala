@@ -246,6 +246,39 @@ object Curation {
         (col("cum_before") % budget).as("seq_offset"))
   }
 
+  /** Per-group frequency CAP (the CommonCrawl "domain cap"): keep at
+    * most `cap` documents per group (source domain, license bucket,
+    * ...), chosen as a deterministic seed-shuffled sample — the same
+    * affine-mod-P key as [[shuffleRanks]], so the retained set is
+    * bit-reproducible and re-derivable months later.
+    *
+    * Scale shape: NO per-group window (a handful of mega-domains would
+    * each funnel through one reducer task for the sort). The bounded
+    * [[graft.functions.Udafs.TopKByScore]] aggregator keeps a cap-row
+    * buffer, so every map task emits a local cap-row sketch and the
+    * shuffle merges sketches — per-group cost is O(cap), never the
+    * group size. Output: (idCol, groupCol) for the kept documents.
+    */
+  def capPerGroup(docs: DataFrame, idCol: String, groupCol: String,
+      cap: Int, seed: Long): DataFrame = {
+    require(cap > 0)
+    val P = ShuffleP
+    val (a, b) = shuffleConstants(seed)
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Udafs.TopKByScore(cap),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long)]())
+    docs.select(col(idCol).cast("bigint").as("doc_id"),
+        col(groupCol).as("grp"))
+      .withColumn("skey", ((col("doc_id") % P) * a + b) % P)
+      .groupBy("grp")
+      // skey < 2^31 is exact in a double; negation turns the top-k
+      // (desc) buffer into min-k by skey, ties to the smaller doc_id
+      .agg(topk((-col("skey")).cast("double"), col("doc_id")).as("tk"))
+      .select(col("grp"), explode(col("tk")).as("sn"))
+      .select(col("sn._2").as(idCol), col("grp").as(groupCol))
+  }
+
   /** Length-grouped batch packing: rank documents by (token count,
     * doc_id), cut the ranking into fixed-size batches of `batchSize`
     * documents, and report each batch's padding economics (a padded

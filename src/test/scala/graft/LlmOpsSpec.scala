@@ -1285,6 +1285,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
   }
 
+  test("domain cap keeps min(cap, |group|) per group via sketch merge, " +
+      "no window, partitioning-invariant") {
+    val out = Curation.capPerGroup(docs, "doc_id", "source", 10, 13L)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full.forall { case (g, n) => kept(g) === math.min(10L, n) })
+    // the scale contract: bounded-buffer aggregation, not a per-group
+    // window sort (a mega-domain would funnel through one task)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val re = Curation.capPerGroup(docs.repartition(17), "doc_id",
+      "source", 10, 13L)
+    assert(sameResults(out, re))
+  }
+
   test("label propagation: one hop per round, clamped seeds, ties to " +
       "the smaller label") {
     import spark.implicits._
