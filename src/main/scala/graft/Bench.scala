@@ -23,7 +23,7 @@ object Bench {
     "d13_sequence_packing", "d14_corpus_shuffle", "d15_corpus_mix",
     "d16_doc_chunking", "d17_span_dedup", "d18_dedup_report",
     "d19_weighted_sample", "d20_temperature_mix", "d21_length_batching",
-    "d22_domain_cap",
+    "d22_domain_cap", "d23_snapshot_diff", "d24_pretraining_pipeline",
     "j01_asof_join",
     "w01_scd2_merge", "s01_ann_topk", "s05_ann_ivf_indexed", "s11_ann_pq",
     "s06_knn_graph", "s07_semdedup", "s08_knn_classify", "s12_knn_outliers",
@@ -34,7 +34,9 @@ object Bench {
     "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",
     "t14_dsir_weights", "t15_quality_band", "t16_heavy_hitters",
     "t17_perplexity", "t18_perceptron", "t19_token_ids",
-    "t20_bpe_merges", "t21_bpe_segment",
+    "t20_bpe_merges", "t21_bpe_segment", "t22_gopher_rules",
+    "t23_quality_band_grouped", "t24_decontaminate_filter",
+    "d25_corpus_manifest",
     "st06_stream_incremental_dedup",
     "st07_stream_ann_serve", "st08_stream_quality_router",
     "st09_stream_pq_serve", "st10_stream_cluster_route",

@@ -381,6 +381,70 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher rule-based document filter: every published metric a narrow
+    // per-row expression, verdict = the rule conjunction. The stop list
+    // is fixture-tuned (the corpus vocabulary has no 'of'/'and'), which
+    // the operator parameterizes exactly because real pipelines retune it
+    "t22_gopher_rules" -> { (s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text",
+          stopWords = Seq("the", "a", "customer", "data"))
+        .orderBy(col("doc_id"))
+    },
+
+    // per-LANGUAGE percentile band trim — the grouped form of t15: one
+    // grouped exact-percentile aggregation, bounds broadcast, corpus
+    // never shuffles (no per-group window sort anywhere)
+    "t23_quality_band_grouped" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val scored = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.groupedScoreBandFilter(scored, "lang", "quality_score",
+          0.1, 0.9)
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // corpus snapshot diff between two derived versions (v1 drops ids
+    // ending in 3, v2 drops ids ending in 7 and revises multiples of 5):
+    // digest-only full-outer join — text never shuffles
+    "d23_snapshot_diff" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val v1 = d.filter(col("doc_id") % 10 =!= 3)
+      val v2 = d.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      Curation.snapshotDiff(v1, v2, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // corpus-side decontamination FILTER (the removal direction of t06):
+    // per-doc totals in-row, bloom-pruned candidate hits, keep verdict
+    "t24_decontaminate_filter" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.decontaminateCorpus(d.filter(col("doc_id") < 490),
+          d.filter(col("doc_id") >= 490), "doc_id", "text",
+          maxOverlap = 0.04)
+        .orderBy(col("doc_id"))
+    },
+
+    // grouped corpus manifest: the dataset-card numbers per
+    // (source, language) in one hash aggregation
+    "d25_corpus_manifest" -> { (s, dir) =>
+      TextAnalysis.corpusManifest(docs(s, dir), "text",
+          Seq("source", "lang"))
+        .orderBy(col("source"), col("lang"))
+    },
+
+    // the END-TO-END pretraining pipeline: curation verdict -> kept
+    // stream -> sequence packing, one declarative plan (chunk size 64 so
+    // the two-level prefix sum's chunk-base composition is exercised)
+    "d24_pretraining_pipeline" -> { (s, dir) =>
+      Curation.pretrainingPipeline(docs(s, dir), "doc_id", "text",
+          budget = 512, chunkSize = 64)
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR importance weights against the lang='en' target slice: exact
     // unigram log-likelihood ratios, alpha=0.5 smoothing, raw-word
     // features (the hashed-bucket scale path is spec-pinned)
@@ -1367,6 +1431,170 @@ object LlmQueries {
                  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS cum_before
+               FROM t)
+       SELECT doc_id, n_tokens,
+              CAST(floor(cum_before / 512) AS BIGINT) AS seq_id,
+              CAST(cum_before % 512 AS BIGINT) AS seq_offset
+       FROM c ORDER BY doc_id""",
+
+    // every Gopher metric recomputed with DuckDB list/string functions;
+    // keep compares the UNROUNDED ratios, as the engine does
+    "t22_gopher_rules" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS ws,
+             length(replace(text, ' ', '')) AS char_sum,
+             (length(text) - length(replace(text, '#', ''))) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) / 3
+               AS ellipses
+           FROM documents),
+         m AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             char_sum * 1.0 / len(ws) AS mean_word_len,
+             (hashes + ellipses) * 1.0 / len(ws) AS symbol_ratio,
+             len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               * 1.0 / len(ws) AS alpha_frac,
+             CAST(len(list_intersect(ws, ['the','a','customer','data']))
+               AS BIGINT) AS stop_hits
+           FROM w)
+       SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len,
+         round(symbol_ratio, 4) AS symbol_ratio,
+         round(alpha_frac, 4) AS alpha_frac, stop_hits,
+         (n_words BETWEEN 50 AND 100000
+           AND mean_word_len BETWEEN 3.0 AND 10.0
+           AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+           AND stop_hits >= 2) AS keep
+       FROM m ORDER BY doc_id""",
+
+    // per-language exact percentile band (t15's oracle, grouped)
+    "t23_quality_band_grouped" ->
+      """WITH q AS (SELECT doc_id, lang,
+             round(least(len(string_split(text, ' ')) / 30.0, 1.0) * 0.5 +
+               CASE WHEN (length(text) - (length(text) -
+                      length(replace(text, ' ', ''))))
+                      * 1.0 / len(string_split(text, ' '))
+                      BETWEEN 3.0 AND 8.0
+                    THEN 0.3 ELSE 0.0 END +
+               CASE WHEN (length(text) - length(replace(text, ' ', '')))
+                      * 1.0 / length(text) BETWEEN 0.1 AND 0.3
+                    THEN 0.2 ELSE 0.0 END, 4) AS quality_score
+           FROM documents),
+         b AS (SELECT lang, quantile_cont(quality_score, 0.1) AS lo,
+                      quantile_cont(quality_score, 0.9) AS hi
+               FROM q GROUP BY lang)
+       SELECT q.doc_id, q.lang, q.quality_score
+       FROM q JOIN b USING (lang)
+       WHERE quality_score BETWEEN lo AND hi
+       ORDER BY doc_id""",
+
+    // corpus-side decontamination recomputed with string shingles (hash
+    // vs string identity — the t06 parity argument); totals via the same
+    // distinct-shingle universe, keep on the rounded ratio
+    "t24_decontaminate_filter" ->
+      """WITH cw AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents WHERE doc_id < 490),
+         csh AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                 FROM cw WHERE len(w) >= 3),
+         base AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY 1),
+         ew AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id >= 490),
+         esh AS (SELECT DISTINCT
+                   unnest(list_transform(generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                 FROM ew WHERE len(w) >= 3),
+         hits AS (SELECT doc_id, count(*) AS n_hits
+                  FROM csh JOIN esh USING (shingle) GROUP BY 1),
+         scored AS (SELECT c.doc_id,
+             coalesce(b.n_shingles, 0) AS n_shingles,
+             coalesce(h.n_hits, 0) AS n_hits,
+             CASE WHEN coalesce(b.n_shingles, 0) = 0 THEN 0.0
+                  ELSE round(coalesce(h.n_hits, 0) * 1.0 / b.n_shingles, 4)
+             END AS overlap_ratio
+           FROM (SELECT doc_id FROM documents WHERE doc_id < 490) c
+           LEFT JOIN base b USING (doc_id)
+           LEFT JOIN hits h USING (doc_id))
+       SELECT doc_id, n_shingles, n_hits, overlap_ratio,
+              (overlap_ratio <= 0.04) AS keep
+       FROM scored ORDER BY doc_id""",
+
+    // dataset-card rollup; windowless single aggregation (sums cast back
+    // from HUGEINT, the pandas-float64 trap)
+    "d25_corpus_manifest" ->
+      """SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens
+         FROM documents GROUP BY 1, 2 ORDER BY source, lang""",
+
+    // version diff recomputed as a full outer join with direct text
+    // equality (digest equality and text equality agree by definition)
+    "d23_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id % 10 <> 3),
+         v2 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                       ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 7)
+       SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.text = v2.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+       FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+       ORDER BY doc_id""",
+
+    // d06's verdict CTEs feed d13's packing window: the composed
+    // pipeline oracle (every windowed sum cast back to BIGINT — the
+    // HUGEINT/pandas-float64 trap)
+    "d24_pretraining_pipeline" ->
+      """WITH lang AS (
+           SELECT doc_id,
+             CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                  WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+                  WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                  WHEN es >= fr AND es > 0 THEN 'es'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'und' END AS pred_lang
+           FROM (SELECT doc_id, text,
+                   len(list_intersect(string_split(text, ' '),
+                     ['the','a','and','of','to','is'])) AS en,
+                   len(list_intersect(string_split(text, ' '),
+                     ['der','die','und','ist','das','ein'])) AS de,
+                   len(list_intersect(string_split(text, ' '),
+                     ['el','la','que','los','una','es'])) AS es,
+                   len(list_intersect(string_split(text, ' '),
+                     ['le','les','et','des','une','est'])) AS fr
+                 FROM documents) t),
+         qual AS (
+           SELECT doc_id,
+             round(least(len(string_split(text, ' ')) / 30.0, 1.0) * 0.5 +
+               CASE WHEN (length(text) - (length(text) -
+                      length(replace(text, ' ', ''))))
+                      * 1.0 / len(string_split(text, ' '))
+                      BETWEEN 3.0 AND 8.0
+                    THEN 0.3 ELSE 0.0 END +
+               CASE WHEN (length(text) - length(replace(text, ' ', '')))
+                      * 1.0 / length(text) BETWEEN 0.1 AND 0.3
+                    THEN 0.2 ELSE 0.0 END, 4) AS quality_score
+           FROM documents),
+         dup AS (
+           SELECT doc_id,
+             (doc_id <> min(doc_id) OVER (PARTITION BY text)) AS is_dup_copy
+           FROM documents),
+         verdict AS (
+           SELECT l.doc_id
+           FROM lang l JOIN qual USING (doc_id) JOIN dup USING (doc_id)
+           WHERE quality_score >= 0.8 AND pred_lang IN ('en', 'es')
+             AND NOT is_dup_copy),
+         t AS (SELECT d.doc_id,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents d JOIN verdict USING (doc_id)),
+         c AS (SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
                FROM t)
        SELECT doc_id, n_tokens,
               CAST(floor(cum_before / 512) AS BIGINT) AS seq_id,

@@ -340,6 +340,56 @@ object Curation {
     *
     * Output: (slot, doc_id, weight) — exactly k rows, slots 0..k-1.
     */
+  /** Corpus SNAPSHOT DIFF — the audit every versioned-dataset pipeline
+    * runs between two corpus versions: which documents were added,
+    * removed, changed, or untouched. Content comparison happens on the
+    * md5 digest computed BEFORE the join, so the full-outer hash join
+    * moves 16-byte digests keyed by id — the document text itself never
+    * shuffles, which at 100 TB is the difference between a metadata-sized
+    * exchange and re-shipping the corpus twice.
+    * Output: (doc_id, status) with status in
+    * {added, removed, changed, unchanged} (v1 -> v2 direction).
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def digests(df: DataFrame, name: String): DataFrame =
+      df.select(col(idCol).cast("bigint").as("doc_id"),
+        md5(col(textCol).cast("binary")).as(name))
+    digests(v1, "d1").join(digests(v2, "d2"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("d1").isNull, "added")
+          .when(col("d2").isNull, "removed")
+          .when(col("d1") === col("d2"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** End-to-end pretraining-data pipeline: [[curate]]'s per-document
+    * verdict (language ID + quality gate + exact keep-first dedup) feeds
+    * the surviving document stream straight into [[packSequences]] —
+    * the curate -> filter -> concat-and-pack chain an LLM training run
+    * executes, composed as ONE declarative plan so Catalyst sees (and
+    * the gate verifies) the whole thing end to end. The packing prefix
+    * sum runs over the KEPT stream in doc_id order, exactly the order a
+    * compacted corpus would concatenate in.
+    *
+    * Scale shape: inherits each stage's — narrow scoring transforms, one
+    * digest-keyed shuffle for dedup, a semi-join-sized id filter, and the
+    * two-level prefix sum (no global ordered window anywhere).
+    * Output: (doc_id, n_tokens, seq_id, seq_offset) for kept docs only.
+    */
+  def pretrainingPipeline(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.8, langs: Seq[String] = Seq("en", "es"),
+      budget: Int = 512, chunkSize: Int = 4096): DataFrame = {
+    val keptIds = curate(docs, idCol, textCol, minQuality, langs)
+      .filter(col("kept"))
+      .select(col("doc_id").cast("bigint").as("doc_id"))
+    val kept = docs
+      .select(col(idCol).cast("bigint").as("doc_id"),
+        col(textCol).as("__text"))
+      .join(keptIds, "doc_id")
+    packSequences(kept, "doc_id", "__text", budget, chunkSize)
+  }
+
   def ppsSystematicSample(docs: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: Long, chunkSize: Int = 4096): DataFrame = {
     require(k > 0 && chunkSize > 0)

@@ -236,6 +236,77 @@ object TextAnalysis {
         round(col("n_contaminated") / col("n_shingles"), 4))
   }
 
+  /** Corpus-side decontamination FILTER — the removal direction of
+    * [[contamination]]: for every TRAINING document, the fraction of its
+    * distinct n-gram shingles that appear anywhere in the eval set, and
+    * the keep verdict (ratio <= `maxOverlap`). This is the direction a
+    * production run executes — t06 reports per-eval-doc leakage, this op
+    * actually cleans the corpus before training.
+    *
+    * Scale shape: per-document shingle TOTALS are computed in-row
+    * (size(array_distinct(...)) — no explode, no shuffle), so the only
+    * shuffled relation is the bloom-surviving candidate hits: the eval
+    * side's distinct shingles (benchmarks: small) broadcast as a bloom
+    * filter whose codegen'd probe ([[graft.functions.BloomMightContain]])
+    * prunes the exploded corpus shingles BEFORE the exact semi-join —
+    * no false negatives, false positives die in the join, so the output
+    * is exact while the corpus-side shuffle shrinks from |corpus
+    * shingles| to ~|hits|.
+    * Output: (doc_id, n_shingles, n_hits, overlap_ratio, keep).
+    */
+  def decontaminateCorpus(corpus: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, ngram: Int = 3,
+      maxOverlap: Double = 0.5, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val w = split(col(textCol), " ")
+    // in-row distinct-shingle count, matching Dedup.shingles exactly
+    // (docs under ngram words have zero shingles, not sequence(0,-1))
+    val nShingles = when(size(w) >= ngram, size(array_distinct(expr(
+      s"transform(sequence(0, size(split($textCol, ' '))-$ngram), " +
+        s"i -> xxhash64(slice(split($textCol, ' '), i+1, $ngram)))"))))
+      .otherwise(0).cast("long")
+    val base = corpus.select(col(idCol).as("doc_id"),
+      nShingles.as("n_shingles"))
+    val evalSh = Dedup.shingles(eval_, idCol, textCol, ngram)
+      .select(col("shingle")).distinct()
+    val n = math.max(1L, evalSh.count())
+    val bf = evalSh.stat.bloomFilter("shingle", n, fpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val hits = Dedup.shingles(corpus, idCol, textCol, ngram)
+      .filter(graft.functions.BloomMightContain.probe(col("shingle"), bcast))
+      .join(evalSh, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    base.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("overlap_ratio", coalesce(
+        round(col("n_hits") / col("n_shingles"), 4), lit(0.0)))
+      .withColumn("keep", col("overlap_ratio") <= maxOverlap)
+  }
+
+  /** Grouped corpus MANIFEST — the dataset-card rollup every corpus
+    * release ships: per group (source x language, ...) document count,
+    * token and character totals, mean and exact median tokens per doc.
+    * One hash aggregation over per-row narrow stats; the exact
+    * percentile funnels one long per row into the grouped buffer (swap
+    * for approx_percentile at 100 TB — same plan, mergeable sketch).
+    * Output: (groupCols..., n_docs, total_tokens, total_chars,
+    * avg_tokens, p50_tokens).
+    */
+  def corpusManifest(docs: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "manifest needs at least one group column")
+    val nTokens = size(split(col(textCol), " ")).cast("long")
+    docs.select(groupCols.map(col) :+ nTokens.as("n_tokens") :+
+        length(col(textCol)).cast("long").as("n_chars"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        expr("percentile(n_tokens, 0.5)").as("p50_tokens"))
+  }
+
   /** Deterministic hash-based train/eval split: a document's split is a
     * pure function of its id (first byte of md5 of the decimal id string
     * against a 0-255 threshold), so the split is reproducible across
@@ -628,6 +699,85 @@ object TextAnalysis {
     * (n_docs, total_tokens, approx_distinct_tokens, p50_tokens,
     * p95_tokens, p99_tokens).
     */
+  /** Gopher-style rule-based document filter (Rae et al. 2021, MassiveText
+    * appendix A): the classic pre-quality-model gate every pretraining
+    * pipeline runs first. Per document it computes the published metrics —
+    * word count, mean word length, symbol-to-word ratio (# and ellipsis),
+    * fraction of words containing an alphabetic character, distinct
+    * stop-word hits — and the per-rule verdicts plus the conjunction
+    * `keep`. Thresholds and the stop list are parameters (the published
+    * values are the defaults) because real pipelines retune them per
+    * corpus.
+    *
+    * Scale shape: every metric is a per-row array/string expression —
+    * narrow, codegen'd, zero shuffle — so the filter runs at scan
+    * bandwidth on any corpus size; it is exactly the kind of operator
+    * that must NOT cost a pass of its own at 100 TB (fuse it into the
+    * ingest projection).
+    * Output: (doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    * stop_hits, keep) with ratios rounded to 4 for cross-engine parity.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2,
+      stopWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")): DataFrame = {
+    val txt = col(textCol)
+    val words = expr(s"filter(split($textCol, ' '), w -> w != '')")
+    val nWords = size(words)
+    // sum of word lengths without materializing a lengths array: total
+    // chars minus the spaces (empty split artifacts contribute 0 anyway)
+    val charSum = length(regexp_replace(txt, " ", ""))
+    val meanLen = charSum.cast("double") / nWords
+    // '#' occurrences + '...' occurrences, via length deltas (both
+    // engines agree on replace semantics; no regex dialect involved)
+    val hashes = length(txt) - length(regexp_replace(txt, "#", ""))
+    val ellipses = (length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (hashes + ellipses).cast("double") / nWords
+    val alphaFrac = size(expr(
+      s"filter(filter(split($textCol, ' '), w -> w != ''), " +
+        "w -> w rlike '[A-Za-z]')")).cast("double") / nWords
+    val stopHits = size(array_intersect(words, array(stopWords.map(lit): _*)))
+    val keep = nWords.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      symbolRatio <= maxSymbolRatio && alphaFrac >= minAlphaFrac &&
+      stopHits >= minStopHits
+    docs.select(col(idCol).as("doc_id"), nWords.cast("long").as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      stopHits.cast("long").as("stop_hits"), keep.as("keep"))
+  }
+
+  /** Per-GROUP percentile-band filter — [[scoreBandFilter]] with the
+    * bounds computed within each group (per language, per source domain):
+    * the production form of quality trimming, because score distributions
+    * differ wildly across languages and one global band over-trims the
+    * tails of every minority group. One grouped aggregation computes all
+    * bands (exact interpolated percentile, or the mergeable
+    * approx_percentile sketch at 100 TB), the group→band relation is
+    * group-cardinality-sized and broadcasts; the filter joins on the
+    * group key as a broadcast hash join — the corpus never shuffles and
+    * there is no per-group window sort anywhere.
+    */
+  def groupedScoreBandFilter(scored: DataFrame, groupCol: String,
+      scoreCol: String, loPct: Double, hiPct: Double,
+      approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(loPct >= 0 && hiPct <= 1 && loPct <= hiPct,
+      s"bad percentile band [$loPct, $hiPct]")
+    val pct = if (approx)
+      expr(s"approx_percentile($scoreCol, array($loPct, $hiPct), $accuracy)")
+    else expr(s"percentile($scoreCol, array($loPct, $hiPct))")
+    val bounds = scored.groupBy(col(groupCol)).agg(pct.as("b"))
+      .select(col(groupCol), col("b").getItem(0).as("lo"),
+        col("b").getItem(1).as("hi"))
+    scored.join(broadcast(bounds), groupCol)
+      .filter(col(scoreCol).between(col("lo"), col("hi")))
+      .drop("lo", "hi")
+  }
+
   def corpusProfile(docs: DataFrame, idCol: String, textCol: String,
       rsd: Double = 0.02): DataFrame = {
     val perDoc = docs.select(col(idCol).as("doc_id"),

@@ -1513,4 +1513,111 @@ class LlmOpsSpec extends SparkSpec {
       totals(smallest).toDouble / totals(largest),
       s"alloc $alloc vs totals $totals")
   }
+
+  test("gopher rules score hand-built documents rule by rule, " +
+      "with a shuffle-free plan") {
+    import spark.implicits._
+    val fixture = Seq(
+      // passes everything: 60 words incl. 2 stop words, mean len sane
+      (1L, (Seq("the", "of") ++ (1 to 58).map(i => s"word$i")).mkString(" ")),
+      // too short (3 words)
+      (2L, "the of tiny"),
+      // no stop-word hits
+      (3L, (1 to 60).map(i => s"word$i").mkString(" ")),
+      // symbol-laden: 60 words but every word is '#'
+      (4L, (Seq("the", "of") ++ (1 to 58).map(_ => "#")).mkString(" ")),
+      // mean word length too long
+      (5L, (Seq("the", "of") ++
+        (1 to 58).map(i => "x" * 20 + i)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val g = TextAnalysis.gopherRules(fixture, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val keep = g.map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(keep === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+    val r1 = g.head
+    assert(r1.getLong(1) === 60L) // n_words
+    assert(r1.getLong(5) === 2L)  // stop_hits
+    val r4 = g(3)
+    assert(r4.getDouble(3) > 0.1, s"symbol ratio ${r4.getDouble(3)}")
+    // narrow per-row operator: no Exchange in the physical plan
+    val plan = TextAnalysis.gopherRules(fixture, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("grouped band filter trims per group; a doc outside the global " +
+      "band survives inside its own group's band") {
+    import spark.implicits._
+    // group a: scores 1..20; group b: scores 101..120. Globally p10/p90
+    // of the 40 values cut deep into group a and group b; per-group
+    // bands keep each group's own middle.
+    val rows = (1 to 20).map(i => (i.toLong, "a", i.toDouble)) ++
+      (1 to 20).map(i => (20L + i, "b", 100.0 + i))
+    val df = rows.toDF("doc_id", "grp", "score")
+    val grouped = TextAnalysis.groupedScoreBandFilter(df, "grp", "score",
+      0.1, 0.9).select("doc_id").as[Long].collect().toSet
+    val global = TextAnalysis.scoreBandFilter(df, "score", 0.1, 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    // per-group: each group keeps its own [p10, p90] band — interpolated
+    // indices 1.9 and 17.1 of the sorted 20 => [2.9, 18.1] => ids 3..18
+    // resp. 23..38
+    assert(grouped === ((3L to 18L) ++ (23L to 38L)).toSet)
+    // the global band spans the gap: it keeps all of the upper group's
+    // low tail that the grouped band trims
+    assert(global.contains(21L) || global.contains(22L))
+    assert(!grouped.contains(21L) && !grouped.contains(22L))
+    // approx path: approx_percentile returns actual corpus ELEMENTS (no
+    // interpolation — bounds [2.0, 18.0] here, vs exact [2.9, 18.1]), so
+    // the kept sets may differ only at the band edges
+    val approx = TextAnalysis.groupedScoreBandFilter(df, "grp", "score",
+      0.1, 0.9, approx = true).select("doc_id").as[Long].collect().toSet
+    val edges = Set(2L, 19L, 22L, 39L)
+    assert(((approx diff grouped) ++ (grouped diff approx)).subsetOf(edges),
+      s"approx $approx vs exact $grouped")
+  }
+
+  test("snapshot diff labels added/removed/changed/unchanged and ships " +
+      "digests, not text, through the join") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha"), (2L, "BETA2"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val d = Curation.snapshotDiff(v1, v2, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(d === Array(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // the join's exchanges carry the 32-hex digest, never the text
+    // column: text is consumed by the pre-join projection
+    val plan = Curation.snapshotDiff(v1, v2, "doc_id", "text")
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.forall(e =>
+      !e.child.output.map(_.name).contains("text")),
+      plan.toString)
+  }
+
+  test("pretraining pipeline equals curate-filter + packSequences " +
+      "composed by hand, and is chunk-size invariant") {
+    val kept = Curation.curate(docs, "doc_id", "text")
+      .filter(col("kept")).select(col("doc_id").cast("bigint").as("doc_id"))
+    val keptDocs = docs.select(col("doc_id").cast("bigint").as("doc_id"),
+        col("text")).join(kept, "doc_id")
+    val manual = Curation.packSequences(keptDocs, "doc_id", "text", 512,
+      chunkSize = 64)
+    val piped = Curation.pretrainingPipeline(docs, "doc_id", "text",
+      budget = 512, chunkSize = 64)
+    assert(sameResults(manual, piped))
+    val other = Curation.pretrainingPipeline(docs, "doc_id", "text",
+      budget = 512, chunkSize = 1000)
+    assert(sameResults(piped, other))
+    // only kept docs appear
+    val ids = piped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    assert(ids === keptIds)
+  }
 }
