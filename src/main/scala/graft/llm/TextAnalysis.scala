@@ -279,8 +279,10 @@ object TextAnalysis {
     base.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .withColumn("overlap_ratio", coalesce(
-        round(col("n_hits") / col("n_shingles"), 4), lit(0.0)))
+      // explicit zero-shingle branch: ANSI mode makes x/0 an ERROR, not
+      // null — a sub-ngram-length doc must score 0, not kill the job
+      .withColumn("overlap_ratio", when(col("n_shingles") === 0, 0.0)
+        .otherwise(round(col("n_hits") / col("n_shingles"), 4)))
       .withColumn("keep", col("overlap_ratio") <= maxOverlap)
   }
 

@@ -1601,6 +1601,64 @@ class LlmOpsSpec extends SparkSpec {
       plan.toString)
   }
 
+  test("corpus decontamination filter: full-copy docs drop, clean docs " +
+      "keep, and the bloom pre-filter is lossless") {
+    import spark.implicits._
+    val eval_ = Seq(
+      (100L, "secret eval question alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim copy of the eval doc: overlap 1.0 => dropped
+      (1L, "secret eval question alpha beta gamma delta"),
+      // no shared trigrams => kept with 0 hits
+      (2L, "totally unrelated training text about spark plans"),
+      // shares a 3-word span: some of its shingles hit
+      (3L, "prefix words secret eval question and a long clean tail here"),
+      // under 3 words: zero shingles, ratio 0, kept
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateCorpus(corpus, eval_, "doc_id",
+      "text", maxOverlap = 0.3).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(byId(1L) === ((5L, 5L, 1.0, false)))
+    assert(byId(2L)._2 === 0L && byId(2L)._4 === true)
+    assert(byId(3L)._2 === 1L && byId(3L)._4 === true) // one hit shingle
+    assert(byId(4L) === ((0L, 0L, 0.0, true)))
+    // the bloom probe is a pre-filter, not the verdict: disabling it by
+    // raising fpp to near-1 (bloom passes ~everything) changes nothing
+    val sloppy = TextAnalysis.decontaminateCorpus(corpus, eval_, "doc_id",
+      "text", maxOverlap = 0.3, fpp = 0.9)
+    assert(sameResults(sloppy,
+      TextAnalysis.decontaminateCorpus(corpus, eval_, "doc_id", "text",
+        maxOverlap = 0.3)))
+  }
+
+  test("corpus manifest matches hand-computed group stats in one " +
+      "aggregation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c", "s1", "en"), (2L, "d e", "s1", "en"),
+      (3L, "f g h i", "s1", "de"), (4L, "j", "s2", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val m = TextAnalysis.corpusManifest(df, "text", Seq("source", "lang"))
+      .orderBy("source", "lang").collect()
+    // (s1, de): 1 doc, 4 tokens, 7 chars; (s1, en): 2 docs, 5 tokens;
+    // (s2, en): 1 doc, 1 token
+    assert(m.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getDouble(5), r.getDouble(6))).toSeq === Seq(
+      ("s1", "de", 1L, 4L, 4.0, 4.0),
+      ("s1", "en", 2L, 5L, 2.5, 2.5),
+      ("s2", "en", 1L, 1L, 1.0, 1.0)))
+    // one hash aggregation: exactly one exchange in the plan
+    val plan = TextAnalysis.corpusManifest(df, "text", Seq("source", "lang"))
+      .queryExecution.executedPlan
+    val nEx = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(nEx === 1, plan.toString)
+  }
+
   test("pretraining pipeline equals curate-filter + packSequences " +
       "composed by hand, and is chunk-size invariant") {
     val kept = Curation.curate(docs, "doc_id", "text")
