@@ -379,14 +379,22 @@ object Curation {
     */
   def pretrainingPipeline(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.8, langs: Seq[String] = Seq("en", "es"),
-      budget: Int = 512, chunkSize: Int = 4096): DataFrame = {
+      budget: Int = 512, chunkSize: Int = 4096,
+      materializeKept: Boolean = true): DataFrame = {
     val keptIds = curate(docs, idCol, textCol, minQuality, langs)
       .filter(col("kept"))
       .select(col("doc_id").cast("bigint").as("doc_id"))
-    val kept = docs
+    val joined = docs
       .select(col(idCol).cast("bigint").as("doc_id"),
         col(textCol).as("__text"))
       .join(keptIds, "doc_id")
+    // the packing prefix sum consumes the kept stream TWICE (chunk-base
+    // aggregation + local window); without a barrier Catalyst replays the
+    // whole curation subtree once per branch. In production the kept
+    // stream is a persisted table between the curation and packing jobs;
+    // in-session, the localCheckpoint is that boundary (curation runs
+    // once, both branches read the checkpointed blocks)
+    val kept = if (materializeKept) joined.localCheckpoint(true) else joined
     packSequences(kept, "doc_id", "__text", budget, chunkSize)
   }
 
