@@ -37,10 +37,12 @@ object Bench {
     "t20_bpe_merges", "t21_bpe_segment", "t22_gopher_rules",
     "t23_quality_band_grouped", "t24_decontaminate_filter",
     "d25_corpus_manifest",
-    "st06_stream_incremental_dedup",
-    "st07_stream_ann_serve", "st08_stream_quality_router",
-    "st09_stream_pq_serve", "st10_stream_cluster_route",
-    "st11_stream_bpe_segment",
+    // ONE streaming sentinel: the other streaming gates' logic is
+    // benched through their batch twins (st06<->d12, st08<->t15,
+    // st09<->s11, st10<->s13, st11<->t21); replaying full foreachBatch
+    // loops 6x each would spend ~50s of wall on micro-batch scheduling
+    // overhead the batch numbers already exclude
+    "st07_stream_ann_serve",
     "opt01_ues_flagship")
 
   def main(args: Array[String]): Unit = {

@@ -25,8 +25,21 @@ object Sources {
       case "csv" => withSchema.option("header", "true").csv(path)
       case "json" => withSchema.json(path)
       case "orc" => withSchema.orc(path)
+      case "xml" => withSchema.option("rowTag", "row").xml(path)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
+  }
+
+  /** Whole-file binary ingestion (`binaryFile` source): (path,
+    * modificationTime, length, content) per file — the raw-media on-ramp
+    * for the multimodal operators ([[graft.llm.Multimodal]] decodes the
+    * `content` bytes). Files are NOT splittable here; at 100 TB the move
+    * is many medium files (tens-to-hundreds of MB), not one giant blob,
+    * and `pathGlobFilter` prunes by extension at listing time. */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+      glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
   }
 
   def writeAs(df: DataFrame, format: String, path: String): Unit = format match {
@@ -34,6 +47,7 @@ object Sources {
     case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
     case "json" => df.write.mode("overwrite").json(path)
     case "orc" => df.write.mode("overwrite").orc(path)
+    case "xml" => df.write.mode("overwrite").option("rowTag", "row").xml(path)
     case other => throw new IllegalArgumentException(s"unsupported format: $other")
   }
 

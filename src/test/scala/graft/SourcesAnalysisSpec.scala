@@ -42,6 +42,32 @@ class SourcesAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("xml round-trip preserves row counts and values") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val base = Files.createTempDirectory("graft_xml").toString
+    Sources.writeAs(docs, "xml", s"$base/d_xml")
+    val back = spark.read.schema(docs.schema).option("rowTag", "row")
+      .xml(s"$base/d_xml")
+    assert(sameResults(back, docs), "xml round-trip differs")
+  }
+
+  test("binaryFile ingestion reads whole files with length and content, " +
+      "and the glob prunes at listing time") {
+    val base = Files.createTempDirectory("graft_bin").toString
+    val payload = Array[Byte](80, 54, 10, 49, 32, 49, 10)
+    Files.write(java.nio.file.Paths.get(s"$base/a.ppm"), payload)
+    Files.write(java.nio.file.Paths.get(s"$base/b.txt"),
+      "not media".getBytes)
+    val all = Sources.readBinaryFiles(spark, base)
+    assert(all.count() === 2)
+    val media = Sources.readBinaryFiles(spark, base, Some("*.ppm"))
+      .select("path", "length", "content").collect()
+    assert(media.length === 1)
+    assert(media.head.getAs[Long]("length") === payload.length.toLong)
+    assert(media.head.getAs[Array[Byte]]("content").toSeq === payload.toSeq)
+  }
+
   test("readAuto dispatches on extension") {
     val nation = Tables.load(spark, sfDir, "nation")
     assert(Sources.readAuto(spark, s"$sfDir/nation.parquet").count() === nation.count())
