@@ -29,7 +29,8 @@ object Bench {
     "s06_knn_graph", "s07_semdedup", "s08_knn_classify", "s12_knn_outliers",
     "s13_kmeans", "s14_semdedup_kmeans", "e01_retrieval_eval",
     "gr01_pagerank_knn", "gr02_label_prop",
-    "s09_knn_classify_seeded", "s10_hard_negatives", "m04_pcm_frames",
+    "s09_knn_classify_seeded", "s10_hard_negatives", "r01_rag_pipeline",
+    "m04_pcm_frames",
     "t01_lang_id", "t03_token_count",
     "t11_decontaminate_bloom", "t12_normalize", "t13_bm25",
     "t14_dsir_weights", "t15_quality_band", "t16_heavy_hitters",

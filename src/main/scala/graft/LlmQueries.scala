@@ -428,6 +428,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the RAG chain composed end to end: chunk -> deterministic 8-dim
+    // hash-count embedding -> cosine top-5 of query chunks (docs 0-2)
+    // against the rest of the chunk corpus; ranking on ROUNDED sims so
+    // integer-feature pseudo-ties cannot reorder across engines
+    "r01_rag_pipeline" -> { (s, dir) =>
+      Similarity.ragRetrieve(docs(s, dir), "doc_id", "text",
+          window = 32, stride = 16, k = 5, queryKeyBelow = 300L)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // grouped corpus manifest: the dataset-card numbers per
     // (source, language) in one hash aggregation
     "d25_corpus_manifest" -> { (s, dir) =>
@@ -1517,6 +1527,37 @@ object LlmQueries {
        SELECT doc_id, n_shingles, n_hits, overlap_ratio,
               (overlap_ratio <= 0.04) AS keep
        FROM scored ORDER BY doc_id""",
+
+    // RAG chain replayed in SQL: the d16 chunking CTE, per-chunk ascii%8
+    // first-char count vectors, cosine, rounded ranking with id ties
+    "r01_rag_pipeline" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                      len(string_split(text, ' ')) AS n FROM documents),
+         c0 AS (SELECT doc_id, w, n,
+                  unnest(generate_series(0, greatest(0,
+                    CAST(ceil((n - 32) / 16.0) AS INT)))) AS chunk_id
+                FROM t),
+         ch AS (SELECT doc_id * 100 + chunk_id AS chunk_key,
+                  array_to_string(list_slice(w, chunk_id * 16 + 1,
+                    chunk_id * 16 + least(32, n - chunk_id * 16)), ' ')
+                    AS chunk_text
+                FROM c0),
+         emb AS (SELECT chunk_key, [""" +
+        (0 until 8).map(b =>
+          "len(list_filter(string_split(chunk_text, ' '), " +
+            s"x -> x != '' AND ascii(substring(x, 1, 1)) % 8 = $b))")
+          .mkString(", ") +
+        """]::DOUBLE[] AS v FROM ch),
+         sims AS (SELECT q.chunk_key AS query_id, c.chunk_key AS neighbor_id,
+                    round(list_cosine_similarity(q.v, c.v), 4) AS sim
+                  FROM emb q, emb c
+                  WHERE q.chunk_key < 300 AND c.chunk_key >= 300),
+         ranked AS (SELECT query_id, neighbor_id, sim,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rnk
+                    FROM sims)
+       SELECT query_id, rnk, neighbor_id, sim AS cos_sim
+       FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""),
 
     // dataset-card rollup; windowless single aggregation (sums cast back
     // from HUGEINT, the pandas-float64 trap)

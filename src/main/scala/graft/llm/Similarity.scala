@@ -666,6 +666,53 @@ object Similarity {
     * bit-identically — which is what turns the approximate-ANN gate rows
     * into hard DuckDB-oracle rows (s02/s03).
     */
+  /** Chunk -> featurize -> retrieve: the RAG indexing/serving chain as
+    * ONE declarative plan. Documents are cut into overlapping windows
+    * ([[TextAnalysis.chunkDocuments]]), every chunk gets a deterministic
+    * 8-dim hash-count embedding (count of words whose first character
+    * falls in each ascii%8 class — integer-valued, so the vector is
+    * exact in any float width and a SQL engine recomputes it verbatim),
+    * and chunks below `queryKeyBelow` retrieve their top-k neighbors
+    * from the rest of the chunk corpus by cosine.
+    *
+    * Ranking happens on the ROUNDED similarity (4 places, ties by
+    * neighbor id): coarse integer features make mathematically-equal
+    * cosines common (parallel count vectors), and ranking on raw
+    * doubles would let last-ulp association differences between engines
+    * reorder those pseudo-ties. Scale shape: chunking and featurization
+    * are narrow per-row ops; the query side broadcasts; top-k is the
+    * bounded two-phase [[graft.functions.Udafs.TopKByScore]] merge, not
+    * a per-query window sort.
+    * Output: (query_id, rnk, neighbor_id, cos_sim).
+    */
+  def ragRetrieve(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int, k: Int, queryKeyBelow: Long,
+      keyFactor: Long = 100L): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val chunks = TextAnalysis.chunkDocuments(docs, idCol, textCol,
+      window, stride)
+    val feats = (0 until 8).map(b =>
+      size(expr("filter(split(chunk_text, ' '), w -> w != '' and " +
+        s"ascii(substring(w, 1, 1)) % 8 = $b)")).cast("float"))
+    val embedded = chunks.select(
+      (col("doc_id") * keyFactor + col("chunk_id")).as("chunk_key"),
+      array(feats: _*).as("embedding"))
+    val q = embedded.filter(col("chunk_key") < queryKeyBelow)
+      .select(col("chunk_key").as("query_id"), col("embedding").as("vq"))
+    val c = embedded.filter(col("chunk_key") >= queryKeyBelow)
+      .select(col("chunk_key").as("neighbor_id"), col("embedding").as("vc"))
+    val topk = udaf(new graft.functions.Udafs.TopKByScore(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long)]())
+    c.join(broadcast(q), lit(true))
+      .withColumn("sim", round(cosineSim(col("vq"), col("vc")), 4))
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "sn")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("sn._2").as("neighbor_id"), col("sn._1").as("cos_sim"))
+  }
+
   def plantedGappedCorpus(emb: DataFrame, idCol: String, vecCol: String,
       nQueries: Int = 10, perQuery: Int = 5): DataFrame = {
     val base = emb.select(col(idCol).cast("bigint").as("vec_id"),

@@ -1659,6 +1659,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(nEx === 1, plan.toString)
   }
 
+  test("rag retrieval ranks parallel-vector pseudo-ties by id on rounded " +
+      "sims, with broadcast queries and no window sort") {
+    import spark.implicits._
+    // 'a' (97 % 8 = 1) and 'b' (98 % 8 = 2) land in different feature
+    // classes: docs 3/4 are PARALLEL count vectors of the query (cosine
+    // exactly 1.0 — the pseudo-tie), doc 5 is orthogonal
+    val docs = Seq(
+      (0L, "a a"), (3L, "a a a a"), (4L, "a a a a a a"), (5L, "b b b")
+    ).toDF("doc_id", "text")
+    val out = Similarity.ragRetrieve(docs, "doc_id", "text",
+      window = 32, stride = 16, k = 3, queryKeyBelow = 300L)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((0L, 1, 300L, 1.0), (0L, 2, 400L, 1.0),
+      (0L, 3, 500L, 0.0)))
+    val plan = Similarity.ragRetrieve(docs, "doc_id", "text",
+      32, 16, 3, 300L).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "), plan)
+  }
+
   test("pretraining pipeline equals curate-filter + packSequences " +
       "composed by hand, and is chunk-size invariant") {
     val kept = Curation.curate(docs, "doc_id", "text")
