@@ -428,6 +428,45 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // continuous ingest as append-log + compacted view: a revision
+    // stream (rev 0 for all docs, rev 1 for multiples of 3, rev 2 for
+    // multiples of 9) drains through foreachBatch into a
+    // batch-partitioned log; the last-writer-wins compaction must equal
+    // the batch recomputation regardless of micro-batch splits
+    "st12_stream_upsert_compact" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val fpTag = Tables.dataFingerprint(dir)
+      val boot = new java.io.File(s"$tmp/graft_st12boot_$fpTag")
+      if (!boot.exists()) {
+        Relational.staleArtifactSweep(new java.io.File(tmp),
+          "graft_st12boot_", fpTag)
+        val revs = d.select(col("doc_id"), lit(0).as("rev"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), lit(1).as("rev"),
+              concat(col("text"), lit(" r1")).as("text")))
+          .unionByName(d.filter(col("doc_id") % 9 === 0)
+            .select(col("doc_id"), lit(2).as("rev"),
+              concat(col("text"), lit(" r2")).as("text")))
+        revs.repartition(3).write.mode("overwrite")
+          .parquet(s"$boot/incoming")
+      }
+      val runTag = System.nanoTime().toString
+      val run = s"$tmp/graft_st12run_$runTag"
+      try Relational.staleArtifactSweep(new java.io.File(tmp),
+        "graft_st12run_", runTag) catch { case _: Throwable => }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rev",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.streaming.UpsertIngest.runAvailableNow(s,
+          s"$boot/incoming", schema, s"$run/log")
+        .orderBy(col("doc_id"))
+    },
+
     // the RAG chain composed end to end: chunk -> deterministic 8-dim
     // hash-count embedding -> cosine top-5 of query chunks (docs 0-2)
     // against the rest of the chunk corpus; ranking on ROUNDED sims so
@@ -1527,6 +1566,21 @@ object LlmQueries {
        SELECT doc_id, n_shingles, n_hits, overlap_ratio,
               (overlap_ratio <= 0.04) AS keep
        FROM scored ORDER BY doc_id""",
+
+    // last-writer-wins over the replayed revision set — batch semantics
+    // the split-invariant streamed log must reproduce
+    "st12_stream_upsert_compact" ->
+      """WITH revs AS (
+           SELECT doc_id, 0 AS rev, text FROM documents
+           UNION ALL
+           SELECT doc_id, 1, text || ' r1' FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, 2, text || ' r2' FROM documents WHERE doc_id % 9 = 0),
+         latest AS (SELECT doc_id, max(rev) AS rev FROM revs GROUP BY 1)
+       SELECT r.doc_id, CAST(r.rev AS BIGINT) AS rev,
+              CAST(length(r.text) AS BIGINT) AS n_chars
+       FROM revs r JOIN latest l ON r.doc_id = l.doc_id AND r.rev = l.rev
+       ORDER BY r.doc_id""",
 
     // RAG chain replayed in SQL: the d16 chunking CTE, per-chunk ascii%8
     // first-char count vectors, cosine, rounded ranking with id ties

@@ -241,4 +241,41 @@ class StreamingSpec extends SparkSpec {
     ClusterServe.processBatch(b1, 1L, cents, sinkDir, 65536L)
     assert(sink() === batchTwin)
   }
+
+  test("upsert ingest: compacted view is split-invariant and a retried " +
+      "batch replaces its own log partition") {
+    import spark.implicits._
+    import graft.streaming.UpsertIngest
+    val revs = Seq(
+      (1L, 0, "one"), (2L, 0, "two"), (3L, 0, "three"),
+      (1L, 1, "one revised"), (3L, 1, "three revised"),
+      (1L, 2, "one final")
+    ).toDF("doc_id", "rev", "text")
+    val expected = Seq((1L, 2L, 9L), (2L, 0L, 3L), (3L, 1L, 13L))
+    def view(logDir: String) = UpsertIngest.compactedView(spark, logDir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // split A: all revisions in one batch
+    val runA = Files.createTempDirectory("graft_upsA").toFile
+    runA.deleteOnExit()
+    UpsertIngest.appendBatch(revs, 0L, s"$runA/log")
+    assert(view(s"$runA/log") === expected)
+    // split B: revisions interleaved across three batches by rev level
+    val runB = Files.createTempDirectory("graft_upsB").toFile
+    runB.deleteOnExit()
+    (0 to 2).foreach { r =>
+      UpsertIngest.appendBatch(revs.filter(col("rev") === r), r.toLong,
+        s"$runB/log")
+    }
+    assert(view(s"$runB/log") === expected)
+    // at-least-once retry: re-running batch 1 must replace its own
+    // partition (dynamic overwrite), leaving the view unchanged
+    UpsertIngest.appendBatch(revs.filter(col("rev") === 1), 1L,
+      s"$runB/log")
+    assert(view(s"$runB/log") === expected)
+    // compaction is one hash aggregation — no window sort in the plan
+    val plan = UpsertIngest.compactedView(spark, s"$runB/log")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan)
+  }
 }
