@@ -62,17 +62,68 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    /** (total, build) seconds: build covers DataFrame construction — for
-      * the opt-gates that is the whole optimization pipeline — so the
-      * artifact separates optimization from execution per rep, the same
-      * split the harness reports as opt_time_ms.
+    /** Total shuffle bytes written by one executed plan (AQE final plan,
+      * all nested subtrees) — the scale signal wall-clock can't give: a
+      * runtime regression with flat shuffle bytes is environment, a
+      * shuffle-byte regression is a PLAN change that will hurt 1000x
+      * harder at 100 TB. Streaming gates report only their sink read
+      * (the stream executes inside foreachBatch queries). */
+    def shuffleBytes(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // AQE hides executed subtrees: AdaptiveSparkPlanExec's children are
+      // empty (the final plan hangs off executedPlan) and each
+      // materialized exchange becomes a QueryStageExec whose inner plan
+      // is likewise not a child — both must be descended explicitly
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Long =
+        p.collectWithSubqueries {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: QueryStageExec => walk(s.plan)
+          case n => n.metrics.collect {
+            case ("shuffleBytesWritten", m) => m.value
+          }.sum
+        }.sum
+      walk(plan)
+    }
+
+    // The noop write executes its OWN QueryExecution — df.queryExecution
+    // is never run and carries zero metrics. A listener captures the
+    // execution that actually happened; the listener bus is async, so
+    // the poll below (after timing stops) waits for delivery.
+    @volatile var lastQe: org.apache.spark.sql.execution.QueryExecution = null
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          // only the noop sink's action ("overwrite" on the v2 write
+          // path): gate-internal driver actions (bloom sizing counts,
+          // k-means rounds, localCheckpoint — posted as count/head/
+          // command) also land here, and the async bus could deliver
+          // them after the per-rep reset
+          if (funcName == "overwrite" || funcName == "save") lastQe = qe
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = {}
+      })
+
+    /** (total, build, shuffleBytes): build covers DataFrame construction
+      * — for the opt-gates that is the whole optimization pipeline — so
+      * the artifact separates optimization from execution per rep, the
+      * same split the harness reports as opt_time_ms.
       */
-    def runOnce(name: String): (Double, Double) = {
+    def runOnce(name: String): (Double, Double, Long) = {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val tBuilt = System.nanoTime()
+      lastQe = null
       df.write.format("noop").mode("overwrite").save()
-      ((System.nanoTime() - t0) / 1e9, (tBuilt - t0) / 1e9)
+      val tEnd = System.nanoTime()
+      val deadline = System.currentTimeMillis() + 2000
+      while (lastQe == null && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      val sb = Option(lastQe).map(qe => shuffleBytes(qe.executedPlan))
+        .getOrElse(-1L)
+      ((tEnd - t0) / 1e9, (tBuilt - t0) / 1e9, sb)
     }
 
     /** Fixed-cost environment canary: a constant-shape 10 M-row range
@@ -108,7 +159,7 @@ object Bench {
     // the median survives two stalled runs, not just one.
     canary() // warm the range/agg codegen paths before measuring
     val canaryBefore = canary()
-    val results: Seq[(String, Seq[(Double, Double)])] = selected
+    val results: Seq[(String, Seq[(Double, Double, Long)])] = selected
       .filter(SparkEntry.queries.contains)
       .map { name =>
         try {
@@ -117,7 +168,7 @@ object Bench {
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            name -> Seq.empty[(Double, Double)]
+            name -> Seq.empty[(Double, Double, Long)]
         }
       }
     val canaryAfter = canary()
@@ -125,13 +176,16 @@ object Bench {
     def fmt(d: Double): String = f"$d%.4f"
     def median(ts: Seq[Double]): Double =
       if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
-    def obj(f: Seq[(Double, Double)] => String): String =
+    def obj(f: Seq[(Double, Double, Long)] => String): String =
       results.map { case (k, ts) => s""""$k":${f(ts)}""" }
         .mkString("{", ",", "}")
     val qs = obj(ts => fmt(median(ts.map(_._1))))
     val qmins = obj(ts => fmt(ts.map(_._1).minOption.getOrElse(-1.0)))
     val qreps = obj(ts => ts.map(t => fmt(t._1)).mkString("[", ",", "]"))
     val qbuild = obj(ts => fmt(median(ts.map(_._2))))
+    // shuffle bytes are deterministic per plan (modulo AQE coalescing);
+    // report the last rep's value
+    val qshuffle = obj(ts => ts.lastOption.map(_._3).getOrElse(-1L).toString)
     val total = results.map(r => median(r._2.map(_._1))).filter(_ >= 0).sum
     val totalMin = results.flatMap(r => r._2.map(_._1).minOption).sum
     // Per-query OPTIMIZATION time over the JOB kit (plan construction
@@ -159,7 +213,7 @@ object Bench {
         System.err.println(s"[bench] job kit opt timing failed: ${e.getMessage}")
         "{}"
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$qreps,"build_sec":$qbuild,"canary_sec":{"before":${fmt(canaryBefore)},"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"job_opt_ms":$jobOptMs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"job_opt_ms":$jobOptMs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
