@@ -10,6 +10,29 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Total shuffle bytes written by one executed plan (AQE final plan,
+    * all nested subtrees) — the scale signal wall-clock can't give: a
+    * runtime regression with flat shuffle bytes is environment, a
+    * shuffle-byte regression is a PLAN change that will hurt 1000x
+    * harder at 100 TB. Streaming gates report only their sink read
+    * (the stream executes inside foreachBatch queries). */
+  def shuffleBytes(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE hides executed subtrees: AdaptiveSparkPlanExec's children are
+    // empty (the final plan hangs off executedPlan) and each
+    // materialized exchange becomes a QueryStageExec whose inner plan
+    // is likewise not a child — both must be descended explicitly
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Long =
+      p.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
+        case n => n.metrics.collect {
+          case ("shuffleBytesWritten", m) => m.value
+        }.sum
+      }.sum
+    walk(plan)
+  }
+
   /** Representative, scale-meaningful subset of the query surface:
     * heavy aggregation, multi-join, window, dedup (incl. the blocked
     * embedding all-pairs and cluster formation — the heaviest LLM paths),
@@ -61,29 +84,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    /** Total shuffle bytes written by one executed plan (AQE final plan,
-      * all nested subtrees) — the scale signal wall-clock can't give: a
-      * runtime regression with flat shuffle bytes is environment, a
-      * shuffle-byte regression is a PLAN change that will hurt 1000x
-      * harder at 100 TB. Streaming gates report only their sink read
-      * (the stream executes inside foreachBatch queries). */
-    def shuffleBytes(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      // AQE hides executed subtrees: AdaptiveSparkPlanExec's children are
-      // empty (the final plan hangs off executedPlan) and each
-      // materialized exchange becomes a QueryStageExec whose inner plan
-      // is likewise not a child — both must be descended explicitly
-      def walk(p: org.apache.spark.sql.execution.SparkPlan): Long =
-        p.collectWithSubqueries {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case s: QueryStageExec => walk(s.plan)
-          case n => n.metrics.collect {
-            case ("shuffleBytesWritten", m) => m.value
-          }.sum
-        }.sum
-      walk(plan)
-    }
 
     // The noop write executes its OWN QueryExecution — df.queryExecution
     // is never run and carries zero metrics. A listener captures the

@@ -1477,9 +1477,9 @@ object LlmQueries {
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                     FROM documents),
          c AS (SELECT doc_id, n_tokens,
-                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS cum_before
+                   AS BIGINT) AS cum_before
                FROM t)
        SELECT doc_id, n_tokens,
               CAST(floor(cum_before / 512) AS BIGINT) AS seq_id,

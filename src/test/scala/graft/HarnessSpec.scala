@@ -147,4 +147,27 @@ class HarnessSpec extends SparkSpec {
     assert(w.shuffle(1).size === 3)
     assert(w.filterBy((l, _) => l.endsWith("2")).labels === Seq("w2"))
   }
+
+  test("shuffle-byte accounting sees through AQE's hidden subtrees") {
+    import org.apache.spark.sql.functions._
+    val agg = spark.range(100000L)
+      .select((col("id") % 97).as("k"), col("id").as("v"))
+      .groupBy("k").agg(sum("v").as("s"))
+    // plain plan (AQE off in the test session): bytes flow through the
+    // ShuffleExchangeExec branch of the walk
+    agg.collect()
+    val plain = Bench.shuffleBytes(agg.queryExecution.executedPlan)
+    assert(plain > 0, s"plain plan reported $plain shuffle bytes")
+    // AQE plan: the exchange hides inside a QueryStageExec under
+    // AdaptiveSparkPlanExec — the walk must descend both
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val agg2 = spark.range(100000L)
+        .select((col("id") % 89).as("k"), col("id").as("v"))
+        .groupBy("k").agg(sum("v").as("s"))
+      agg2.collect()
+      val adaptive = Bench.shuffleBytes(agg2.queryExecution.executedPlan)
+      assert(adaptive > 0, s"AQE plan reported $adaptive shuffle bytes")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 }
