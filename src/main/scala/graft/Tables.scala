@@ -32,17 +32,28 @@ object Tables {
       .filter(k => k._1 == spark && k._2 == dir && k._3 == name && k._4 != fp)
       .foreach(loadCache.remove)
     loadCache.getOrElseUpdate((spark, dir, name, fp), {
-      // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long, then truncate to micros —
-      // identical to how DuckDB surfaces the same column (its TIMESTAMP is
-      // microsecond precision), so oracle comparisons agree.
+      // events.parquet's `ts` physical type has varied across fixture
+      // vintages, and downstream ops (unix_micros, withWatermark) require
+      // a session-zoned TIMESTAMP. Normalize every vintage to TIMESTAMP:
+      //  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it — read
+      //    nanos as long, truncate to micros (DuckDB's TIMESTAMP is micros
+      //    too, so oracle comparisons agree).
+      //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+      //    TIMESTAMP_NTZ — cast to TIMESTAMP. The session TZ is pinned
+      //    UTC, so wall-clock values map to identical instants and the
+      //    DuckDB oracle (itself NTZ) still matches.
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val df = spark.read.parquet(s"$dir/$name.parquet")
-        if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          df.withColumn("ts", org.apache.spark.sql.functions.expr(
-            "timestamp_micros(ts div 1000)"))
-        else df
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", org.apache.spark.sql.functions.expr(
+              "timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType))
+          case _ => df
+        }
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
   }

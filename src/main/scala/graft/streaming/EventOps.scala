@@ -24,9 +24,12 @@ final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
   */
 object EventOps {
 
-  /** Streaming source over a parquet events directory. The fixture stores
-    * ts as TIMESTAMP(NANOS): declared as long + truncated to micros,
-    * exactly like the batch loader (graft.Tables.load).
+  /** Streaming source over a parquet events directory, normalizing `ts`
+    * to session-zoned TIMESTAMP across fixture vintages exactly like the
+    * batch loader (graft.Tables.load): TIMESTAMP(NANOS) is declared as
+    * long and truncated to micros; TIMESTAMP(MICROS, isAdjustedToUTC=0)
+    * surfaces as TIMESTAMP_NTZ — which `withWatermark` rejects — and is
+    * cast (identical instants under the pinned-UTC session).
     */
   def readEventStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
@@ -36,9 +39,14 @@ object EventOps {
     val stream = spark.readStream.schema(probe.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-    if (probe.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else stream
+    probe.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
   }
 
   /** Tumbling-window counts/sums per event type; late data bounded by the
