@@ -62,10 +62,12 @@ object Bench {
     "t23_quality_band_grouped", "t24_decontaminate_filter",
     "d25_corpus_manifest",
     // ONE streaming sentinel: the other streaming gates' logic is
-    // benched through their batch twins (st06<->d12, st08<->t15,
-    // st09<->s11, st10<->s13, st11<->t21); replaying full foreachBatch
-    // loops 6x each would spend ~50s of wall on micro-batch scheduling
-    // overhead the batch numbers already exclude
+    // benched through their batch twins (st02<->st02b, st03<->st03b,
+    // st04<->st04b, st06<->d12, st08<->t15, st09<->s11, st10<->s13,
+    // st11<->t21); replaying full foreachBatch loops 6x each would spend
+    // ~50s of wall on micro-batch scheduling overhead the batch numbers
+    // already exclude
+    "st02b_sessions_batch", "st03b_interval_join_batch", "st04b_dedup_batch",
     "st07_stream_ann_serve",
     "opt01_ues_flagship")
 
@@ -159,9 +161,17 @@ object Bench {
     // the median survives two stalled runs, not just one.
     canary() // warm the range/agg codegen paths before measuring
     val canaryBefore = canary()
+    // mid-run canaries every ~20 queries: the r9 driver run degraded
+    // 0.216 -> 0.362 s across 18 minutes, leaving late-query medians
+    // suspect with no way to tell WHEN the environment drifted. With a
+    // canary sample between groups the artifact localizes the drift and
+    // late queries can be re-based against their nearest canary.
+    val canaryMid = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results: Seq[(String, Seq[(Double, Double, Long)])] = selected
       .filter(SparkEntry.queries.contains)
-      .map { name =>
+      .zipWithIndex
+      .map { case (name, i) =>
+        if (i > 0 && i % 20 == 0) canaryMid += canary()
         try {
           runOnce(name) // warm-up
           name -> (1 to 5).map(_ => runOnce(name))
@@ -193,7 +203,7 @@ object Bench {
     // reference reports for its JOB runs (bench.py's optimization_time
     // column). Driver-side and bounded — 30 queries, one pass each after
     // a warm-up that pays fixture registration.
-    val jobOptMs: String = try {
+    val (jobOptMs, jobQerror): (String, String) = try {
       val root = sys.props.get("graft.workloads.dir")
         .orElse(sys.env.get("GRAFT_WORKLOADS_DIR"))
         .getOrElse("/root/repo/workloads")
@@ -203,17 +213,76 @@ object Bench {
         new graft.stats.EmulatedStatistics(spark))
       val kit = wl.queries.toSeq.sortBy(_._1)
       kit.headOption.foreach { case (_, sql) => pipeline.optimizeQuery(sql) }
-      kit.map { case (label, sql) =>
+      // Estimate-quality per query: the UES tree's annotations are the
+      // upper bounds the reference grades on (bound tightness,
+      // /root/reference/postbound/opt/_analysis.py) — execute the
+      // enforced plan once and q-error each bound against the actual
+      // join-output rows from SQLMetrics. Enforcement pins the join
+      // order, so the physical join tree is isomorphic to the UES tree
+      // and post-order positions align; if a plan diverges (AQE edge),
+      // fall back to the root join alone, and -1 means no comparable
+      // join pair existed.
+      def joinCards(t: graft.plans.JoinTree[graft.core.Cardinality]): Seq[Double] =
+        t match {
+          case graft.plans.JoinNode(o, i, a) =>
+            joinCards(o) ++ joinCards(i) :+ a.value
+          case _ => Seq.empty
+        }
+      def qerr(e: Double, a: Double): Double = {
+        val ee = math.max(e, 1.0); val aa = math.max(a, 1.0)
+        math.max(ee / aa, aa / ee)
+      }
+      val rows = kit.map { case (label, sql) =>
         val t0 = System.nanoTime()
-        pipeline.optimizeQuery(sql)
-        s""""$label":${fmt((System.nanoTime() - t0) / 1e6)}"""
-      }.mkString("{", ",", "}")
+        val res = pipeline.optimizeQuery(sql)
+        val optMs = (System.nanoTime() - t0) / 1e6
+        val qe: Double = try {
+          res.df.collect() // small aggregate outputs; runs df's own QE
+          val pairs = for {
+            est <- res.joinOrder.map(joinCards)
+            act <- graft.plans.QueryPlanOps(res.df).joinTree.map(joinCards)
+          } yield {
+            val zipped =
+              if (est.size == act.size) est.zip(act)
+              else est.lastOption.zip(act.lastOption).toSeq // root join only
+            zipped.filter { case (e, a) => !e.isNaN && !a.isNaN && a >= 0 }
+              .map { case (e, a) => qerr(e, a) }
+          }
+          pairs.filter(_.nonEmpty).map(_.max).getOrElse(-1.0)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $label qerror failed: ${e.getMessage}")
+            -1.0
+        }
+        (label, optMs, qe)
+      }
+      (rows.map { case (l, ms, _) => s""""$l":${fmt(ms)}""" }
+         .mkString("{", ",", "}"),
+       rows.map { case (l, _, qe) => s""""$l":${fmt(qe)}""" }
+         .mkString("{", ",", "}"))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] job kit opt timing failed: ${e.getMessage}")
-        "{}"
+        ("{}", "{}")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"job_opt_ms":$jobOptMs,"sf":"$sfDir"}""")
+    val canaryMidJson = canaryMid.map(fmt).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"job_opt_ms":$jobOptMs,"job_qerror":$jobQerror,"sf":"$sfDir"}"""
+    // the whole line goes to a FILE first: the r9 driver artifact kept
+    // only a truncated stdout tail, losing every per-query median —
+    // a file write is atomic-enough (tmp + move) that the full artifact
+    // always survives next to whatever the driver captured
+    try {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_out.json"))
+      val tmp = Paths.get(out.toString + ".tmp")
+      Files.writeString(tmp, line + "\n")
+      Files.move(tmp, out, StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] artifact file write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -989,6 +989,35 @@ object LlmQueries {
       s.table(qname)
     },
 
+    // BATCH TWINS of the stateful streaming ops (st02/st03/st04): the
+    // EventOps transformations are batch/stream agnostic, so the same
+    // code paths run here as plain batch plans — giving the session /
+    // interval-join / dedup state logic a round-over-round bench trend
+    // without paying micro-batch scheduling overhead 6x per bench run.
+    // Oracles are identical to their streaming twins'.
+    "st02b_sessions_batch" -> { (s, dir) =>
+      graft.streaming.EventOps
+        .sessionizeWithState(Tables.load(s, dir, "events"), gapMinutes = 30)
+        .toDF()
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    "st03b_interval_join_batch" -> { (s, dir) =>
+      graft.streaming.EventOps.correlateEvents(
+          Tables.load(s, dir, "events"), "signup", "purchase",
+          withinMinutes = 15)
+        .orderBy(col("user_id"), col("a_id"), col("b_id"))
+    },
+
+    "st04b_dedup_batch" -> { (s, dir) =>
+      graft.streaming.EventOps.dedupeWithinWatermark(
+          Tables.load(s, dir, "events")
+            .select(col("ts"), col("user_id"), col("event_type")),
+          keys = Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+    },
+
     // STREAMING incremental dedup — the foreachBatch + index-append
     // production architecture: newly ingested documents arrive as a file
     // stream in MULTIPLE micro-batches (maxFilesPerTrigger=1 over a
@@ -2634,6 +2663,41 @@ object LlmQueries {
          ORDER BY a.user_id, a_id, b_id""",
 
     "st04_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // batch twins share their streaming counterparts' oracles verbatim
+    "st02b_sessions_batch" ->
+      """WITH a AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         b AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM a),
+         s AS (
+           SELECT user_id, sess_id, min(ts) AS session_start,
+             count(*) AS n_events
+           FROM b GROUP BY user_id, sess_id)
+         SELECT user_id, session_start, n_events FROM s
+         WHERE sess_id < (SELECT max(sess_id) FROM s s2
+                          WHERE s2.user_id = s.user_id)
+         ORDER BY user_id, session_start""",
+
+    "st03b_interval_join_batch" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+           a.ts AS a_ts, b.ts AS b_ts
+         FROM events a JOIN events b ON a.user_id = b.user_id
+           AND a.event_type = 'signup' AND b.event_type = 'purchase'
+           AND b.ts BETWEEN a.ts - INTERVAL 15 MINUTE
+                        AND a.ts + INTERVAL 15 MINUTE
+         ORDER BY a.user_id, a_id, b_id""",
+
+    "st04b_dedup_batch" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
     "st05_stream_static_join" ->

@@ -23,9 +23,9 @@ object Verify {
     // the full map: it does not set this variable)
     val subset = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
       val sc = spark.sparkContext
@@ -84,6 +84,33 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // gate-count tripwire: a query that throws before writing output leaves
+    // no parquet dir, and a downstream checker that iterates over produced
+    // dirs would silently OMIT it rather than mark it failed (this masked
+    // five red queries in round 9). Compare what was selected against what
+    // actually landed on disk, record the delta machine-readably, and make
+    // the absence impossible to miss in the log.
+    val produced = selected.keySet.filter { n =>
+      val d = new java.io.File(s"$outDir/$n")
+      d.isDirectory && Option(d.list()).exists(_.exists(_.endsWith(".parquet")))
+    }
+    val missing = (selected.keySet -- produced).toSeq.sorted
+    val status =
+      s"""{"registered": ${SparkEntry.queries.size}, "selected": ${selected.size}, """ +
+        s""""produced": ${produced.size}, "missing": ${missing.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/gate_status.json"), status)
+    if (missing.nonEmpty) {
+      System.err.println(
+        s"[verify] GATE INCOMPLETE: ${missing.size} of ${selected.size} " +
+          s"selected queries produced no output: ${missing.mkString(", ")}")
+      System.out.println(s"[verify] GATE INCOMPLETE: missing ${missing.mkString(", ")}")
+    } else
+      System.out.println(
+        s"[verify] gate complete: ${produced.size}/${selected.size} produced")
+    // deliberately exit 0 even when incomplete: the driver compares whatever
+    // landed on disk, and a nonzero exit could discard the queries that DID
+    // pass. The red signal for builders is tools/check.py, which fails hard
+    // on any registered-vs-produced gap via gate_status.json.
     spark.stop()
   }
 }

@@ -74,12 +74,18 @@ object EventOps {
     * within the watermark horizon are dropped, state beyond it evicted.
     * Default key is the unique event id (exactly-once delivery); a coarser
     * key (e.g. user_id+event_type) yields streaming DISTINCT-per-horizon.
+    * Batch/stream agnostic like the other EventOps: on a batch frame the
+    * horizon trivially covers the whole bounded input, so the exact
+    * equivalent is plain dropDuplicates (Spark rejects
+    * dropDuplicatesWithinWatermark on batch plans outright).
     */
   def dedupeWithinWatermark(events: DataFrame,
       watermark: String = "1 hour",
       keys: Seq[String] = Seq("event_id")): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else events.dropDuplicates(keys)
 
   /** Stream-static join: enrich a stream with a batch dimension. The
     * static side is planned per micro-batch as an ordinary equi-join. No

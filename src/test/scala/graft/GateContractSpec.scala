@@ -16,7 +16,10 @@ class GateContractSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
     assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
-    assert(q.size >= 161, s"gate shrank to ${q.size} queries")
+    // pinned to the actual registered count (update when adding queries):
+    // a silent shrink — a dropped map entry, a shadowed key — must fail CI,
+    // not just lower a generous floor
+    assert(q.size >= 192, s"gate shrank to ${q.size} queries (floor 192)")
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(sql.trim.nonEmpty, s"empty oracle for $k")
     }

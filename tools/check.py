@@ -41,8 +41,28 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_fail = 0
+    # gate-count tripwire: Verify records registered/selected/produced and
+    # the names of queries that threw before writing output. A checker that
+    # only iterates produced dirs would silently omit those (round 9 masked
+    # five red queries this way) — fail on them unconditionally, even when
+    # the caller asked for a subset.
+    missing_set = set()
+    try:
+        gate = json.load(open(f"{out_dir}/gate_status.json"))
+        for name in gate.get("missing", []):
+            if only and name not in only:
+                continue
+            missing_set.add(name)
+            print(f"FAIL {name}: no verify output (threw before writing)")
+            n_fail += 1
+        if not only and gate["selected"] < gate["registered"]:
+            print(f"NOTE verify ran a {gate['selected']}/{gate['registered']} subset; "
+                  "the driver gate runs the full map")
+    except FileNotFoundError:
+        print("WARN no gate_status.json (old Verify output?) — "
+              "missing-query tripwire inactive")
     for name, sql in sorted(oracle.items()):
-        if only and name not in only:
+        if (only and name not in only) or name in missing_set:
             continue
         try:
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
