@@ -86,7 +86,30 @@ object Bpe {
     * merge list (driver-side — numMerges rows) and the final symbolized
     * dictionary. Each round collects exactly ONE row (the argmax pair —
     * the map-combined aggregation ships k-row sketches, not the vocab)
-    * and rewrites the dictionary with a narrow fold. */
+    * and rewrites the dictionary with a narrow fold.
+    *
+    * SCALING SEAM — merge rounds, not data size. Data scale is already
+    * solved: the corpus is aggregated exactly once (`wordDict`) and
+    * every round after that touches only the vocabulary-sized
+    * dictionary with a constant number of Spark jobs (one argmax
+    * collect + one checkpoint — spec-pinned linear in LlmOpsSpec), so
+    * 100 TB raises only the one-off dictionary build. What does NOT
+    * amortize is the ROUND count: exact greedy BPE is inherently
+    * sequential (each merge changes the next round's pair counts), so
+    * a 32k-entry vocabulary means 32k driver-coordinated job rounds —
+    * hours of scheduler latency even though each round is cheap. This
+    * implementation is therefore sized for merge counts in the
+    * hundreds-to-low-thousands. The scale path beyond that is the
+    * standard batched variant: per round take the top-k count-ranked
+    * pairs that touch pairwise-disjoint symbols (no shared lhs/rhs, so
+    * their applications commute and cannot create or destroy each
+    * other's match sites) and apply them in rank order via the same
+    * per-word fold ([[applyMergeChain]]) — rounds drop from |vocab| to
+    * ~|vocab|/k while the argmax pair is always in the batch, which is
+    * how practical distributed BPE trainers approximate the serial
+    * recipe. Not wired into the gate because its merge table is no
+    * longer bit-identical to serial BPE (the gate's oracle contract);
+    * the documented limit is the honest boundary instead. */
   def trainMerges(docs: DataFrame, textCol: String,
       numMerges: Int): (Seq[Merge], DataFrame) = {
     require(numMerges >= 0)

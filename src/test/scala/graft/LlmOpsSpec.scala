@@ -1378,6 +1378,53 @@ class LlmOpsSpec extends SparkSpec {
       ("a", "b", 4L))
   }
 
+  test("bpe training cost is rounds x vocab: constant jobs per merge " +
+      "round, corpus aggregated once") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    // the scaling contract trainMerges documents: after the one-off
+    // dictionary build, every merge round costs a CONSTANT number of
+    // Spark jobs over the vocabulary-sized dict (argmax collect +
+    // checkpoint). If a refactor ever made a round re-touch the corpus
+    // or schedule extra jobs, the per-round delta would jump and this
+    // pins it.
+    val d = Seq((1L, "abab abab banana band bandana"),
+      (2L, "ananab nanab abba abab")).toDF("doc_id", "text")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the listener bus is async (and private[spark]) — wait until the
+      // count stops moving instead
+      def settle(): Int = {
+        var prev = -1
+        while (prev != counter.get()) { prev = counter.get(); Thread.sleep(250) }
+        prev
+      }
+      def jobsFor(k: Int): Int = {
+        settle(); counter.set(0)
+        Bpe.trainMerges(d, "text", k)
+        settle()
+      }
+      val j2 = jobsFor(2); val j4 = jobsFor(4); val j6 = jobsFor(6)
+      val perRound1 = (j4 - j2) / 2.0
+      val perRound2 = (j6 - j4) / 2.0
+      assert(perRound1 === perRound2,
+        s"per-round job cost is not constant: $j2/$j4/$j6 jobs for 2/4/6 merges")
+      assert(perRound1 <= 3.0,
+        s"a merge round schedules ${perRound1} jobs — more than argmax+checkpoint")
+      // the corpus-sized work (wordDict + its checkpoint) is the round-
+      // independent intercept; it must not grow with the merge count
+      val intercept = j2 - 2 * perRound1
+      assert(intercept === j6 - 6 * perRound2)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("semdedup-kmeans prune set equals the brute-force within-cluster " +
       "rule and the pair join is an equality join") {
     import graft.functions.CosineSimilarity.cosineSim
