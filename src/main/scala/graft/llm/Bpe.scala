@@ -107,9 +107,12 @@ object Bpe {
     * per-word fold ([[applyMergeChain]]) — rounds drop from |vocab| to
     * ~|vocab|/k while the argmax pair is always in the batch, which is
     * how practical distributed BPE trainers approximate the serial
-    * recipe. Not wired into the gate because its merge table is no
-    * longer bit-identical to serial BPE (the gate's oracle contract);
-    * the documented limit is the honest boundary instead. */
+    * recipe — implemented as [[trainMergesBatched]] (spec-pinned:
+    * batchSize=1 is bit-identical to this method; larger batches keep
+    * within-round symbol disjointness). The batched merge table is not
+    * oracled in the gate because for k>1 it is no longer bit-identical
+    * to serial BPE (the gate's oracle contract); the serial path with
+    * this documented round budget remains the gate surface. */
   def trainMerges(docs: DataFrame, textCol: String,
       numMerges: Int): (Seq[Merge], DataFrame) = {
     require(numMerges >= 0)
@@ -131,6 +134,60 @@ object Bpe {
       }
     }
     (merges.result(), dict)
+  }
+
+  /** The batched variant the [[trainMerges]] scaladoc describes — the
+    * 32k-vocab scale path: per round, collect the count-ranked pair list
+    * and greedily admit up to `batchSize` pairs whose symbols are
+    * pairwise disjoint (a candidate is admitted only if its lhs, rhs AND
+    * fused product are all untouched by earlier admissions this round —
+    * the product check matters because a fused "ab" can textually equal
+    * a symbol another candidate matches on). Disjoint merges commute and
+    * cannot create or destroy each other's match sites, so applying them
+    * in rank order via the same per-word fold is well-defined and
+    * deterministic. Rounds drop from `numMerges` to ~`numMerges /
+    * batchSize`; the argmax pair is always admitted (first candidate,
+    * empty conflict set), so `batchSize = 1` reproduces serial greedy
+    * BPE bit for bit (spec-pinned). Returns the merges grouped by round
+    * so callers can see (and specs can pin) the batch structure.
+    */
+  def trainMergesBatched(docs: DataFrame, textCol: String,
+      numMerges: Int, batchSize: Int): (Seq[Seq[Merge]], DataFrame) = {
+    require(numMerges >= 0 && batchSize >= 1)
+    var dict = wordDict(docs, textCol).localCheckpoint(true)
+    val rounds = Seq.newBuilder[Seq[Merge]]
+    var rank = 1L
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val want = math.min(batchSize.toLong, numMerges - rank + 1).toInt
+      // over-fetch: conflicts thin the ranked prefix, and a too-small
+      // batch only costs an extra (cheap) round, never correctness
+      val ranked = pairCounts(dict)
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(want * 4).collect()
+      if (ranked.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = Seq.newBuilder[Merge]
+        var n = 0
+        ranked.iterator.takeWhile(_ => n < want).foreach { row =>
+          val (l, r, c) =
+            (row.getString(0), row.getString(1), row.getLong(2))
+          if (!used(l) && !used(r) && !used(l + r)) {
+            batch += Merge(rank + n, l, r, c)
+            used ++= Seq(l, r, l + r)
+            n += 1
+          }
+        }
+        val selected = batch.result()
+        rounds += selected
+        dict = dict.withColumn("syms", applyMergeChain(col("syms"),
+            selected.map(m => (m.lhs, m.rhs))))
+          .localCheckpoint(true)
+        rank += selected.size
+      }
+    }
+    (rounds.result(), dict)
   }
 
   /** Gate shape of [[trainMerges]]: (merge_rank, lhs, rhs, pair_count)

@@ -53,29 +53,64 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false)
     def ndv(t: String, c: String): Double =
       stats.distinctCount(leaf(t), c).toDouble
 
+    // Soundness bookkeeping the simplified bound math needs: the set of
+    // already-joined tables whose rows are still DISTINCT inside the
+    // current intermediate (each base row appears at most once). The
+    // base-table statistics terms — baseCard(cand) in the fk-candidate
+    // case, and the ndv*mf*mf n:m product — are upper bounds only while
+    // the left table's rows are un-amplified; once a table entered
+    // through a row-multiplying join (n:m, cross/theta, fk expansion),
+    // its pk values repeat in the intermediate and those terms can
+    // UNDERestimate (found by the JOB bound spec on the cross-table
+    // OR-disjunction kit query: bound 25 vs actual 225). The reference
+    // solves this by propagating max frequencies through intermediates
+    // (ues.py MaxFrequencyStats); tracking uniqueness is the minimal
+    // sound version — the always-sound uLeft * mf(cand) cap remains
+    // available in every case.
+    // Per edge: (bound, uniqueness guarantee of the edge's join result).
+    // Guarantees compose by UNION across simultaneous edges: predicates
+    // only shrink the row set further, and "appears at most once"
+    // survives on any subset.
     def edgeBound(uLeft: Double, leftTable: String, cand: String,
-        edge: JoinEdge): Double = {
+        edge: JoinEdge, unique: Set[String]): (Double, Set[String]) = {
       (edge.columnOf(leftTable), edge.columnOf(cand)) match {
         case (Some(ca), Some(cb)) =>
           if (graph.isPrimaryKey(cand, cb.name)) {
-            uLeft // fk side is the current intermediate
+            // each intermediate row matches at most one pk row: row set
+            // does not grow, existing uniqueness survives
+            (uLeft, unique)
           } else if (graph.isPrimaryKey(leftTable, ca.name)) {
-            math.min(baseCard(cand), uLeft * mf(cand, cb.name))
+            val cap = uLeft * mf(cand, cb.name)
+            if (unique(leftTable))
+              // pk side unique in L => each cand row matches <= 1 L row:
+              // at most baseCard(cand) rows, and cand comes out distinct
+              (math.min(baseCard(cand), cap), Set(cand))
+            else (cap, Set.empty)
           } else {
+            val cap = uLeft * mf(cand, cb.name)
             val nm = math.min(ndv(leftTable, ca.name), ndv(cand, cb.name)) *
               mf(leftTable, ca.name) * mf(cand, cb.name)
-            math.min(nm, uLeft * mf(cand, cb.name))
+            // the base-stats n:m product is sound only while leftTable's
+            // frequencies are un-amplified in the intermediate
+            (if (unique(leftTable)) math.min(nm, cap) else cap, Set.empty)
           }
-        case _ => uLeft * baseCard(cand)
+        case _ => (uLeft * baseCard(cand), Set.empty)
       }
     }
 
-    // bound of joining candidate c into the current set: min over edges
-    def joinBound(joined: Set[String], u: Double, c: String): Double =
-      graph.edgesBetween(joined, c).map { e =>
+    // bound of joining candidate c into the current set: min bound over
+    // edges; uniqueness guarantee = union over ALL edges (they all apply)
+    def joinBoundWithUnique(joined: Set[String], u: Double, c: String,
+        unique: Set[String]): (Double, Set[String]) = {
+      val per = graph.edgesBetween(joined, c).map { e =>
         val leftTable = (e.tables - c).head
-        edgeBound(u, leftTable, c, e)
-      }.min
+        edgeBound(u, leftTable, c, e, unique)
+      }
+      (per.map(_._1).min, per.map(_._2).reduce(_ ++ _))
+    }
+    def joinBound(joined: Set[String], u: Double, c: String,
+        unique: Set[String]): Double =
+      joinBoundWithUnique(joined, u, c, unique)._1
 
     val start = tables.minBy(baseCard)
     var tree: JoinTree[Cardinality] =
@@ -83,6 +118,8 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false)
         Cardinality(baseCard(start)))
     var joined = Set(start)
     var bound = baseCard(start)
+    // the bare (filtered) start table is trivially duplicate-free
+    var unique = Set(start)
 
     // free pk-side partners of `c`: joined to c on a column where the
     // partner is the pk side, and connected to nothing else outside
@@ -98,8 +135,11 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false)
     while (joined.size < tables.size) {
       val candidates = graph.neighbors(joined)
       if (candidates.isEmpty) return None // disconnected graph
-      val next = candidates.minBy(c => joinBound(joined, bound, c))
-      bound = math.max(joinBound(joined, bound, next), 1.0)
+      val next = candidates.minBy(c => joinBound(joined, bound, c, unique))
+      val (nextBound, nextUnique) =
+        joinBoundWithUnique(joined, bound, next, unique)
+      bound = math.max(nextBound, 1.0)
+      unique = nextUnique
       var branch: JoinTree[Cardinality] =
         ScanNode(graph.block.tables.find(_.identifier == next).get,
           Cardinality(baseCard(next)))

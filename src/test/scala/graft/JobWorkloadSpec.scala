@@ -35,6 +35,42 @@ class JobWorkloadSpec extends SparkSpec {
     }
   }
 
+  test("UES bounds are true upper bounds on every JOB join intermediate") {
+    Tables.registerAll(spark, sfDir)
+    val wl = Workload.fromDirectory("job", "/root/repo/workloads/job")
+    val pipeline = Presets.ues(spark, new EmulatedStatistics(spark))
+    // the reference's value proposition is BOUND tightness: the UES
+    // annotation on each join node is an upper bound on that join's true
+    // output, which is what makes the pessimistic order safe (bounded
+    // intermediates, never an exploding one). Enforcement pins the join
+    // order, so the physical join tree is isomorphic to the UES tree and
+    // post-order positions align; compare every aligned pair. All error
+    // in job_qerror must therefore be OVERestimation.
+    def cards(t: graft.plans.JoinTree[graft.core.Cardinality]): Seq[Double] =
+      t match {
+        case graft.plans.JoinNode(o, i, a) => cards(o) ++ cards(i) :+ a.value
+        case _ => Seq.empty
+      }
+    var compared = 0
+    wl.queries.foreach { case (label, sql) =>
+      val res = pipeline.optimizeQuery(sql)
+      res.df.collect()
+      for {
+        est <- res.joinOrder.map(cards)
+        act <- QueryPlanOps(res.df).joinTree.map(cards)
+        if est.size == act.size
+        ((e, a), idx) <- est.zip(act).zipWithIndex
+        if !e.isNaN && !a.isNaN && a >= 0
+      } {
+        compared += 1
+        assert(e >= a,
+          s"$label join #$idx: UES bound $e below actual $a — not an upper bound")
+      }
+    }
+    // the contract must actually have been exercised, not vacuously true
+    assert(compared >= 100, s"only $compared join bounds compared")
+  }
+
   test("UES beats the native join order on C_out for at least one JOB query") {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("job", "/root/repo/workloads/job")

@@ -1425,6 +1425,57 @@ class LlmOpsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("batched bpe: batchSize=1 is bit-identical to serial greedy, " +
+      "rounds are symbol-disjoint, serving fold reproduces the dict") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    val d = Seq((1L, "abab abab banana band bandana low lower lowest"),
+      (2L, "ananab nanab abba abab newer newest wide widest")).toDF(
+      "doc_id", "text")
+    // batchSize=1 must reproduce the serial trainer exactly — merge
+    // table AND final dictionary
+    val (serial, sdict) = Bpe.trainMerges(d, "text", 6)
+    val (r1, bdict1) = Bpe.trainMergesBatched(d, "text", 6, batchSize = 1)
+    assert(r1.flatten === serial)
+    assert(sameResults(sdict, bdict1))
+    // batchSize=3: every round's admissions touch pairwise-disjoint
+    // symbols (incl. the fused product), counts are rank-ordered within
+    // a round, ranks are globally consecutive, and the requested merge
+    // budget is met
+    val (r3, bdict3) = Bpe.trainMergesBatched(d, "text", 6, batchSize = 3)
+    val flat = r3.flatten
+    assert(flat.size === 6)
+    assert(flat.map(_.rank) === (1L to 6L))
+    r3.foreach { round =>
+      assert(round.size <= 3 && round.nonEmpty)
+      // disjointness is BETWEEN merges (a self-pair like (ab,ab) is a
+      // legal single merge and trivially shares symbols with itself)
+      val sets = round.map(m => Set(m.lhs, m.rhs, m.lhs + m.rhs))
+      for (i <- sets.indices; j <- sets.indices if i < j)
+        assert((sets(i) & sets(j)).isEmpty,
+          s"round admitted conflicting symbols: $round")
+      assert(round.map(_.count) === round.map(_.count).sortBy(-_))
+    }
+    // fewer rounds than merges: the whole point of batching
+    assert(r3.size < flat.size)
+    // each round's FIRST admission is the serial argmax for that dict
+    // state (the batch always contains the exact-greedy choice)
+    assert(r3.head.head === serial.head)
+    // serving-path consistency: applying the flattened rule list in rank
+    // order to raw words reproduces the training dictionary's piece
+    // counts (same contract the serial path pins via segmentExpr)
+    val rules = flat.map(m => (m.lhs, m.rhs))
+    val fromRules = d.select(
+      Bpe.segmentExpr(col("text"), rules).as("n"), col("doc_id"))
+    val fromDict = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(bdict3.select(col("word"), size(col("syms")).as("k")), "word")
+      .groupBy("doc_id").agg(sum(col("k").cast("long")).as("n"))
+    assert(sameResults(fromRules.select("doc_id", "n"),
+      fromDict.select("doc_id", "n")))
+  }
+
   test("semdedup-kmeans prune set equals the brute-force within-cluster " +
       "rule and the pair join is an equality join") {
     import graft.functions.CosineSimilarity.cosineSim
