@@ -13,15 +13,18 @@ import graft.qal.QueryFacade
   *
   * Greedy construction of a left-deep tree that minimizes the upper bound of
   * every intermediate:
-  *  - n:m edge bound:  |L ⋈a=b R| <= min(d(a), d(b)) * mf(a) * mf(b),
+  *  - n:m edge bound:  |L ⋈a=b R| <= min(d(a), d(b)) * mf_L(a) * mf(b),
   *    additionally capped by U(L) * mf(b) (each of the at-most-U(L) rows on
   *    the build side matches at most mf(b) probe rows);
-  *  - pk/fk edge bound: the fk side's (filtered) cardinality — every fk row
-  *    matches at most one pk row.
-  * Statistics come from the emulated stats provider: filtered base-table
-  * cardinalities, per-join-column distinct counts and maximum frequencies
-  * (MaxFrequencyStats, ues.py:300). Simplification vs the reference: no
-  * subquery-branching policies — always left-deep (the reference default).
+  *  - pk/fk edge bound: falls out of the same formulas because a pk
+  *    column's max frequency is 1 (pk candidate => U unchanged; fk
+  *    candidate off a fresh pk side => the fk side's filtered cardinality).
+  * mf_L is the PROPAGATED max frequency inside the intermediate — base
+  * max frequency times the table's tracked row multiplicity — the
+  * reference's MaxFrequencyStats design (ues.py:300); see the bound
+  * derivation at [[optimizeJoinOrder]]'s stepFor. Statistics come from
+  * the emulated stats provider: filtered base-table cardinalities,
+  * per-join-column distinct counts and maximum frequencies.
   */
   /** @param subqueryBranching UES branching policy (reference:
     *   ues.py subquery generation): when an n:m table enters the join
@@ -53,64 +56,50 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false)
     def ndv(t: String, c: String): Double =
       stats.distinctCount(leaf(t), c).toDouble
 
-    // Soundness bookkeeping the simplified bound math needs: the set of
-    // already-joined tables whose rows are still DISTINCT inside the
-    // current intermediate (each base row appears at most once). The
-    // base-table statistics terms — baseCard(cand) in the fk-candidate
-    // case, and the ndv*mf*mf n:m product — are upper bounds only while
-    // the left table's rows are un-amplified; once a table entered
-    // through a row-multiplying join (n:m, cross/theta, fk expansion),
-    // its pk values repeat in the intermediate and those terms can
-    // UNDERestimate (found by the JOB bound spec on the cross-table
-    // OR-disjunction kit query: bound 25 vs actual 225). The reference
-    // solves this by propagating max frequencies through intermediates
-    // (ues.py MaxFrequencyStats); tracking uniqueness is the minimal
-    // sound version — the always-sound uLeft * mf(cand) cap remains
-    // available in every case.
-    // Per edge: (bound, uniqueness guarantee of the edge's join result).
-    // Guarantees compose by UNION across simultaneous edges: predicates
-    // only shrink the row set further, and "appears at most once"
-    // survives on any subset.
-    def edgeBound(uLeft: Double, leftTable: String, cand: String,
-        edge: JoinEdge, unique: Set[String]): (Double, Set[String]) = {
-      (edge.columnOf(leftTable), edge.columnOf(cand)) match {
-        case (Some(ca), Some(cb)) =>
-          if (graph.isPrimaryKey(cand, cb.name)) {
-            // each intermediate row matches at most one pk row: row set
-            // does not grow, existing uniqueness survives
-            (uLeft, unique)
-          } else if (graph.isPrimaryKey(leftTable, ca.name)) {
-            val cap = uLeft * mf(cand, cb.name)
-            if (unique(leftTable))
-              // pk side unique in L => each cand row matches <= 1 L row:
-              // at most baseCard(cand) rows, and cand comes out distinct
-              (math.min(baseCard(cand), cap), Set(cand))
-            else (cap, Set.empty)
-          } else {
-            val cap = uLeft * mf(cand, cb.name)
-            val nm = math.min(ndv(leftTable, ca.name), ndv(cand, cb.name)) *
-              mf(leftTable, ca.name) * mf(cand, cb.name)
-            // the base-stats n:m product is sound only while leftTable's
-            // frequencies are un-amplified in the intermediate
-            (if (unique(leftTable)) math.min(nm, cap) else cap, Set.empty)
-          }
-        case _ => (uLeft * baseCard(cand), Set.empty)
+    // Max-frequency propagation through intermediates (the reference's
+    // MaxFrequencyStats design, /root/reference/postbound/opt/ues.py:300):
+    // alongside the running bound U we track, per joined table t, a
+    // row-MULTIPLICITY bound mu(t) — the max number of times one base row
+    // of t can appear in the current intermediate. The max frequency of
+    // column (t,c) inside the intermediate is then <= mf_base(t,c) *
+    // mu(t); that propagated frequency is what makes the fk-candidate and
+    // n:m bound terms sound after row-amplifying joins (the JOB bound
+    // spec caught raw base statistics claiming 25 where 225 materialized,
+    // after a cross-table OR edge amplified the pk side). Base ndv stays
+    // valid as-is: distinct counts only shrink inside an intermediate.
+    //
+    // Joining candidate `c` into L over its (simultaneous) edges:
+    //   beta  = min(baseCard(c), min over equi edges of mf_base(c, cb))
+    //           — one L row matches at most beta candidate rows
+    //   alpha = min(U, min over equi edges of mf_base(l, ca) * mu(l))
+    //           — one candidate row matches at most alpha L rows
+    //   U'    = min( U * beta,
+    //                baseCard(c) * alpha,
+    //                per equi edge: min(ndv(l,ca), ndv(c,cb))
+    //                  * mf_base(l,ca)*mu(l) * mf_base(c,cb) )
+    //   mu'(t) = mu(t) * beta for t in L;   mu'(c) = alpha
+    // Pure theta/cross edges carry no per-row cap, so beta/alpha take the
+    // baseCard/U fallbacks. pk columns need no special casing: their base
+    // max frequency is 1, which reproduces the classic pk/fk rules
+    // (pk candidate => U' = U; fk candidate off a fresh pk side =>
+    // U' = baseCard(c)).
+    final case class Step(bound: Double, beta: Double, alpha: Double)
+    def stepFor(joined: Set[String], u: Double, mu: Map[String, Double],
+        c: String): Step = {
+      val equi = graph.edgesBetween(joined, c).flatMap { e =>
+        val l = (e.tables - c).head
+        for (ca <- e.columnOf(l); cb <- e.columnOf(c)) yield (l, ca, cb)
       }
-    }
-
-    // bound of joining candidate c into the current set: min bound over
-    // edges; uniqueness guarantee = union over ALL edges (they all apply)
-    def joinBoundWithUnique(joined: Set[String], u: Double, c: String,
-        unique: Set[String]): (Double, Set[String]) = {
-      val per = graph.edgesBetween(joined, c).map { e =>
-        val leftTable = (e.tables - c).head
-        edgeBound(u, leftTable, c, e, unique)
+      val beta = (equi.map { case (_, _, cb) => mf(c, cb.name) } :+
+        baseCard(c)).min
+      val alpha = (equi.map { case (l, ca, _) =>
+        mf(l, ca.name) * mu(l) } :+ u).min
+      val nm = equi.map { case (l, ca, cb) =>
+        math.min(ndv(l, ca.name), ndv(c, cb.name)) *
+          mf(l, ca.name) * mu(l) * mf(c, cb.name)
       }
-      (per.map(_._1).min, per.map(_._2).reduce(_ ++ _))
+      Step((Seq(u * beta, baseCard(c) * alpha) ++ nm).min, beta, alpha)
     }
-    def joinBound(joined: Set[String], u: Double, c: String,
-        unique: Set[String]): Double =
-      joinBoundWithUnique(joined, u, c, unique)._1
 
     val start = tables.minBy(baseCard)
     var tree: JoinTree[Cardinality] =
@@ -118,8 +107,8 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false)
         Cardinality(baseCard(start)))
     var joined = Set(start)
     var bound = baseCard(start)
-    // the bare (filtered) start table is trivially duplicate-free
-    var unique = Set(start)
+    // the bare (filtered) start table: every base row appears at most once
+    var mu = Map(start -> 1.0)
 
     // free pk-side partners of `c`: joined to c on a column where the
     // partner is the pk side, and connected to nothing else outside
@@ -135,11 +124,10 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false)
     while (joined.size < tables.size) {
       val candidates = graph.neighbors(joined)
       if (candidates.isEmpty) return None // disconnected graph
-      val next = candidates.minBy(c => joinBound(joined, bound, c, unique))
-      val (nextBound, nextUnique) =
-        joinBoundWithUnique(joined, bound, next, unique)
-      bound = math.max(nextBound, 1.0)
-      unique = nextUnique
+      val next = candidates.minBy(c => stepFor(joined, bound, mu, c).bound)
+      val step = stepFor(joined, bound, mu, next)
+      bound = math.max(step.bound, 1.0)
+      mu = mu.map { case (t, m) => t -> m * step.beta } + (next -> step.alpha)
       var branch: JoinTree[Cardinality] =
         ScanNode(graph.block.tables.find(_.identifier == next).get,
           Cardinality(baseCard(next)))
@@ -148,7 +136,14 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false)
         pkPartners(next, taken).foreach { d =>
           val scanD = ScanNode(graph.block.tables.find(_.identifier == d).get,
             Cardinality(baseCard(d)))
-          // pk joins never increase the branch bound
+          // pk joins never increase the branch bound; the partner's rows
+          // appear at most once per matching `next` row, so its
+          // multiplicity is next's multiplicity times next's fk-column
+          // frequency (fallback: the whole intermediate)
+          val dMu = (graph.edges.filter(_.connects(next, d))
+            .flatMap(_.columnOf(next))
+            .map(cf => step.alpha * mf(next, cf.name)) :+ bound).min
+          mu += (d -> dMu)
           branch = JoinNode(branch, scanD, branch.annotation)
           taken += d
         }
