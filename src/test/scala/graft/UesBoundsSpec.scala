@@ -1,0 +1,80 @@
+package graft
+
+import graft.opt.{JoinGraph, UESJoinOrderOptimizer}
+import graft.plans.{JoinNode, JoinTree, ScanNode}
+import graft.qal.QueryFacade
+import graft.stats.EmulatedStatistics
+import graft.core.Cardinality
+
+/** Hand-computed pins for the UES bound math with max-frequency
+  * propagation (reference: ues.py:300 MaxFrequencyStats; CIDR'21 bound
+  * formulas). The JOB-kit integration test asserts bound >= actual at
+  * scale; this spec pins the exact per-step arithmetic — beta/alpha
+  * caps, the n:m ndv*mf*mf term, and the row-multiplicity update — on
+  * fixtures small enough to verify on paper.
+  */
+class UesBoundsSpec extends SparkSpec {
+
+  private lazy val stats = new EmulatedStatistics(spark)
+
+  private def bounds(t: JoinTree[Cardinality]): Seq[Double] = t match {
+    case JoinNode(o, i, a) => bounds(o) ++ bounds(i) :+ a.value
+    case _ => Seq.empty
+  }
+
+  test("three-table chain: per-step bounds match the paper formulas and " +
+      "the final bound is tight on this fixture") {
+    import spark.implicits._
+    // ua(a_k): [1,2]            card 2, ndv 2, mf 1
+    // ub(b_k,b_j): [(1,10),(1,20),(2,10)]  card 3; b_k ndv 2 mf 2; b_j ndv 2 mf 2
+    // uc(c_j): [10,10,20,20,30] card 5, ndv 3, mf 2
+    Seq(1, 2).toDF("a_k").createOrReplaceTempView("ua")
+    Seq((1, 10), (1, 20), (2, 10)).toDF("b_k", "b_j")
+      .createOrReplaceTempView("ub")
+    Seq(10, 10, 20, 20, 30).toDF("c_j").createOrReplaceTempView("uc")
+    val sql = """SELECT count(*) AS n FROM ua, ub, uc
+                 WHERE a_k = b_k AND b_j = c_j"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val tree = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
+    // start = ua (min card). Step ub: beta=min(mf(b_k)=2, card 3)=2;
+    // alpha=min(mf(a_k)*mu(ua)=1, U=2)=1; bound=min(2*2, 3*1,
+    // nm=min(2,2)*1*2=4)=3. mu: ua->2, ub->1.
+    // Step uc: beta=min(mf(c_j)=2, 5)=2; alpha=min(mf(b_j)*mu(ub)=2, 3)=2;
+    // bound=min(3*2=6, 5*2=10, nm=min(2,3)*2*2=8)=6.
+    assert(tree.tables.map(_.identifier) === Seq("ua", "ub", "uc"))
+    assert(bounds(tree) === Seq(3.0, 6.0))
+    // the actual join result has exactly 6 rows: the bound is tight here
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM ua JOIN ub ON a_k = b_k
+         JOIN uc ON b_j = c_j""").head().getLong(0) === 6L)
+  }
+
+  test("fk expansion off an amplified pk side stays a true upper bound " +
+      "(the r10 bug class in miniature)") {
+    import spark.implicits._
+    // p(p_k): [1,2] pk. f(f_k): [1,1,2] amplifies p (p1 appears twice).
+    // g(g_k): [1,1,1,2,2]. Joining g on p_k after the amplification:
+    // base statistics alone would claim min(baseCard(g)=5, U*mf=9)=5,
+    // but 8 rows materialize — the exact unsoundness the JOB bound spec
+    // caught. With multiplicity propagation alpha=mf(p_k)*mu(p)=2, so
+    // the bound is min(3*3, 5*2, min(2,2)*2*3)=9 >= 8.
+    Seq(1, 2).toDF("p_k").createOrReplaceTempView("up")
+    Seq(1, 1, 2).toDF("f_k").createOrReplaceTempView("uf")
+    Seq(1, 1, 1, 2, 2).toDF("g_k").createOrReplaceTempView("ug")
+    val sql = """SELECT count(*) AS n FROM up, uf, ug
+                 WHERE p_k = f_k AND p_k = g_k"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val tree = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
+    val actual = spark.sql(
+      """SELECT count(*) AS n FROM up JOIN uf ON p_k = f_k
+         JOIN ug ON p_k = g_k""").head().getLong(0)
+    assert(actual === 8L)
+    // start = up (card 2); uf and ug are symmetric candidates except for
+    // cardinality: uf first (bound 3), then ug with the amplified alpha
+    assert(tree.tables.map(_.identifier) === Seq("up", "uf", "ug"))
+    assert(bounds(tree) === Seq(3.0, 9.0))
+    assert(bounds(tree).last >= actual.toDouble)
+  }
+}
