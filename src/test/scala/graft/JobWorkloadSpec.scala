@@ -20,7 +20,7 @@ class JobWorkloadSpec extends SparkSpec {
   test("JOB kit: 6-13-way queries optimize through UES and match native") {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("job", "/root/repo/workloads/job")
-    assert(wl.size === 30)
+    assert(wl.size === 34)
     val pipeline = Presets.ues(spark, new EmulatedStatistics(spark))
     val rs = BenchHarness.executeWorkload(spark, wl,
       optimizer = pipeline.optimize _)

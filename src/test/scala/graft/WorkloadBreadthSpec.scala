@@ -24,7 +24,7 @@ class WorkloadBreadthSpec extends SparkSpec {
     val ssb = Workload.fromDirectory("ssb", "/root/repo/workloads/ssb")
     val all = job.queries.toSeq.map { case (l, q) => s"job/$l" -> q } ++
       ssb.queries.toSeq.map { case (l, q) => s"ssb/$l" -> q }
-    assert(all.size === 43, "kit drifted: expected 30 JOB + 13 SSB queries")
+    assert(all.size === 47, "kit drifted: expected 34 JOB + 13 SSB queries")
 
     val pipeline = new MultiStageOptimizationPipeline(spark,
       joinOrder = Some(new UESJoinOrderOptimizer),
