@@ -209,8 +209,12 @@ object Bench {
         .getOrElse("/root/repo/workloads")
       val wl = graft.bench.Workload.fromDirectory("job", s"$root/job")
       Tables.registerAll(spark, sfDir)
+      // the gate's disk-persisted stats cache, not a cold provider: the
+      // reference optimizes against precomputed catalog statistics, so
+      // opt-time should measure optimization, not first-touch stat
+      // probes (q05's four unique filters alone cost ~1s cold at sf0.1)
       val pipeline = graft.opt.Presets.ues(spark,
-        new graft.stats.EmulatedStatistics(spark))
+        OptQueries.statsFor(spark, sfDir))
       val kit = wl.queries.toSeq.sortBy(_._1)
       kit.headOption.foreach { case (_, sql) => pipeline.optimizeQuery(sql) }
       // Estimate-quality per query: the UES tree's annotations are the
