@@ -281,6 +281,19 @@ object LlmQueries {
       Bpe.mergesDf(docs(s, dir), "text", numMerges = 6)
     },
 
+    // the BATCHED trainer's exact-greedy mode (batchSize=1) through the
+    // same serial-replay oracle: the scale-path code (round batching,
+    // conflict admission, chain application) is oracle-gated where it
+    // must be bit-identical to the serial recipe; k>1 rounds are
+    // spec-pinned instead (no serial SQL replay exists for them)
+    "t25_bpe_merges_batched" -> { (s, dir) =>
+      import s.implicits._
+      Bpe.trainMergesBatched(docs(s, dir), "text", numMerges = 6,
+          batchSize = 1)._1.flatten
+        .map(m => (m.rank, m.lhs, m.rhs, m.count))
+        .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    },
+
     // the corpus segmented with the learned vocabulary: per-document
     // piece counts after the 6 merges — the batch-sizer's input; corpus
     // side re-tokenizes narrowly and joins the vocab-sized dictionary
@@ -1833,6 +1846,7 @@ object LlmQueries {
     // generated by the engine's own oracle builder so round count and
     // constants cannot drift
     "t20_bpe_merges" -> Bpe.mergesOracleSql(numMerges = 6),
+    "t25_bpe_merges_batched" -> Bpe.mergesOracleSql(numMerges = 6),
 
     // same chain, then piece counts joined back onto the token instances
     "t21_bpe_segment" -> Bpe.segmentOracleSql(numMerges = 6),
