@@ -277,8 +277,10 @@ object Bench {
     // always survives next to whatever the driver captured
     try {
       import java.nio.file.{Files, Paths, StandardCopyOption}
+      // absolute default: the driver's working directory is not ours to
+      // assume, and the artifact must land inside the repo regardless
       val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "bench_out.json"))
+        "/root/repo/bench_out.json"))
       val tmp = Paths.get(out.toString + ".tmp")
       Files.writeString(tmp, line + "\n")
       Files.move(tmp, out, StandardCopyOption.REPLACE_EXISTING)
