@@ -282,14 +282,26 @@ object LlmQueries {
     },
 
     // the BATCHED trainer's exact-greedy mode (batchSize=1) through the
-    // same serial-replay oracle: the scale-path code (round batching,
-    // conflict admission, chain application) is oracle-gated where it
-    // must be bit-identical to the serial recipe; k>1 rounds are
-    // spec-pinned instead (no serial SQL replay exists for them)
+    // same serial-replay oracle: batchSize=1 must be bit-identical to
+    // the serial recipe, and this gate proves it
     "t25_bpe_merges_batched" -> { (s, dir) =>
       import s.implicits._
       Bpe.trainMergesBatched(docs(s, dir), "text", numMerges = 6,
           batchSize = 1)._1.flatten
+        .map(m => (m.rank, m.lhs, m.rhs, m.count))
+        .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    },
+
+    // the k>1 batched path — the actual 32k-vocab scale claim: the
+    // batched algorithm is deterministic, so its serial replay is a
+    // DuckDB CTE chain with the greedy top-k disjoint admission
+    // unrolled per round (Bpe.mergesBatchedOracleSql); this gates the
+    // round batching + conflict admission + chain application logic
+    // rows+schema+hash, not just by spec pin
+    "t26_bpe_merges_batched_k4" -> { (s, dir) =>
+      import s.implicits._
+      Bpe.trainMergesBatched(docs(s, dir), "text", numMerges = 8,
+          batchSize = 4)._1.flatten
         .map(m => (m.rank, m.lhs, m.rhs, m.count))
         .toDF("merge_rank", "lhs", "rhs", "pair_count")
     },
@@ -1847,6 +1859,8 @@ object LlmQueries {
     // constants cannot drift
     "t20_bpe_merges" -> Bpe.mergesOracleSql(numMerges = 6),
     "t25_bpe_merges_batched" -> Bpe.mergesOracleSql(numMerges = 6),
+    "t26_bpe_merges_batched_k4" ->
+      Bpe.mergesBatchedOracleSql(numMerges = 8, batchSize = 4),
 
     // same chain, then piece counts joined back onto the token instances
     "t21_bpe_segment" -> Bpe.segmentOracleSql(numMerges = 6),

@@ -28,6 +28,15 @@ object Verify {
     selected.foreach { case (name, fn) =>
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
+      // a REUSED outDir must not let last run's parquet mask a query that
+      // newly throws before writing (the tripwire below counts a query
+      // "produced" iff parquet exists — that has to mean THIS run's write)
+      val stale = Paths.get(s"$outDir/$name")
+      if (Files.isDirectory(stale)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(stale).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
       val sc = spark.sparkContext
       val group = s"graft-verify-$name"
       val groupSet = new java.util.concurrent.CountDownLatch(1)

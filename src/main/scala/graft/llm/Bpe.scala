@@ -109,10 +109,10 @@ object Bpe {
     * how practical distributed BPE trainers approximate the serial
     * recipe — implemented as [[trainMergesBatched]] (spec-pinned:
     * batchSize=1 is bit-identical to this method; larger batches keep
-    * within-round symbol disjointness). The batched merge table is not
-    * oracled in the gate because for k>1 it is no longer bit-identical
-    * to serial BPE (the gate's oracle contract); the serial path with
-    * this documented round budget remains the gate surface. */
+    * within-round symbol disjointness). The batched path is
+    * deterministic, so BOTH modes are oracle-gated: batchSize=1 against
+    * the serial replay (t25), and k=4 against
+    * [[mergesBatchedOracleSql]]'s unrolled-admission replay (t26). */
   def trainMerges(docs: DataFrame, textCol: String,
       numMerges: Int): (Seq[Merge], DataFrame) = {
     require(numMerges >= 0)
@@ -295,6 +295,104 @@ object Bpe {
     }.mkString("\n UNION ALL ")
     s"""WITH ${bpeCtes(numMerges)}
        SELECT merge_rank, lhs, rhs, pair_count FROM ($union)
+       ORDER BY merge_rank"""
+  }
+
+  /** DuckDB oracle for [[trainMergesBatched]] at ARBITRARY batchSize —
+    * the k>1 path is deterministic, so its serial replay is expressible
+    * as the same materialized-CTE chain [[mergesOracleSql]] uses, with
+    * the per-round greedy admission unrolled: per round, rank the
+    * round-start pair counts (row_number over (c DESC, lhs, rhs) — the
+    * exact tie-break), admit up to `want = least(batchSize, remaining)`
+    * pairs in rank order whose lhs, rhs AND fused product are untouched
+    * by earlier admissions this round, scanning no further than the
+    * 4*want over-fetch budget, then apply the admitted merges ONE AT A
+    * TIME via the same run-parity kp/w rewrite (sequential application
+    * is exactly [[applyMergeChain]]'s fold). Rounds unroll to numMerges
+    * (worst case: every round admits only the argmax); exhausted rounds
+    * admit nothing and copy the dictionary through unchanged. */
+  def mergesBatchedOracleSql(numMerges: Int, batchSize: Int): String = {
+    require(numMerges >= 1 && batchSize >= 1)
+    def adjCte(s: Int) =
+      s"""adj$s AS MATERIALIZED (
+         SELECT word, cnt, i, s,
+           lead(s) OVER (PARTITION BY word ORDER BY i) AS nx
+         FROM (SELECT word, cnt, generate_subscripts(syms, 1) AS i,
+                 unnest(syms) AS s FROM w$s))"""
+    // run-parity rewrite of state s under the (0-or-1-row) pair CTE `p`
+    def rewriteCtes(s: Int, p: String) =
+      s"""kp${s + 1} AS MATERIALIZED (
+         SELECT word, i FROM (
+           SELECT word, i,
+             row_number() OVER (PARTITION BY word, g ORDER BY i) AS rn
+           FROM (SELECT a.word, a.i,
+                   a.i - row_number() OVER (PARTITION BY a.word
+                     ORDER BY a.i) AS g
+                 FROM adj$s a, $p b
+                 WHERE a.s = b.lhs AND a.nx = b.rhs))
+         WHERE rn % 2 = 1),
+       w${s + 1} AS MATERIALIZED (
+         SELECT a.word, a.cnt,
+           list(CASE WHEN k.i IS NOT NULL THEN a.s || a.nx ELSE a.s END
+                ORDER BY a.i) AS syms
+         FROM adj$s a
+         LEFT JOIN kp${s + 1} k ON k.word = a.word AND k.i = a.i
+         LEFT JOIN kp${s + 1} k2 ON k2.word = a.word AND k2.i = a.i - 1
+         WHERE k2.i IS NULL
+         GROUP BY a.word, a.cnt)"""
+    val rounds = (1 to numMerges).map { r =>
+      val s0 = (r - 1) * batchSize
+      val steps = (1 to batchSize).map { j =>
+        val s = s0 + j - 1
+        val prevRn = if (j == 1) "0" else s"(SELECT max(rn) FROM adm${r}_${j - 1})"
+        val stepAdj = if (j == 1) "" else adjCte(s) + ",\n       "
+        s"""${stepAdj}adm${r}_$j AS MATERIALIZED (
+           SELECT lhs, rhs, c, rn FROM rk$r
+           WHERE $j <= (SELECT n FROM want$r)
+             AND rn <= 4 * (SELECT n FROM want$r)
+             AND rn > $prevRn
+             AND lhs NOT IN (SELECT sym FROM used${r}_${j - 1})
+             AND rhs NOT IN (SELECT sym FROM used${r}_${j - 1})
+             AND lhs || rhs NOT IN (SELECT sym FROM used${r}_${j - 1})
+           ORDER BY rn LIMIT 1),
+         used${r}_$j AS (
+           SELECT sym FROM used${r}_${j - 1}
+           UNION ALL SELECT lhs FROM adm${r}_$j
+           UNION ALL SELECT rhs FROM adm${r}_$j
+           UNION ALL SELECT lhs || rhs FROM adm${r}_$j),
+         ${rewriteCtes(s, s"adm${r}_$j")}"""
+      }.mkString(",\n")
+      val admCounts = (1 to batchSize)
+        .map(j => s"(SELECT count(*) FROM adm${r}_$j)").mkString(" + ")
+      s"""want$r AS MATERIALIZED (
+         SELECT least($batchSize, $numMerges - (SELECT n FROM tot${r - 1})) AS n),
+       ${adjCte(s0)},
+       rk$r AS MATERIALIZED (
+         SELECT lhs, rhs, c,
+           row_number() OVER (ORDER BY c DESC, lhs, rhs) AS rn
+         FROM (SELECT s AS lhs, nx AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+               FROM adj$s0 WHERE nx IS NOT NULL GROUP BY s, nx)),
+       used${r}_0 AS (SELECT '' AS sym WHERE 1 = 0),
+       $steps,
+       tot$r AS MATERIALIZED (
+         SELECT (SELECT n FROM tot${r - 1}) + $admCounts AS n)"""
+    }.mkString(",\n")
+    val union = (for (r <- 1 to numMerges; j <- 1 to batchSize) yield
+      s"SELECT $r AS r, rn, lhs, rhs, c FROM adm${r}_$j").mkString("\n UNION ALL ")
+    s"""WITH toks AS MATERIALIZED (
+         SELECT doc_id, t AS word FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents)
+         WHERE t <> ''),
+       w0 AS MATERIALIZED (
+         SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+           string_split(word, '') AS syms
+         FROM toks GROUP BY word),
+       tot0 AS (SELECT 0 AS n),
+       $rounds
+       SELECT row_number() OVER (ORDER BY r, rn) AS merge_rank,
+         lhs, rhs, c AS pair_count
+       FROM ($union)
        ORDER BY merge_rank"""
   }
 

@@ -12,9 +12,10 @@ object Presets {
   /** The flagship UES setup: pessimistic ordering, hash-only operators,
     * bound-derived parameters. */
   def ues(spark: SparkSession,
-      stats: EmulatedStatistics = null): MultiStageOptimizationPipeline =
+      stats: EmulatedStatistics = null,
+      subqueryBranching: Boolean = false): MultiStageOptimizationPipeline =
     new MultiStageOptimizationPipeline(spark,
-      joinOrder = Some(new UESJoinOrderOptimizer),
+      joinOrder = Some(new UESJoinOrderOptimizer(subqueryBranching)),
       operators = Some(new UESOperatorSelection),
       parameters = Some(new BoundsParameterGeneration),
       stats = stats)

@@ -1,5 +1,6 @@
 package graft.opt
 
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import graft.core.{Cardinality, JoinOperator}
 import graft.pipeline.{JoinOrderOptimization, PhysicalOperatorSelection,
   ParameterGeneration}
@@ -32,11 +33,32 @@ import graft.qal.QueryFacade
     *   sub-branch first — the pk/fk joins only filter that table, so
     *   applying them before the n:m join tightens the intermediate without
     *   changing the bound math. Off = plain left-deep (reference default).
+    * @param filteredStats probe frequency statistics (mf/ndv/MCV) on the
+    *   FILTERED base relations instead of the raw tables. The reference
+    *   scales base max frequencies by filter selectivity (ues.py's
+    *   frequency adjustment) — a heuristic that can UNDERestimate when a
+    *   filter keeps the hot value. Our emulated-stats provider can probe
+    *   the filtered relation exactly (memoized + disk-persisted, one
+    *   aggregation job per new (table, filter, column)), which keeps the
+    *   bound a true upper bound while capturing the same tightening.
+    * @param mcvEdgeBounds add a most-common-values edge term to the n:m
+    *   bound: instead of charging every one of the min(ndv) matching
+    *   values the global max frequency on BOTH sides, pair the sorted
+    *   per-value frequency vectors (rearrangement inequality — the
+    *   worst-case alignment) using the exact top-[[mcvK]] frequencies and
+    *   three sound caps on the unseen tail (per-value <= the k-th MCV
+    *   frequency, total mass <= cardinality minus the MCV prefix mass,
+    *   value count <= min ndv). This is the pessimistic-estimator
+    *   refinement of the sketch-bound literature (compare the reference's
+    *   MostCommonValues statistic, db/_db.py:1600) and only ever tightens:
+    *   the term joins the existing min(...), never replaces it.
     */
-final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false)
+final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
+    filteredStats: Boolean = true, mcvEdgeBounds: Boolean = true,
+    mcvK: Int = 16)
     extends JoinOrderOptimization {
   def describe: String =
-    s"""{"name":"ues","tree":"${if (subqueryBranching) "bushy" else "left-deep"}","bounds":"pessimistic"}"""
+    s"""{"name":"ues","tree":"${if (subqueryBranching) "bushy" else "left-deep"}","bounds":"pessimistic","filteredStats":$filteredStats,"mcv":$mcvEdgeBounds}"""
 
   def optimizeJoinOrder(q: QueryFacade, graph: JoinGraph): Option[JoinTree[Cardinality]] = {
     val tables = graph.tables
@@ -48,13 +70,21 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false)
 
     val stats = graph.stats
     def leaf(t: String) = graph.block.leafPlan(t)
+    // the plan frequency probes run on: with filteredStats the table's
+    // filter predicates are applied first, so mf/ndv/MCV describe the
+    // relation that actually participates in the joins (exact, hence
+    // sound — unlike selectivity-scaled base frequencies)
+    def statPlan(t: String): LogicalPlan =
+      if (!filteredStats) leaf(t)
+      else QueryFacade.andAll(graph.block.filtersFor(t))
+        .map(Filter(_, leaf(t))).getOrElse(leaf(t))
     def baseCard(t: String): Double =
       stats.rowCount(leaf(t),
         QueryFacade.andAll(graph.block.filtersFor(t))).toDouble
     def mf(t: String, c: String): Double =
-      stats.maxFrequency(leaf(t), c).toDouble
+      stats.maxFrequency(statPlan(t), c).toDouble
     def ndv(t: String, c: String): Double =
-      stats.distinctCount(leaf(t), c).toDouble
+      stats.distinctCount(statPlan(t), c).toDouble
 
     // Max-frequency propagation through intermediates (the reference's
     // MaxFrequencyStats design, /root/reference/postbound/opt/ues.py:300):
@@ -84,21 +114,80 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false)
     // (pk candidate => U' = U; fk candidate off a fresh pk side =>
     // U' = baseCard(c)).
     final case class Step(bound: Double, beta: Double, alpha: Double)
+
+    // MCV-aware edge bound (rearrangement inequality): the join output
+    // over one equi edge is at most sum_i fl^(i) * fc^(i), pairing the
+    // two sides' per-value frequency vectors sorted descending — the
+    // worst-case value alignment. The top-k frequencies of each side are
+    // known exactly from the MCV probe; the unseen tail is charged three
+    // independent sound caps and takes their min:
+    //   per-value  <= the k-th MCV frequency (vectors are sorted),
+    //   total mass <= cardinality - MCV prefix mass (frequencies sum to
+    //                 the relation size),
+    //   #values    <= min(ndv_l, ndv_c) - k.
+    // The l side lives inside the running intermediate: its per-value
+    // frequencies scale by the multiplicity mu(l) and cap at U, its total
+    // mass caps at U; the candidate side caps at its filtered cardinality.
+    def mcvTerm(l: String, ca: String, muL: Double, u: Double,
+        c: String, cb: String): Double = {
+      val fl = stats.mcvFrequencies(statPlan(l), ca, mcvK).map(_.toDouble)
+      val fc = stats.mcvFrequencies(statPlan(c), cb, mcvK).map(_.toDouble)
+      if (fl.isEmpty || fc.isEmpty) return 0.0 // an empty side joins nothing
+      val cardC = baseCard(c)
+      val cardL = if (filteredStats) baseCard(l) else
+        stats.rowCount(leaf(l)).toDouble
+      val m = math.min(ndv(l, ca), ndv(c, cb))
+      val k = math.min(math.min(fl.size, fc.size).toDouble, m).toInt
+      val top = (0 until k).map(i =>
+        math.min(fl(i) * muL, u) * math.min(fc(i), cardC)).sum
+      val tailCount = math.max(0.0, m - k)
+      if (tailCount == 0.0) return top
+      // k >= 1 here (fl/fc nonempty and m >= 1 when a tail exists)
+      val flTail = if (k < fl.size) fl(k) else fl(k - 1)
+      val fcTail = if (k < fc.size) fc(k) else fc(k - 1)
+      val massL = math.min(u, math.max(0.0, cardL - fl.take(k).sum) * muL)
+      val massC = math.min(cardC, math.max(0.0, cardC - fc.take(k).sum))
+      top + Seq(math.min(fcTail, cardC) * massL,
+        math.min(flTail * muL, u) * massC,
+        tailCount * math.min(flTail * muL, u) * math.min(fcTail, cardC)).min
+    }
+
     def stepFor(joined: Set[String], u: Double, mu: Map[String, Double],
         c: String): Step = {
       val equi = graph.edgesBetween(joined, c).flatMap { e =>
         val l = (e.tables - c).head
         for (ca <- e.columnOf(l); cb <- e.columnOf(c)) yield (l, ca, cb)
       }
-      val beta = (equi.map { case (_, _, cb) => mf(c, cb.name) } :+
-        baseCard(c)).min
+      // Tuple refinement for simultaneous edges: one L row fixes a VALUE
+      // for every edge column at once, so the candidate rows matching it
+      // all share the full column tuple — bounded by the tuple max
+      // frequency, which sees the conjunction the per-edge minimum
+      // cannot (a lineitem self-join pairing on supplier AND part has
+      // per-edge frequencies ~30 but tuple frequency ~5). Symmetrically
+      // for alpha when several edge columns live on the SAME joined
+      // table (then the tuple is probeable; cross-table tuples are not).
+      val betaTuple = {
+        val cols = equi.map(_._3.name).distinct
+        if (cols.size >= 2) Seq(stats.maxFrequency(statPlan(c), cols).toDouble)
+        else Seq.empty
+      }
+      val alphaTuple = equi.groupBy(_._1).toSeq.collect {
+        case (l, es) if es.map(_._2.name).distinct.size >= 2 =>
+          stats.maxFrequency(statPlan(l),
+            es.map(_._2.name).distinct).toDouble * mu(l)
+      }
+      val beta = (equi.map { case (_, _, cb) => mf(c, cb.name) } ++
+        betaTuple :+ baseCard(c)).min
       val alpha = (equi.map { case (l, ca, _) =>
-        mf(l, ca.name) * mu(l) } :+ u).min
+        mf(l, ca.name) * mu(l) } ++ alphaTuple :+ u).min
       val nm = equi.map { case (l, ca, cb) =>
         math.min(ndv(l, ca.name), ndv(c, cb.name)) *
           mf(l, ca.name) * mu(l) * mf(c, cb.name)
       }
-      Step((Seq(u * beta, baseCard(c) * alpha) ++ nm).min, beta, alpha)
+      val mcv = if (!mcvEdgeBounds) Seq.empty else equi.map {
+        case (l, ca, cb) => mcvTerm(l, ca.name, mu(l), u, c, cb.name)
+      }
+      Step((Seq(u * beta, baseCard(c) * alpha) ++ nm ++ mcv).min, beta, alpha)
     }
 
     val start = tables.minBy(baseCard)

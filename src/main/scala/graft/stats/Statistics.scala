@@ -74,9 +74,10 @@ final class EmulatedStatistics(spark: SparkSession,
       case Some(v) => v.asInstanceOf[T]
       case None =>
         val v = cache.getOrElseUpdate(k, compute)
-        // persist eagerly on every genuinely new long-valued probe; cheap
-        // (small JSON, atomic rename) relative to the probe job itself
-        if (v.isInstanceOf[Long])
+        // persist eagerly on every genuinely new long-valued (or
+        // long-vector) probe; cheap (small JSON, atomic rename) relative
+        // to the probe job itself
+        if (persistable(v))
           autoPersistPath.foreach(p => try persistTo(p) catch { case _: Throwable => })
         v.asInstanceOf[T]
     }
@@ -108,9 +109,43 @@ final class EmulatedStatistics(spark: SparkSession,
   /** Highest frequency of any value in the column — the key UES statistic
     * (MaxFrequencyStats, /root/reference/postbound/opt/ues.py:300). */
   def maxFrequency(plan: LogicalPlan, column: String): Long =
-    memo(plan, s"maxfreq[$column]$sTag")(
-      scaled(sampledDf(plan).groupBy(col(column)).agg(count(lit(1)).as("c"))
-        .agg(max(col("c"))).head().getLong(0)))
+    memo(plan, s"maxfreq[$column]$sTag") {
+      // max over zero groups is NULL: an empty (e.g. fully filtered-out)
+      // relation has max frequency 0, not a crash
+      val r = sampledDf(plan).groupBy(col(column)).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head()
+      if (r.isNullAt(0)) 0L else scaled(r.getLong(0))
+    }
+
+  /** Maximum frequency of a column TUPLE — max number of rows sharing one
+    * combination of values across `columns`. The sound cap for a join
+    * candidate entering through several simultaneous equi edges (e.g. a
+    * lineitem self-join pairing on supplier AND part): the per-edge max
+    * frequencies bound each edge independently and miss the conjunction;
+    * the tuple frequency bounds the match count of all edges at once.
+    * One groupBy shuffle over the tuple key, memoized + persisted. */
+  def maxFrequency(plan: LogicalPlan, columns: Seq[String]): Long = {
+    require(columns.nonEmpty)
+    if (columns.size == 1) return maxFrequency(plan, columns.head)
+    memo(plan, s"maxfreq[${columns.sorted.mkString(",")}]$sTag") {
+      val r = sampledDf(plan).groupBy(columns.map(col): _*)
+        .agg(count(lit(1)).as("c")).agg(max(col("c"))).head()
+      if (r.isNullAt(0)) 0L else scaled(r.getLong(0))
+    }
+  }
+
+  /** The MCV frequency VECTOR (descending), without the values — all the
+    * pessimistic bound needs. Kept separate from [[mostCommonValues]] so
+    * the result is a pure Seq[Long] and rides the JSON disk cache
+    * (values are Any-typed and do not persist; re-probing MCVs cost the
+    * cold JOB kit multi-second optimizations per query). */
+  def mcvFrequencies(plan: LogicalPlan, column: String, k: Int = 10): Seq[Long] =
+    memo(plan, s"mcvf[$column,$k]$sTag") {
+      val rows = sampledDf(plan).groupBy(col(column)).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col(column))
+        .limit(k).collect()
+      rows.toVector.map(r => scaled(r.getLong(1)))
+    }
 
   /** Approximate maximum frequency, the scale path for the UES statistic:
     * exact maxFrequency is a full groupBy shuffle; this runs freqItems
@@ -123,9 +158,12 @@ final class EmulatedStatistics(spark: SparkSession,
       val candidates = df(plan).stat.freqItems(Seq(column), support)
         .head().getSeq[Any](0)
       if (candidates.isEmpty) maxFrequency(plan, column)
-      else df(plan).filter(col(column).isin(candidates: _*))
-        .groupBy(col(column)).agg(count(lit(1)).as("c"))
-        .agg(max(col("c"))).head().getLong(0)
+      else {
+        val r = df(plan).filter(col(column).isin(candidates: _*))
+          .groupBy(col(column)).agg(count(lit(1)).as("c"))
+          .agg(max(col("c"))).head()
+        if (r.isNullAt(0)) maxFrequency(plan, column) else r.getLong(0)
+      }
     }
 
   def minMax(plan: LogicalPlan, column: String): (Double, Double) =
@@ -168,9 +206,17 @@ final class EmulatedStatistics(spark: SparkSession,
     * can never observe a torn/partial file (they may race, but each rename
     * leaves a complete, parseable snapshot — and loadFrom merges with
     * putIfAbsent, so a lost update only means re-probing). */
+  private def persistable(v: Any): Boolean = v match {
+    case _: Long => true
+    case s: Seq[_] => s.forall(_.isInstanceOf[Long])
+    case _ => false
+  }
+
   def persistTo(path: String): Unit = {
     val entries = cache.toSeq.collect {
-      case ((plan, tag), v: Long) => (plan, tag, v)
+      case ((plan, tag), v: Long) => (plan, tag, v.toString)
+      case ((plan, tag), v: Seq[_]) if v.forall(_.isInstanceOf[Long]) =>
+        (plan, tag, v.mkString("[", ",", "]"))
     }
     val json = entries.sortBy(e => (e._1, e._2)).map { case (p, t, v) =>
       s"""{"plan":${jstr(p)},"tag":${jstr(t)},"value":$v}"""
@@ -200,6 +246,10 @@ final class EmulatedStatistics(spark: SparkSession,
             (m.get("plan"), m.get("tag"), m.get("value")) match {
               case (Some(JString(p)), Some(JString(t)), Some(JInt(v))) =>
                 cache.putIfAbsent((p, t), v.toLong)
+              case (Some(JString(p)), Some(JString(t)), Some(JArray(vs)))
+                  if vs.forall(_.isInstanceOf[JInt]) =>
+                cache.putIfAbsent((p, t),
+                  vs.collect { case JInt(v) => v.toLong }.toVector)
               case _ =>
             }
           case _ =>

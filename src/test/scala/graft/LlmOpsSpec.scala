@@ -1402,8 +1402,15 @@ class LlmOpsSpec extends SparkSpec {
       // the listener bus is async (and private[spark]) — wait until the
       // count stops moving instead
       def settle(): Int = {
+        // bounded: if something keeps scheduling jobs at a sub-250ms
+        // cadence the spec must FAIL with a diagnostic, not hang the suite
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
         var prev = -1
-        while (prev != counter.get()) { prev = counter.get(); Thread.sleep(250) }
+        while (prev != counter.get()) {
+          assert(System.nanoTime() < deadline,
+            s"job counter never settled within 30s (last count: ${counter.get()})")
+          prev = counter.get(); Thread.sleep(250)
+        }
         prev
       }
       def jobsFor(k: Int): Int = {

@@ -26,7 +26,12 @@ def main():
         if a.startswith("--noise"):
             noise = float(a.split("=", 1)[1])
     old, new = load(args[0]), load(args[1])
-    qo, qn = old["queries"], new["queries"]
+    # prefer the drift-corrected per-query estimator when both artifacts
+    # carry it (r11+): raw medians inherit environment noise the
+    # canary-rebased trimmed min removes
+    key = "queries_adj" if ("queries_adj" in old and "queries_adj" in new) \
+        else "queries"
+    qo, qn = old[key], new[key]
     ro, rn = old.get("reps", {}), new.get("reps", {})
 
     for tag, j in (("old", old), ("new", new)):
