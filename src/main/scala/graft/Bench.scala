@@ -379,9 +379,12 @@ object Bench {
         System.err.println(s"[bench] workload kit metrics failed: ${e.getMessage}")
         ("{}", "{}", "{}", "{}", "{}", "{}")
     }
+    // scale-trend flight at a larger SF (see ScaleTrend's scaladoc):
+    // last, so its one-shot timings run on the hottest JVM of the run
+    val scaleTrend = graft.bench.ScaleTrend.section(spark, sfDir)
     val canaryMidJson = canaryMid.map(c => fmt(c._2)).mkString("[", ",", "]")
     val canaryMidAt = canaryMid.map(_._1).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(totalAdj)},"unit":"sec","estimator":"canary-rebased trimmed min","queries":$qs,"queries_min":$qmins,"queries_adj":$qadj,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"mid_at":$canaryMidAt,"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"job_opt_ms":$jobOptMs,"job_qerror":$jobQerror,"job_qerror_branching":$jobQerrorBranching,"job_qerror_by_estimator":$jobQerrorByEstimator,"stats_opt_ms":$statsOptMs,"stats_qerror":$statsQerror,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(totalAdj)},"unit":"sec","estimator":"canary-rebased trimmed min","queries":$qs,"queries_min":$qmins,"queries_adj":$qadj,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"mid_at":$canaryMidAt,"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"job_opt_ms":$jobOptMs,"job_qerror":$jobQerror,"job_qerror_branching":$jobQerrorBranching,"job_qerror_by_estimator":$jobQerrorByEstimator,"stats_opt_ms":$statsOptMs,"stats_qerror":$statsQerror,"scale_trend":$scaleTrend,"sf":"$sfDir"}"""
     // the whole line goes to a FILE first: the r9 driver artifact kept
     // only a truncated stdout tail, losing every per-query median —
     // a file write is atomic-enough (tmp + move) that the full artifact

@@ -1,0 +1,122 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend flight: the ≤2x perf bar is measured at sf0.1, but the
+  * design claims are 100 TB — this flight actually measures the trend.
+  * It materializes a seeded `factor`x slice of the corpus fixtures
+  * (deterministic, no RNG: see [[generate]]), runs the most expensive
+  * shuffle-bound gate queries once at 1x and once at `factor`x on a hot
+  * JVM, and reports wall-time growth PER DATA GROWTH
+  * (`tS / t1 / factor`). A linear operator scores ~1; anything above
+  * [[SuperlinearThreshold]] is named in the artifact's `superlinear`
+  * list — the number a 1000-executor projection actually depends on.
+  *
+  * The slice preserves each query's workload character instead of
+  * degenerating it:
+  *  - documents: per-copy rotation cipher over letters (words keep their
+  *    lengths and structure, so tokenization/shingling behave the same,
+  *    but copies share no shingles — the duplicate RATE stays that of
+  *    the base corpus rather than every row becoming a 10-way dup);
+  *  - embeddings: per-copy sign flips of dimensions selected by the copy
+  *    index's bits — an orthogonal transform, so intra-copy cosines are
+  *    EXACTLY preserved while cross-copy similarities scramble (near-dup
+  *    and kNN structure scales, not collapses);
+  *  - ids offset by copy * range so keys stay unique.
+  */
+object ScaleTrend {
+
+  /** Shuffle-bound family representatives with linear 100 TB designs:
+    * dedup (shingle, minhash-LSH, clusters, span, embedding-LSH),
+    * packing, text analysis (BM25, perplexity), ANN brute-force top-k
+    * (fixed query count), k-means (fixed k and rounds). Deliberately
+    * NOT the quadratic-by-design paths (exact all-pairs, triangle kNN
+    * join) whose cost model is pairs, not rows. */
+  val queries: Seq[String] = Seq(
+    "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh", "d07_dup_clusters",
+    "d11_dedup_embedding_lsh", "d13_sequence_packing", "d17_span_dedup",
+    "t13_bm25", "t17_perplexity", "s01_ann_topk", "s13_kmeans")
+
+  val SuperlinearThreshold = 2.0
+
+  private val lower = ('a' to 'z').mkString
+  private val upper = lower.toUpperCase
+
+  /** Write the `factor`x slice under `out` (documents + embeddings —
+    * the tables the flight's queries read). Pure function of the input
+    * data and `factor`; a marker file makes regeneration idempotent. */
+  def generate(spark: SparkSession, sfDir: String, out: String,
+      factor: Int): Unit = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val nDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val docCopies = (0 until factor).map { k =>
+      val r = k % 26
+      val to = lower.drop(r) + lower.take(r)
+      docs.select(
+        (col("doc_id") + lit(k * nDoc)).as("doc_id"),
+        translate(translate(col("text"), lower, to),
+          upper, to.toUpperCase).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+    docCopies.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val embs = graft.Tables.load(spark, sfDir, "embeddings")
+    val nVec = embs.agg(max("vec_id")).head().getLong(0) + 1
+    val embCopies = (0 until factor).map { k =>
+      embs.select(
+        (col("vec_id") + lit(k * nVec)).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> " +
+          s"IF(((int($k) >> (i % 20)) & 1) == 1, -x, x))").as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+    embCopies.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/_SCALE_OK"), s"factor=$factor\n"): Unit
+  }
+
+  /** The slice directory for (data, factor), generated on first use.
+    * Keyed by the data fingerprint so regenerated fixtures never serve a
+    * stale slice. */
+  def scaledDir(spark: SparkSession, sfDir: String, factor: Int): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_scale_" +
+      s"${factor}x_${graft.Tables.dataFingerprint(sfDir)}"
+    if (!new java.io.File(s"$out/_SCALE_OK").exists())
+      generate(spark, sfDir, out, factor)
+    out
+  }
+
+  private def timeOnce(spark: SparkSession, name: String,
+      dir: String): Double = {
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One JSON object for the bench artifact: per-query 1x / `factor`x
+    * seconds and the per-data-growth ratio, plus the superlinear list.
+    * Opt out with SPARK_GRAFT_SCALE_TREND=0; factor via
+    * SPARK_GRAFT_SCALE_FACTOR (default 10). */
+  def section(spark: SparkSession, sfDir: String): String = try {
+    if (sys.env.get("SPARK_GRAFT_SCALE_TREND").contains("0")) return "{}"
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val dirS = scaledDir(spark, sfDir, factor)
+    def fmt(d: Double) = f"$d%.4f"
+    val rows = queries.filter(graft.SparkEntry.queries.contains).map { n =>
+      val t1 = timeOnce(spark, n, sfDir)
+      val tS = timeOnce(spark, n, dirS)
+      (n, t1, tS, tS / math.max(t1, 1e-9) / factor)
+    }
+    val qs = rows.map { case (n, t1, tS, r) =>
+      s""""$n":{"t1":${fmt(t1)},"tS":${fmt(tS)},"ratio_per_data":${fmt(r)}}"""
+    }.mkString("{", ",", "}")
+    val superlinear = rows.filter(_._4 > SuperlinearThreshold).map(_._1)
+      .map(n => s""""$n"""").mkString("[", ",", "]")
+    s"""{"factor":$factor,"queries":$qs,"superlinear":$superlinear}"""
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"[bench] scale trend failed: ${e.getMessage}")
+      "{}"
+  }
+}

@@ -335,25 +335,15 @@ object Similarity {
       dim: Option[Int] = None): DataFrame = {
     val d = dim.getOrElse(df.select(size(col(vecCol))).head().getInt(0))
     val planes = hyperplanes(numBands * rowsPerBand, d, seed)
-    val v = col(vecCol).cast("array<double>")
-    // one sign bit per plane (plane vector inlined as a literal array),
-    // packed into a per-band bucket id. All buckets are computed in ONE
-    // projection: the earlier per-plane withColumn chain stacked
-    // numBands*rowsPerBand nested Projects, which serialized to
-    // multi-megabyte task binaries and pushed whole-stage codegen toward
-    // the JVM method-size cliff.
-    val base = df.select(col(idCol).cast("bigint").as("id"), v.as("_v"))
-    val bands = (0 until numBands).map { b =>
-      val bucket = (0 until rowsPerBand).map { r =>
-        val p = planes(b * rowsPerBand + r)
-        val dot = expr(s"aggregate(zip_with(_v, array(${p.mkString(",")})," +
-          " (x, y) -> x * y), 0D, (acc, q) -> acc + q)")
-        when(dot > 0, lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
-    base.select(col("id"), explode(array(bands: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // all band buckets in ONE fused native pass (RhpBuckets expression):
+    // the earlier per-plane aggregate(zip_with(...)) literals evaluated
+    // 640 interpreted lambda chains per row at the d11 default and
+    // serialized every plane into the task binary (~50 s at sf0.1 →
+    // sub-second); the plane matrix now rides as one reference object
+    df.select(col(idCol).cast("bigint").as("id"),
+        posexplode(graft.functions.RhpBuckets.rhpBuckets(
+          col(vecCol), planes, rowsPerBand)).as(Seq("band", "bucket")))
+      .select(col("id"), col("band").cast("int").as("band"), col("bucket"))
   }
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer (spark.ml, fixed
