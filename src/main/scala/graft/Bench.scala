@@ -237,8 +237,14 @@ object Bench {
     def trimmedMin(ts: Seq[Double]): Double =
       if (ts.isEmpty) -1.0
       else { val s = ts.sorted; s(math.min(1, s.size - 1)) }
+    // floored at the query's own fastest raw rep: the rebase removes
+    // upward distortion from a loaded stretch, but the headline must
+    // never claim a speed no rep actually demonstrated (a fully loaded
+    // run rebased below its best observation would read as fabricated)
     val adjusted: Seq[(String, Double)] = results.zipWithIndex.map {
-      case ((k, ts), i) => k -> trimmedMin(ts.map(_._1 / driftAt(i)))
+      case ((k, ts), i) =>
+        val est = trimmedMin(ts.map(_._1 / driftAt(i)))
+        k -> (if (ts.isEmpty) -1.0 else math.max(est, ts.map(_._1).min))
     }
     val qadj = adjusted.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")

@@ -201,7 +201,8 @@ final class EmulatedStatistics(spark: SparkSession,
   // disk cache keyed by query text, /root/reference/postbound/db/_db.py:
   // 322-430; here: the long-valued stats — counts, ndv, max frequency) ----
 
-  /** Save all long-valued cache entries to a JSON file. The write is
+  /** Save all long-valued and long-vector (MCV frequency) cache entries
+    * to a JSON file. The write is
     * temp-file + atomic rename, so concurrent JVMs sharing the cache file
     * can never observe a torn/partial file (they may race, but each rename
     * leaves a complete, parseable snapshot — and loadFrom merges with

@@ -59,6 +59,51 @@ class StatsSpec extends SparkSpec {
     assert(hist.buckets === 5)
   }
 
+  test("tuple max frequency bounds the conjunction the per-column probes " +
+      "miss, and empty relations probe to zero") {
+    import spark.implicits._
+    val stats = new EmulatedStatistics(spark)
+    // (k1, k2): k1 has max freq 3, k2 has max freq 3, but no (k1, k2)
+    // combination repeats more than twice
+    Seq((1, 10), (1, 10), (1, 20), (2, 10), (2, 20), (2, 20))
+      .toDF("k1", "k2").createOrReplaceTempView("tmf")
+    val q = QueryFacade(spark,
+      "SELECT count(*) FROM tmf, region WHERE 1 = 0 AND r_regionkey >= 0")
+    val plan = q.joinBlock.get.leafPlan("tmf")
+    assert(stats.maxFrequency(plan, "k1") === 3L)
+    assert(stats.maxFrequency(plan, "k2") === 3L)
+    assert(stats.maxFrequency(plan, Seq("k1", "k2")) === 2L)
+    // single-column Seq delegates to the scalar probe (same cache key)
+    assert(stats.maxFrequency(plan, Seq("k1")) === 3L)
+    // fully filtered-out relation: max over zero groups is 0, not a crash
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val empty = Filter(org.apache.spark.sql.catalyst.expressions.Literal(false),
+      plan)
+    assert(stats.maxFrequency(empty, "k1") === 0L)
+    assert(stats.maxFrequency(empty, Seq("k1", "k2")) === 0L)
+  }
+
+  test("MCV frequency vectors persist through the long-value disk cache") {
+    val stats = new EmulatedStatistics(spark)
+    val nation = leafOf("nation")
+    val f = stats.mcvFrequencies(nation, "n_regionkey", 3)
+    assert(f.size === 3 && f === f.sorted.reverse && f.head === 5L)
+    val tup = stats.maxFrequency(nation, Seq("n_regionkey", "n_nationkey"))
+    assert(tup === 1L) // nationkey is unique, so every tuple is unique
+    val tmp = java.io.File.createTempFile("graft_stats_mcvf", ".json")
+    stats.persistTo(tmp.getAbsolutePath)
+    val fresh = new EmulatedStatistics(spark)
+    assert(fresh.loadFrom(tmp.getAbsolutePath) > 0)
+    assert(fresh.cacheSize > 0)
+    // served from cache (no new entries appear), identical values,
+    // including the Seq[Long] entry
+    val loaded = fresh.cacheSize
+    assert(fresh.mcvFrequencies(nation, "n_regionkey", 3) === f)
+    assert(fresh.maxFrequency(nation, Seq("n_regionkey", "n_nationkey")) === tup)
+    assert(fresh.cacheSize === loaded, "probes recomputed despite the cache")
+    tmp.delete(): Unit
+  }
+
   test("statistics are memoized and survive a disk round-trip") {
     val stats = new EmulatedStatistics(spark)
     val nation = leafOf("nation")
