@@ -77,19 +77,41 @@ final case class ExecutionResult(label: String, status: String,
   */
 object BenchHarness {
 
+  /** @param progressTo when set, every completed query appends one NDJSON
+    *   line (the [[ExecutionResult]] fields) to this file as it finishes —
+    *   the reference's progressive output mode (bench.py:1076-1080: long
+    *   benchmark runs must leave partial results behind on a crash or
+    *   kill, not lose hours of measurements). Append + flush per line;
+    *   a pre-existing file is truncated at workload start.
+    */
   def executeWorkload(spark: SparkSession, workload: Workload,
       workloadRepetitions: Int = 1, perQueryRepetitions: Int = 1,
       shuffled: Boolean = false, timeoutSec: Option[Double] = None,
       optimizer: String => DataFrame = null,
       onExecuted: (String, DataFrame, ExecutionResult) => Unit = null,
-      harvest: Option[graft.train.TrainingDataRepository] = None):
+      harvest: Option[graft.train.TrainingDataRepository] = None,
+      progressTo: Option[String] = None):
       Seq[ExecutionResult] = {
     val runQuery: String => DataFrame =
       Option(optimizer).getOrElse((sql: String) => spark.sql(sql))
+    progressTo.foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), "")
+    }
+    def progress(r: ExecutionResult): ExecutionResult = {
+      progressTo.foreach { p =>
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+          resultJson(r) + "\n", java.nio.file.StandardOpenOption.APPEND)
+        catch { case e: Throwable =>
+          System.err.println(s"[harness] progressive write failed: ${e.getMessage}")
+        }
+      }
+      r
+    }
     (1 to workloadRepetitions).flatMap { wrep =>
       val wl = if (shuffled) workload.shuffle(seed = wrep.toLong) else workload
       wl.queries.toSeq.flatMap { case (label, sql) =>
         (1 to perQueryRepetitions).map { qrep =>
+          progress {
           val tOpt = System.nanoTime()
           val df = try Right(runQuery(sql)) catch {
             case e: Throwable => Left(e)
@@ -136,10 +158,27 @@ object BenchHarness {
                     String.valueOf(e.getMessage), wrep, qrep)
               }
           }
+          }
         }
       }
     }
   }
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def resultJson(r: ExecutionResult): String =
+    s"""{"label":${jstr(r.label)},"status":${jstr(r.status)},"exec_time":${r.exec_time},""" +
+      s""""opt_time_ms":${r.opt_time_ms},""" +
+      s""""result_rows":${r.result_rows},"failure_reason":${jstr(r.failure_reason)},""" +
+      s""""workload_repetition":${r.workload_repetition},"query_repetition":${r.query_repetition}}"""
 
   /** Run an action under a job group; cancel the group on timeout.
     *
@@ -247,21 +286,8 @@ object BenchHarness {
     */
   def exportJson(workload: Workload, rs: Seq[ExecutionResult],
       stageDescribe: String = "{}"): String = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val results = rs.map { r =>
-      s"""{"label":${q(r.label)},"status":${q(r.status)},"exec_time":${r.exec_time},""" +
-        s""""opt_time_ms":${r.opt_time_ms},""" +
-        s""""result_rows":${r.result_rows},"failure_reason":${q(r.failure_reason)},""" +
-        s""""workload_repetition":${r.workload_repetition},"query_repetition":${r.query_repetition}}"""
-    }.mkString("[", ",", "]")
+    def q(s: String): String = jstr(s)
+    val results = rs.map(resultJson).mkString("[", ",", "]")
     val queries = workload.queries.map { case (l, sql) =>
       s"${q(l)}:${q(sql)}" }.mkString("{", ",", "}")
     s"""{"workload":${q(workload.name)},"queries":$queries,""" +

@@ -24,6 +24,26 @@ class HarnessSpec extends SparkSpec {
     assert(rs.filter(_.status == "ok").forall(_.exec_time >= 0))
   }
 
+  test("progressive output leaves one parseable NDJSON line per completed " +
+      "query, including failures") {
+    Tables.registerAll(spark, sfDir)
+    val p = java.io.File.createTempFile("graft_progress", ".ndjson")
+    val rs = BenchHarness.executeWorkload(spark, wl,
+      progressTo = Some(p.getAbsolutePath))
+    val lines = java.nio.file.Files.readAllLines(p.toPath)
+    assert(lines.size === rs.size)
+    // each line is valid JSON and in execution order (the crash-recovery
+    // contract: a killed run keeps everything completed so far)
+    import org.json4s._
+    val parsed = lines.toArray.toSeq.map(l =>
+      org.json4s.jackson.JsonMethods.parse(l.toString))
+    val labels = parsed.map(j => (j \ "label").asInstanceOf[JString].s)
+    assert(labels === rs.map(_.label))
+    val statuses = parsed.map(j => (j \ "status").asInstanceOf[JString].s)
+    assert(statuses.contains("optimization-error"))
+    p.delete(): Unit
+  }
+
   test("repetitions and shuffling produce the full cross product") {
     Tables.registerAll(spark, sfDir)
     val ok = wl.filterBy((l, _) => l != "w3")
