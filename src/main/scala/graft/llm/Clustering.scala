@@ -49,9 +49,9 @@ object Clustering {
   private def assignExpr(centroids: Array[Array[Long]]) = {
     val cands = centroids.zipWithIndex.map { case (c, j) =>
       val lits = array(c.map(lit): _*)
-      val d = aggregate(
-        zip_with(col("qv"), lits, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      // fused native integer distance (overflow throws, matching the
+      // ANSI column-arithmetic fold it replaces)
+      val d = graft.functions.SquaredL2.squaredL2Long(col("qv"), lits)
       struct(d.as("dist"), lit(j + 1L).as("cid"))
     }
     array_min(array(cands: _*))

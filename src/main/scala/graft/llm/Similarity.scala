@@ -517,9 +517,11 @@ object Similarity {
       val cdf = cb.indices.flatMap(m => cb(m).indices.map(k =>
         (m, k, cb(m)(k).toSeq))).toDF("m", "k", "c")
       val assigned = subs.join(broadcast(cdf), "m")
-        .withColumn("d2", expr(
-          "aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), " +
-            "0D, (a, q) -> a + q)"))
+        // fused native distance (one codegen'd loop) — the HOF
+        // formulation evaluated an interpreted lambda per element for
+        // every (subvector, codebook entry) pair
+        .withColumn("d2",
+          graft.functions.SquaredL2.squaredL2(col("sv"), col("c")))
         .groupBy("id", "m")
         .agg(min_by(struct(col("k"), col("sv")),
           struct(col("d2"), col("k"))).as("b"))
