@@ -286,6 +286,29 @@ object OptQueries {
         stats = statsFor(s, dir)).optimize(jobSql("q03_10way_order_pair"))
     },
 
+    // pessimistic DP: the textbook enumerator minimizing C_out over the
+    // UES upper bound as a pluggable estimator — estimator composability
+    // (reference example-04 / opt/_cardinalities.py): bushy search by
+    // worst-case intermediate size, sound bounds in place of estimates
+    "opt22_pessimistic_dp" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new TextBookOptimizationPipeline(s,
+        new DynamicProgrammingEnumerator(),
+        new CoutCostModel, new PessimisticCardinalityEstimator(),
+        stats = statsFor(s, dir)).optimize(jobSql("q08_6way_cyclic_triangle"))
+    },
+
+    // Stats-kit correlated-predicate query through the full UES pipeline:
+    // the fourth corpus (multi-filter correlation, low-ndv label equi
+    // self-join) in the oracle gate, like opt19 (JOB) and opt21 (Stack)
+    "opt23_ues_stats_correlated" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer),
+        operators = Some(new UESOperatorSelection),
+        stats = statsFor(s, dir)).optimize(statsSql("q04_same_cluster_doc_pairs"))
+    },
+
     // TrainingDataRepository warm start: execute natively ONCE, harvest
     // per-join (path, operator, actual-rows) samples from the executed
     // plan's SQLMetrics, persist them to the parquet-backed repository,
@@ -426,6 +449,10 @@ object OptQueries {
     graft.bench.Workload.fromDirectory("stack", s"$workloadsRoot/stack")
   private def stackSql(label: String): String = stackWorkload.queries(label)
 
+  private lazy val statsWorkload =
+    graft.bench.Workload.fromDirectory("stats", s"$workloadsRoot/stats")
+  private def statsSql(label: String): String = statsWorkload.queries(label)
+
   private val parWorkload = graft.bench.Workload.inline("par-gate",
     "p_nation" -> "SELECT n_name FROM nation WHERE n_regionkey < 3",
     "p_topsupp" -> """SELECT s_nationkey, count(*) AS n FROM supplier
@@ -468,6 +495,8 @@ object OptQueries {
                 (SELECT count(DISTINCT o_orderstatus) FROM orders)""",
     "opt19_ues_job_10way" -> jobSql("q03_10way_order_pair"),
     "opt20_adaptive_reopt" -> flagshipSql,
+    "opt22_pessimistic_dp" -> jobSql("q08_6way_cyclic_triangle"),
+    "opt23_ues_stats_correlated" -> statsSql("q04_same_cluster_doc_pairs"),
     "opt21_ues_stack_funnel" -> stackSql("q01_funnel_3step"),
     "tr01_training_warmstart" -> flagshipSql,
     "tr02_training_bao" -> flagshipSql,

@@ -27,6 +27,172 @@ import graft.qal.QueryFacade
   * the emulated stats provider: filtered base-table cardinalities,
   * per-join-column distinct counts and maximum frequencies.
   */
+/** The UES bound machinery, shared by [[UESJoinOrderOptimizer]] (greedy
+  * order construction) and [[PessimisticCardinalityEstimator]] (the bound
+  * as a pluggable estimate for the textbook pipelines). All semantics and
+  * soundness arguments live in the comments below; the optimizer's
+  * scaladoc explains the flags.
+  */
+private[opt] final class UesBoundModel(graph: JoinGraph,
+    filteredStats: Boolean = true, mcvEdgeBounds: Boolean = true,
+    mcvK: Int = 16) {
+  private val stats = graph.stats
+  private def leaf(t: String) = graph.block.leafPlan(t)
+  // the plan frequency probes run on: with filteredStats the table's
+  // filter predicates are applied first, so mf/ndv/MCV describe the
+  // relation that actually participates in the joins (exact, hence
+  // sound -- unlike selectivity-scaled base frequencies)
+  private def statPlan(t: String): LogicalPlan =
+    if (!filteredStats) leaf(t)
+    else QueryFacade.andAll(graph.block.filtersFor(t))
+      .map(Filter(_, leaf(t))).getOrElse(leaf(t))
+  def baseCard(t: String): Double =
+    stats.rowCount(leaf(t),
+      QueryFacade.andAll(graph.block.filtersFor(t))).toDouble
+  def mf(t: String, c: String): Double =
+    stats.maxFrequency(statPlan(t), c).toDouble
+  private def ndv(t: String, c: String): Double =
+    stats.distinctCount(statPlan(t), c).toDouble
+
+  // Max-frequency propagation through intermediates (the reference's
+  // MaxFrequencyStats design, /root/reference/postbound/opt/ues.py:300):
+  // alongside the running bound U we track, per joined table t, a
+  // row-MULTIPLICITY bound mu(t) -- the max number of times one base row
+  // of t can appear in the current intermediate. The max frequency of
+  // column (t,c) inside the intermediate is then <= mf_base(t,c) *
+  // mu(t); that propagated frequency is what makes the fk-candidate and
+  // n:m bound terms sound after row-amplifying joins (the JOB bound
+  // spec caught raw base statistics claiming 25 where 225 materialized,
+  // after a cross-table OR edge amplified the pk side). Base ndv stays
+  // valid as-is: distinct counts only shrink inside an intermediate.
+  //
+  // Joining candidate `c` into L over its (simultaneous) edges:
+  //   beta  = min(baseCard(c), min over equi edges of mf_base(c, cb))
+  //           -- one L row matches at most beta candidate rows
+  //   alpha = min(U, min over equi edges of mf_base(l, ca) * mu(l))
+  //           -- one candidate row matches at most alpha L rows
+  //   U'    = min( U * beta,
+  //                baseCard(c) * alpha,
+  //                per equi edge: min(ndv(l,ca), ndv(c,cb))
+  //                  * mf_base(l,ca)*mu(l) * mf_base(c,cb) )
+  //   mu'(t) = mu(t) * beta for t in L;   mu'(c) = alpha
+  // Pure theta/cross edges carry no per-row cap, so beta/alpha take the
+  // baseCard/U fallbacks. pk columns need no special casing: their base
+  // max frequency is 1, which reproduces the classic pk/fk rules
+  // (pk candidate => U' = U; fk candidate off a fresh pk side =>
+  // U' = baseCard(c)).
+  final case class Step(bound: Double, beta: Double, alpha: Double)
+
+  // MCV-aware edge bound (rearrangement inequality): the join output
+  // over one equi edge is at most sum_i fl^(i) * fc^(i), pairing the
+  // two sides' per-value frequency vectors sorted descending -- the
+  // worst-case value alignment. The top-k frequencies of each side are
+  // known exactly from the MCV probe; the unseen tail is charged three
+  // independent sound caps and takes their min:
+  //   per-value  <= the k-th MCV frequency (vectors are sorted),
+  //   total mass <= cardinality - MCV prefix mass (frequencies sum to
+  //                 the relation size),
+  //   #values    <= min(ndv_l, ndv_c) - k.
+  // The l side lives inside the running intermediate: its per-value
+  // frequencies scale by the multiplicity mu(l) and cap at U, its total
+  // mass caps at U; the candidate side caps at its filtered cardinality.
+  private def mcvTerm(l: String, ca: String, muL: Double, u: Double,
+      c: String, cb: String): Double = {
+    val fl = stats.mcvFrequencies(statPlan(l), ca, mcvK).map(_.toDouble)
+    val fc = stats.mcvFrequencies(statPlan(c), cb, mcvK).map(_.toDouble)
+    if (fl.isEmpty || fc.isEmpty) return 0.0 // an empty side joins nothing
+    val cardC = baseCard(c)
+    val cardL = if (filteredStats) baseCard(l) else
+      stats.rowCount(leaf(l)).toDouble
+    val m = math.min(ndv(l, ca), ndv(c, cb))
+    val k = math.min(math.min(fl.size, fc.size).toDouble, m).toInt
+    val top = (0 until k).map(i =>
+      math.min(fl(i) * muL, u) * math.min(fc(i), cardC)).sum
+    val tailCount = math.max(0.0, m - k)
+    if (tailCount == 0.0) return top
+    // k >= 1 here (fl/fc nonempty and m >= 1 when a tail exists)
+    val flTail = if (k < fl.size) fl(k) else fl(k - 1)
+    val fcTail = if (k < fc.size) fc(k) else fc(k - 1)
+    val massL = math.min(u, math.max(0.0, cardL - fl.take(k).sum) * muL)
+    val massC = math.min(cardC, math.max(0.0, cardC - fc.take(k).sum))
+    top + Seq(math.min(fcTail, cardC) * massL,
+      math.min(flTail * muL, u) * massC,
+      tailCount * math.min(flTail * muL, u) * math.min(fcTail, cardC)).min
+  }
+
+  def stepFor(joined: Set[String], u: Double, mu: Map[String, Double],
+      c: String): Step = {
+    val equi = graph.edgesBetween(joined, c).flatMap { e =>
+      val l = (e.tables - c).head
+      for (ca <- e.columnOf(l); cb <- e.columnOf(c)) yield (l, ca, cb)
+    }
+    // Tuple refinement for simultaneous edges: one L row fixes a VALUE
+    // for every edge column at once, so the candidate rows matching it
+    // all share the full column tuple -- bounded by the tuple max
+    // frequency, which sees the conjunction the per-edge minimum
+    // cannot (a lineitem self-join pairing on supplier AND part has
+    // per-edge frequencies ~30 but tuple frequency ~5). Symmetrically
+    // for alpha when several edge columns live on the SAME joined
+    // table (then the tuple is probeable; cross-table tuples are not).
+    val betaTuple = {
+      val cols = equi.map(_._3.name).distinct
+      if (cols.size >= 2) Seq(stats.maxFrequency(statPlan(c), cols).toDouble)
+      else Seq.empty
+    }
+    val alphaTuple = equi.groupBy(_._1).toSeq.collect {
+      case (l, es) if es.map(_._2.name).distinct.size >= 2 =>
+        stats.maxFrequency(statPlan(l),
+          es.map(_._2.name).distinct).toDouble * mu(l)
+    }
+    val beta = (equi.map { case (_, _, cb) => mf(c, cb.name) } ++
+      betaTuple :+ baseCard(c)).min
+    val alpha = (equi.map { case (l, ca, _) =>
+      mf(l, ca.name) * mu(l) } ++ alphaTuple :+ u).min
+    val nm = equi.map { case (l, ca, cb) =>
+      math.min(ndv(l, ca.name), ndv(c, cb.name)) *
+        mf(l, ca.name) * mu(l) * mf(c, cb.name)
+    }
+    val mcv = if (!mcvEdgeBounds) Seq.empty else equi.map {
+      case (l, ca, cb) => mcvTerm(l, ca.name, mu(l), u, c, cb.name)
+    }
+    Step((Seq(u * beta, baseCard(c) * alpha) ++ nm ++ mcv).min, beta, alpha)
+  }
+
+  /** Greedy pessimistic upper bound on the join over exactly `ts` --
+    * same expansion rule as the optimizer, restricted to the subset.
+    * Tables unreachable through any edge enter as a cross product
+    * (each L row pairs with every row of the newcomer: bound and
+    * multiplicities multiply accordingly -- still a true upper bound).
+    */
+  def boundForSubset(ts: Set[String]): Double = {
+    if (ts.isEmpty) return 1.0
+    if (ts.size == 1) return math.max(baseCard(ts.head), 1.0)
+    val start = ts.minBy(baseCard)
+    var joined = Set(start)
+    var bound = math.max(baseCard(start), 1.0)
+    var mu = Map(start -> 1.0)
+    while (joined.size < ts.size) {
+      val free = ts.diff(joined)
+      val cands = free.filter(t => graph.edgesBetween(joined, t).nonEmpty)
+      if (cands.isEmpty) {
+        val next = free.minBy(baseCard)
+        val cardN = math.max(baseCard(next), 1.0)
+        mu = mu.map { case (t, m) => t -> m * cardN } + (next -> bound)
+        bound = bound * cardN
+        joined += next
+      } else {
+        val next = cands.minBy(c => stepFor(joined, bound, mu, c).bound)
+        val step = stepFor(joined, bound, mu, next)
+        mu = mu.map { case (t, m) => t -> m * step.beta } +
+          (next -> step.alpha)
+        bound = math.max(step.bound, 1.0)
+        joined += next
+      }
+    }
+    bound
+  }
+}
+
   /** @param subqueryBranching UES branching policy (reference:
     *   ues.py subquery generation): when an n:m table enters the join
     *   order, its still-free pk-side partners are folded into a bushy
@@ -68,127 +234,8 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
     // greedy expansion itself always has an equi edge available
     if (tables.size < 2 || !graph.isEquiConnected) return None
 
-    val stats = graph.stats
-    def leaf(t: String) = graph.block.leafPlan(t)
-    // the plan frequency probes run on: with filteredStats the table's
-    // filter predicates are applied first, so mf/ndv/MCV describe the
-    // relation that actually participates in the joins (exact, hence
-    // sound — unlike selectivity-scaled base frequencies)
-    def statPlan(t: String): LogicalPlan =
-      if (!filteredStats) leaf(t)
-      else QueryFacade.andAll(graph.block.filtersFor(t))
-        .map(Filter(_, leaf(t))).getOrElse(leaf(t))
-    def baseCard(t: String): Double =
-      stats.rowCount(leaf(t),
-        QueryFacade.andAll(graph.block.filtersFor(t))).toDouble
-    def mf(t: String, c: String): Double =
-      stats.maxFrequency(statPlan(t), c).toDouble
-    def ndv(t: String, c: String): Double =
-      stats.distinctCount(statPlan(t), c).toDouble
-
-    // Max-frequency propagation through intermediates (the reference's
-    // MaxFrequencyStats design, /root/reference/postbound/opt/ues.py:300):
-    // alongside the running bound U we track, per joined table t, a
-    // row-MULTIPLICITY bound mu(t) — the max number of times one base row
-    // of t can appear in the current intermediate. The max frequency of
-    // column (t,c) inside the intermediate is then <= mf_base(t,c) *
-    // mu(t); that propagated frequency is what makes the fk-candidate and
-    // n:m bound terms sound after row-amplifying joins (the JOB bound
-    // spec caught raw base statistics claiming 25 where 225 materialized,
-    // after a cross-table OR edge amplified the pk side). Base ndv stays
-    // valid as-is: distinct counts only shrink inside an intermediate.
-    //
-    // Joining candidate `c` into L over its (simultaneous) edges:
-    //   beta  = min(baseCard(c), min over equi edges of mf_base(c, cb))
-    //           — one L row matches at most beta candidate rows
-    //   alpha = min(U, min over equi edges of mf_base(l, ca) * mu(l))
-    //           — one candidate row matches at most alpha L rows
-    //   U'    = min( U * beta,
-    //                baseCard(c) * alpha,
-    //                per equi edge: min(ndv(l,ca), ndv(c,cb))
-    //                  * mf_base(l,ca)*mu(l) * mf_base(c,cb) )
-    //   mu'(t) = mu(t) * beta for t in L;   mu'(c) = alpha
-    // Pure theta/cross edges carry no per-row cap, so beta/alpha take the
-    // baseCard/U fallbacks. pk columns need no special casing: their base
-    // max frequency is 1, which reproduces the classic pk/fk rules
-    // (pk candidate => U' = U; fk candidate off a fresh pk side =>
-    // U' = baseCard(c)).
-    final case class Step(bound: Double, beta: Double, alpha: Double)
-
-    // MCV-aware edge bound (rearrangement inequality): the join output
-    // over one equi edge is at most sum_i fl^(i) * fc^(i), pairing the
-    // two sides' per-value frequency vectors sorted descending — the
-    // worst-case value alignment. The top-k frequencies of each side are
-    // known exactly from the MCV probe; the unseen tail is charged three
-    // independent sound caps and takes their min:
-    //   per-value  <= the k-th MCV frequency (vectors are sorted),
-    //   total mass <= cardinality - MCV prefix mass (frequencies sum to
-    //                 the relation size),
-    //   #values    <= min(ndv_l, ndv_c) - k.
-    // The l side lives inside the running intermediate: its per-value
-    // frequencies scale by the multiplicity mu(l) and cap at U, its total
-    // mass caps at U; the candidate side caps at its filtered cardinality.
-    def mcvTerm(l: String, ca: String, muL: Double, u: Double,
-        c: String, cb: String): Double = {
-      val fl = stats.mcvFrequencies(statPlan(l), ca, mcvK).map(_.toDouble)
-      val fc = stats.mcvFrequencies(statPlan(c), cb, mcvK).map(_.toDouble)
-      if (fl.isEmpty || fc.isEmpty) return 0.0 // an empty side joins nothing
-      val cardC = baseCard(c)
-      val cardL = if (filteredStats) baseCard(l) else
-        stats.rowCount(leaf(l)).toDouble
-      val m = math.min(ndv(l, ca), ndv(c, cb))
-      val k = math.min(math.min(fl.size, fc.size).toDouble, m).toInt
-      val top = (0 until k).map(i =>
-        math.min(fl(i) * muL, u) * math.min(fc(i), cardC)).sum
-      val tailCount = math.max(0.0, m - k)
-      if (tailCount == 0.0) return top
-      // k >= 1 here (fl/fc nonempty and m >= 1 when a tail exists)
-      val flTail = if (k < fl.size) fl(k) else fl(k - 1)
-      val fcTail = if (k < fc.size) fc(k) else fc(k - 1)
-      val massL = math.min(u, math.max(0.0, cardL - fl.take(k).sum) * muL)
-      val massC = math.min(cardC, math.max(0.0, cardC - fc.take(k).sum))
-      top + Seq(math.min(fcTail, cardC) * massL,
-        math.min(flTail * muL, u) * massC,
-        tailCount * math.min(flTail * muL, u) * math.min(fcTail, cardC)).min
-    }
-
-    def stepFor(joined: Set[String], u: Double, mu: Map[String, Double],
-        c: String): Step = {
-      val equi = graph.edgesBetween(joined, c).flatMap { e =>
-        val l = (e.tables - c).head
-        for (ca <- e.columnOf(l); cb <- e.columnOf(c)) yield (l, ca, cb)
-      }
-      // Tuple refinement for simultaneous edges: one L row fixes a VALUE
-      // for every edge column at once, so the candidate rows matching it
-      // all share the full column tuple — bounded by the tuple max
-      // frequency, which sees the conjunction the per-edge minimum
-      // cannot (a lineitem self-join pairing on supplier AND part has
-      // per-edge frequencies ~30 but tuple frequency ~5). Symmetrically
-      // for alpha when several edge columns live on the SAME joined
-      // table (then the tuple is probeable; cross-table tuples are not).
-      val betaTuple = {
-        val cols = equi.map(_._3.name).distinct
-        if (cols.size >= 2) Seq(stats.maxFrequency(statPlan(c), cols).toDouble)
-        else Seq.empty
-      }
-      val alphaTuple = equi.groupBy(_._1).toSeq.collect {
-        case (l, es) if es.map(_._2.name).distinct.size >= 2 =>
-          stats.maxFrequency(statPlan(l),
-            es.map(_._2.name).distinct).toDouble * mu(l)
-      }
-      val beta = (equi.map { case (_, _, cb) => mf(c, cb.name) } ++
-        betaTuple :+ baseCard(c)).min
-      val alpha = (equi.map { case (l, ca, _) =>
-        mf(l, ca.name) * mu(l) } ++ alphaTuple :+ u).min
-      val nm = equi.map { case (l, ca, cb) =>
-        math.min(ndv(l, ca.name), ndv(c, cb.name)) *
-          mf(l, ca.name) * mu(l) * mf(c, cb.name)
-      }
-      val mcv = if (!mcvEdgeBounds) Seq.empty else equi.map {
-        case (l, ca, cb) => mcvTerm(l, ca.name, mu(l), u, c, cb.name)
-      }
-      Step((Seq(u * beta, baseCard(c) * alpha) ++ nm ++ mcv).min, beta, alpha)
-    }
+    val model = new UesBoundModel(graph, filteredStats, mcvEdgeBounds, mcvK)
+    import model.{baseCard, mf, stepFor}
 
     val start = tables.minBy(baseCard)
     var tree: JoinTree[Cardinality] =
@@ -293,4 +340,39 @@ final class BoundsParameterGeneration extends ParameterGeneration {
           }
         PlanParameterization(cardinalityHints = collect(tree))
     }
+}
+
+/** The UES upper bound as a pluggable cardinality estimator — estimator
+  * composability with the textbook pipelines (reference: estimators are
+  * interchangeable stage inputs, /root/reference/postbound/opt/
+  * _cardinalities.py; the bound formulas, ues.py:724-783). A DP
+  * enumeration minimizing C_out over THIS estimator searches bushy plans
+  * by worst-case intermediate size: estimates are sound upper bounds,
+  * never the underestimates that make a cost model pick an exploding
+  * plan. Subset bounds are memoized per join graph (DP asks for every
+  * connected subset).
+  */
+final class PessimisticCardinalityEstimator(filteredStats: Boolean = true,
+    mcvEdgeBounds: Boolean = true, mcvK: Int = 16)
+    extends graft.pipeline.CardinalityEstimator {
+  private val models =
+    new java.util.IdentityHashMap[JoinGraph, UesBoundModel]()
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Set[String]), Double]
+
+  def describe: String =
+    s"""{"name":"pessimistic-card","model":"ues-bounds","mcv":$mcvEdgeBounds}"""
+
+  def calculateEstimate(graph: JoinGraph, tables: Set[String]): Cardinality = {
+    val model = models.synchronized {
+      var m = models.get(graph)
+      if (m == null) {
+        m = new UesBoundModel(graph, filteredStats, mcvEdgeBounds, mcvK)
+        models.put(graph, m)
+      }
+      m
+    }
+    Cardinality(memo.getOrElseUpdate(
+      (System.identityHashCode(graph), tables), model.boundForSubset(tables)))
+  }
 }

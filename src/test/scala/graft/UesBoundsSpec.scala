@@ -50,6 +50,35 @@ class UesBoundsSpec extends SparkSpec {
          JOIN uc ON b_j = c_j""").head().getLong(0) === 6L)
   }
 
+  test("pessimistic estimator: subset bounds are true upper bounds and " +
+      "the full-set bound matches the optimizer's root annotation") {
+    import spark.implicits._
+    Seq(1, 2).toDF("a_k").createOrReplaceTempView("pa")
+    Seq((1, 10), (1, 20), (2, 10)).toDF("b_k", "b_j")
+      .createOrReplaceTempView("pb")
+    Seq(10, 10, 20, 20, 30).toDF("c_j").createOrReplaceTempView("pc")
+    val sql = """SELECT count(*) AS n FROM pa, pb, pc
+                 WHERE a_k = b_k AND b_j = c_j"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val est = new graft.opt.PessimisticCardinalityEstimator()
+    val precise = new graft.opt.PreciseCardinalities
+    // every connected subset: bound >= the true fragment cardinality
+    val subsets = Seq(Set("pa"), Set("pb"), Set("pc"), Set("pa", "pb"),
+      Set("pb", "pc"), Set("pa", "pb", "pc"))
+    subsets.foreach { ts =>
+      val b = est.calculateEstimate(graph, ts).value
+      val t = precise.calculateEstimate(graph, ts).value
+      assert(b >= t, s"$ts: pessimistic $b below true $t")
+    }
+    // full set agrees with the greedy optimizer's root bound
+    val tree = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
+    assert(est.calculateEstimate(graph, Set("pa", "pb", "pc")).value ===
+      tree.annotation.value)
+    // disconnected pair falls back to the cross-product bound
+    assert(est.calculateEstimate(graph, Set("pa", "pc")).value === 10.0)
+  }
+
   test("fk expansion off an amplified pk side stays a true upper bound " +
       "(the r10 bug class in miniature)") {
     import spark.implicits._
