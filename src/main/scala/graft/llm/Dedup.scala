@@ -675,13 +675,16 @@ object Dedup {
     */
   def spanDeduplicate(docs: DataFrame, idCol: String, textCol: String,
       span: Int = 4): DataFrame = {
-    val base = docs
+    // cached: the block arrays feed BOTH the dedup pipeline and the
+    // per-doc totals projection — uncached, the corpus-wide
+    // split/transform/concat_ws would run twice
+    val base = scopedCache(docs
       .select(col(idCol).cast("bigint").as("doc_id"),
         expr(s"filter(split($textCol, ' '), w -> w != '')").as("w"))
       .filter(size(col("w")) > 0)
       .select(col("doc_id"), expr(
         s"transform(sequence(0, cast(ceil(size(w) / ${span}.0) as int) - 1), " +
-          s"i -> concat_ws(' ', slice(w, i * $span + 1, $span)))").as("blks"))
+          s"i -> concat_ws(' ', slice(w, i * $span + 1, $span)))").as("blks")))
     val blocks = base
       .select(col("doc_id"), posexplode(col("blks")).as(Seq("idx", "block")))
     val firsts = blocks.groupBy("block")
