@@ -220,10 +220,14 @@ object TextAnalysis {
       .select(xxhash64(col("shingle")).as("h")).distinct()
     val evalSh = Dedup.shingles(eval_, idCol, textCol, ngram)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val evalDistinct = evalSh.select("h").distinct()
+    // persisted across the TWO eager passes over it (the sizing count
+    // and the bloom build) — uncached, the shingle+distinct subtree
+    // would execute twice
+    val evalDistinct = evalSh.select("h").distinct().persist()
     // the count job runs on the SMALL side only; it sizes the filter
     val n = math.max(1L, evalDistinct.count())
-    val bf = evalDistinct.stat.bloomFilter("h", n, fpp)
+    val bf = try evalDistinct.stat.bloomFilter("h", n, fpp)
+      finally { evalDistinct.unpersist(): Unit }
     val bcast = spark.sparkContext.broadcast(bf)
     val candidates =
       corpusSh.filter(graft.functions.BloomMightContain.probe(col("h"), bcast))
@@ -267,8 +271,10 @@ object TextAnalysis {
       .otherwise(0).cast("long")
     val base = corpus.select(col(idCol).as("doc_id"),
       nShingles.as("n_shingles"))
+    // persisted across the sizing count and the bloom build; still live
+    // (not unpersisted) because the exact verify join below reads it too
     val evalSh = Dedup.shingles(eval_, idCol, textCol, ngram)
-      .select(col("shingle")).distinct()
+      .select(col("shingle")).distinct().persist()
     val n = math.max(1L, evalSh.count())
     val bf = evalSh.stat.bloomFilter("shingle", n, fpp)
     val bcast = spark.sparkContext.broadcast(bf)
