@@ -683,12 +683,13 @@ object Similarity {
     import graft.functions.CosineSimilarity.cosineSim
     val chunks = TextAnalysis.chunkDocuments(docs, idCol, textCol,
       window, stride)
-    val feats = (0 until 8).map(b =>
-      size(expr("filter(split(chunk_text, ' '), w -> w != '' and " +
-        s"ascii(substring(w, 1, 1)) % 8 = $b)")).cast("float"))
+    // one fused byte-level pass (WordBucketCounts) — the per-bucket
+    // filter(split(...)) formulation evaluated 8 interpreted HOF chains
+    // (each with its own split) per chunk row
     val embedded = chunks.select(
       (col("doc_id") * keyFactor + col("chunk_id")).as("chunk_key"),
-      array(feats: _*).as("embedding"))
+      graft.functions.WordBucketCounts
+        .wordBucketCounts(col("chunk_text"), 8).as("embedding"))
     val q = embedded.filter(col("chunk_key") < queryKeyBelow)
       .select(col("chunk_key").as("query_id"), col("embedding").as("vq"))
     val c = embedded.filter(col("chunk_key") >= queryKeyBelow)

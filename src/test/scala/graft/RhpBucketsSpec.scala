@@ -55,6 +55,21 @@ class RhpBucketsSpec extends SparkSpec {
     assert(collected.map(_.toSeq).toSeq === viaEval)
   }
 
+  test("word bucket counts equal the per-bucket filter(split(...)) " +
+      "formulation, including repeated spaces and empty strings") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox", "a  b   c", "", "   ",
+      "Zebra yak xylophone!", "1 22 333 4444", "single")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "chunk_text")
+    val hof = df.select(col("id"), array((0 until 8).map(b =>
+      size(expr("filter(split(chunk_text, ' '), w -> w != '' and " +
+        s"ascii(substring(w, 1, 1)) % 8 = $b)")).cast("float")): _*).as("f"))
+    val native = df.select(col("id"), graft.functions.WordBucketCounts
+      .wordBucketCounts(col("chunk_text"), 8).as("f"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
   test("dimension mismatch reproduces zip_with null semantics: bit 0") {
     import spark.implicits._
     val ps = planes(4, 8, seed = 3L)
