@@ -316,7 +316,8 @@ object Bench {
     def jmap(rows: Seq[(String, Double)]): String =
       rows.map { case (l, v) => s""""$l":${fmt(v)}""" }.mkString("{", ",", "}")
     val (jobOptMs, jobQerror, jobQerrorBranching, statsOptMs, statsQerror,
-        jobQerrorByEstimator): (String, String, String, String, String, String) = try {
+        jobQerrorByEstimator, statsQerrorByEstimator):
+        (String, String, String, String, String, String, String) = try {
       val root = sys.props.get("graft.workloads.dir")
         .orElse(sys.env.get("GRAFT_WORKLOADS_DIR"))
         .getOrElse("/root/repo/workloads")
@@ -351,46 +352,51 @@ object Bench {
       val statistical = new graft.opt.StatisticalCardinalityEstimator
       val basic = new graft.opt.BasicCardinalityEstimator
       val nativeStats = new graft.stats.NativeStatistics(spark)
-      def estRows(f: (graft.opt.JoinGraph, Set[String]) => Double): Seq[(String, Double)] =
-        jobKit.map { case (label, sql) =>
-          val a = actualByLabel.getOrElse(label, -1.0)
-          val e = try {
-            graft.qal.QueryFacade(spark, sql).joinBlock.map { b =>
-              val g = new graft.opt.JoinGraph(b, stats)
-              f(g, g.tables.toSet)
-            }.getOrElse(-1.0)
-          } catch { case _: Throwable => -1.0 }
-          label -> (if (a < 0 || e < 0) -1.0 else qerr(e, a))
-        }
-      val byEstimator = Seq(
-        "ues_bound" -> jobRows.map(r => r.label ->
-          (if (r.rootActual < 0 || r.rootBound < 0) -1.0
-           else qerr(r.rootBound, r.rootActual))),
-        "statistical" -> estRows((g, ts) => statistical.calculateEstimate(g, ts).value),
-        "basic" -> estRows((g, ts) => basic.calculateEstimate(g, ts).value),
-        "native" -> estRows((g, ts) => nativeStats.rowEstimate(
-          graft.opt.QueryFragment.fragmentPlan(g, ts)).map(_.toDouble).getOrElse(-1.0)),
-        "precise" -> jobKit.map { case (label, _) =>
-          label -> (if (actualByLabel.getOrElse(label, -1.0) < 0) -1.0 else 1.0) }
-      ).map { case (n, rows) => s""""$n":${jmap(rows)}""" }
-        .mkString("{", ",", "}")
+      def headToHead(kit: Seq[(String, String)], rows: Seq[KitRow]): String = {
+        val actuals = rows.map(r => r.label -> r.rootActual).toMap
+        def estRows(f: (graft.opt.JoinGraph, Set[String]) => Double): Seq[(String, Double)] =
+          kit.map { case (label, sql) =>
+            val a = actuals.getOrElse(label, -1.0)
+            val e = try {
+              graft.qal.QueryFacade(spark, sql).joinBlock.map { b =>
+                val g = new graft.opt.JoinGraph(b, stats)
+                f(g, g.tables.toSet)
+              }.getOrElse(-1.0)
+            } catch { case _: Throwable => -1.0 }
+            label -> (if (a < 0 || e < 0) -1.0 else qerr(e, a))
+          }
+        Seq(
+          "ues_bound" -> rows.map(r => r.label ->
+            (if (r.rootActual < 0 || r.rootBound < 0) -1.0
+             else qerr(r.rootBound, r.rootActual))),
+          "statistical" -> estRows((g, ts) => statistical.calculateEstimate(g, ts).value),
+          "basic" -> estRows((g, ts) => basic.calculateEstimate(g, ts).value),
+          "native" -> estRows((g, ts) => nativeStats.rowEstimate(
+            graft.opt.QueryFragment.fragmentPlan(g, ts)).map(_.toDouble).getOrElse(-1.0)),
+          "precise" -> kit.map { case (label, _) =>
+            label -> (if (actuals.getOrElse(label, -1.0) < 0) -1.0 else 1.0) }
+        ).map { case (n, r) => s""""$n":${jmap(r)}""" }
+          .mkString("{", ",", "}")
+      }
+      val byEstimator = headToHead(jobKit, jobRows)
+      val statsByEstimator = headToHead(statsKit, statsRows)
       (jmap(jobRows.map(r => r.label -> r.optMs)),
        jmap(jobRows.map(r => r.label -> r.maxQerr)),
        jmap(branchQerr),
        jmap(statsRows.map(r => r.label -> r.optMs)),
        jmap(statsRows.map(r => r.label -> r.maxQerr)),
-       byEstimator)
+       byEstimator, statsByEstimator)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] workload kit metrics failed: ${e.getMessage}")
-        ("{}", "{}", "{}", "{}", "{}", "{}")
+        ("{}", "{}", "{}", "{}", "{}", "{}", "{}")
     }
     // scale-trend flight at a larger SF (see ScaleTrend's scaladoc):
     // last, so its one-shot timings run on the hottest JVM of the run
     val scaleTrend = graft.bench.ScaleTrend.section(spark, sfDir)
     val canaryMidJson = canaryMid.map(c => fmt(c._2)).mkString("[", ",", "]")
     val canaryMidAt = canaryMid.map(_._1).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(totalAdj)},"unit":"sec","estimator":"canary-rebased trimmed min","queries":$qs,"queries_min":$qmins,"queries_adj":$qadj,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"mid_at":$canaryMidAt,"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"job_opt_ms":$jobOptMs,"job_qerror":$jobQerror,"job_qerror_branching":$jobQerrorBranching,"job_qerror_by_estimator":$jobQerrorByEstimator,"stats_opt_ms":$statsOptMs,"stats_qerror":$statsQerror,"scale_trend":$scaleTrend,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(totalAdj)},"unit":"sec","estimator":"canary-rebased trimmed min","queries":$qs,"queries_min":$qmins,"queries_adj":$qadj,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"mid_at":$canaryMidAt,"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"job_opt_ms":$jobOptMs,"job_qerror":$jobQerror,"job_qerror_branching":$jobQerrorBranching,"job_qerror_by_estimator":$jobQerrorByEstimator,"stats_qerror_by_estimator":$statsQerrorByEstimator,"stats_opt_ms":$statsOptMs,"stats_qerror":$statsQerror,"scale_trend":$scaleTrend,"sf":"$sfDir"}"""
     // the whole line goes to a FILE first: the r9 driver artifact kept
     // only a truncated stdout tail, losing every per-query median —
     // a file write is atomic-enough (tmp + move) that the full artifact
