@@ -229,9 +229,9 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
   def optimizeJoinOrder(q: QueryFacade, graph: JoinGraph): Option[JoinTree[Cardinality]] = {
     val tables = graph.tables
     // pure theta edges are fine as long as the EQUI subgraph connects all
-    // tables: they contribute the cross-product fallback bound in
-    // edgeBound's `case _` and are enforced as residual predicates; the
-    // greedy expansion itself always has an equi edge available
+    // tables: they fall back to the baseCard/U caps in the model's
+    // stepFor and are enforced as residual predicates; the greedy
+    // expansion itself always has an equi edge available
     if (tables.size < 2 || !graph.isEquiConnected) return None
 
     val model = new UesBoundModel(graph, filteredStats, mcvEdgeBounds, mcvK)
