@@ -108,10 +108,38 @@ object ScaleTrend {
       val tS = timeOnce(spark, n, dirS)
       (n, t1, tS, tS / math.max(t1, 1e-9) / factor)
     }
-    val qs = rows.map { case (n, t1, tS, r) =>
+    // The banded-LSH embedding dedup is (honestly) superlinear at fixed
+    // parameters: random-pair bucket collisions are ~n²/2^rowsPerBand,
+    // so 10x the corpus is ~100x the candidate pairs. rows-per-band is
+    // the documented scale knob (collision rate halves per added row,
+    // recall at the gate threshold stays ~1) — time the knob-adjusted
+    // variant alongside so the artifact shows the scale PATH, not just
+    // the fixed-knob wall.
+    def lshAt(dir: String, rowsPerBand: Int): Double = {
+      val t0 = System.nanoTime()
+      val embs = graft.Tables.load(spark, dir, "embeddings")
+      val planted = graft.llm.Similarity.plantedGappedCorpus(embs,
+        "vec_id", "embedding")
+      graft.llm.Dedup.embeddingNearDuplicatesLsh(planted, "vec_id",
+          "embedding", 0.9, numBands = 64, rowsPerBand = rowsPerBand,
+          dim = Some(64))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val knobRows =
+      if (!rows.exists(r => r._1.startsWith("d11") &&
+          r._4 > SuperlinearThreshold)) Seq.empty
+      else {
+        val t1 = lshAt(sfDir, 16)
+        val tS = lshAt(dirS, 16)
+        Seq(("d11_dedup_embedding_lsh@rows16", t1, tS,
+          tS / math.max(t1, 1e-9) / factor))
+      }
+    val all = rows ++ knobRows
+    val qs = all.map { case (n, t1, tS, r) =>
       s""""$n":{"t1":${fmt(t1)},"tS":${fmt(tS)},"ratio_per_data":${fmt(r)}}"""
     }.mkString("{", ",", "}")
-    val superlinear = rows.filter(_._4 > SuperlinearThreshold).map(_._1)
+    val superlinear = all.filter(_._4 > SuperlinearThreshold).map(_._1)
       .map(n => s""""$n"""").mkString("[", ",", "]")
     s"""{"factor":$factor,"queries":$qs,"superlinear":$superlinear}"""
   } catch {
