@@ -262,27 +262,44 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
       if (candidates.isEmpty) return None // disconnected graph
       val next = candidates.minBy(c => stepFor(joined, bound, mu, c).bound)
       val step = stepFor(joined, bound, mu, next)
-      bound = math.max(step.bound, 1.0)
+      val uPrev = bound
+      var taken = joined + next
+      val partners =
+        if (subqueryBranching) pkPartners(next, taken) else Seq.empty
+      // the reference's subquery payoff: the folded pk partners
+      // SEMIJOIN-reduce the n:m table before the top join, so the
+      // candidate rows that can reach L number at most the branch
+      // fragment's own bound B (the shared model bounds the
+      // c ⋈ partners join over the subset). Sound step refinements:
+      //   |L ⋈ c'| <= B * alpha  (each surviving c row matches at most
+      //                           alpha L rows)
+      //   |L ⋈ c'| <= U * B      (each L row matches at most |c'|
+      //                           candidate rows)
+      // Both join the existing min, so branching tightens
+      // filtered-partner chains instead of merely reshaping them.
+      bound = math.max(
+        if (partners.isEmpty) step.bound
+        else {
+          val b = model.boundForSubset(partners.toSet + next)
+          Seq(step.bound, b * step.alpha, uPrev * b).min
+        }, 1.0)
       mu = mu.map { case (t, m) => t -> m * step.beta } + (next -> step.alpha)
       var branch: JoinTree[Cardinality] =
         ScanNode(graph.block.tables.find(_.identifier == next).get,
           Cardinality(baseCard(next)))
-      var taken = joined + next
-      if (subqueryBranching) {
-        pkPartners(next, taken).foreach { d =>
-          val scanD = ScanNode(graph.block.tables.find(_.identifier == d).get,
-            Cardinality(baseCard(d)))
-          // pk joins never increase the branch bound; the partner's rows
-          // appear at most once per matching `next` row, so its
-          // multiplicity is next's multiplicity times next's fk-column
-          // frequency (fallback: the whole intermediate)
-          val dMu = (graph.edges.filter(_.connects(next, d))
-            .flatMap(_.columnOf(next))
-            .map(cf => step.alpha * mf(next, cf.name)) :+ bound).min
-          mu += (d -> dMu)
-          branch = JoinNode(branch, scanD, branch.annotation)
-          taken += d
-        }
+      partners.foreach { d =>
+        val scanD = ScanNode(graph.block.tables.find(_.identifier == d).get,
+          Cardinality(baseCard(d)))
+        // pk joins never increase the branch bound; the partner's rows
+        // appear at most once per matching `next` row, so its
+        // multiplicity is next's multiplicity times next's fk-column
+        // frequency (fallback: the whole intermediate)
+        val dMu = (graph.edges.filter(_.connects(next, d))
+          .flatMap(_.columnOf(next))
+          .map(cf => step.alpha * mf(next, cf.name)) :+ bound).min
+        mu += (d -> dMu)
+        branch = JoinNode(branch, scanD, branch.annotation)
+        taken += d
       }
       tree = JoinNode(tree, branch, Cardinality(bound))
       joined = taken

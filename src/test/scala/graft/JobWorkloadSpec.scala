@@ -71,6 +71,35 @@ class JobWorkloadSpec extends SparkSpec {
     assert(compared >= 100, s"only $compared join bounds compared")
   }
 
+  test("branching-mode root bounds stay true upper bounds across the kit") {
+    Tables.registerAll(spark, sfDir)
+    val wl = Workload.fromDirectory("job", "/root/repo/workloads/job")
+    val branching = Presets.ues(spark, new EmulatedStatistics(spark),
+      subqueryBranching = true)
+    // the branch fold now REFINES the step bound via the fragment bound
+    // (B*alpha, U*B) — the bench's symmetric q-error cannot distinguish
+    // a tighter bound from an UNSOUND one, so the direction is pinned
+    // here: the bushy root bound must still dominate the true root
+    // cardinality (which is join-order independent)
+    def rootCard(t: graft.plans.JoinTree[graft.core.Cardinality]): Double =
+      t.annotation.value
+    var compared = 0
+    wl.queries.foreach { case (label, sql) =>
+      val res = branching.optimizeQuery(sql)
+      res.df.collect()
+      for {
+        est <- res.joinOrder.map(rootCard)
+        act <- QueryPlanOps(res.df).joinTree.map(rootCard)
+        if !est.isNaN && !act.isNaN && act >= 0
+      } {
+        compared += 1
+        assert(est >= act,
+          s"$label: branching root bound $est below actual $act")
+      }
+    }
+    assert(compared >= 25, s"only $compared root bounds compared")
+  }
+
   test("UES beats the native join order on C_out for at least one JOB query") {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("job", "/root/repo/workloads/job")
