@@ -171,6 +171,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // tokenizer-AWARE packing: the packer fed by the learned BPE
+    // vocabulary's piece counts (segmentCounts) instead of whitespace
+    // counts — the composition a real pipeline ships, since training
+    // budgets are measured in model tokens
+    "d26_token_packing" -> { (s, dir) =>
+      val lens = Bpe.segmentCounts(docs(s, dir), "doc_id", "text",
+        numMerges = 6)
+      Curation.packByLengths(lens, "doc_id", "n_pieces",
+          budget = 512, chunkSize = 64)
+        .orderBy(col("doc_id"))
+    },
+
     // deterministic training-order SHUFFLE: seed-reproducible affine
     // permutation ranks via the two-level prefix sum (16 buckets so the
     // gate exercises the bucket-base composition); the oracle recomputes
@@ -1861,6 +1873,8 @@ object LlmQueries {
     "t25_bpe_merges_batched" -> Bpe.mergesOracleSql(numMerges = 6),
     "t26_bpe_merges_batched_k4" ->
       Bpe.mergesBatchedOracleSql(numMerges = 8, batchSize = 4),
+    "d26_token_packing" ->
+      Bpe.tokenPackingOracleSql(numMerges = 6, budget = 512),
 
     // same chain, then piece counts joined back onto the token instances
     "t21_bpe_segment" -> Bpe.segmentOracleSql(numMerges = 6),

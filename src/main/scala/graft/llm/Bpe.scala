@@ -402,4 +402,23 @@ object Bpe {
        SELECT t.doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS n_pieces
        FROM toks t JOIN w$numMerges w USING (word)
        GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+  /** DuckDB oracle for tokenizer-aware sequence packing: the
+    * [[segmentCounts]] replay feeding the d13 packing arithmetic —
+    * training budgets are measured in model tokens, so the packer's
+    * length input is the learned tokenizer's piece count per document. */
+  def tokenPackingOracleSql(numMerges: Int, budget: Int): String =
+    s"""WITH ${bpeCtes(numMerges)},
+       tl AS (SELECT t.doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens
+              FROM toks t JOIN w$numMerges w USING (word)
+              GROUP BY t.doc_id),
+       pc AS (SELECT doc_id, n_tokens,
+                CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+              FROM tl)
+       SELECT doc_id, n_tokens,
+              CAST(floor(cum_before / $budget) AS BIGINT) AS seq_id,
+              CAST(cum_before % $budget AS BIGINT) AS seq_offset
+       FROM pc ORDER BY doc_id"""
 }

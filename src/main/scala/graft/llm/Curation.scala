@@ -221,10 +221,21 @@ object Curation {
   }
 
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, chunkSize: Int = 4096): DataFrame =
+    packByLengths(docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens")),
+      idCol, "n_tokens", budget, chunkSize)
+
+  /** [[packSequences]] over PRECOMPUTED lengths — the tokenizer-aware
+    * form: a real pipeline packs by the tokenizer's piece counts (e.g.
+    * [[Bpe.segmentCounts]]), not whitespace counts, because the training
+    * budget is measured in model tokens. Same two-level distributed
+    * prefix sum; `lengths` is (idCol, lenCol). */
+  def packByLengths(lengths: DataFrame, idCol: String, lenCol: String,
       budget: Int, chunkSize: Int = 4096): DataFrame = {
     require(budget > 0 && chunkSize > 0)
-    val perDoc = docs.select(col(idCol).cast("bigint").as("doc_id"),
-      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val perDoc = lengths.select(col(idCol).cast("bigint").as("doc_id"),
+      col(lenCol).cast("long").as("n_tokens"))
       .withColumn("chunk", floor(col("doc_id") / chunkSize))
     // serial step over the tiny chunk relation only
     val chunkBase = perDoc.groupBy("chunk")
