@@ -6,9 +6,15 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Protocol per BASELINE.md:
   * one warm-up, then 5 timed repetitions per query; results fully
   * materialized through the noop sink (count() would let the optimizer
-  * drop final sorts/projects). The headline `value` is the sum of
-  * canary-rebased trimmed-min estimates (see the estimator comment
-  * below); raw medians, mins and per-rep arrays ride alongside.
+  * drop final sorts/projects). The headline `value` is the protocol
+  * number — the sum of per-query MEDIANS, exactly what BASELINE.md
+  * pins ("report median wall-clock") and what the ≤2x bar compares
+  * against. The canary-rebased trimmed-min estimator (see the comment
+  * below) rides alongside as `total_adj`/`queries_adj` — the
+  * noise-robust number for round-over-round trend reading — but it is
+  * NOT the headline: trimmed-min is ≤ median by construction, so
+  * promoting it would systematically lower the headline relative to
+  * the documented protocol.
   */
 object Bench {
 
@@ -249,6 +255,8 @@ object Bench {
     val qadj = adjusted.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val totalAdj = adjusted.map(_._2).filter(_ >= 0).sum
+    // `total` (sum of medians) is the headline `value`; totalAdj is the
+    // auxiliary drift-corrected estimator — see the object scaladoc.
     // Per-query OPTIMIZATION time + bound quality over the workload kits
     // (plan construction through the full UES pipeline): the distribution
     // the reference reports for its JOB runs (bench.py's
@@ -258,14 +266,38 @@ object Bench {
     // pays fixture registration; stats come from the gate's
     // disk-persisted probe cache, mirroring how the reference optimizes
     // against precomputed catalog statistics.
-    final case class KitRow(label: String, optMs: Double, maxQerr: Double,
-      rootBound: Double, rootActual: Double)
+    final case class KitRow(label: String, optMs: Double, coldMs: Double,
+      maxQerr: Double, rootBound: Double, rootActual: Double,
+      bushyJoins: Int,
+      // one triple per join node of the enforced plan, post-order:
+      // (joined table set, the UES bound annotation, measured actual
+      // output rows from SQLMetrics) — the whole-tree tightness data
+      nodes: Seq[(Set[String], Double, Double)])
     def joinCards(t: graft.plans.JoinTree[graft.core.Cardinality]): Seq[Double] =
       t match {
         case graft.plans.JoinNode(o, i, a) =>
           joinCards(o) ++ joinCards(i) :+ a.value
         case _ => Seq.empty
       }
+    def joinSets(t: graft.plans.JoinTree[graft.core.Cardinality]): Seq[Set[String]] =
+      t match {
+        case j @ graft.plans.JoinNode(o, i, _) =>
+          joinSets(o) ++ joinSets(i) :+ j.tableSet
+        case _ => Seq.empty
+      }
+    // how many joins sit OFF the left spine — 0 for a left-deep tree;
+    // each pk partner the branching policy folds adds exactly one
+    def bushyJoinCount(t: graft.plans.JoinTree[graft.core.Cardinality]): Int = {
+      def joins(x: graft.plans.JoinTree[graft.core.Cardinality]): Int = x match {
+        case graft.plans.JoinNode(o, i, _) => 1 + joins(o) + joins(i)
+        case _ => 0
+      }
+      def spine(x: graft.plans.JoinTree[graft.core.Cardinality]): Int = x match {
+        case graft.plans.JoinNode(o, _, _) => 1 + spine(o)
+        case _ => 0
+      }
+      joins(t) - spine(t)
+    }
     def qerr(e: Double, a: Double): Double = {
       val ee = math.max(e, 1.0); val aa = math.max(a, 1.0)
       math.max(ee / aa, aa / ee)
@@ -282,14 +314,27 @@ object Bench {
     def runKit(kit: Seq[(String, String)],
         pipeline: graft.pipeline.MultiStageOptimizationPipeline,
         execute: Boolean): Seq[KitRow] = {
-      kit.headOption.foreach { case (_, sql) => pipeline.optimizeQuery(sql) }
+      // Warm sweep over the WHOLE kit before the timed pass: the first
+      // optimization of a query pays any statistics probes missing from
+      // the persisted cache (one-time Spark jobs, seconds each on a cold
+      // cache) — the reference optimizes against precomputed catalog
+      // statistics, so the timed number must measure optimization, not
+      // probe execution (the r11 artifact's 1.2 s median was cold MCV
+      // probes; warm steady state is ~50-80 ms). The warm sweep's own
+      // per-query times are kept as cold_ms so the probe cost stays
+      // visible in the artifact instead of vanishing.
+      val coldMs: Map[String, Double] = kit.map { case (label, sql) =>
+        val t0 = System.nanoTime()
+        try pipeline.optimizeQuery(sql) catch { case _: Throwable => }
+        label -> ((System.nanoTime() - t0) / 1e6)
+      }.toMap
       kit.map { case (label, sql) =>
         val t0 = System.nanoTime()
         val res = pipeline.optimizeQuery(sql)
         val optMs = (System.nanoTime() - t0) / 1e6
         val rootBound = res.joinOrder.map(_.annotation.value).getOrElse(-1.0)
-        val (qe, rootAct): (Double, Double) =
-          if (!execute) (-1.0, -1.0)
+        val (qe, rootAct, nodes): (Double, Double, Seq[(Set[String], Double, Double)]) =
+          if (!execute) (-1.0, -1.0, Seq.empty)
           else try {
             res.df.collect() // small aggregate outputs; runs df's own QE
             val acts = graft.plans.QueryPlanOps(res.df).joinTree.map(joinCards)
@@ -303,21 +348,29 @@ object Bench {
               zipped.filter { case (e, a) => !e.isNaN && !a.isNaN && a >= 0 }
                 .map { case (e, a) => qerr(e, a) }
             }
+            val nodeTriples: Seq[(Set[String], Double, Double)] = (for {
+              estTree <- res.joinOrder
+              act <- acts
+              ests = joinCards(estTree)
+              sets = joinSets(estTree)
+              if ests.size == act.size && sets.size == act.size
+            } yield sets.lazyZip(ests).lazyZip(act).toSeq
+              .filter { case (_, e, a) => !e.isNaN && !a.isNaN && a >= 0 })
+              .getOrElse(Seq.empty)
             (pairs.filter(_.nonEmpty).map(_.max).getOrElse(-1.0),
-              acts.flatMap(_.lastOption).getOrElse(-1.0))
+              acts.flatMap(_.lastOption).getOrElse(-1.0), nodeTriples)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $label qerror failed: ${e.getMessage}")
-              (-1.0, -1.0)
+              (-1.0, -1.0, Seq.empty)
           }
-        KitRow(label, optMs, qe, rootBound, rootAct)
+        KitRow(label, optMs, coldMs.getOrElse(label, -1.0), qe, rootBound,
+          rootAct, res.joinOrder.map(bushyJoinCount).getOrElse(0), nodes)
       }
     }
     def jmap(rows: Seq[(String, Double)]): String =
       rows.map { case (l, v) => s""""$l":${fmt(v)}""" }.mkString("{", ",", "}")
-    val (jobOptMs, jobQerror, jobQerrorBranching, statsOptMs, statsQerror,
-        jobQerrorByEstimator, statsQerrorByEstimator):
-        (String, String, String, String, String, String, String) = try {
+    val kitSections: Map[String, String] = try {
       val root = sys.props.get("graft.workloads.dir")
         .orElse(sys.env.get("GRAFT_WORKLOADS_DIR"))
         .getOrElse("/root/repo/workloads")
@@ -342,6 +395,11 @@ object Bench {
         val a = actualByLabel.getOrElse(r.label, -1.0)
         r.label -> (if (a < 0 || r.rootBound < 0) -1.0 else qerr(r.rootBound, a))
       }
+      // per-query count of pk partners actually FOLDED by the branching
+      // policy (joins off the left spine) — distinguishes "branching
+      // fired and changed nothing" from "pkPartners never fired on this
+      // kit" when the branching q-error map is identical to left-deep
+      val branchFired = branchRows.map(r => r.label -> r.bushyJoins.toDouble)
       // Estimator head-to-head on the FINAL join cardinality (the
       // reference's example-04 comparison): UES root bound, the
       // histogram/MCV statistical estimator, textbook System-R, and
@@ -380,23 +438,87 @@ object Bench {
       }
       val byEstimator = headToHead(jobKit, jobRows)
       val statsByEstimator = headToHead(statsKit, statsRows)
-      (jmap(jobRows.map(r => r.label -> r.optMs)),
-       jmap(jobRows.map(r => r.label -> r.maxQerr)),
-       jmap(branchQerr),
-       jmap(statsRows.map(r => r.label -> r.optMs)),
-       jmap(statsRows.map(r => r.label -> r.maxQerr)),
-       byEstimator, statsByEstimator)
+      // Per-NODE tightness (reference grades whole-tree tightness,
+      // /root/reference/postbound/opt/_analysis.py): every join node of
+      // the enforced plan contributes a q-error, summarized per query as
+      // {n, median, max}. The UES column reads the tree annotations the
+      // optimizer actually produced; the other estimators estimate the
+      // same joined table set — the actual cardinality of an inner-join
+      // fragment is tree-shape-independent, so the measured actuals
+      // transfer. Driver-side plan-only work; nothing re-executes.
+      def nodesHeadToHead(kit: Seq[(String, String)],
+          rows: Seq[KitRow]): String = {
+        val byLabel = rows.map(r => r.label -> r.nodes).toMap
+        def summarize(qes: Seq[Double]): String =
+          if (qes.isEmpty) """{"n":0}"""
+          else {
+            val s = qes.sorted
+            s"""{"n":${qes.size},"median":${fmt(s(s.size / 2))},"max":${fmt(s.last)}}"""
+          }
+        def render(r: Seq[(String, String)]): String =
+          r.map { case (l, v) => s""""$l":$v""" }.mkString("{", ",", "}")
+        def estRows(f: (graft.opt.JoinGraph, Set[String]) => Double): Seq[(String, String)] =
+          kit.map { case (label, sql) =>
+            val nodes = byLabel.getOrElse(label, Seq.empty)
+            val qes = try {
+              graft.qal.QueryFacade(spark, sql).joinBlock.map { b =>
+                val g = new graft.opt.JoinGraph(b, stats)
+                nodes.flatMap { case (ts, _, a) =>
+                  val e = f(g, ts)
+                  if (e < 0) None else Some(qerr(e, a))
+                }
+              }.getOrElse(Seq.empty)
+            } catch { case _: Throwable => Seq.empty[Double] }
+            label -> summarize(qes)
+          }
+        val uesRows = rows.map(r => r.label ->
+          summarize(r.nodes.map { case (_, e, a) => qerr(e, a) }))
+        Seq(
+          "ues_bound" -> render(uesRows),
+          "statistical" -> render(estRows((g, ts) =>
+            statistical.calculateEstimate(g, ts).value)),
+          "basic" -> render(estRows((g, ts) =>
+            basic.calculateEstimate(g, ts).value)),
+          "native" -> render(estRows((g, ts) => nativeStats.rowEstimate(
+            graft.opt.QueryFragment.fragmentPlan(g, ts))
+            .map(_.toDouble).getOrElse(-1.0)))
+        ).map { case (n, r) => s""""$n":$r""" }.mkString("{", ",", "}")
+      }
+      val nodesByEstimator = nodesHeadToHead(jobKit, jobRows)
+      val statsNodesByEstimator = nodesHeadToHead(statsKit, statsRows)
+      Map(
+        "job_opt_ms" -> jmap(jobRows.map(r => r.label -> r.optMs)),
+        "job_cold_probe_ms" -> jmap(jobRows.map(r => r.label -> r.coldMs)),
+        "job_qerror" -> jmap(jobRows.map(r => r.label -> r.maxQerr)),
+        "job_qerror_branching" -> jmap(branchQerr),
+        "job_branching_fired" -> jmap(branchFired),
+        "job_qerror_by_estimator" -> byEstimator,
+        "job_qerror_nodes_by_estimator" -> nodesByEstimator,
+        "stats_qerror_by_estimator" -> statsByEstimator,
+        "stats_qerror_nodes_by_estimator" -> statsNodesByEstimator,
+        "stats_opt_ms" -> jmap(statsRows.map(r => r.label -> r.optMs)),
+        "stats_cold_probe_ms" -> jmap(statsRows.map(r => r.label -> r.coldMs)),
+        "stats_qerror" -> jmap(statsRows.map(r => r.label -> r.maxQerr)))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] workload kit metrics failed: ${e.getMessage}")
-        ("{}", "{}", "{}", "{}", "{}", "{}", "{}")
+        Map.empty[String, String]
     }
+    // fixed key list so the artifact schema is stable even when the kit
+    // metrics fail wholesale (each key then carries "{}")
+    val kitKeys = Seq("job_opt_ms", "job_cold_probe_ms", "job_qerror",
+      "job_qerror_branching", "job_branching_fired", "job_qerror_by_estimator",
+      "job_qerror_nodes_by_estimator", "stats_qerror_by_estimator",
+      "stats_qerror_nodes_by_estimator", "stats_opt_ms",
+      "stats_cold_probe_ms", "stats_qerror")
+    val kitJson = kitKeys.map(k =>
+      s""""$k":${kitSections.getOrElse(k, "{}")}""").mkString(",")
     // scale-trend flight at a larger SF (see ScaleTrend's scaladoc):
     // last, so its one-shot timings run on the hottest JVM of the run
     val scaleTrend = graft.bench.ScaleTrend.section(spark, sfDir)
     val canaryMidJson = canaryMid.map(c => fmt(c._2)).mkString("[", ",", "]")
     val canaryMidAt = canaryMid.map(_._1).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(totalAdj)},"unit":"sec","estimator":"canary-rebased trimmed min","queries":$qs,"queries_min":$qmins,"queries_adj":$qadj,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"mid_at":$canaryMidAt,"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"job_opt_ms":$jobOptMs,"job_qerror":$jobQerror,"job_qerror_branching":$jobQerrorBranching,"job_qerror_by_estimator":$jobQerrorByEstimator,"stats_qerror_by_estimator":$statsQerrorByEstimator,"stats_opt_ms":$statsOptMs,"stats_qerror":$statsQerror,"scale_trend":$scaleTrend,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"sum of per-query medians (protocol); total_adj = canary-rebased trimmed min","queries":$qs,"queries_min":$qmins,"queries_adj":$qadj,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"mid_at":$canaryMidAt,"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"total_adj":${fmt(totalAdj)},$kitJson,"scale_trend":$scaleTrend,"sf":"$sfDir"}"""
     // the whole line goes to a FILE first: the r9 driver artifact kept
     // only a truncated stdout tail, losing every per-query median —
     // a file write is atomic-enough (tmp + move) that the full artifact

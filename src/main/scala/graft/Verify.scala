@@ -34,7 +34,11 @@ object Verify {
       val stale = Paths.get(s"$outDir/$name")
       if (Files.isDirectory(stale)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(stale).iterator().asScala.toSeq.reverse
+        // Files.walk holds directory handles until closed — materialize
+        // the path list under Using so the stream never leaks (one leaked
+        // handle per query adds up across the 190+ gate queries)
+        scala.util.Using.resource(Files.walk(stale))(
+          _.iterator().asScala.toVector).reverse
           .foreach(p => Files.deleteIfExists(p))
       }
       val sc = spark.sparkContext

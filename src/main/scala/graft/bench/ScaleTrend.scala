@@ -48,8 +48,18 @@ object ScaleTrend {
     * data and `factor`; a marker file makes regeneration idempotent. */
   def generate(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {
+    // the rotation cipher has 26 distinct non-identity keys (k % 26):
+    // copies k and k+26 would be textually identical, collapsing the
+    // documented share-no-shingles invariant — refuse rather than
+    // silently change the workload's duplicate rate
+    require(factor >= 1 && factor <= 26,
+      s"scale factor must be in [1, 26] (rotation-cipher keyspace), got $factor")
+    def maxIdPlusOne(df: DataFrame, idCol: String): Long = {
+      val r = df.agg(max(idCol)).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) + 1
+    }
     val docs = graft.Tables.load(spark, sfDir, "documents")
-    val nDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val nDoc = maxIdPlusOne(docs, "doc_id")
     val docCopies = (0 until factor).map { k =>
       val r = k % 26
       val to = lower.drop(r) + lower.take(r)
@@ -62,7 +72,7 @@ object ScaleTrend {
     docCopies.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val embs = graft.Tables.load(spark, sfDir, "embeddings")
-    val nVec = embs.agg(max("vec_id")).head().getLong(0) + 1
+    val nVec = maxIdPlusOne(embs, "vec_id")
     val embCopies = (0 until factor).map { k =>
       embs.select(
         (col("vec_id") + lit(k * nVec)).as("vec_id"),

@@ -164,6 +164,14 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     * (each L row pairs with every row of the newcomer: bound and
     * multiplicities multiply accordingly -- still a true upper bound).
     */
+  // memo for the DP use-case (every connected subset is asked for):
+  // scoped to THIS model instance, so the key is just the table set —
+  // no cross-graph collision is possible and entries die with the model
+  private val subsetMemo =
+    scala.collection.concurrent.TrieMap.empty[Set[String], Double]
+  def boundForSubsetMemo(ts: Set[String]): Double =
+    subsetMemo.getOrElseUpdate(ts, boundForSubset(ts))
+
   def boundForSubset(ts: Set[String]): Double = {
     if (ts.isEmpty) return 1.0
     if (ts.size == 1) return math.max(baseCard(ts.head), 1.0)
@@ -372,10 +380,11 @@ final class BoundsParameterGeneration extends ParameterGeneration {
 final class PessimisticCardinalityEstimator(filteredStats: Boolean = true,
     mcvEdgeBounds: Boolean = true, mcvK: Int = 16)
     extends graft.pipeline.CardinalityEstimator {
-  private val models =
-    new java.util.IdentityHashMap[JoinGraph, UesBoundModel]()
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[(Int, Set[String]), Double]
+  // JoinGraph uses reference equality, so a WeakHashMap keys by identity
+  // here while letting entries (model + its subset memo) die with the
+  // graph — the identityHashCode-keyed global memo this replaces could
+  // collide across graphs AND retained every graph forever
+  private val models = new java.util.WeakHashMap[JoinGraph, UesBoundModel]()
 
   def describe: String =
     s"""{"name":"pessimistic-card","model":"ues-bounds","mcv":$mcvEdgeBounds}"""
@@ -389,7 +398,6 @@ final class PessimisticCardinalityEstimator(filteredStats: Boolean = true,
       }
       m
     }
-    Cardinality(memo.getOrElseUpdate(
-      (System.identityHashCode(graph), tables), model.boundForSubset(tables)))
+    Cardinality(model.boundForSubsetMemo(tables))
   }
 }

@@ -52,6 +52,23 @@ final class EmulatedStatistics(spark: SparkSession,
   private def sTag = sampleFraction.map(x => s"@s$x").getOrElse("")
   private def scaled(n: Long): Long = math.round(n / f)
 
+  /** Whether frequency-type probes run on a sample (the 100 TB probe
+    * mode); consumers that treat a 0/empty probe result as "relation is
+    * empty" must not do so when this is set. */
+  def isSampled: Boolean = sampleFraction.isDefined
+
+  // An unlucky empty SAMPLE of a non-empty relation must not collapse a
+  // pessimistic bound to 0 (a 0 max frequency makes the UES step bound
+  // 0 — the exact unsoundness the bound design forbids): when sampling
+  // is enabled and a sampled count/frequency probe comes back zero, the
+  // probe re-runs unsampled. A truly empty relation still reports 0,
+  // and the fallback fires exactly in the regime where the full probe is
+  // affordable (the filtered relation is tiny or empty).
+  private def unsampledIfZero(sampled: => Long)(full: => Long): Long = {
+    val s = sampled
+    if (s == 0L && sampleFraction.isDefined) full else s
+  }
+
   // the string rendering alone is NOT collision-safe: plan.toString
   // truncates past spark.sql.maxPlanStringLength, so two large plans
   // sharing a prefix would collide (the bug class the dedup cache hit);
@@ -84,13 +101,15 @@ final class EmulatedStatistics(spark: SparkSession,
   }
 
   def rowCount(plan: LogicalPlan): Long =
-    memo(plan, s"count$sTag")(scaled(sampledDf(plan).count()))
+    memo(plan, s"count$sTag")(
+      unsampledIfZero(scaled(sampledDf(plan).count()))(df(plan).count()))
 
   def rowCount(plan: LogicalPlan, filter: Option[Expression]): Long =
     filter match {
       case Some(fl) => memo(plan,
           s"count[${fl.canonicalized}#${fl.canonicalized.hashCode}]$sTag")(
-        scaled(sampledDf(Filter(fl, plan)).count()))
+        unsampledIfZero(scaled(sampledDf(Filter(fl, plan)).count()))(
+          df(Filter(fl, plan)).count()))
       case None => rowCount(plan)
     }
 
@@ -110,11 +129,16 @@ final class EmulatedStatistics(spark: SparkSession,
     * (MaxFrequencyStats, /root/reference/postbound/opt/ues.py:300). */
   def maxFrequency(plan: LogicalPlan, column: String): Long =
     memo(plan, s"maxfreq[$column]$sTag") {
-      // max over zero groups is NULL: an empty (e.g. fully filtered-out)
-      // relation has max frequency 0, not a crash
-      val r = sampledDf(plan).groupBy(col(column)).agg(count(lit(1)).as("c"))
-        .agg(max(col("c"))).head()
-      if (r.isNullAt(0)) 0L else scaled(r.getLong(0))
+      def probe(d: org.apache.spark.sql.DataFrame, scale: Boolean): Long = {
+        // max over zero groups is NULL: an empty (e.g. fully filtered-out)
+        // relation has max frequency 0, not a crash
+        val r = d.groupBy(col(column)).agg(count(lit(1)).as("c"))
+          .agg(max(col("c"))).head()
+        if (r.isNullAt(0)) 0L
+        else if (scale) scaled(r.getLong(0)) else r.getLong(0)
+      }
+      unsampledIfZero(probe(sampledDf(plan), scale = true))(
+        probe(df(plan), scale = false))
     }
 
   /** Maximum frequency of a column TUPLE — max number of rows sharing one
@@ -128,9 +152,14 @@ final class EmulatedStatistics(spark: SparkSession,
     require(columns.nonEmpty)
     if (columns.size == 1) return maxFrequency(plan, columns.head)
     memo(plan, s"maxfreq[${columns.sorted.mkString(",")}]$sTag") {
-      val r = sampledDf(plan).groupBy(columns.map(col): _*)
-        .agg(count(lit(1)).as("c")).agg(max(col("c"))).head()
-      if (r.isNullAt(0)) 0L else scaled(r.getLong(0))
+      def probe(d: org.apache.spark.sql.DataFrame, scale: Boolean): Long = {
+        val r = d.groupBy(columns.map(col): _*)
+          .agg(count(lit(1)).as("c")).agg(max(col("c"))).head()
+        if (r.isNullAt(0)) 0L
+        else if (scale) scaled(r.getLong(0)) else r.getLong(0)
+      }
+      unsampledIfZero(probe(sampledDf(plan), scale = true))(
+        probe(df(plan), scale = false))
     }
   }
 
@@ -141,10 +170,19 @@ final class EmulatedStatistics(spark: SparkSession,
     * cold JOB kit multi-second optimizations per query). */
   def mcvFrequencies(plan: LogicalPlan, column: String, k: Int = 10): Seq[Long] =
     memo(plan, s"mcvf[$column,$k]$sTag") {
-      val rows = sampledDf(plan).groupBy(col(column)).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col(column))
-        .limit(k).collect()
-      rows.toVector.map(r => scaled(r.getLong(1)))
+      def probe(d: org.apache.spark.sql.DataFrame, scale: Boolean): Vector[Long] = {
+        val rows = d.groupBy(col(column)).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col(column))
+          .limit(k).collect()
+        rows.toVector.map(r =>
+          if (scale) scaled(r.getLong(1)) else r.getLong(1))
+      }
+      val s = probe(sampledDf(plan), scale = true)
+      // empty-sample guard, same rationale as maxFrequency: an empty MCV
+      // vector reads as "relation is empty" downstream (mcvTerm returns
+      // a 0 bound term), which only an UNSAMPLED probe may assert
+      if (s.isEmpty && sampleFraction.isDefined) probe(df(plan), scale = false)
+      else s
     }
 
   /** Approximate maximum frequency, the scale path for the UES statistic:

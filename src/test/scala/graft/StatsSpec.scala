@@ -83,6 +83,27 @@ class StatsSpec extends SparkSpec {
     assert(stats.maxFrequency(empty, Seq("k1", "k2")) === 0L)
   }
 
+  test("an empty SAMPLE of a non-empty relation re-probes unsampled " +
+      "instead of reporting 0 (bound-soundness guard)") {
+    // fraction small enough that the 25-row nation sample is empty with
+    // the fixed seed — without the guard every probe would return 0 and
+    // the UES bound would collapse to 0 on a non-empty relation
+    val sampled = new EmulatedStatistics(spark, sampleFraction = Some(1e-6))
+    val nation = leafOf("nation")
+    assert(sampled.rowCount(nation) === 25L)
+    assert(sampled.maxFrequency(nation, "n_regionkey") === 5L)
+    assert(sampled.maxFrequency(nation,
+      Seq("n_regionkey", "n_nationkey")) === 1L)
+    assert(sampled.mcvFrequencies(nation, "n_regionkey", 3).nonEmpty)
+    // a truly empty relation still probes to 0/empty under sampling
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val empty = Filter(
+      org.apache.spark.sql.catalyst.expressions.Literal(false), nation)
+    assert(sampled.rowCount(empty) === 0L)
+    assert(sampled.maxFrequency(empty, "n_regionkey") === 0L)
+    assert(sampled.mcvFrequencies(empty, "n_regionkey", 3).isEmpty)
+  }
+
   test("MCV frequency vectors persist through the long-value disk cache") {
     val stats = new EmulatedStatistics(spark)
     val nation = leafOf("nation")

@@ -32,6 +32,25 @@ class UesBranchingSpec extends SparkSpec {
       Set("customer", "orders", "lineitem", "part", "supplier"))
     assert(bushy.isBushy, s"expected bushy tree, got ${bushy.render}")
 
+    // the branching policy FIRED here: pk partners sit off the left
+    // spine (this is the structural count the bench artifact reports as
+    // job_branching_fired), and since the branch fragment routes through
+    // the shared bound model, branching must only TIGHTEN the root bound
+    def joins(t: graft.plans.JoinTree[graft.core.Cardinality]): Int = t match {
+      case graft.plans.JoinNode(o, i, _) => 1 + joins(o) + joins(i)
+      case _ => 0
+    }
+    def spine(t: graft.plans.JoinTree[graft.core.Cardinality]): Int = t match {
+      case graft.plans.JoinNode(o, _, _) => 1 + spine(o)
+      case _ => 0
+    }
+    assert(joins(bushy) - spine(bushy) >= 1,
+      s"no pk partner folded off the spine: ${bushy.render}")
+    assert(joins(linear) - spine(linear) === 0)
+    assert(bushy.annotation.value <= linear.annotation.value,
+      s"branching loosened the root bound: bushy=${bushy.annotation.value} " +
+        s"linear=${linear.annotation.value}")
+
     // both shapes must produce identical, correct results
     for (tree <- Seq(linear, bushy)) {
       val ops = new UESOperatorSelection()
