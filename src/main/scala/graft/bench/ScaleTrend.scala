@@ -96,12 +96,22 @@ object ScaleTrend {
     out
   }
 
+  /** Min of two back-to-back runs: the per-query times here are small
+    * (seconds) and the ratio divides two of them, so one scheduling
+    * stall on either side shifts the reported ratio by tens of percent —
+    * the r11 artifact flagged d03 at 1.24 this way, while a stage-wise
+    * re-measurement showed its candidate pairs scale exactly linearly
+    * (256 -> 2566 at 10x) and the full pipeline at 0.11 per-data. Min
+    * of two keeps the flight cheap while discarding a stalled run. */
   private def timeOnce(spark: SparkSession, name: String,
       dir: String): Double = {
-    val t0 = System.nanoTime()
-    graft.SparkEntry.queries(name)(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    (System.nanoTime() - t0) / 1e9
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
   }
 
   /** One JSON object for the bench artifact: per-query 1x / `factor`x
@@ -151,7 +161,30 @@ object ScaleTrend {
     }.mkString("{", ",", "}")
     val superlinear = all.filter(_._4 > SuperlinearThreshold).map(_._1)
       .map(n => s""""$n"""").mkString("[", ",", "]")
-    s"""{"factor":$factor,"queries":$qs,"superlinear":$superlinear}"""
+    // Batched-BPE trainer at a realistic budget: the 32k-vocab claim is
+    // about ROUND count at scale — rounds ~ merges/batchSize regardless
+    // of corpus size (the corpus is aggregated once into the word dict;
+    // every round touches only the vocabulary-sized dict). This times
+    // 512 merges at batchSize 64 on the base and scaled corpora and
+    // reports the round count alongside, so the artifact shows both the
+    // flat round structure and how per-round cost grows with vocabulary.
+    val bpe = try {
+      def row(dir: String): (Double, Int, Int) = {
+        val docs = graft.Tables.load(spark, dir, "documents")
+        val t0 = System.nanoTime()
+        val (bRounds, _) =
+          graft.llm.Bpe.trainMergesBatched(docs, "text", 512, 64)
+        ((System.nanoTime() - t0) / 1e9, bRounds.size, bRounds.map(_.size).sum)
+      }
+      val (t1, r1, m1) = row(sfDir)
+      val (tS, rS, mS) = row(dirS)
+      s""","bpe_trainer":{"merges":512,"batch":64,"t1":${fmt(t1)},"rounds1":$r1,"admitted1":$m1,"tS":${fmt(tS)},"roundsS":$rS,"admittedS":$mS,"ratio_per_data":${fmt(tS / math.max(t1, 1e-9) / factor)}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] bpe trainer scale row failed: ${e.getMessage}")
+        ""
+    }
+    s"""{"factor":$factor,"queries":$qs,"superlinear":$superlinear$bpe}"""
   } catch {
     case e: Throwable =>
       System.err.println(s"[bench] scale trend failed: ${e.getMessage}")

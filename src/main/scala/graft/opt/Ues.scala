@@ -1,6 +1,8 @@
 package graft.opt
 
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, ExprId, Expression}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
 import graft.core.{Cardinality, JoinOperator}
 import graft.pipeline.{JoinOrderOptimization, PhysicalOperatorSelection,
   ParameterGeneration}
@@ -35,7 +37,7 @@ import graft.qal.QueryFacade
   */
 private[opt] final class UesBoundModel(graph: JoinGraph,
     filteredStats: Boolean = true, mcvEdgeBounds: Boolean = true,
-    mcvK: Int = 16) {
+    mcvK: Int = 16, joinSketch: Boolean = true) {
   private val stats = graph.stats
   private def leaf(t: String) = graph.block.leafPlan(t)
   // the plan frequency probes run on: with filteredStats the table's
@@ -120,6 +122,100 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       tailCount * math.min(flTail * muL, u) * math.min(fcTail, cardC)).min
   }
 
+  // Join-sketch probe (the estimator tier between the per-relation UES
+  // statistics and PreciseCardinalities, reference: true-cardinality
+  // probes in /root/reference/postbound/opt/_cardinalities.py:20): the
+  // number of candidate rows that can appear in the intermediate over
+  // joined+c at all. Per-relation statistics provably cannot see
+  // cross-table join-value selectivity (the q09-class semijoin tail:
+  // the intermediate's (order, supplier) pairs almost never co-occur in
+  // lineitem); the sound quantity that CAN be probed on filtered base
+  // relations is the Yannakakis-style semijoin reduction of the
+  // candidate against the joined subset: c left-semi-joined with each
+  // equi partner in S, each partner itself reduced against ITS
+  // S-neighbors, transitively. Soundness: a candidate row in the
+  // intermediate over S+c has, for every table of S reachable through
+  // subset equi edges, a witness row satisfying those edges — so it
+  // survives the reduction; the reduction count is a true upper bound
+  // on participating candidate rows, and reducedCard * alpha (each
+  // surviving row matches at most alpha intermediate rows) is a sound
+  // step cap. The probe is ONE count over a left-semi join tree of
+  // filtered scans — at scale each semijoin is a broadcast/shuffle of
+  // distinct-key sets, and the result is a Long that memoizes and
+  // disk-persists exactly like the mcvf vectors.
+  //
+  // Tables may repeat across branches (q09's region sits under both
+  // nation aliases): a repeated occurrence is wrapped in a Project of
+  // fresh Aliases and the edge predicate remapped to the alias ids, so
+  // the analyzer's relation dedup re-instances the duplicated subtree
+  // consistently (the same mechanism that resolves df.join(df)).
+  // Occurrences are capped at 2 per table and depth 8 so dense graphs
+  // cannot blow the tree up (dropping a semijoin condition is always
+  // sound). Returns None when no filter exists anywhere in the
+  // reduction tree — the probe could then only discover FK orphans,
+  // not selectivity, and is not worth a job.
+  private def reductionPlan(c: String, s: Set[String]): Option[LogicalPlan] = {
+    val used = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    var anyFilter = false
+    def remap(e: Expression, m: Map[ExprId, Attribute]): Expression =
+      if (m.isEmpty) e
+      else e.transform { case a: Attribute if m.contains(a.exprId) => m(a.exprId) }
+    def instantiate(t: String): (LogicalPlan, Map[ExprId, Attribute]) = {
+      used(t) += 1
+      if (t != c && graph.block.filtersFor(t).nonEmpty) anyFilter = true
+      if (used(t) == 1) (statPlan(t), Map.empty)
+      else {
+        // A REPEATED occurrence re-aliases the whole filtered subtree
+        // through a Project of fresh Aliases: the edge predicate built
+        // against this occurrence references the new alias ids, while the
+        // duplicated subtree underneath keeps its original ids — the
+        // analyzer's relation dedup then re-instances that inner subtree
+        // consistently (the same mechanism that resolves df.join(df)),
+        // leaving the alias ids this occurrence's predicate uses intact.
+        val orig = statPlan(t)
+        val aliases = orig.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)())
+        val fresh = org.apache.spark.sql.catalyst.plans.logical
+          .Project(aliases, orig)
+        (fresh, orig.output.map(_.exprId).zip(fresh.output).toMap)
+      }
+    }
+    def canInstantiate(t: String): Boolean = used(t) < 2
+    def grow(t: String, plan0: LogicalPlan, subst: Map[ExprId, Attribute],
+        path: Set[String]): LogicalPlan = {
+      var p = plan0
+      if (path.size >= 8) return p
+      for (u <- s.toSeq.sorted if !path.contains(u) && canInstantiate(u)) {
+        val eqEdges = graph.edges
+          .filter(e => e.connects(t, u) && e.equiColumns.nonEmpty)
+        if (eqEdges.nonEmpty) {
+          val (uPlan, uSubst) = instantiate(u)
+          val uGrown = grow(u, uPlan, uSubst, path + t + u)
+          val cond = eqEdges.map(e => remap(remap(e.expr, subst), uSubst))
+            .reduce(And(_, _))
+          p = Join(p, uGrown, LeftSemi, Some(cond), JoinHint.NONE)
+        }
+      }
+      p
+    }
+    val (cPlan, cSubst) = instantiate(c)
+    val tree = grow(c, cPlan, cSubst, Set(c))
+    if (anyFilter && !(tree eq cPlan)) Some(tree) else None
+  }
+
+  /** Probed upper bound on candidate rows that can reach the joined set
+    * at all (see [[reductionPlan]]); None when the probe is disabled or
+    * would be uninformative. */
+  def reducedCard(c: String, joined: Set[String]): Option[Double] =
+    if (!joinSketch) None
+    else try reductionPlan(c, joined).map(p => stats.rowCount(p).toDouble)
+    catch {
+      // a probe failure (unresolvable clone, exotic leaf) must degrade
+      // to the per-relation bound, never fail the optimization
+      case _: Throwable => None
+    }
+
   def stepFor(joined: Set[String], u: Double, mu: Map[String, Double],
       c: String): Step = {
     val equi = graph.edgesBetween(joined, c).flatMap { e =>
@@ -144,8 +240,15 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         stats.maxFrequency(statPlan(l),
           es.map(_._2.name).distinct).toDouble * mu(l)
     }
+    // candidate rows that can participate at all: the filtered base
+    // cardinality, tightened by the join-sketch reduction probe when
+    // one is informative (min keeps soundness under any probe regime)
+    val cardC =
+      if (equi.isEmpty) baseCard(c)
+      else reducedCard(c, joined).map(math.min(_, baseCard(c)))
+        .getOrElse(baseCard(c))
     val beta = (equi.map { case (_, _, cb) => mf(c, cb.name) } ++
-      betaTuple :+ baseCard(c)).min
+      betaTuple :+ cardC).min
     val alpha = (equi.map { case (l, ca, _) =>
       mf(l, ca.name) * mu(l) } ++ alphaTuple :+ u).min
     val nm = equi.map { case (l, ca, cb) =>
@@ -155,7 +258,19 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     val mcv = if (!mcvEdgeBounds) Seq.empty else equi.map {
       case (l, ca, cb) => mcvTerm(l, ca.name, mu(l), u, c, cb.name)
     }
-    Step((Seq(u * beta, baseCard(c) * alpha) ++ nm ++ mcv).min, beta, alpha)
+    // Partner re-reduction (the reverse direction of the candidate cap,
+    // for the "filtered dimension joins last" pattern where beta = 1
+    // keeps U flat while the actual collapses): every row of the new
+    // intermediate contains a row of partner l that has Yannakakis
+    // witnesses in (joined ∪ c) \ {l} — including the NEW candidate and
+    // its filters — so at most reducedCard(l, joined - l + c) distinct
+    // l-rows participate, each at most mu'(l) = mu(l) * beta times.
+    val partnerRecheck = if (!joinSketch) Seq.empty else
+      equi.map(_._1).distinct.flatMap { l =>
+        reducedCard(l, joined - l + c).map(k => k * mu(l) * beta)
+      }
+    Step((Seq(u * beta, cardC * alpha) ++ nm ++ mcv ++ partnerRecheck).min,
+      beta, alpha)
   }
 
   /** Greedy pessimistic upper bound on the join over exactly `ts` --
@@ -229,10 +344,10 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     */
 final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
     filteredStats: Boolean = true, mcvEdgeBounds: Boolean = true,
-    mcvK: Int = 16)
+    mcvK: Int = 16, joinSketch: Boolean = true)
     extends JoinOrderOptimization {
   def describe: String =
-    s"""{"name":"ues","tree":"${if (subqueryBranching) "bushy" else "left-deep"}","bounds":"pessimistic","filteredStats":$filteredStats,"mcv":$mcvEdgeBounds}"""
+    s"""{"name":"ues","tree":"${if (subqueryBranching) "bushy" else "left-deep"}","bounds":"pessimistic","filteredStats":$filteredStats,"mcv":$mcvEdgeBounds,"joinSketch":$joinSketch}"""
 
   def optimizeJoinOrder(q: QueryFacade, graph: JoinGraph): Option[JoinTree[Cardinality]] = {
     val tables = graph.tables
@@ -242,7 +357,8 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
     // expansion itself always has an equi edge available
     if (tables.size < 2 || !graph.isEquiConnected) return None
 
-    val model = new UesBoundModel(graph, filteredStats, mcvEdgeBounds, mcvK)
+    val model = new UesBoundModel(graph, filteredStats, mcvEdgeBounds, mcvK,
+      joinSketch)
     import model.{baseCard, mf, stepFor}
 
     val start = tables.minBy(baseCard)
@@ -377,8 +493,14 @@ final class BoundsParameterGeneration extends ParameterGeneration {
   * plan. Subset bounds are memoized per join graph (DP asks for every
   * connected subset).
   */
+/** @param joinSketch default OFF here (unlike the greedy optimizer): a
+  *   DP enumeration asks for every connected subset, and a semijoin
+  *   probe per (candidate, subset) pair would turn one optimization
+  *   into dozens of Spark jobs — the greedy path's n-1 probes per query
+  *   is the intended cost envelope. */
 final class PessimisticCardinalityEstimator(filteredStats: Boolean = true,
-    mcvEdgeBounds: Boolean = true, mcvK: Int = 16)
+    mcvEdgeBounds: Boolean = true, mcvK: Int = 16,
+    joinSketch: Boolean = false)
     extends graft.pipeline.CardinalityEstimator {
   // JoinGraph uses reference equality, so a WeakHashMap keys by identity
   // here while letting entries (model + its subset memo) die with the
@@ -393,7 +515,8 @@ final class PessimisticCardinalityEstimator(filteredStats: Boolean = true,
     val model = models.synchronized {
       var m = models.get(graph)
       if (m == null) {
-        m = new UesBoundModel(graph, filteredStats, mcvEdgeBounds, mcvK)
+        m = new UesBoundModel(graph, filteredStats, mcvEdgeBounds, mcvK,
+          joinSketch)
         models.put(graph, m)
       }
       m

@@ -3,7 +3,6 @@ package graft
 import graft.bench.{BenchHarness, Workload}
 import graft.opt.Presets
 import graft.plans.QueryPlanOps
-import graft.stats.EmulatedStatistics
 
 /** The JOB-style many-join workload kit (reference: the Join Order Benchmark
   * loader surface, /root/reference/postbound/workloads.py:936-1038 — JOB is
@@ -20,8 +19,11 @@ class JobWorkloadSpec extends SparkSpec {
   test("JOB kit: 6-13-way queries optimize through UES and match native") {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("job", "/root/repo/workloads/job")
-    assert(wl.size === 34)
-    val pipeline = Presets.ues(spark, new EmulatedStatistics(spark))
+    // 34 hand-built (q01-q34) + 20 generator-emitted (gw01-gw20, seeded
+    // FK random walks over the full schema with 2-4 sampled filters —
+    // the reference's querygen route toward JOB's 113-query breadth)
+    assert(wl.size === 54)
+    val pipeline = Presets.ues(spark, OptQueries.statsFor(spark, sfDir))
     val rs = BenchHarness.executeWorkload(spark, wl,
       optimizer = pipeline.optimize _)
     assert(rs.forall(_.status == "ok"), rs.filter(_.status != "ok").toString)
@@ -38,7 +40,7 @@ class JobWorkloadSpec extends SparkSpec {
   test("UES bounds are true upper bounds on every JOB join intermediate") {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("job", "/root/repo/workloads/job")
-    val pipeline = Presets.ues(spark, new EmulatedStatistics(spark))
+    val pipeline = Presets.ues(spark, OptQueries.statsFor(spark, sfDir))
     // the reference's value proposition is BOUND tightness: the UES
     // annotation on each join node is an upper bound on that join's true
     // output, which is what makes the pessimistic order safe (bounded
@@ -74,7 +76,7 @@ class JobWorkloadSpec extends SparkSpec {
   test("branching-mode root bounds stay true upper bounds across the kit") {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("job", "/root/repo/workloads/job")
-    val branching = Presets.ues(spark, new EmulatedStatistics(spark),
+    val branching = Presets.ues(spark, OptQueries.statsFor(spark, sfDir),
       subqueryBranching = true)
     // the branch fold now REFINES the step bound via the fragment bound
     // (B*alpha, U*B) — the bench's symmetric q-error cannot distinguish
@@ -103,7 +105,7 @@ class JobWorkloadSpec extends SparkSpec {
   test("UES beats the native join order on C_out for at least one JOB query") {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("job", "/root/repo/workloads/job")
-    val pipeline = Presets.ues(spark, new EmulatedStatistics(spark))
+    val pipeline = Presets.ues(spark, OptQueries.statsFor(spark, sfDir))
     // C_out over ACTUALS: sum of rows produced by every physical join —
     // the cost the UES upper bounds minimize, measured from SQLMetrics
     def actualCout(df: org.apache.spark.sql.DataFrame): Long = {

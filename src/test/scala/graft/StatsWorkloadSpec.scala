@@ -3,7 +3,6 @@ package graft
 import graft.bench.{BenchHarness, Workload}
 import graft.opt.Presets
 import graft.plans.QueryPlanOps
-import graft.stats.EmulatedStatistics
 
 /** The Stats-CEB-style workload kit (reference: the Stats workload loader,
   * /root/reference/postbound/workloads.py:1124-1149 — 146 queries over the
@@ -25,7 +24,7 @@ class StatsWorkloadSpec extends SparkSpec {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("stats", "/root/repo/workloads/stats")
     assert(wl.size === 10)
-    val pipeline = Presets.ues(spark, new EmulatedStatistics(spark))
+    val pipeline = Presets.ues(spark, OptQueries.statsFor(spark, sfDir))
     val rs = BenchHarness.executeWorkload(spark, wl,
       optimizer = pipeline.optimize _)
     assert(rs.forall(_.status == "ok"), rs.filter(_.status != "ok").toString)
@@ -40,7 +39,7 @@ class StatsWorkloadSpec extends SparkSpec {
   test("UES bounds stay true upper bounds under correlated predicates") {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("stats", "/root/repo/workloads/stats")
-    val pipeline = Presets.ues(spark, new EmulatedStatistics(spark))
+    val pipeline = Presets.ues(spark, OptQueries.statsFor(spark, sfDir))
     // correlation is exactly where unsound shortcuts (selectivity-scaled
     // frequencies) break; the exact filtered-relation probes must keep
     // every bound above its actual here too

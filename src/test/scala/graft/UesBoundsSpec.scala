@@ -79,6 +79,75 @@ class UesBoundsSpec extends SparkSpec {
     assert(est.calculateEstimate(graph, Set("pa", "pc")).value === 10.0)
   }
 
+  test("join-sketch reduction: a filter two hops away tightens the " +
+      "candidate cap soundly") {
+    import spark.implicits._
+    // jr(r_k, r_v): keys 1..5, filter r_v = 1 keeps r_k = 1 only.
+    // jd(d_k, d_r): keys 1..10, d_r cycles 1..5 — reduced against
+    // filtered jr it keeps d_k in {1, 6}.
+    // jf(f_k): keys 1..9 once, key 10 twenty times (card 29, mf 20).
+    // Per-relation statistics at the jf step see mf/card/ndv of the RAW
+    // jf (the filter is two hops away): bound min(U*20, 29*1, mcv) = 29.
+    // The reduction probe counts jf ⋉ (jd ⋉ filtered jr) = 2 rows, so
+    // beta caps at 2 and the candidate cap at 2*alpha = 2 — equal to
+    // the true result, still an upper bound.
+    Seq((1, 1), (2, 2), (3, 3), (4, 4), (5, 5)).toDF("r_k", "r_v")
+      .createOrReplaceTempView("jr")
+    (1 to 10).map(k => (k, (k - 1) % 5 + 1)).toDF("d_k", "d_r")
+      .createOrReplaceTempView("jd")
+    ((1 to 9) ++ Seq.fill(20)(10)).toDF("f_k").createOrReplaceTempView("jf")
+    val sql = """SELECT count(*) AS n FROM jr, jd, jf
+                 WHERE d_r = r_k AND f_k = d_k AND r_v = 1"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val without = new UESJoinOrderOptimizer(joinSketch = false)
+      .optimizeJoinOrder(q, graph).get
+    val withSketch = new UESJoinOrderOptimizer()
+      .optimizeJoinOrder(q, graph).get
+    val actual = spark.sql(
+      """SELECT count(*) AS n FROM jr JOIN jd ON d_r = r_k
+         JOIN jf ON f_k = d_k WHERE r_v = 1""").head().getLong(0)
+    assert(actual === 2L)
+    assert(bounds(without).last === 29.0)
+    assert(bounds(withSketch).last === 2.0)
+    assert(bounds(withSketch).last >= actual.toDouble)
+  }
+
+  test("join-sketch reduction clones a shared neighbor into both " +
+      "branches (diamond conjunction)") {
+    import spark.implicits._
+    // diamond: jc joins jp and jq; BOTH dimensions join the same
+    // filtered jx. The reduction of jc must apply the jx restriction
+    // through jp's branch AND jq's branch — the second branch needs a
+    // cloned jx leaf (fresh expression ids). One-sided reduction would
+    // count 5 candidate rows; the conjunction counts 1.
+    Seq((1, 1), (2, 2), (3, 3), (4, 4)).toDF("x_k", "x_v")
+      .createOrReplaceTempView("jx")
+    (1 to 4).map(k => (k, k)).toDF("p_k", "p_x").createOrReplaceTempView("jp")
+    (1 to 4).map(k => (k, k)).toDF("q_k", "q_x").createOrReplaceTempView("jq")
+    val jcRows = Seq.fill(4)((1, 2)) ++ Seq.fill(4)((2, 1)) ++ Seq((1, 1)) ++
+      Seq.fill(8)((3, 3)) ++ Seq.fill(8)((4, 4))
+    jcRows.toDF("c_p", "c_q").createOrReplaceTempView("jc")
+    val sql = """SELECT count(*) AS n FROM jx, jp, jq, jc
+                 WHERE p_x = x_k AND q_x = x_k AND c_p = p_k AND c_q = q_k
+                   AND x_v = 1"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val without = new UESJoinOrderOptimizer(joinSketch = false)
+      .optimizeJoinOrder(q, graph).get
+    val withSketch = new UESJoinOrderOptimizer()
+      .optimizeJoinOrder(q, graph).get
+    val actual = spark.sql(
+      """SELECT count(*) AS n FROM jx JOIN jp ON p_x = x_k
+         JOIN jq ON q_x = x_k JOIN jc ON c_p = p_k AND c_q = q_k
+         WHERE x_v = 1""").head().getLong(0)
+    assert(actual === 1L)
+    assert(bounds(withSketch).last === 1.0,
+      s"conjunction through the cloned branch not applied: ${bounds(withSketch)}")
+    assert(bounds(withSketch).last < bounds(without).last)
+    assert(bounds(withSketch).last >= actual.toDouble)
+  }
+
   test("fk expansion off an amplified pk side stays a true upper bound " +
       "(the r10 bug class in miniature)") {
     import spark.implicits._

@@ -3,7 +3,6 @@ package graft
 import graft.bench.Workload
 import graft.opt.{UESJoinOrderOptimizer, UESOperatorSelection}
 import graft.pipeline.MultiStageOptimizationPipeline
-import graft.stats.EmulatedStatistics
 
 /** The reference's central optimization regression re-expressed at full
   * workload breadth (/root/reference/postbound/tests/
@@ -24,12 +23,13 @@ class WorkloadBreadthSpec extends SparkSpec {
     val ssb = Workload.fromDirectory("ssb", "/root/repo/workloads/ssb")
     val all = job.queries.toSeq.map { case (l, q) => s"job/$l" -> q } ++
       ssb.queries.toSeq.map { case (l, q) => s"ssb/$l" -> q }
-    assert(all.size === 47, "kit drifted: expected 34 JOB + 13 SSB queries")
+    assert(all.size === 67,
+      "kit drifted: expected 54 JOB (34 hand-built + 20 generated) + 13 SSB")
 
     val pipeline = new MultiStageOptimizationPipeline(spark,
       joinOrder = Some(new UESJoinOrderOptimizer),
       operators = Some(new UESOperatorSelection),
-      stats = new EmulatedStatistics(spark))
+      stats = OptQueries.statsFor(spark, sfDir))
 
     val fallbacks = scala.collection.mutable.ListBuffer.empty[String]
     all.foreach { case (label, sql) =>

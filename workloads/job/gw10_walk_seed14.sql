@@ -1,0 +1,3 @@
+-- generated: QueryGenerator.randomWalkQuery(seed = 14, minTables = 6,
+--   maxTables = 7, minFilters = 2, maxFilters = 4) over FixtureValueSource
+SELECT count(*) AS n FROM customer, lineitem, nation, orders, part, region, supplier WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey AND n_nationkey = s_nationkey AND r_regionkey = n_regionkey AND n_nationkey = c_nationkey AND c_custkey = o_custkey AND p_brand <> 'Brand#19' AND o_orderstatus <> 'P' AND s_nationkey <> 6

@@ -1,0 +1,3 @@
+-- generated: QueryGenerator.randomWalkQuery(seed = 19, minTables = 6,
+--   maxTables = 7, minFilters = 2, maxFilters = 4) over FixtureValueSource
+SELECT count(*) AS n FROM customer, lineitem, nation, orders, part, region, supplier WHERE r_regionkey = n_regionkey AND n_nationkey = s_nationkey AND n_nationkey = c_nationkey AND s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey AND p_type = 'SMALL' AND l_quantity < 25 AND o_orderpriority <> '5-LOW' AND c_mktsegment <> 'HOUSEHOLD'
