@@ -204,6 +204,16 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     if (anyFilter && !(tree eq cPlan)) Some(tree) else None
   }
 
+  /** Candidate SELECTION deliberately uses the same PROBED bound as the
+    * chosen step: a probe-free selector was measured (r12) to pick a
+    * worse order on the q09-class queries (kit max q-error 61 -> 630 —
+    * the probes are precisely what tells the greedy that deferring the
+    * n:m fact is safe), and the probe cost is one-time per data
+    * fingerprint (memoized + disk-persisted), the same amortization as
+    * the reference's precomputed catalog statistics. */
+  def selectionBound(joined: Set[String], u: Double, mu: Map[String, Double],
+      c: String): Double = stepFor(joined, u, mu, c).bound
+
   /** Probed upper bound on candidate rows that can reach the joined set
     * at all (see [[reductionPlan]]); None when the probe is disabled or
     * would be uninformative. */
@@ -304,7 +314,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         bound = bound * cardN
         joined += next
       } else {
-        val next = cands.minBy(c => stepFor(joined, bound, mu, c).bound)
+        val next = cands.minBy(c => selectionBound(joined, bound, mu, c))
         val step = stepFor(joined, bound, mu, next)
         mu = mu.map { case (t, m) => t -> m * step.beta } +
           (next -> step.alpha)
@@ -384,7 +394,7 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
     while (joined.size < tables.size) {
       val candidates = graph.neighbors(joined)
       if (candidates.isEmpty) return None // disconnected graph
-      val next = candidates.minBy(c => stepFor(joined, bound, mu, c).bound)
+      val next = candidates.minBy(c => model.selectionBound(joined, bound, mu, c))
       val step = stepFor(joined, bound, mu, next)
       val uPrev = bound
       var taken = joined + next
