@@ -309,6 +309,20 @@ object OptQueries {
         stats = statsFor(s, dir)).optimize(statsSql("q04_same_cluster_doc_pairs"))
     },
 
+    // UES on a generator-emitted correlated FK-walk query (gw07: the
+    // customer's nation and the supplier's nation must AGREE through
+    // lineitem — the cross-branch value-agreement class that is the
+    // join-sketch tier's documented q-error frontier). The gate pins
+    // that the probed pipeline fully enforces an order and stays exact
+    // on this class: bound looseness must never leak into results.
+    "opt24_ues_walk_correlated" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer),
+        operators = Some(new UESOperatorSelection),
+        stats = statsFor(s, dir)).optimize(jobSql("gw07_walk_seed10"))
+    },
+
     // TrainingDataRepository warm start: execute natively ONCE, harvest
     // per-join (path, operator, actual-rows) samples from the executed
     // plan's SQLMetrics, persist them to the parquet-backed repository,
@@ -497,6 +511,7 @@ object OptQueries {
     "opt20_adaptive_reopt" -> flagshipSql,
     "opt22_pessimistic_dp" -> jobSql("q08_6way_cyclic_triangle"),
     "opt23_ues_stats_correlated" -> statsSql("q04_same_cluster_doc_pairs"),
+    "opt24_ues_walk_correlated" -> jobSql("gw07_walk_seed10"),
     "opt21_ues_stack_funnel" -> stackSql("q01_funnel_3step"),
     "tr01_training_warmstart" -> flagshipSql,
     "tr02_training_bao" -> flagshipSql,

@@ -19,7 +19,7 @@ class GateContractSpec extends AnyFunSuite {
     // pinned to the actual registered count (update when adding queries):
     // a silent shrink — a dropped map entry, a shadowed key — must fail CI,
     // not just lower a generous floor
-    assert(q.size >= 197, s"gate shrank to ${q.size} queries (floor 197)")
+    assert(q.size >= 198, s"gate shrank to ${q.size} queries (floor 198)")
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(sql.trim.nonEmpty, s"empty oracle for $k")
     }
