@@ -83,7 +83,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   // max frequency is 1, which reproduces the classic pk/fk rules
   // (pk candidate => U' = U; fk candidate off a fresh pk side =>
   // U' = baseCard(c)).
-  final case class Step(bound: Double, beta: Double, alpha: Double)
+  import UesBoundModel.Step
 
   // MCV-aware edge bound (rearrangement inequality): the join output
   // over one equi edge is at most sum_i fl^(i) * fc^(i), pairing the
@@ -324,6 +324,13 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     }
     bound
   }
+}
+
+private[opt] object UesBoundModel {
+  /** One greedy expansion step: the new intermediate bound plus the
+    * per-row match caps used for the multiplicity update (beta: max
+    * candidate rows per L row; alpha: max L rows per candidate row). */
+  final case class Step(bound: Double, beta: Double, alpha: Double)
 }
 
   /** @param subqueryBranching UES branching policy (reference:
