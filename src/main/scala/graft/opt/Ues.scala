@@ -142,7 +142,12 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   // step cap. The probe is ONE count over a left-semi join tree of
   // filtered scans — at scale each semijoin is a broadcast/shuffle of
   // distinct-key sets, and the result is a Long that memoizes and
-  // disk-persists exactly like the mcvf vectors.
+  // disk-persists exactly like the mcvf vectors. When even that shuffle
+  // is unaffordable, stats.bloomSemijoinCount is the documented
+  // alternative: Bloom-filter membership (one pass per side, no
+  // distinct-set join) whose false positives can only OVERcount — the
+  // sound direction — at the cost of dropping the tree's transitivity
+  // (also an enlargement, also sound).
   //
   // Tables may repeat across branches (q09's region sits under both
   // nation aliases): a repeated occurrence is wrapped in a Project of

@@ -185,6 +185,42 @@ final class EmulatedStatistics(spark: SparkSession,
       else s
     }
 
+  /** Bloom-approximated semijoin count — the 100 TB path for the
+    * join-sketch reduction probes (opt.UesBoundModel): counts rows of
+    * `plan` whose value in each listed column is (probably) present in
+    * the partner column's value set, with membership tested through a
+    * Bloom filter built from the partner side. One pass over each
+    * partner to build the filter (no distinct-set shuffle join) and one
+    * pass over `plan` to count. Bloom membership can only produce FALSE
+    * POSITIVES, so the count can only OVERcount the exact semijoin —
+    * exactly the sound direction for a pessimistic upper bound. The
+    * flat membership list is the depth-1 approximation of the exact
+    * probe's transitive reduction tree (dropping transitivity also only
+    * enlarges). Memoized + disk-persisted like every other probe. */
+  def bloomSemijoinCount(plan: LogicalPlan,
+      memberships: Seq[(String, LogicalPlan, String)],
+      fpp: Double = 0.01): Long = {
+    require(memberships.nonEmpty)
+    val normalized = memberships.map { case (c2, p, pc) =>
+      (c2, key(p, "")._1, p, pc)
+    }.sortBy(t => (t._1, t._2, t._4))
+    memo(plan, "bloomsemi[" + normalized.map(t =>
+        s"${t._1}∈${t._2}|${t._4}").mkString(";") + s",$fpp]") {
+      val d = df(plan)
+      // membership is tested through a string rendering on BOTH sides:
+      // join columns share a type, so equal values render equally and
+      // the test stays an overcount-only approximation of equality
+      val filtered = normalized.foldLeft(d) { case (acc, (c2, _, p, pc)) =>
+        val bloom = df(p).select(col(pc).cast("string").as("v"))
+          .stat.bloomFilter("v", math.max(rowCount(p), 1L), fpp)
+        val contains = org.apache.spark.sql.functions.udf(
+          (s: String) => s != null && bloom.mightContainString(s))
+        acc.filter(contains(col(c2).cast("string")))
+      }
+      filtered.count()
+    }
+  }
+
   /** Approximate maximum frequency, the scale path for the UES statistic:
     * exact maxFrequency is a full groupBy shuffle; this runs freqItems
     * (one pass, bounded sketch) to get heavy-hitter candidates, then counts

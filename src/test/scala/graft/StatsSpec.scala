@@ -104,6 +104,44 @@ class StatsSpec extends SparkSpec {
     assert(sampled.mcvFrequencies(empty, "n_regionkey", 3).isEmpty)
   }
 
+  test("bloom semijoin count: overcounts only, tracks the exact semijoin") {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val stats = new EmulatedStatistics(spark)
+    val q = QueryFacade(spark,
+      """SELECT count(*) FROM nation, region, customer
+         WHERE n_regionkey = r_regionkey AND n_nationkey = c_nationkey
+           AND r_name = 'ASIA'""")
+    val b = q.joinBlock.get
+    val nation = b.leafPlan("nation")
+    val regionAsia = Filter(
+      QueryFacade.andAll(b.filtersFor("region")).get, b.leafPlan("region"))
+    // exact semijoin baseline via SQL
+    val exact1 = spark.sql(
+      """SELECT count(*) FROM nation WHERE n_regionkey IN
+         (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')""")
+      .head().getLong(0)
+    val bloom1 = stats.bloomSemijoinCount(nation,
+      Seq(("n_regionkey", regionAsia, "r_regionkey")))
+    assert(bloom1 >= exact1, "bloom membership undercounted — unsound")
+    assert(bloom1 <= stats.rowCount(nation))
+    assert(bloom1 <= exact1 + 2, s"fp rate implausible: $bloom1 vs $exact1")
+    // conjunction of two memberships (the multi-edge candidate shape)
+    val exact2 = spark.sql(
+      """SELECT count(*) FROM nation WHERE n_regionkey IN
+         (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+         AND n_nationkey IN (SELECT c_nationkey FROM customer)""")
+      .head().getLong(0)
+    val bloom2 = stats.bloomSemijoinCount(nation,
+      Seq(("n_regionkey", regionAsia, "r_regionkey"),
+        ("n_nationkey", b.leafPlan("customer"), "c_nationkey")))
+    assert(bloom2 >= exact2 && bloom2 <= bloom1)
+    // memoized: the Long result is served from cache on re-probe
+    val before = stats.cacheSize
+    assert(stats.bloomSemijoinCount(nation,
+      Seq(("n_regionkey", regionAsia, "r_regionkey"))) === bloom1)
+    assert(stats.cacheSize === before)
+  }
+
   test("MCV frequency vectors persist through the long-value disk cache") {
     val stats = new EmulatedStatistics(spark)
     val nation = leafOf("nation")
