@@ -451,10 +451,7 @@ object Bench {
         val byLabel = rows.map(r => r.label -> r.nodes).toMap
         def summarize(qes: Seq[Double]): String =
           if (qes.isEmpty) """{"n":0}"""
-          else {
-            val s = qes.sorted
-            s"""{"n":${qes.size},"median":${fmt(s(s.size / 2))},"max":${fmt(s.last)}}"""
-          }
+          else s"""{"n":${qes.size},"median":${fmt(median(qes))},"max":${fmt(qes.max)}}"""
         def render(r: Seq[(String, String)]): String =
           r.map { case (l, v) => s""""$l":$v""" }.mkString("{", ",", "}")
         def estRows(f: (graft.opt.JoinGraph, Set[String]) => Double): Seq[(String, String)] =
@@ -464,7 +461,9 @@ object Bench {
               graft.qal.QueryFacade(spark, sql).joinBlock.map { b =>
                 val g = new graft.opt.JoinGraph(b, stats)
                 nodes.flatMap { case (ts, _, a) =>
-                  val e = f(g, ts)
+                  // per-NODE try: one exotic fragment must drop only its
+                  // own node, not the whole query's comparison
+                  val e = try f(g, ts) catch { case _: Throwable => -1.0 }
                   if (e < 0) None else Some(qerr(e, a))
                 }
               }.getOrElse(Seq.empty)

@@ -120,7 +120,15 @@ object ScaleTrend {
     * SPARK_GRAFT_SCALE_FACTOR (default 10). */
   def section(spark: SparkSession, sfDir: String): String = try {
     if (sys.env.get("SPARK_GRAFT_SCALE_TREND").contains("0")) return "{}"
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val requested = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // clamp rather than abort: a mis-set factor must degrade to the
+    // largest slice that keeps the share-no-shingles invariant, not
+    // erase the whole scale_trend section from the artifact (generate's
+    // require stays as the invariant's hard backstop)
+    val factor = math.min(math.max(requested, 1), 26)
+    if (factor != requested)
+      System.err.println(s"[bench] scale factor $requested clamped to " +
+        s"$factor (rotation-cipher keyspace)")
     val dirS = scaledDir(spark, sfDir, factor)
     def fmt(d: Double) = f"$d%.4f"
     val rows = queries.filter(graft.SparkEntry.queries.contains).map { n =>

@@ -30,6 +30,13 @@ final case class JoinEdge(tables: Set[String], expr: Expression,
 final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     augment: Boolean = false) {
 
+  /** Per-graph attachment slots for derived caches (e.g. the UES bound
+    * model and its subset memo): storing them ON the graph ties their
+    * lifetime to the graph's without any global map that could retain
+    * graphs or collide across instances. */
+  private[opt] val attachments =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+
   private val baseEdges: Seq[JoinEdge] = block.joinConjuncts.collect {
     case c @ Conjunct(e, ts) if ts.size == 2 =>
       JoinEdge(ts, e, c.equiColumns(block.attrToTable))

@@ -168,7 +168,11 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       else e.transform { case a: Attribute if m.contains(a.exprId) => m(a.exprId) }
     def instantiate(t: String): (LogicalPlan, Map[ExprId, Attribute]) = {
       used(t) += 1
-      if (t != c && graph.block.filtersFor(t).nonEmpty) anyFilter = true
+      // only filters that statPlan actually APPLIES make the probe
+      // informative: with filteredStats off the tree is filterless and
+      // could only discover FK orphans — skip it entirely
+      if (t != c && filteredStats && graph.block.filtersFor(t).nonEmpty)
+        anyFilter = true
       if (used(t) == 1) (statPlan(t), Map.empty)
       else {
         // A REPEATED occurrence re-aliases the whole filtered subtree
@@ -517,32 +521,27 @@ final class BoundsParameterGeneration extends ParameterGeneration {
   */
 /** @param joinSketch default OFF here (unlike the greedy optimizer): a
   *   DP enumeration asks for every connected subset, and a semijoin
-  *   probe per (candidate, subset) pair would turn one optimization
-  *   into dozens of Spark jobs — the greedy path's n-1 probes per query
-  *   is the intended cost envelope. */
+  *   probe per (candidate, subset) pair multiplies the probe count by
+  *   the subset lattice. The greedy path already pays candidates x
+  *   steps x (1 + equi partners) probes per query (~8 s one-time on a
+  *   cold cache at sf0.1, measured r12 — each (candidate, prefix) pair
+  *   is a distinct memo key); a DP would square that. */
 final class PessimisticCardinalityEstimator(filteredStats: Boolean = true,
     mcvEdgeBounds: Boolean = true, mcvK: Int = 16,
     joinSketch: Boolean = false)
     extends graft.pipeline.CardinalityEstimator {
-  // JoinGraph uses reference equality, so a WeakHashMap keys by identity
-  // here while letting entries (model + its subset memo) die with the
-  // graph — the identityHashCode-keyed global memo this replaces could
-  // collide across graphs AND retained every graph forever
-  private val models = new java.util.WeakHashMap[JoinGraph, UesBoundModel]()
-
   def describe: String =
     s"""{"name":"pessimistic-card","model":"ues-bounds","mcv":$mcvEdgeBounds}"""
 
   def calculateEstimate(graph: JoinGraph, tables: Set[String]): Cardinality = {
-    val model = models.synchronized {
-      var m = models.get(graph)
-      if (m == null) {
-        m = new UesBoundModel(graph, filteredStats, mcvEdgeBounds, mcvK,
-          joinSketch)
-        models.put(graph, m)
-      }
-      m
-    }
+    // the model (and its subset memo) is attached to the graph itself,
+    // so its lifetime is exactly the graph's — a WeakHashMap here would
+    // not work: the model strongly references its graph, so a
+    // map-held value would keep its own weak key alive forever
+    val model = graph.attachments.getOrElseUpdate(
+      s"uesModel[$filteredStats,$mcvEdgeBounds,$mcvK,$joinSketch]",
+      new UesBoundModel(graph, filteredStats, mcvEdgeBounds, mcvK,
+        joinSketch)).asInstanceOf[UesBoundModel]
     Cardinality(model.boundForSubsetMemo(tables))
   }
 }

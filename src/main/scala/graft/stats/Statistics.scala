@@ -52,11 +52,6 @@ final class EmulatedStatistics(spark: SparkSession,
   private def sTag = sampleFraction.map(x => s"@s$x").getOrElse("")
   private def scaled(n: Long): Long = math.round(n / f)
 
-  /** Whether frequency-type probes run on a sample (the 100 TB probe
-    * mode); consumers that treat a 0/empty probe result as "relation is
-    * empty" must not do so when this is set. */
-  def isSampled: Boolean = sampleFraction.isDefined
-
   // An unlucky empty SAMPLE of a non-empty relation must not collapse a
   // pessimistic bound to 0 (a 0 max frequency makes the UES step bound
   // 0 — the exact unsoundness the bound design forbids): when sampling
