@@ -381,8 +381,10 @@ object Bench {
       val statsKit = graft.bench.Workload.fromDirectory("stats", s"$root/stats")
         .queries.toSeq.sortBy(_._1)
       val ues = graft.opt.Presets.ues(spark, stats)
+      val probesBefore = stats.cacheSize
       val jobRows = runKit(jobKit, ues, execute = true)
       val statsRows = runKit(statsKit, ues, execute = true)
+      val probesAfterKits = stats.cacheSize
       // subqueryBranching delta: the same kit through the bushy-branching
       // variant, optimization only -- the root join's actual output is
       // order-independent, so the branching root bound q-errors against
@@ -497,7 +499,13 @@ object Bench {
         "stats_qerror_nodes_by_estimator" -> statsNodesByEstimator,
         "stats_opt_ms" -> jmap(statsRows.map(r => r.label -> r.optMs)),
         "stats_cold_probe_ms" -> jmap(statsRows.map(r => r.label -> r.coldMs)),
-        "stats_qerror" -> jmap(statsRows.map(r => r.label -> r.maxQerr)))
+        "stats_qerror" -> jmap(statsRows.map(r => r.label -> r.maxQerr)),
+        // probe-budget accounting: how many statistics entries the kit
+        // passes loaded-or-computed (loaded from the disk cache when
+        // warm; the delta on a cold run is the one-time probe work the
+        // *_cold_probe_ms columns price in milliseconds)
+        "probe_cache_entries" ->
+          s"""{"before":$probesBefore,"after_kits":$probesAfterKits,"after_all":${stats.cacheSize}}""")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] workload kit metrics failed: ${e.getMessage}")
@@ -509,7 +517,7 @@ object Bench {
       "job_qerror_branching", "job_branching_fired", "job_qerror_by_estimator",
       "job_qerror_nodes_by_estimator", "stats_qerror_by_estimator",
       "stats_qerror_nodes_by_estimator", "stats_opt_ms",
-      "stats_cold_probe_ms", "stats_qerror")
+      "stats_cold_probe_ms", "stats_qerror", "probe_cache_entries")
     val kitJson = kitKeys.map(k =>
       s""""$k":${kitSections.getOrElse(k, "{}")}""").mkString(",")
     // scale-trend flight at a larger SF (see ScaleTrend's scaladoc):
