@@ -59,6 +59,14 @@ final class EmulatedStatistics(spark: SparkSession,
   // probe re-runs unsampled. A truly empty relation still reports 0,
   // and the fallback fires exactly in the regime where the full probe is
   // affordable (the filtered relation is tiny or empty).
+  //
+  // This guard repairs ONLY the total-collapse case. Sampling mode as a
+  // whole remains APPROXIMATE: a nonempty but unlucky sample can still
+  // miss a heavy hitter and underestimate maxFrequency/MCV frequencies,
+  // so statistics probed with sampleFraction set are NOT sound upper
+  // bounds and must not back a pipeline that claims bound soundness
+  // (the UES gates and kits run with sampling off; sampling is the
+  // documented 100 TB trade of soundness for probe cost).
   private def unsampledIfZero(sampled: => Long)(full: => Long): Long = {
     val s = sampled
     if (s == 0L && sampleFraction.isDefined) full else s
@@ -191,7 +199,11 @@ final class EmulatedStatistics(spark: SparkSession,
     * exactly the sound direction for a pessimistic upper bound. The
     * flat membership list is the depth-1 approximation of the exact
     * probe's transitive reduction tree (dropping transitivity also only
-    * enlarges). Memoized + disk-persisted like every other probe. */
+    * enlarges). Columns whose types differ are first coerced to their
+    * common wider type (membership is string-rendered, and the
+    * overcount-only guarantee needs equal values to render equally);
+    * column pairs with no common type are rejected. Memoized +
+    * disk-persisted like every other probe. */
   def bloomSemijoinCount(plan: LogicalPlan,
       memberships: Seq[(String, LogicalPlan, String)],
       fpp: Double = 0.01): Long = {
@@ -202,15 +214,28 @@ final class EmulatedStatistics(spark: SparkSession,
     memo(plan, "bloomsemi[" + normalized.map(t =>
         s"${t._1}∈${t._2}|${t._4}").mkString(";") + s",$fpp]") {
       val d = df(plan)
-      // membership is tested through a string rendering on BOTH sides:
-      // join columns share a type, so equal values render equally and
-      // the test stays an overcount-only approximation of equality
+      // membership is tested through a string rendering on BOTH sides.
+      // Equal values must RENDER equally or membership produces false
+      // NEGATIVES (an int 1 vs a decimal 1.00 render '1' vs '1.00') —
+      // the unsound direction. When the two columns' types differ (an
+      // equi join Spark would coerce), both sides are first cast to the
+      // coerced common type, so the rendering agrees exactly where the
+      // join's equality would; only then does the overcount-only
+      // guarantee hold.
       val filtered = normalized.foldLeft(d) { case (acc, (c2, _, p, pc)) =>
-        val bloom = df(p).select(col(pc).cast("string").as("v"))
+        val lt = acc.schema(acc.schema.fieldIndex(c2)).dataType
+        val rt = df(p).schema(df(p).schema.fieldIndex(pc)).dataType
+        val common =
+          if (lt == rt) lt
+          else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findWiderTypeForTwo(lt, rt)
+            .getOrElse(throw new IllegalArgumentException(
+              s"bloomSemijoinCount: no common type for $c2:$lt vs $pc:$rt"))
+        val bloom = df(p).select(col(pc).cast(common).cast("string").as("v"))
           .stat.bloomFilter("v", math.max(rowCount(p), 1L), fpp)
         val contains = org.apache.spark.sql.functions.udf(
           (s: String) => s != null && bloom.mightContainString(s))
-        acc.filter(contains(col(c2).cast("string")))
+        acc.filter(contains(col(c2).cast(common).cast("string")))
       }
       filtered.count()
     }

@@ -1535,10 +1535,18 @@ class LlmOpsSpec extends SparkSpec {
       val (j96, r96) = run(96)
       // per-ROUND job cost must be flat as the budget grows: a round is
       // one ranked-prefix collect plus the dict checkpoint, independent
-      // of how many merges have accumulated
+      // of how many merges have accumulated. The asserted round-count
+      // ranges overlap (32 merges may take up to 16 rounds, 64 as few
+      // as 8), so the larger budget must actually have taken MORE
+      // rounds before a per-round rate is well-defined; and Spark may
+      // schedule an occasional extra bookkeeping job, so the two rates
+      // compare with a tolerance rather than exact Double equality.
+      assert(r64 > r32 && r96 > r64,
+        s"round counts collided ($r32/$r64/$r96) — corpus no longer " +
+          "separates the budgets; rate comparison undefined")
       val perRoundA = (j64 - j32).toDouble / (r64 - r32)
       val perRoundB = (j96 - j64).toDouble / (r96 - r64)
-      assert(perRoundA === perRoundB,
+      assert(math.abs(perRoundA - perRoundB) <= 1.0,
         s"per-round jobs drifted: $j32@$r32 / $j64@$r64 / $j96@$r96")
       assert(perRoundA <= 5.0,
         s"a batched round schedules $perRoundA jobs — more than " +
