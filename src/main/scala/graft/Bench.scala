@@ -402,6 +402,20 @@ object Bench {
       // fired and changed nothing" from "pkPartners never fired on this
       // kit" when the branching q-error map is identical to left-deep
       val branchFired = branchRows.map(r => r.label -> r.bushyJoins.toDouble)
+      // Bloom-tier head-to-head (the 100 TB probe path): the same kit
+      // optimized with joinSketch probes routed through one-pass Bloom
+      // membership counts instead of exact semijoin-reduction counts.
+      // Optimization only — the root actual is order-independent, so
+      // the exact-tier pass's measured actuals transfer. Reported
+      // next to the exact tier so the tightness/cost trade of the
+      // documented scale path is measured, not asserted.
+      val bloomRows = runKit(jobKit,
+        graft.opt.Presets.ues(spark, stats, sketchTier = "bloom"),
+        execute = false)
+      val bloomQerr = bloomRows.map { r =>
+        val a = actualByLabel.getOrElse(r.label, -1.0)
+        r.label -> (if (a < 0 || r.rootBound < 0) -1.0 else qerr(r.rootBound, a))
+      }
       // Estimator head-to-head on the FINAL join cardinality (the
       // reference's example-04 comparison): UES root bound, the
       // histogram/MCV statistical estimator, textbook System-R, and
@@ -412,7 +426,57 @@ object Bench {
       val statistical = new graft.opt.StatisticalCardinalityEstimator
       val basic = new graft.opt.BasicCardinalityEstimator
       val nativeStats = new graft.stats.NativeStatistics(spark)
-      def headToHead(kit: Seq[(String, String)], rows: Seq[KitRow]): String = {
+      // Post-ANALYZE CBO variant of the native estimator (the
+      // comparison the reference's native stage actually makes,
+      // /root/reference/postbound/opt/native.py:57-541): external
+      // catalog tables over the same parquet files, ANALYZE ... FOR
+      // ALL COLUMNS, then Catalyst's cost-based estimate of each
+      // fragment with spark.sql.cbo.enabled. Temp views shadow catalog
+      // names, so they are dropped for the resolution window and
+      // re-registered after. The plain `native` rows (size-based
+      // guesses, q-errors to 1e67 in r12) stay alongside — the CBO
+      // column is the informative head-to-head.
+      val tpchTables = Seq("region", "nation", "customer", "supplier",
+        "part", "orders", "lineitem")
+      def cboEstimates(kit: Seq[(String, String)],
+          nodeSets: Map[String, Seq[Set[String]]])
+          : (Map[String, Double], Map[String, Seq[(Set[String], Double)]]) = {
+        tpchTables.foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$sfDir/$t.parquet'")
+          spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+        }
+        tpchTables.foreach(spark.catalog.dropTempView(_))
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try {
+          val roots = scala.collection.mutable.Map.empty[String, Double]
+          val nodes = scala.collection.mutable
+            .Map.empty[String, Seq[(Set[String], Double)]]
+          kit.foreach { case (label, sql) =>
+            try {
+              graft.qal.QueryFacade(spark, sql).joinBlock.foreach { b =>
+                val g = new graft.opt.JoinGraph(b, stats)
+                def est(ts: Set[String]): Double =
+                  nativeStats.rowEstimate(
+                    graft.opt.QueryFragment.fragmentPlan(g, ts))
+                    .map(_.toDouble).getOrElse(-1.0)
+                roots(label) = est(g.tables.toSet)
+                nodes(label) = nodeSets.getOrElse(label, Seq.empty).flatMap {
+                  ts => val e = try est(ts) catch { case _: Throwable => -1.0 }
+                    if (e < 0) None else Some((ts, e))
+                }
+              }
+            } catch { case _: Throwable => roots(label) = -1.0 }
+          }
+          (roots.toMap, nodes.toMap)
+        } finally {
+          spark.conf.set("spark.sql.cbo.enabled", "false")
+          tpchTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          Tables.registerAll(spark, sfDir)
+        }
+      }
+      def headToHead(kit: Seq[(String, String)], rows: Seq[KitRow],
+          extra: Seq[(String, Seq[(String, Double)])] = Seq.empty): String = {
         val actuals = rows.map(r => r.label -> r.rootActual).toMap
         def estRows(f: (graft.opt.JoinGraph, Set[String]) => Double): Seq[(String, Double)] =
           kit.map { case (label, sql) =>
@@ -435,10 +499,21 @@ object Bench {
             graft.opt.QueryFragment.fragmentPlan(g, ts)).map(_.toDouble).getOrElse(-1.0)),
           "precise" -> kit.map { case (label, _) =>
             label -> (if (actuals.getOrElse(label, -1.0) < 0) -1.0 else 1.0) }
-        ).map { case (n, r) => s""""$n":${jmap(r)}""" }
+        ).++(extra).map { case (n, r) => s""""$n":${jmap(r)}""" }
           .mkString("{", ",", "}")
       }
-      val byEstimator = headToHead(jobKit, jobRows)
+      val jobActuals = jobRows.map(r => r.label -> r.rootActual).toMap
+      val jobNodeActuals: Map[String, Seq[(Set[String], Double)]] =
+        jobRows.map(r => r.label -> r.nodes.map(n => (n._1, n._3))).toMap
+      val (cboRoots, cboNodes) = cboEstimates(jobKit,
+        jobRows.map(r => r.label -> r.nodes.map(_._1)).toMap)
+      val cboRootQerr: Seq[(String, Double)] = jobKit.map { case (label, _) =>
+        val a = jobActuals.getOrElse(label, -1.0)
+        val e = cboRoots.getOrElse(label, -1.0)
+        label -> (if (a < 0 || e < 0) -1.0 else qerr(e, a))
+      }
+      val byEstimator = headToHead(jobKit, jobRows,
+        extra = Seq("native_cbo" -> cboRootQerr))
       val statsByEstimator = headToHead(statsKit, statsRows)
       // Per-NODE tightness (reference grades whole-tree tightness,
       // /root/reference/postbound/opt/_analysis.py): every join node of
@@ -449,7 +524,8 @@ object Bench {
       // fragment is tree-shape-independent, so the measured actuals
       // transfer. Driver-side plan-only work; nothing re-executes.
       def nodesHeadToHead(kit: Seq[(String, String)],
-          rows: Seq[KitRow]): String = {
+          rows: Seq[KitRow],
+          extra: Seq[(String, Seq[(String, String)])] = Seq.empty): String = {
         val byLabel = rows.map(r => r.label -> r.nodes).toMap
         def summarize(qes: Seq[Double]): String =
           if (qes.isEmpty) """{"n":0}"""
@@ -483,9 +559,22 @@ object Bench {
           "native" -> render(estRows((g, ts) => nativeStats.rowEstimate(
             graft.opt.QueryFragment.fragmentPlan(g, ts))
             .map(_.toDouble).getOrElse(-1.0)))
-        ).map { case (n, r) => s""""$n":$r""" }.mkString("{", ",", "}")
+        ).++(extra.map { case (n, r) => n -> render(r) })
+          .map { case (n, r) => s""""$n":$r""" }.mkString("{", ",", "}")
       }
-      val nodesByEstimator = nodesHeadToHead(jobKit, jobRows)
+      // per-node CBO summary rows reuse the node estimates computed in
+      // the catalog-resolution window, q-errored against the measured
+      // per-node actuals of the exact-tier pass
+      val cboNodeRows: Seq[(String, String)] = jobKit.map { case (label, _) =>
+        val acts = jobNodeActuals.getOrElse(label, Seq.empty).toMap
+        val qes = cboNodes.getOrElse(label, Seq.empty).flatMap {
+          case (ts, e) => acts.get(ts).filter(_ >= 0).map(a => qerr(e, a))
+        }
+        label -> (if (qes.isEmpty) """{"n":0}"""
+          else s"""{"n":${qes.size},"median":${fmt(median(qes))},"max":${fmt(qes.max)}}""")
+      }
+      val nodesByEstimator = nodesHeadToHead(jobKit, jobRows,
+        extra = Seq("native_cbo" -> cboNodeRows))
       val statsNodesByEstimator = nodesHeadToHead(statsKit, statsRows)
       Map(
         "job_opt_ms" -> jmap(jobRows.map(r => r.label -> r.optMs)),
@@ -493,6 +582,9 @@ object Bench {
         "job_qerror" -> jmap(jobRows.map(r => r.label -> r.maxQerr)),
         "job_qerror_branching" -> jmap(branchQerr),
         "job_branching_fired" -> jmap(branchFired),
+        "job_qerror_bloom" -> jmap(bloomQerr),
+        "job_cold_probe_ms_bloom" -> jmap(bloomRows.map(r =>
+          r.label -> r.coldMs)),
         "job_qerror_by_estimator" -> byEstimator,
         "job_qerror_nodes_by_estimator" -> nodesByEstimator,
         "stats_qerror_by_estimator" -> statsByEstimator,
@@ -503,9 +595,13 @@ object Bench {
         // probe-budget accounting: how many statistics entries the kit
         // passes loaded-or-computed (loaded from the disk cache when
         // warm; the delta on a cold run is the one-time probe work the
-        // *_cold_probe_ms columns price in milliseconds)
+        // *_cold_probe_ms columns price in milliseconds), plus the
+        // per-probe-class breakdown so inventory growth stays
+        // attributable to the probe type that grew it
         "probe_cache_entries" ->
-          s"""{"before":$probesBefore,"after_kits":$probesAfterKits,"after_all":${stats.cacheSize}}""")
+          s"""{"before":$probesBefore,"after_kits":$probesAfterKits,"after_all":${stats.cacheSize},"by_tag":${
+            stats.cacheTagCounts.toSeq.sortBy(_._1).map { case (t, n) =>
+              s""""$t":$n""" }.mkString("{", ",", "}")}}""")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] workload kit metrics failed: ${e.getMessage}")
@@ -514,7 +610,8 @@ object Bench {
     // fixed key list so the artifact schema is stable even when the kit
     // metrics fail wholesale (each key then carries "{}")
     val kitKeys = Seq("job_opt_ms", "job_cold_probe_ms", "job_qerror",
-      "job_qerror_branching", "job_branching_fired", "job_qerror_by_estimator",
+      "job_qerror_branching", "job_branching_fired", "job_qerror_bloom",
+      "job_cold_probe_ms_bloom", "job_qerror_by_estimator",
       "job_qerror_nodes_by_estimator", "stats_qerror_by_estimator",
       "stats_qerror_nodes_by_estimator", "stats_opt_ms",
       "stats_cold_probe_ms", "stats_qerror", "probe_cache_entries")

@@ -220,4 +220,103 @@ object QueryGenerator {
     Workload.inline(name,
       (1 to n).map(i =>
         f"walk$i%03d" -> randomWalkQuery(seed + i, values = values)): _*)
+
+  // ------------------------------------------------ aliased repeat walks
+
+  /** Alias prefix per table (the fixture's initials are unique). */
+  private val aliasPrefix: Map[String, String] = Map(
+    "region" -> "r", "nation" -> "n", "customer" -> "c",
+    "supplier" -> "s", "part" -> "p", "orders" -> "o",
+    "lineitem" -> "l", "events" -> "e")
+
+  /** Schema edges including the `events` stream table (user activity
+    * FK-joins the customer dimension; verified user_id ⊆ c_custkey on
+    * the fixtures). */
+  val schemaEdgesWithEvents: Seq[(String, String, String, String)] =
+    schemaEdges :+ (("customer", "c_custkey", "events", "user_id"))
+
+  /** Filterable columns including the events table. */
+  val filterCatalogWithEvents: Map[String, Seq[String]] =
+    filterCatalog + ("events" -> Seq("event_type"))
+
+  /** Event-type domain for [[FixtureValueSource]]-style literal
+    * sampling (scale-stable like the TPC-H domains). */
+  private val eventTypeDomain: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view").map(v => s"'$v'")
+
+  /** One aliased FK random-walk query — JOB's defining shape: repeated
+    * relations under fresh aliases with selective dimension filters
+    * (reference: the JOB loader's aliased queries,
+    * /root/reference/postbound/workloads.py:936-980). Each step
+    * attaches a NEW alias of a schema neighbor of a uniformly random
+    * already-placed alias (shell-jump walk), so tables repeat (≤3
+    * aliases per table) and every seed draws its own join GRAPH — the
+    * r12 generated batch varied only filters over one fixed 7-table
+    * graph. With `crossOrFilter` one disjunction spans two distinct
+    * aliases (the q32-class cross-table OR frontier); with
+    * `includeEvents` the walk may cross into the events stream table.
+    * Deterministic per (seed, values). */
+  def aliasWalkQuery(seed: Long, minTables: Int = 8, maxTables: Int = 13,
+      minFilters: Int = 2, maxFilters: Int = 4,
+      crossOrFilter: Boolean = false, includeEvents: Boolean = false,
+      values: ValueSource = FixtureValueSource): String = {
+    val rnd = new Random(seed)
+    val edges0 = if (includeEvents) schemaEdgesWithEvents else schemaEdges
+    val catalog = if (includeEvents) filterCatalogWithEvents else filterCatalog
+    // table -> (neighbor table, my column, neighbor's column)
+    val adj: Map[String, Seq[(String, String, String)]] = edges0
+      .flatMap(e => Seq(e._1 -> ((e._3, e._2, e._4)),
+        e._3 -> ((e._1, e._4, e._2))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_.toString) }
+    val nTables = minTables + rnd.nextInt(maxTables - minTables + 1)
+    val tableCount = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    final case class Inst(alias: String, table: String)
+    def newInst(t: String): Inst = {
+      tableCount(t) += 1
+      Inst(s"${aliasPrefix(t)}${tableCount(t)}", t)
+    }
+    val tables0 = adj.keys.toSeq.sorted
+    var insts = Vector(newInst(tables0(rnd.nextInt(tables0.size))))
+    var joins = Vector.empty[String]
+    var guard = 0
+    while (insts.size < nTables && guard < 200) {
+      guard += 1
+      val a = insts(rnd.nextInt(insts.size))
+      val nbrs = adj(a.table)
+      val (nt, myCol, theirCol) = nbrs(rnd.nextInt(nbrs.size))
+      if (tableCount(nt) < 3) {
+        val b = newInst(nt)
+        insts :+= b
+        joins :+= s"${b.alias}.$theirCol = ${a.alias}.$myCol"
+      }
+    }
+    def domain(t: String, c: String): Seq[String] =
+      if (t == "events" && c == "event_type") eventTypeDomain
+      else values.distinctValues(t, c)
+    def lit(i: Inst, c: String): String = {
+      val d = domain(i.table, c); d(rnd.nextInt(d.size))
+    }
+    val available = insts.flatMap(i =>
+      catalog.getOrElse(i.table, Seq.empty).map(c => (i, c)))
+    val nFilters = math.min(
+      minFilters + rnd.nextInt(maxFilters - minFilters + 1), available.size)
+    val picks = rnd.shuffle(available)
+      .take(nFilters + (if (crossOrFilter) 2 else 0))
+    val (orPicks, plainPicks) =
+      if (crossOrFilter && picks.size >= 2) (picks.take(2), picks.drop(2))
+      else (Vector.empty[(Inst, String)], picks)
+    val orClause = orPicks match {
+      case Vector((i1, c1), (i2, c2)) if i1.alias != i2.alias =>
+        Some(s"(${i1.alias}.$c1 = ${lit(i1, c1)} OR ${i2.alias}.$c2 = ${lit(i2, c2)})")
+      case _ => None
+    }
+    val ops = Seq("=", "<>", ">", "<")
+    val filters = plainPicks.map { case (i, c) =>
+      s"${i.alias}.$c ${ops(rnd.nextInt(ops.size))} ${lit(i, c)}"
+    }
+    val from = insts.map(i => s"${i.table} ${i.alias}").mkString(", ")
+    val where = (joins ++ filters ++ orClause.toSeq).mkString(" AND ")
+    s"SELECT count(*) AS n FROM $from WHERE $where"
+  }
 }

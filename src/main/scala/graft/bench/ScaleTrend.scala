@@ -143,7 +143,8 @@ object ScaleTrend {
     // recall at the gate threshold stays ~1) — time the knob-adjusted
     // variant alongside so the artifact shows the scale PATH, not just
     // the fixed-knob wall.
-    def lshAt(dir: String, rowsPerBand: Int): Double = {
+    def lshAt(dir: String, rowsPerBand: Int = graft.llm.Dedup.AutoRowsPerBand)
+        : Double = {
       val t0 = System.nanoTime()
       val embs = graft.Tables.load(spark, dir, "embeddings")
       val planted = graft.llm.Similarity.plantedGappedCorpus(embs,
@@ -163,7 +164,17 @@ object ScaleTrend {
         Seq(("d11_dedup_embedding_lsh@rows16", t1, tS,
           tS / math.max(t1, 1e-9) / factor))
       }
-    val all = rows ++ knobRows
+    // the DEFAULT path since r13 derives rows-per-band from the corpus
+    // size (Dedup.autoRowsPerBand) — timed unconditionally so the
+    // artifact shows the self-adjusting knob holding the trend line,
+    // next to the fixed-knob wall the d11 gate parameters pin
+    val autoRows = {
+      val t1 = lshAt(sfDir)
+      val tS = lshAt(dirS)
+      Seq(("d11_dedup_embedding_lsh@auto", t1, tS,
+        tS / math.max(t1, 1e-9) / factor))
+    }
+    val all = rows ++ knobRows ++ autoRows
     val qs = all.map { case (n, t1, tS, r) =>
       s""""$n":{"t1":${fmt(t1)},"tS":${fmt(tS)},"ratio_per_data":${fmt(r)}}"""
     }.mkString("{", ",", "}")

@@ -752,6 +752,28 @@ object Dedup {
         (col("id") === col("component")).as("is_kept"))
   }
 
+  /** Sentinel: derive rows-per-band from the corpus size (see
+    * [[autoRowsPerBand]]). */
+  val AutoRowsPerBand: Int = -1
+
+  /** Collision-bounded rows-per-band: expected RANDOM bucket collisions
+    * are ~numBands·n²/2^r total, so r = ⌈log₂(numBands·n /
+    * targetPairsPerRow)⌉ keeps expected random candidate pairs linear in
+    * the corpus (≤ targetPairsPerRow per row) — the scale knob the
+    * r11/r12 trend flights identified, now self-adjusting. Clamped to
+    * [8, 24]: below 8 the buckets are too coarse to help; at r = 24 the
+    * per-pair recall 1-(1-p^r)^numBands still exceeds 0.99 at 64 bands
+    * for true near-dups (cosine ≥ 0.95, per-plane agreement p ≈ 0.90)
+    * but decays for boundary pairs near a 0.9 threshold — the same
+    * gapped-corpus requirement the fixed knob already documented. */
+  def autoRowsPerBand(n: Long, numBands: Int,
+      targetPairsPerRow: Double = 4.0): Int = {
+    val raw = math.ceil(math.log(
+      numBands.toDouble * math.max(n, 1L) / targetPairsPerRow) /
+      math.log(2.0)).toInt
+    math.min(24, math.max(8, raw))
+  }
+
   /** LSH-banded embedding near-duplicates: random-hyperplane bucketing
     * ([[Similarity.rhpBuckets]]) generates candidates via an equality join
     * on (band, bucket); exact cosine verifies candidates only — the
@@ -766,9 +788,17 @@ object Dedup {
     */
   def embeddingNearDuplicatesLsh(emb: DataFrame, idCol: String,
       vecCol: String, threshold: Double, numBands: Int = 32,
-      rowsPerBand: Int = 12, seed: Long = 7L,
+      rowsPerBand: Int = AutoRowsPerBand, seed: Long = 7L,
       dim: Option[Int] = None): DataFrame = {
-    val bk = Similarity.rhpBuckets(emb, idCol, vecCol, numBands, rowsPerBand,
+    // collision-bounded default: the fixed knob hits the ~n²/2^r random-
+    // collision wall at scale (the r11/r12 scale-trend flights measured
+    // it); deriving r from the corpus size keeps expected random
+    // collisions per row bounded while candidate verification stays
+    // exact-cosine (extra collisions never change the output — only
+    // recall is at stake; see autoRowsPerBand's recall envelope)
+    val r = if (rowsPerBand == AutoRowsPerBand)
+      autoRowsPerBand(emb.count(), numBands) else rowsPerBand
+    val bk = Similarity.rhpBuckets(emb, idCol, vecCol, numBands, r,
       seed, dim = dim)
     val a = bk.select(col("id").as("a_id"), col("band"), col("bucket"))
     val b = bk.select(col("id").as("b_id"), col("band"), col("bucket"))

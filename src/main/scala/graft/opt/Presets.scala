@@ -10,12 +10,17 @@ import graft.stats.EmulatedStatistics
 object Presets {
 
   /** The flagship UES setup: pessimistic ordering, hash-only operators,
-    * bound-derived parameters. */
+    * bound-derived parameters. `sketchTier = "bloom"` swaps the exact
+    * join-sketch probes for one-pass Bloom membership counts — the
+    * 100 TB probe path (no distinct-set shuffle join; false positives
+    * only loosen the bound, never unsound). */
   def ues(spark: SparkSession,
       stats: EmulatedStatistics = null,
-      subqueryBranching: Boolean = false): MultiStageOptimizationPipeline =
+      subqueryBranching: Boolean = false,
+      sketchTier: String = "exact"): MultiStageOptimizationPipeline =
     new MultiStageOptimizationPipeline(spark,
-      joinOrder = Some(new UESJoinOrderOptimizer(subqueryBranching)),
+      joinOrder = Some(new UESJoinOrderOptimizer(subqueryBranching,
+        sketchTier = sketchTier)),
       operators = Some(new UESOperatorSelection),
       parameters = Some(new BoundsParameterGeneration),
       stats = stats)

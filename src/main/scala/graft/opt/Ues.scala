@@ -37,7 +37,9 @@ import graft.qal.QueryFacade
   */
 private[opt] final class UesBoundModel(graph: JoinGraph,
     filteredStats: Boolean = true, mcvEdgeBounds: Boolean = true,
-    mcvK: Int = 16, joinSketch: Boolean = true) {
+    mcvK: Int = 16, joinSketch: Boolean = true,
+    sketchTier: String = "exact",
+    budget: ProbeBudget = ProbeBudget.default()) {
   private val stats = graph.stats
   private def leaf(t: String) = graph.block.leafPlan(t)
   // the plan frequency probes run on: with filteredStats the table's
@@ -154,24 +156,54 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   // fresh Aliases and the edge predicate remapped to the alias ids, so
   // the analyzer's relation dedup re-instances the duplicated subtree
   // consistently (the same mechanism that resolves df.join(df)).
-  // Occurrences are capped at 2 per table and depth 8 so dense graphs
+  // Occurrences are capped at 3 per table and depth 8 so dense graphs
   // cannot blow the tree up (dropping a semijoin condition is always
-  // sound). Returns None when no filter exists anywhere in the
-  // reduction tree — the probe could then only discover FK orphans,
-  // not selectivity, and is not worth a job.
-  private def reductionPlan(c: String, s: Set[String]): Option[LogicalPlan] = {
-    val used = scala.collection.mutable.Map.empty[String, Int]
+  // sound). Returns None when the tree could only discover FK orphans:
+  // no filter anywhere in it AND no joint anchor group (the agreement
+  // constraint of a joint group prunes even without filters).
+  //
+  // JOINT ANCHOR GROUPS (the r12 frontier, gw07/gw20-class): when the
+  // candidate joins the subset through edges anchored at two or more
+  // tables that are THEMSELVES connected inside the subset (the
+  // candidate closes a cycle), the independent per-anchor semijoins
+  // provably cannot see the cross-branch value agreement — customer's
+  // and supplier's nation must agree THROUGH the same candidate row,
+  // but each branch membership is tested separately, so every
+  // candidate row with any customer-witness and any supplier-witness
+  // survives. The sound quantity that captures agreement is a semijoin
+  // against the INNER JOIN of a connecting path between the anchors:
+  //   c ⋉[cond_a1 ∧ cond_a2 ∧ …] (a1 ⋈ … ⋈ a2)
+  // A candidate row of the true intermediate has one consistent witness
+  // assignment over the whole subset; its restriction to the path
+  // tables is a row of the path join satisfying every path-internal
+  // edge (and any multi-table residual predicate whose tables all lie
+  // on the path — this is also what lets a cross-table OR participate),
+  // so the row survives: the joint semijoin only overcounts. The path
+  // join is priced as precise-cardinality-class work (the reference's
+  // analog executes COUNTs on intermediates, opt/_cardinalities.py:20),
+  // so it is gated by a probe-free size estimate against
+  // budget.maxJointRows and by the shared per-query [[ProbeBudget]].
+  /** Shared machinery for probe plans assembled from the block's
+    * filtered leaves: per-table instantiation with re-aliasing of
+    * repeated occurrences, expression remapping, and connected inner
+    * joins over an ordered table list. One builder = one probe plan's
+    * aliasing scope. */
+  private final class ProbePlanBuilder {
+    private val used = scala.collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
+    /** Whether any instantiated NON-candidate table carried a filter —
+      * a filterless semijoin tree can only discover FK orphans. */
     var anyFilter = false
     def remap(e: Expression, m: Map[ExprId, Attribute]): Expression =
       if (m.isEmpty) e
       else e.transform { case a: Attribute if m.contains(a.exprId) => m(a.exprId) }
-    def instantiate(t: String): (LogicalPlan, Map[ExprId, Attribute]) = {
+    def canInstantiate(t: String): Boolean = used(t) < 3
+    def instantiate(t: String, markFilter: Boolean = true)
+        : (LogicalPlan, Map[ExprId, Attribute]) = {
       used(t) += 1
-      // only filters that statPlan actually APPLIES make the probe
-      // informative: with filteredStats off the tree is filterless and
-      // could only discover FK orphans — skip it entirely
-      if (t != c && filteredStats && graph.block.filtersFor(t).nonEmpty)
+      // only filters that statPlan actually APPLIES make a probe
+      // informative: with filteredStats off the tree is filterless
+      if (markFilter && filteredStats && graph.block.filtersFor(t).nonEmpty)
         anyFilter = true
       if (used(t) == 1) (statPlan(t), Map.empty)
       else {
@@ -190,27 +222,229 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         (fresh, orig.output.map(_.exprId).zip(fresh.output).toMap)
       }
     }
-    def canInstantiate(t: String): Boolean = used(t) < 2
+    /** Inner join over an ordered table list (connected when the order
+      * is — a disconnected tail degrades to a cross join, which only
+      * enlarges): each table joins on ALL block edges into the
+      * already-added prefix, so theta edges (e.g. a cross-table OR
+      * between two path tables) participate as join conditions;
+      * residual conjuncts spanning 3+ tables fully inside the list
+      * apply on top. Returns the plan plus each table's alias
+      * substitution for remapping outer conditions. */
+    def innerJoin(tablesInOrder: Seq[String])
+        : Option[(LogicalPlan, Map[String, Map[ExprId, Attribute]])] = {
+      if (tablesInOrder.isEmpty ||
+          tablesInOrder.exists(t => !canInstantiate(t))) return None
+      var substOf = Map.empty[String, Map[ExprId, Attribute]]
+      var plan: LogicalPlan = null
+      var added = List.empty[String]
+      for (t <- tablesInOrder) {
+        val (tp, tSubst) = instantiate(t)
+        substOf += (t -> tSubst)
+        if (plan == null) plan = tp
+        else {
+          val conds = graph.edges
+            .filter(e => e.tables.contains(t) &&
+              (e.tables - t).forall(added.contains))
+            .map(e => remap(remap(e.expr, tSubst),
+              (e.tables - t).headOption.flatMap(substOf.get)
+                .getOrElse(Map.empty)))
+          plan = Join(plan, tp, org.apache.spark.sql.catalyst.plans.Inner,
+            conds.reduceOption(And(_, _)), JoinHint.NONE)
+        }
+        added ::= t
+      }
+      // residual conjuncts spanning 3+ tables, fully inside the list
+      val residual = graph.block.joinConjuncts
+        .filter(cj => cj.tables.size > 2 &&
+          cj.tables.subsetOf(tablesInOrder.toSet))
+        .map(cj => cj.tables.foldLeft(cj.expr)((e, t) =>
+          remap(e, substOf.getOrElse(t, Map.empty))))
+      val withResidual = residual.reduceOption(And(_, _))
+        .map(Filter(_, plan)).getOrElse(plan)
+      Some((withResidual, substOf))
+    }
+  }
+
+  private def reductionPlan(c: String, s: Set[String]): Option[LogicalPlan] = {
+    val b = new ProbePlanBuilder
     def grow(t: String, plan0: LogicalPlan, subst: Map[ExprId, Attribute],
         path: Set[String]): LogicalPlan = {
       var p = plan0
       if (path.size >= 8) return p
-      for (u <- s.toSeq.sorted if !path.contains(u) && canInstantiate(u)) {
+      for (u <- s.toSeq.sorted if !path.contains(u) && b.canInstantiate(u)) {
         val eqEdges = graph.edges
           .filter(e => e.connects(t, u) && e.equiColumns.nonEmpty)
         if (eqEdges.nonEmpty) {
-          val (uPlan, uSubst) = instantiate(u)
+          val (uPlan, uSubst) = b.instantiate(u)
           val uGrown = grow(u, uPlan, uSubst, path + t + u)
-          val cond = eqEdges.map(e => remap(remap(e.expr, subst), uSubst))
+          val cond = eqEdges.map(e => b.remap(b.remap(e.expr, subst), uSubst))
             .reduce(And(_, _))
           p = Join(p, uGrown, LeftSemi, Some(cond), JoinHint.NONE)
         }
       }
       p
     }
-    val (cPlan, cSubst) = instantiate(c)
-    val tree = grow(c, cPlan, cSubst, Set(c))
-    if (anyFilter && !(tree eq cPlan)) Some(tree) else None
+    // BFS shortest path between two subset tables over subset edges
+    // that avoid the candidate (any edge connects — a theta edge is a
+    // legitimate connector; its expression joins the path condition)
+    def bfsPath(from: String, to: String): Option[Seq[String]] = {
+      val inS = s - c
+      val prev = scala.collection.mutable.Map.empty[String, String]
+      val q = scala.collection.mutable.Queue(from)
+      val seen = scala.collection.mutable.Set(from)
+      while (q.nonEmpty && !seen.contains(to)) {
+        val t = q.dequeue()
+        for (u <- inS.toSeq.sorted if !seen.contains(u)
+             if graph.edges.exists(e => e.connects(t, u))) {
+          prev(u) = t; seen += u; q += u
+        }
+      }
+      if (!seen.contains(to)) None
+      else {
+        var path = List(to)
+        while (path.head != from) path ::= prev(path.head)
+        Some(path)
+      }
+    }
+    val anchors = s.toSeq.sorted.filter(u => graph.edges.exists(e =>
+      e.connects(c, u) && e.equiColumns.nonEmpty))
+    // joint groups: anchor pairs connected within s \ {c}; greedily
+    // merge overlapping paths into one table list per group
+    var jointGroups = List.empty[Seq[String]]
+    if (anchors.size >= 2) {
+      val paths = anchors.combinations(2).toSeq.flatMap {
+        case Seq(a, b) => bfsPath(a, b)
+      }.filter(_.size <= 6)
+      // merge paths sharing any table (one connected component → one
+      // path join); keep insertion order so the join builds connected
+      paths.foreach { p =>
+        val (overlapping, rest) = jointGroups.partition(_.exists(p.contains))
+        val merged = (overlapping.flatten ++ p).distinct
+        jointGroups = merged :: rest
+      }
+    }
+    val (cPlan, cSubst) = b.instantiate(c, markFilter = false)
+    var tree = grow(c, cPlan, cSubst, Set(c))
+    var jointAdded = false
+    for (group <- jointGroups.reverse
+         if group.size >= 2 && group.size <= 8
+         if cheapJoinBound(group.toSet) <= budget.maxJointRows) {
+      b.innerJoin(group).foreach { case (jp, substOf) =>
+        // every edge between the candidate and ANY path table joins the
+        // semijoin condition — equi anchors plus theta edges (e.g. the
+        // candidate's half of a cross-table OR)
+        val conds = graph.edges
+          .filter(e => e.tables.contains(c) &&
+            (e.tables - c).headOption.exists(group.contains))
+          .map(e => b.remap(b.remap(e.expr, cSubst),
+            (e.tables - c).headOption.flatMap(substOf.get)
+              .getOrElse(Map.empty)))
+        if (conds.nonEmpty) {
+          tree = Join(tree, jp, LeftSemi,
+            Some(conds.reduce(And(_, _))), JoinHint.NONE)
+          jointAdded = true
+        }
+      }
+    }
+    if ((b.anyFilter || jointAdded) && !(tree eq cPlan)) Some(tree) else None
+  }
+
+  /** The matched-intermediate probe plan: |L ⋉ c| — subset rows that
+    * have a matching candidate row at all. The subset's inner join over
+    * every block edge + filter + residual IS the intermediate L, so
+    * this is precise-cardinality-class work (the reference prices it
+    * so: COUNTs on intermediates, /root/reference/postbound/opt/
+    * _cardinalities.py:20) — it only fires when the model's own running
+    * bound proves the intermediate affordable (u ≤ budget.maxJointRows:
+    * the gate is the bound, so affordability is itself sound). The
+    * semijoin condition carries every candidate edge (equi AND theta)
+    * plus every residual conjunct the candidate completes, which is
+    * what the per-row agreement tails (q09-class alpha, q32-class
+    * cross-table OR) need and no candidate-side reduction can see. */
+  private def matchedIntermediatePlan(c: String,
+      s: Set[String]): Option[LogicalPlan] = {
+    val b = new ProbePlanBuilder
+    // connected ordering over s: BFS over block edges from the first
+    // table; unreachable components append afterwards (cross join —
+    // exactly what the intermediate itself is for them)
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val remaining = scala.collection.mutable.SortedSet.empty[String] ++ s
+    while (remaining.nonEmpty) {
+      var frontier = List(remaining.head)
+      while (frontier.nonEmpty) {
+        val t = frontier.head
+        frontier = frontier.tail
+        if (remaining.remove(t)) {
+          order += t
+          frontier ++= remaining.toSeq.filter(u =>
+            graph.edges.exists(e => e.connects(t, u)))
+        }
+      }
+    }
+    b.innerJoin(order.toSeq).flatMap { case (lp, substOf) =>
+      val (cp, cSubst) = b.instantiate(c, markFilter = false)
+      def remapOthers(expr: Expression, tables: Set[String]): Expression =
+        tables.foldLeft(b.remap(expr, cSubst))((e, t) =>
+          b.remap(e, substOf.getOrElse(t, Map.empty)))
+      val edgeConds = graph.edges
+        .filter(e => e.tables.contains(c) && (e.tables - c).subsetOf(s))
+        .map(e => remapOthers(e.expr, e.tables - c))
+      val residualConds = graph.block.joinConjuncts
+        .filter(cj => cj.tables.size > 2 && cj.tables.contains(c) &&
+          cj.tables.subsetOf(s + c))
+        .map(cj => remapOthers(cj.expr, cj.tables - c))
+      val conds = edgeConds ++ residualConds
+      if (conds.isEmpty) None
+      else Some(Join(lp, cp, LeftSemi,
+        Some(conds.reduce(And(_, _))), JoinHint.NONE))
+    }
+  }
+
+  private val matchedMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Set[String]), Option[Double]]
+
+  /** Probed |L ⋉ c| (see [[matchedIntermediatePlan]]), budgeted and
+    * memoized like every other probe. */
+  def matchedCard(c: String, joined: Set[String]): Option[Double] =
+    matchedMemo.getOrElseUpdate((c, joined), {
+      try matchedIntermediatePlan(c, joined).flatMap { p =>
+        stats.rowCountIfCached(p).map(_.toDouble).orElse {
+          if (budget.exhausted) None
+          else Some(budget.timed(stats.rowCount(p)).toDouble)
+        }
+      } catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e)
+            if !UesBoundModel.isCancellation(e) => None
+      }
+    })
+
+  /** Probe-free upper estimate of an inner join's size over `ts` (for
+    * budgeting the joint path join, never for the bound itself): start
+    * at the largest filtered relation and multiply each further table's
+    * per-row match cap (its base max frequency on the connecting
+    * columns, else its cardinality). All inputs are memoized base
+    * statistics the bound terms already need. */
+  private def cheapJoinBound(ts: Set[String]): Double = {
+    if (ts.isEmpty) return 0.0
+    val start = ts.maxBy(baseCard)
+    var set = Set(start)
+    var b = math.max(baseCard(start), 1.0)
+    while (set.size < ts.size) {
+      val cands = ts.diff(set)
+      val connected = cands.filter(t => graph.edges.exists(e =>
+        e.tables.contains(t) && (e.tables - t).subsetOf(set)))
+      val next = if (connected.nonEmpty) connected.min
+        else cands.minBy(baseCard)
+      val caps = graph.edges
+        .filter(e => e.tables.contains(next) && (e.tables - next).subsetOf(set))
+        .flatMap(e => e.columnOf(next))
+        .map(cc => mf(next, cc.name))
+      b *= math.max((caps :+ baseCard(next)).min, 1.0)
+      set += next
+    }
+    b
   }
 
   /** Candidate SELECTION deliberately uses the same PROBED bound as the
@@ -221,22 +455,116 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     * fingerprint (memoized + disk-persisted), the same amortization as
     * the reference's precomputed catalog statistics. */
   def selectionBound(joined: Set[String], u: Double, mu: Map[String, Double],
-      c: String): Double = stepFor(joined, u, mu, c).bound
+      c: String): Double =
+    stepFor(joined, u, mu, c, forSelection = true).bound
+
+  // ---- probe memoization & reuse --------------------------------------
+  // per-(candidate, subset) memo: the greedy SELECTION re-ranks every
+  // candidate at every step, so without this each rank recomputes and
+  // re-canonicalizes the same reduction plan
+  private val probeMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Set[String]), Option[Double]]
+  // every successful probe lands here too: a reduction against FEWER
+  // tables only drops fewer rows, so a cached (c, S') count with
+  // S' ⊆ S is a sound (if looser) stand-in for (c, S). Selection ranks
+  // on the stand-in instead of paying a fresh probe per (candidate,
+  // step); only the CHOSEN step probes fresh — this is what turned the
+  // cold sweep from candidates × steps probes into ~first-encounter +
+  // per-chosen-step probes (the r12 cold kit sweep grew linearly with
+  // kit size; see job_cold_probe_ms).
+  private val probeByCandidate = scala.collection.mutable
+    .Map.empty[String, List[(Set[String], Double)]]
+
+  private def staleOf(c: String, joined: Set[String]): Option[Double] =
+    probeByCandidate.get(c).flatMap(_.collect {
+      case (s, v) if s.subsetOf(joined) => v
+    }.minOption)
 
   /** Probed upper bound on candidate rows that can reach the joined set
     * at all (see [[reductionPlan]]); None when the probe is disabled or
-    * would be uninformative. */
-  def reducedCard(c: String, joined: Set[String]): Option[Double] =
-    if (!joinSketch) None
-    else try reductionPlan(c, joined).map(p => stats.rowCount(p).toDouble)
-    catch {
-      // a probe failure (unresolvable clone, exotic leaf) must degrade
-      // to the per-relation bound, never fail the optimization
-      case _: Throwable => None
+    * would be uninformative. With `forSelection` a subset-sound cached
+    * value substitutes for a fresh probe (ranking only — the chosen
+    * step re-probes exactly); fresh probes respect the shared
+    * [[ProbeBudget]] and degrade to the cached stand-in, then to None
+    * (the per-relation bound), when it runs out. */
+  def reducedCard(c: String, joined: Set[String],
+      forSelection: Boolean = false): Option[Double] = {
+    if (!joinSketch) return None
+    probeMemo.get((c, joined)) match {
+      case Some(v) => v
+      case None =>
+        val stale = staleOf(c, joined)
+        if (forSelection && stale.isDefined) stale
+        else {
+          val fresh =
+            try probe(c, joined)
+            catch {
+              // a probe failure (unresolvable clone, exotic leaf) must
+              // degrade to the per-relation bound, never fail the
+              // optimization — but ONLY analysis/probe errors: fatal
+              // errors and interrupts (the harness's job-group
+              // cancellation surfaces as an interrupt or a
+              // SparkException wrapping one) must propagate, or the
+              // greedy loop degrades into serially launching and
+              // failing one probe per remaining pair instead of
+              // aborting promptly
+              case e: InterruptedException =>
+                Thread.currentThread().interrupt(); throw e
+              case scala.util.control.NonFatal(e)
+                  if !UesBoundModel.isCancellation(e) => None
+            }
+          fresh.foreach { v =>
+            probeByCandidate(c) =
+              (joined, v) :: probeByCandidate.getOrElse(c, Nil)
+          }
+          // memo the effective value: a budget-exhausted or
+          // uninformative miss keeps the subset stand-in (still sound
+          // for this exact (c, joined) — supersets only drop more rows)
+          val effective = fresh.orElse(stale)
+          probeMemo.put((c, joined), effective)
+          effective
+        }
+    }
+  }
+
+  private def probe(c: String, joined: Set[String]): Option[Double] =
+    if (sketchTier == "bloom") bloomProbe(c, joined)
+    else reductionPlan(c, joined).flatMap { p =>
+      stats.rowCountIfCached(p).map(_.toDouble).orElse {
+        if (budget.exhausted) None
+        else Some(budget.timed(stats.rowCount(p)).toDouble)
+      }
     }
 
+  // The bloom tier (stats.bloomSemijoinCount): depth-1 flat membership
+  // against each DIRECTLY-filtered equi partner, no distinct-set
+  // shuffle join — the 100 TB path. Dropping transitivity, joint
+  // groups, and unfiltered partners all only enlarge the count, and
+  // bloom false positives only enlarge further, so every bloom-tier
+  // count dominates the exact tier's for the same (candidate, subset):
+  // bound ordering bloom ≥ exact ≥ actual (pinned by UesBoundsSpec).
+  private def bloomProbe(c: String, joined: Set[String]): Option[Double] = {
+    val memberships = for {
+      u <- joined.toSeq.sorted
+      if filteredStats && graph.block.filtersFor(u).nonEmpty
+      e <- graph.edges.filter(x => x.connects(c, u) && x.equiColumns.nonEmpty)
+      cc <- e.columnOf(c).toSeq
+      uc <- e.columnOf(u).toSeq
+    } yield (cc.name, statPlan(u), uc.name)
+    if (memberships.isEmpty) None
+    else {
+      val plan = statPlan(c)
+      stats.bloomSemijoinCountIfCached(plan, memberships).map(_.toDouble)
+        .orElse {
+          if (budget.exhausted) None
+          else Some(budget.timed(
+            stats.bloomSemijoinCount(plan, memberships)).toDouble)
+        }
+    }
+  }
+
   def stepFor(joined: Set[String], u: Double, mu: Map[String, Double],
-      c: String): Step = {
+      c: String, forSelection: Boolean = false): Step = {
     val equi = graph.edgesBetween(joined, c).flatMap { e =>
       val l = (e.tables - c).head
       for (ca <- e.columnOf(l); cb <- e.columnOf(c)) yield (l, ca, cb)
@@ -264,7 +592,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     // one is informative (min keeps soundness under any probe regime)
     val cardC =
       if (equi.isEmpty) baseCard(c)
-      else reducedCard(c, joined).map(math.min(_, baseCard(c)))
+      else reducedCard(c, joined, forSelection).map(math.min(_, baseCard(c)))
         .getOrElse(baseCard(c))
     val beta = (equi.map { case (_, _, cb) => mf(c, cb.name) } ++
       betaTuple :+ cardC).min
@@ -286,10 +614,40 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     // l-rows participate, each at most mu'(l) = mu(l) * beta times.
     val partnerRecheck = if (!joinSketch) Seq.empty else
       equi.map(_._1).distinct.flatMap { l =>
-        reducedCard(l, joined - l + c).map(k => k * mu(l) * beta)
+        reducedCard(l, joined - l + c, forSelection).map(k => k * mu(l) * beta)
       }
-    Step((Seq(u * beta, cardC * alpha) ++ nm ++ mcv ++ partnerRecheck).min,
-      beta, alpha)
+    // Matched-intermediate term |L ⋉ c| * beta: each matched L row
+    // pairs with at most beta candidate rows (beta already caps the
+    // per-row match count over every edge at once). Chosen steps only
+    // (selection ranks on the cheaper probes), and only where the
+    // per-relation machinery provably cannot see the constraint: the
+    // candidate closes a cycle (two anchors whose agreement runs
+    // THROUGH each L row), completes a multi-table residual (cross-
+    // table OR), or joins through a theta edge — and the running bound
+    // itself proves the intermediate affordable.
+    val matched: Seq[Double] =
+      if (!joinSketch || sketchTier == "bloom" || forSelection ||
+          equi.isEmpty) Seq.empty
+      else {
+        val residualCompletes = graph.block.joinConjuncts.exists(cj =>
+          cj.tables.size > 2 && cj.tables.contains(c) &&
+            cj.tables.subsetOf(joined + c))
+        val thetaEdge = graph.edgesBetween(joined, c)
+          .exists(_.equiColumns.isEmpty)
+        // filtered pk candidate: beta = 1 keeps U flat while the
+        // actual collapses by the filter's per-row selectivity — the
+        // partner re-reduction sees which L-side KEYS survive but not
+        // how many L rows they carry; the matched probe counts those
+        // rows directly
+        val filteredPk = beta <= 1.0 &&
+          graph.block.filtersFor(c).nonEmpty
+        if ((equi.map(_._1).distinct.size >= 2 || residualCompletes ||
+            thetaEdge || filteredPk) && u <= budget.maxJointRows)
+          matchedCard(c, joined).map(_ * beta).toSeq
+        else Seq.empty
+      }
+    Step((Seq(u * beta, cardC * alpha) ++ nm ++ mcv ++ partnerRecheck ++
+      matched).min, beta, alpha)
   }
 
   /** Greedy pessimistic upper bound on the join over exactly `ts` --
@@ -340,6 +698,54 @@ private[opt] object UesBoundModel {
     * per-row match caps used for the multiplicity update (beta: max
     * candidate rows per L row; alpha: max L rows per candidate row). */
   final case class Step(bound: Double, beta: Double, alpha: Double)
+
+  /** A Spark job-cancellation surfaced through a probe: rethrow instead
+    * of degrading, so an externally-cancelled optimization aborts
+    * promptly instead of launching every remaining probe to fail. */
+  @annotation.tailrec
+  private[opt] def isCancellation(e: Throwable): Boolean = e match {
+    case null => false
+    case _: InterruptedException => true
+    case s: org.apache.spark.SparkException
+        if s.getMessage != null &&
+          s.getMessage.toLowerCase.contains("cancelled") => true
+    case other =>
+      if (other.getCause eq other) false else isCancellation(other.getCause)
+  }
+}
+
+/** Per-query budget for join-sketch probes (the r12 cold kit sweep cost
+  * grew linearly with kit size — ~450 s, max 43 s for one query): caps
+  * how many probe JOBS one optimization may launch and how much wall
+  * time they may take together, plus the size gate for joint path-join
+  * probes. Cache hits (memoized or disk-persisted statistics) are free
+  * — the budget prices only genuinely launched Spark jobs, so a warm
+  * optimization never degrades. On exhaustion the bound degrades
+  * gracefully: first to the tightest cached subset stand-in, then to
+  * the per-relation UES terms — soundness is never at stake, only
+  * tightness. */
+final class ProbeBudget(val maxProbes: Int, val maxWallMs: Long,
+    val maxJointRows: Double) {
+  private[this] var launched = 0
+  private[this] var wallNs = 0L
+  def exhausted: Boolean =
+    launched >= maxProbes || wallNs >= maxWallMs * 1000000L
+  def timed[T](f: => T): T = {
+    val t0 = System.nanoTime()
+    try f finally { launched += 1; wallNs += System.nanoTime() - t0 }
+  }
+  def probesLaunched: Int = launched
+  def probeWallMs: Long = wallNs / 1000000L
+}
+
+object ProbeBudget {
+  /** Sized so one cold sf0.1 kit query stays under ~20 s of probe work
+    * (half the r12 max); the joint-row gate keeps any single path-join
+    * probe in the tens-of-millions-of-rows class. */
+  def default(): ProbeBudget = new ProbeBudget(96, 20000L, 5e7)
+  /** Effectively unlimited — for specs that pin exact probe values. */
+  def unlimited(): ProbeBudget =
+    new ProbeBudget(Int.MaxValue, Long.MaxValue / 2000000L, Double.MaxValue)
 }
 
   /** @param subqueryBranching UES branching policy (reference:
@@ -370,10 +776,20 @@ private[opt] object UesBoundModel {
     */
 final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
     filteredStats: Boolean = true, mcvEdgeBounds: Boolean = true,
-    mcvK: Int = 16, joinSketch: Boolean = true)
+    mcvK: Int = 16, joinSketch: Boolean = true,
+    sketchTier: String = "exact",
+    budgetFor: () => ProbeBudget = ProbeBudget.default _)
     extends JoinOrderOptimization {
+  require(sketchTier == "exact" || sketchTier == "bloom",
+    s"unknown sketchTier '$sketchTier'")
   def describe: String =
-    s"""{"name":"ues","tree":"${if (subqueryBranching) "bushy" else "left-deep"}","bounds":"pessimistic","filteredStats":$filteredStats,"mcv":$mcvEdgeBounds,"joinSketch":$joinSketch}"""
+    s"""{"name":"ues","tree":"${if (subqueryBranching) "bushy" else "left-deep"}","bounds":"pessimistic","filteredStats":$filteredStats,"mcv":$mcvEdgeBounds,"joinSketch":$joinSketch,"sketchTier":"$sketchTier"}"""
+
+  /** Probe accounting of the LAST optimization (jobs launched + wall),
+    * for the bench artifact's probe-cost columns. */
+  @volatile private var lastBudgetUsed: Option[ProbeBudget] = None
+  def lastProbeStats: Option[(Int, Long)] =
+    lastBudgetUsed.map(b => (b.probesLaunched, b.probeWallMs))
 
   def optimizeJoinOrder(q: QueryFacade, graph: JoinGraph): Option[JoinTree[Cardinality]] = {
     val tables = graph.tables
@@ -383,8 +799,10 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
     // expansion itself always has an equi edge available
     if (tables.size < 2 || !graph.isEquiConnected) return None
 
+    val budget = budgetFor() // fresh per query: probe cost is per-query
+    lastBudgetUsed = Some(budget)
     val model = new UesBoundModel(graph, filteredStats, mcvEdgeBounds, mcvK,
-      joinSketch)
+      joinSketch, sketchTier, budget)
     import model.{baseCard, mf, stepFor}
 
     val start = tables.minBy(baseCard)
@@ -528,7 +946,7 @@ final class BoundsParameterGeneration extends ParameterGeneration {
   *   is a distinct memo key); a DP would square that. */
 final class PessimisticCardinalityEstimator(filteredStats: Boolean = true,
     mcvEdgeBounds: Boolean = true, mcvK: Int = 16,
-    joinSketch: Boolean = false)
+    joinSketch: Boolean = false, sketchTier: String = "exact")
     extends graft.pipeline.CardinalityEstimator {
   def describe: String =
     s"""{"name":"pessimistic-card","model":"ues-bounds","mcv":$mcvEdgeBounds}"""
@@ -537,11 +955,12 @@ final class PessimisticCardinalityEstimator(filteredStats: Boolean = true,
     // the model (and its subset memo) is attached to the graph itself,
     // so its lifetime is exactly the graph's — a WeakHashMap here would
     // not work: the model strongly references its graph, so a
-    // map-held value would keep its own weak key alive forever
+    // map-held value would keep its own weak key alive forever. The
+    // probe budget shares the model's lifetime (one graph = one query).
     val model = graph.attachments.getOrElseUpdate(
-      s"uesModel[$filteredStats,$mcvEdgeBounds,$mcvK,$joinSketch]",
+      s"uesModel[$filteredStats,$mcvEdgeBounds,$mcvK,$joinSketch,$sketchTier]",
       new UesBoundModel(graph, filteredStats, mcvEdgeBounds, mcvK,
-        joinSketch)).asInstanceOf[UesBoundModel]
+        joinSketch, sketchTier)).asInstanceOf[UesBoundModel]
     Cardinality(model.boundForSubsetMemo(tables))
   }
 }

@@ -107,6 +107,12 @@ final class EmulatedStatistics(spark: SparkSession,
     memo(plan, s"count$sTag")(
       unsampledIfZero(scaled(sampledDf(plan).count()))(df(plan).count()))
 
+  /** Cache peek for [[rowCount]]: the memoized (or disk-loaded) value
+    * without launching a probe job — lets a probe BUDGET price only
+    * genuinely new work (warm probes are free). */
+  def rowCountIfCached(plan: LogicalPlan): Option[Long] =
+    cache.get(key(plan, s"count$sTag")).collect { case v: Long => v }
+
   def rowCount(plan: LogicalPlan, filter: Option[Expression]): Long =
     filter match {
       case Some(fl) => memo(plan,
@@ -204,15 +210,31 @@ final class EmulatedStatistics(spark: SparkSession,
     * overcount-only guarantee needs equal values to render equally);
     * column pairs with no common type are rejected. Memoized +
     * disk-persisted like every other probe. */
+  private def bloomSemijoinTag(
+      memberships: Seq[(String, LogicalPlan, String)], fpp: Double)
+      : (Seq[(String, String, LogicalPlan, String)], String) = {
+    val normalized = memberships.map { case (c2, p, pc) =>
+      (c2, key(p, "")._1, p, pc)
+    }.sortBy(t => (t._1, t._2, t._4))
+    (normalized, "bloomsemi[" + normalized.map(t =>
+      s"${t._1}∈${t._2}|${t._4}").mkString(";") + s",$fpp]")
+  }
+
+  /** Cache peek for [[bloomSemijoinCount]] (see [[rowCountIfCached]]). */
+  def bloomSemijoinCountIfCached(plan: LogicalPlan,
+      memberships: Seq[(String, LogicalPlan, String)],
+      fpp: Double = 0.01): Option[Long] = {
+    require(memberships.nonEmpty)
+    cache.get(key(plan, bloomSemijoinTag(memberships, fpp)._2))
+      .collect { case v: Long => v }
+  }
+
   def bloomSemijoinCount(plan: LogicalPlan,
       memberships: Seq[(String, LogicalPlan, String)],
       fpp: Double = 0.01): Long = {
     require(memberships.nonEmpty)
-    val normalized = memberships.map { case (c2, p, pc) =>
-      (c2, key(p, "")._1, p, pc)
-    }.sortBy(t => (t._1, t._2, t._4))
-    memo(plan, "bloomsemi[" + normalized.map(t =>
-        s"${t._1}∈${t._2}|${t._4}").mkString(";") + s",$fpp]") {
+    val (normalized, tag) = bloomSemijoinTag(memberships, fpp)
+    memo(plan, tag) {
       val d = df(plan)
       // membership is tested through a string rendering on BOTH sides.
       // Equal values must RENDER equally or membership produces false
@@ -290,6 +312,16 @@ final class EmulatedStatistics(spark: SparkSession,
     }
 
   def cacheSize: Int = cache.size
+
+  /** Cache entry counts grouped by probe class (the tag up to its
+    * first '[' — count / ndv / maxfreq / mcvf / bloomsemi / …), for the
+    * bench artifact's probe-cache breakdown: a growing tier inventory
+    * stays attributable to the probe type that grew it. */
+  def cacheTagCounts: Map[String, Int] =
+    cache.keys.toSeq.map { case (_, tag) =>
+      val cut = tag.indexOf('[')
+      if (cut < 0) tag else tag.substring(0, cut)
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
 
   // ---- disk persistence for the expensive probes (reference keeps a JSON
   // disk cache keyed by query text, /root/reference/postbound/db/_db.py:

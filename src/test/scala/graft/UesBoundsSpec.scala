@@ -148,6 +148,172 @@ class UesBoundsSpec extends SparkSpec {
     assert(bounds(withSketch).last >= actual.toDouble)
   }
 
+  test("joint anchor group: cross-branch value agreement through a " +
+      "shared dimension tightens the candidate cap (gw07 in miniature)") {
+    import spark.implicits._
+    // two dimensions carrying a nation-style attribute, one shared
+    // domain table, and a fact joining both dimensions: the fact row
+    // survives only when BOTH its dimensions agree on the shared key —
+    // per-branch semijoins provably cannot see this (every ga/gb key
+    // has witnesses), the joint path join ga ⋈ gd ⋈ gb can.
+    Seq((1, 1), (2, 2)).toDF("a_k", "a_d").createOrReplaceTempView("ga")
+    Seq((1, 1), (2, 2)).toDF("b_k", "b_d").createOrReplaceTempView("gb")
+    Seq(1, 2).toDF("d_k").createOrReplaceTempView("gd")
+    // agreeing pair (1,1) once; disagreeing pairs (1,2)/(2,1) heavy
+    (Seq((1, 1)) ++ Seq.fill(4)((1, 2)) ++ Seq.fill(4)((2, 1)))
+      .toDF("f_a", "f_b").createOrReplaceTempView("gf")
+    val sql = """SELECT count(*) AS n FROM ga, gb, gd, gf
+                 WHERE a_d = d_k AND b_d = d_k
+                   AND f_a = a_k AND f_b = b_k"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val without = new UESJoinOrderOptimizer(joinSketch = false)
+      .optimizeJoinOrder(q, graph).get
+    val withSketch = new UESJoinOrderOptimizer()
+      .optimizeJoinOrder(q, graph).get
+    val actual = spark.sql(
+      """SELECT count(*) AS n FROM ga JOIN gd ON a_d = d_k
+         JOIN gb ON b_d = d_k JOIN gf ON f_a = a_k AND f_b = b_k""")
+      .head().getLong(0)
+    assert(actual === 1L)
+    assert(bounds(withSketch).last === 1.0,
+      s"agreement not captured: ${bounds(withSketch)}")
+    assert(bounds(withSketch).last < bounds(without).last)
+  }
+
+  test("matched-intermediate probe: a filtered pk dimension joining " +
+      "last collapses the step bound to the matched row count") {
+    import spark.implicits._
+    // mg (1 row) ⋈ mf (20 rows, hot f_p = 2) ⋈ mp filtered to odd keys:
+    // the hot value FAILS the filter, so the MCV rearrangement term
+    // (which must pair the hot frequencies pessimistically) stays at
+    // 15 while |L ⋉ mp| = 6 — only the matched probe sees which rows
+    // actually carry surviving keys. beta = 1 (pk), so the step bound
+    // pins to the matched count exactly.
+    Seq(1).toDF("g_k").createOrReplaceTempView("mg")
+    (Seq.fill(10)((1, 2)) ++
+      Seq(1, 3, 4, 5, 6, 7, 8, 9, 10, 11).map(k => (1, k)))
+      .toDF("f_g", "f_p").createOrReplaceTempView("mf")
+    (1 to 12).map(k => (k, k % 2)).toDF("p_k", "p_v")
+      .createOrReplaceTempView("mp")
+    val sql = """SELECT count(*) AS n FROM mg, mf, mp
+                 WHERE f_g = g_k AND f_p = p_k AND p_v = 1"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val withSketch = new UESJoinOrderOptimizer()
+      .optimizeJoinOrder(q, graph).get
+    val actual = spark.sql(
+      """SELECT count(*) AS n FROM mg JOIN mf ON f_g = g_k
+         JOIN mp ON f_p = p_k WHERE p_v = 1""").head().getLong(0)
+    assert(actual === 6L)
+    assert(bounds(withSketch).last === 6.0,
+      s"matched probe not applied: ${bounds(withSketch)}")
+  }
+
+  test("matched-intermediate probe: a completed cross-table OR prunes " +
+      "the step bound (q32 in miniature)") {
+    import spark.implicits._
+    // the OR spans oa and ob (a theta edge); the fact joins both. At
+    // the fact step the matched probe counts the OR-surviving (a, b)
+    // pairs — 3 of 4 — and multiplies by the fact's pair frequency.
+    Seq((1, 1), (2, 2)).toDF("a_k", "a_v").createOrReplaceTempView("oa")
+    Seq((1, 1), (2, 2)).toDF("b_k", "b_v").createOrReplaceTempView("ob")
+    (for { a <- Seq(1, 2); b <- Seq(1, 2); _ <- 1 to 5 } yield (a, b))
+      .toDF("f_a", "f_b").createOrReplaceTempView("of")
+    val sql = """SELECT count(*) AS n FROM oa, ob, of
+                 WHERE f_a = a_k AND f_b = b_k
+                   AND (a_v = 1 OR b_v = 1)"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val without = new UESJoinOrderOptimizer(joinSketch = false)
+      .optimizeJoinOrder(q, graph).get
+    val withSketch = new UESJoinOrderOptimizer()
+      .optimizeJoinOrder(q, graph).get
+    val actual = spark.sql(
+      """SELECT count(*) AS n FROM oa JOIN ob ON (a_v = 1 OR b_v = 1)
+         JOIN of ON f_a = a_k AND f_b = b_k""").head().getLong(0)
+    assert(actual === 15L)
+    assert(bounds(withSketch).last === 15.0,
+      s"cross-table OR not captured: ${bounds(withSketch)}")
+    assert(bounds(without).last === 20.0)
+  }
+
+  test("exhausted probe budget degrades to the per-relation bound, " +
+      "never below the actual") {
+    import spark.implicits._
+    Seq((1, 1), (2, 2), (3, 3), (4, 4), (5, 5)).toDF("r_k", "r_v")
+      .createOrReplaceTempView("zr")
+    (1 to 10).map(k => (k, (k - 1) % 5 + 1)).toDF("d_k", "d_r")
+      .createOrReplaceTempView("zd")
+    ((1 to 9) ++ Seq.fill(20)(10)).toDF("f_k").createOrReplaceTempView("zf")
+    val sql = """SELECT count(*) AS n FROM zr, zd, zf
+                 WHERE d_r = r_k AND f_k = d_k AND r_v = 1"""
+    val q = QueryFacade(spark, sql)
+    // fresh statistics: cache hits are free by design (the budget
+    // prices only genuinely launched jobs), and this fixture's data is
+    // shared with the two-hop test — a warm cache would hand the
+    // zero-budget optimizer the probe result for free
+    val freshStats = new EmulatedStatistics(spark)
+    val graph = new JoinGraph(q.joinBlock.get, freshStats)
+    val noBudget = new UESJoinOrderOptimizer(
+      budgetFor = () => new graft.opt.ProbeBudget(0, 0L, 0.0))
+      .optimizeJoinOrder(q, graph).get
+    val full = new UESJoinOrderOptimizer()
+      .optimizeJoinOrder(q, graph).get
+    // zero budget = the joinSketch-off arithmetic (29); with budget the
+    // reduction probe caps the candidate at the true 2
+    assert(bounds(noBudget).last === 29.0)
+    assert(bounds(full).last === 2.0)
+  }
+
+  test("bloom tier bounds dominate exact-tier bounds and the actual " +
+      "(flat membership, transitivity dropped)") {
+    import spark.implicits._
+    // direct filtered partner: both tiers probe; bloom's false
+    // positives can only overcount. Two-hop filter: bloom's depth-1
+    // membership cannot see it (partner unfiltered -> no probe) and
+    // falls back to the per-relation cap — above the exact tier's
+    // transitive reduction, still sound.
+    Seq((1, 1), (2, 1), (3, 0), (4, 0)).toDF("d_k", "d_v")
+      .createOrReplaceTempView("wa")
+    (Seq.fill(6)(1) ++ Seq.fill(3)(3) ++ Seq(4)).toDF("f_k")
+      .createOrReplaceTempView("wf")
+    val direct = """SELECT count(*) AS n FROM wa, wf
+                    WHERE f_k = d_k AND d_v = 1"""
+    val q1 = QueryFacade(spark, direct)
+    val g1 = new JoinGraph(q1.joinBlock.get, stats)
+    val exact1 = new UESJoinOrderOptimizer()
+      .optimizeJoinOrder(q1, new JoinGraph(
+        QueryFacade(spark, direct).joinBlock.get, stats)).get
+    val bloom1 = new UESJoinOrderOptimizer(sketchTier = "bloom")
+      .optimizeJoinOrder(q1, g1).get
+    val actual1 = spark.sql(
+      """SELECT count(*) AS n FROM wa JOIN wf ON f_k = d_k
+         WHERE d_v = 1""").head().getLong(0)
+    assert(actual1 === 6L)
+    assert(bounds(bloom1).last >= bounds(exact1).last,
+      s"bloom ${bounds(bloom1).last} below exact ${bounds(exact1).last}")
+    assert(bounds(exact1).last >= actual1.toDouble)
+    // two-hop: reuse the budget fixture's shape through the bloom tier
+    val twoHop = """SELECT count(*) AS n FROM zr, zd, zf
+                    WHERE d_r = r_k AND f_k = d_k AND r_v = 1"""
+    Seq((1, 1), (2, 2), (3, 3), (4, 4), (5, 5)).toDF("r_k", "r_v")
+      .createOrReplaceTempView("zr")
+    (1 to 10).map(k => (k, (k - 1) % 5 + 1)).toDF("d_k", "d_r")
+      .createOrReplaceTempView("zd")
+    ((1 to 9) ++ Seq.fill(20)(10)).toDF("f_k").createOrReplaceTempView("zf")
+    val q2 = QueryFacade(spark, twoHop)
+    val g2 = new JoinGraph(q2.joinBlock.get, stats)
+    val exact2 = new UESJoinOrderOptimizer().optimizeJoinOrder(q2, g2).get
+    val bloom2 = new UESJoinOrderOptimizer(sketchTier = "bloom")
+      .optimizeJoinOrder(q2, g2).get
+    val actual2 = spark.sql(
+      """SELECT count(*) AS n FROM zr JOIN zd ON d_r = r_k
+         JOIN zf ON f_k = d_k WHERE r_v = 1""").head().getLong(0)
+    assert(bounds(bloom2).last >= bounds(exact2).last)
+    assert(bounds(exact2).last >= actual2.toDouble)
+  }
+
   test("fk expansion off an amplified pk side stays a true upper bound " +
       "(the r10 bug class in miniature)") {
     import spark.implicits._
