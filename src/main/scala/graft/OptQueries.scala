@@ -323,6 +323,21 @@ object OptQueries {
         stats = statsFor(s, dir)).optimize(jobSql("gw07_walk_seed10"))
     },
 
+    // UES on a generator-emitted ALIASED walk with a cross-alias OR
+    // (gw23: doubled part/lineitem/orders under fresh aliases plus an
+    // OR spanning two aliases — the r13 matched-intermediate probe's
+    // theta-edge/residual class). The gate pins that the alias-heavy
+    // probed pipeline (clone re-aliasing, joint groups, matched probes)
+    // fully enforces an order and stays exact: probe-tier plumbing must
+    // never leak into results.
+    "opt25_ues_alias_walk" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer),
+        operators = Some(new UESOperatorSelection),
+        stats = statsFor(s, dir)).optimize(jobSql("gw23_alias_seed114"))
+    },
+
     // TrainingDataRepository warm start: execute natively ONCE, harvest
     // per-join (path, operator, actual-rows) samples from the executed
     // plan's SQLMetrics, persist them to the parquet-backed repository,
@@ -512,6 +527,7 @@ object OptQueries {
     "opt22_pessimistic_dp" -> jobSql("q08_6way_cyclic_triangle"),
     "opt23_ues_stats_correlated" -> statsSql("q04_same_cluster_doc_pairs"),
     "opt24_ues_walk_correlated" -> jobSql("gw07_walk_seed10"),
+    "opt25_ues_alias_walk" -> jobSql("gw23_alias_seed114"),
     "opt21_ues_stack_funnel" -> stackSql("q01_funnel_3step"),
     "tr01_training_warmstart" -> flagshipSql,
     "tr02_training_bao" -> flagshipSql,

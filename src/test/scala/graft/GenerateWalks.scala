@@ -30,6 +30,31 @@ object GenerateWalks {
         val sql = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         signatureOf(spark, sql).foreach(seen += _)
       }
+    // aliased walks can draw multiplicative fan-outs (several child
+    // aliases off one hub with no selective filter) whose count(*) is
+    // astronomically large — such a query would also poison the kit
+    // specs, so validation REJECTS any seed whose sf0.01 count cannot
+    // finish in 5 s (the kit executes at sf0.1 = 10x the data)
+    def timedCount(sql: String, ms: Long): Option[Long] = {
+      val group = s"genwalk-${System.nanoTime()}"
+      val task = new java.util.concurrent.FutureTask(
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            spark.sparkContext.setJobGroup(group, "walk validation",
+              interruptOnCancel = true)
+            try spark.sql(sql).head().getLong(0)
+            finally spark.sparkContext.clearJobGroup()
+          }
+        })
+      val th = new Thread(task); th.setDaemon(true); th.start()
+      try Some(task.get(ms, java.util.concurrent.TimeUnit.MILLISECONDS))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          task.cancel(true); None
+        case _: Throwable => None
+      }
+    }
     var produced = 0
     while (produced < want && seed < 3000) {
       val crossOr = produced % 3 == 2
@@ -37,15 +62,16 @@ object GenerateWalks {
       val sql = graft.bench.QueryGenerator.aliasWalkQuery(seed,
         crossOrFilter = crossOr, includeEvents = withEvents)
       val ok = try {
-        val n = spark.sql(sql).head().getLong(0)
+        val n = timedCount(sql, 5000L)
         val sig = signatureOf(spark, sql)
         val fresh = sig.exists(s => !seen.contains(s))
         val connected = graft.qal.QueryFacade(spark, sql).joinBlock.exists {
           b => new graft.opt.JoinGraph(b, OptQueries.statsFor(spark,
             "/root/testdata/sf0.01")).isEquiConnected
         }
-        if (n > 0 && fresh && connected) { sig.foreach(seen += _); true }
-        else false
+        if (n.exists(_ > 0) && fresh && connected) {
+          sig.foreach(seen += _); true
+        } else false
       } catch { case _: Throwable => false }
       if (ok) {
         val idx = firstIdx + produced

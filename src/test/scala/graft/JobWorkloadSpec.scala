@@ -19,10 +19,12 @@ class JobWorkloadSpec extends SparkSpec {
   test("JOB kit: 6-13-way queries optimize through UES and match native") {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("job", "/root/repo/workloads/job")
-    // 34 hand-built (q01-q34) + 20 generator-emitted (gw01-gw20, seeded
-    // FK random walks over the full schema with 2-4 sampled filters —
-    // the reference's querygen route toward JOB's 113-query breadth)
-    assert(wl.size === 54)
+    // 34 hand-built (q01-q34) + 20 generator-emitted single-graph walks
+    // (gw01-gw20) + 26 ALIASED walks (gw21-gw46: repeated relations
+    // under fresh aliases, 8-13-way, distinct join-graph signature per
+    // query, some with cross-alias ORs and events-table hops — the
+    // reference's querygen route toward JOB's 113-query breadth)
+    assert(wl.size === 80)
     val pipeline = Presets.ues(spark, OptQueries.statsFor(spark, sfDir))
     val rs = BenchHarness.executeWorkload(spark, wl,
       optimizer = pipeline.optimize _)
