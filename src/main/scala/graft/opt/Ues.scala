@@ -355,8 +355,9 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     * this is precise-cardinality-class work (the reference prices it
     * so: COUNTs on intermediates, /root/reference/postbound/opt/
     * _cardinalities.py:20) — it only fires when the model's own running
-    * bound proves the intermediate affordable (u ≤ budget.maxJointRows:
-    * the gate is the bound, so affordability is itself sound). The
+    * bound proves the intermediate affordable (u ≤
+    * budget.maxMatchedRows: the gate is the bound, so affordability is
+    * itself sound). The
     * semijoin condition carries every candidate edge (equi AND theta)
     * plus every residual conjunct the candidate completes, which is
     * what the per-row agreement tails (q09-class alpha, q32-class
@@ -642,7 +643,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         val filteredPk = beta <= 1.0 &&
           graph.block.filtersFor(c).nonEmpty
         if ((equi.map(_._1).distinct.size >= 2 || residualCompletes ||
-            thetaEdge || filteredPk) && u <= budget.maxJointRows)
+            thetaEdge || filteredPk) && u <= budget.maxMatchedRows)
           matchedCard(c, joined).map(_ * beta).toSeq
         else Seq.empty
       }
@@ -725,7 +726,7 @@ private[opt] object UesBoundModel {
   * the per-relation UES terms — soundness is never at stake, only
   * tightness. */
 final class ProbeBudget(val maxProbes: Int, val maxWallMs: Long,
-    val maxJointRows: Double) {
+    val maxJointRows: Double, val maxMatchedRows: Double = 1e7) {
   private[this] var launched = 0
   private[this] var wallNs = 0L
   def exhausted: Boolean =
@@ -740,12 +741,16 @@ final class ProbeBudget(val maxProbes: Int, val maxWallMs: Long,
 
 object ProbeBudget {
   /** Sized so one cold sf0.1 kit query stays under ~20 s of probe work
-    * (half the r12 max); the joint-row gate keeps any single path-join
-    * probe in the tens-of-millions-of-rows class. */
-  def default(): ProbeBudget = new ProbeBudget(96, 20000L, 5e7)
+    * (half the r12 max). The row gates bound any SINGLE probe job —
+    * the wall cap is checked before a launch, so one unbounded join
+    * could otherwise blow far past it: joint path joins at 2e7
+    * estimated rows, matched-intermediate joins at 1e7 bound rows
+    * (every named frontier intermediate is ≤ ~3e6 at sf0.1). */
+  def default(): ProbeBudget = new ProbeBudget(96, 20000L, 2e7, 1e7)
   /** Effectively unlimited — for specs that pin exact probe values. */
   def unlimited(): ProbeBudget =
-    new ProbeBudget(Int.MaxValue, Long.MaxValue / 2000000L, Double.MaxValue)
+    new ProbeBudget(Int.MaxValue, Long.MaxValue / 2000000L,
+      Double.MaxValue, Double.MaxValue)
 }
 
   /** @param subqueryBranching UES branching policy (reference:
