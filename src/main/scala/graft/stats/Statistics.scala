@@ -31,7 +31,9 @@ final case class Histogram(lo: Double, hi: Double, counts: Seq[Long]) {
   * the reference's disk cache, db/_db.py:322-430).
   */
 final class EmulatedStatistics(spark: SparkSession,
-    sampleFraction: Option[Double] = None) {
+    sampleFraction: Option[Double] = None,
+    probeClassVersions: Map[String, Int] =
+      EmulatedStatistics.probeClassVersions) {
   require(sampleFraction.forall(f => f > 0.0 && f <= 1.0))
   private val cache = TrieMap.empty[(String, String), Any]
 
@@ -72,6 +74,11 @@ final class EmulatedStatistics(spark: SparkSession,
     if (s == 0L && sampleFraction.isDefined) full else s
   }
 
+  private def versioned(tag: String): String = {
+    val cls = tag.takeWhile(_ != '[')
+    probeClassVersions.get(cls).map(v => s"$tag@v$v").getOrElse(tag)
+  }
+
   // the string rendering alone is NOT collision-safe: plan.toString
   // truncates past spark.sql.maxPlanStringLength, so two large plans
   // sharing a prefix would collide (the bug class the dedup cache hit);
@@ -79,7 +86,7 @@ final class EmulatedStatistics(spark: SparkSession,
   // key a persistable string
   private def key(plan: LogicalPlan, tag: String): (String, String) =
     (s"${plan.canonicalized.toString}#${plan.canonicalized.semanticHash()}",
-      tag)
+      versioned(tag))
 
   private def df(plan: LogicalPlan) = GraftShims.ofRows(spark, plan)
 
@@ -396,6 +403,22 @@ final class EmulatedStatistics(spark: SparkSession,
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+}
+
+object EmulatedStatistics {
+  /** Per-probe-class schema versions — the persisted cache's selective
+    * invalidation path. Plan-SHAPE changes invalidate naturally (the
+    * canonicalized key differs, old entries simply orphan); bump a
+    * class's version here when the MEANING of its persisted value
+    * changes with the plan key unchanged (e.g. a membership-rendering
+    * change in `bloomsemi`). The version rides the cache tag
+    * (`tag@vN`), so the bump invalidates exactly that class: persisted
+    * old-version entries still parse on load, they just never match a
+    * current tag — no wholesale cache flush, no stale value served.
+    * Class names are the tag prefix up to the first '[' ("count",
+    * "ndv", "maxfreq", "mcvf", "bloomsemi", …). All classes are
+    * currently at their initial (unversioned) schema. */
+  val probeClassVersions: Map[String, Int] = Map.empty
 }
 
 /** Prewarming support (reference: PrewarmingSupport, db/_db.py:120-168):

@@ -178,6 +178,37 @@ class StatsSpec extends SparkSpec {
     assert(fresh.rowCount(nation) === 25L) // served from loaded cache
   }
 
+  test("probe-class version bump invalidates exactly that class") {
+    val stats = new EmulatedStatistics(spark)
+    val nation = leafOf("nation")
+    val n = stats.rowCount(nation)
+    val ndv = stats.distinctCount(nation, "n_name")
+    val f = java.io.File.createTempFile("graft_stats_ver", ".json")
+    stats.persistTo(f.getAbsolutePath)
+
+    // same versions: the persisted entry is a warm hit
+    val same = new EmulatedStatistics(spark)
+    assert(same.loadFrom(f.getAbsolutePath) >= 2)
+    assert(same.rowCountIfCached(nation) === Some(n))
+
+    // bumped `count` class: the stale entry loads but never matches the
+    // versioned tag — the probe recomputes under `count...@v2` — while
+    // the unbumped `ndv` class stays warm (no new ndv entry appears)
+    val bumped = new EmulatedStatistics(spark,
+      probeClassVersions = Map("count" -> 2))
+    assert(bumped.loadFrom(f.getAbsolutePath) >= 2)
+    assert(bumped.rowCountIfCached(nation) === None,
+      "bumped class served a stale-version entry")
+    assert(bumped.rowCount(nation) === n)
+    assert(bumped.cacheTagCounts.keys.exists(_.endsWith("@v2")),
+      s"recomputed entry missing version suffix: ${bumped.cacheTagCounts}")
+    val afterCount = bumped.cacheSize
+    assert(bumped.distinctCount(nation, "n_name") === ndv)
+    assert(bumped.cacheSize === afterCount,
+      "unbumped ndv class recomputed despite the warm cache")
+    f.delete(): Unit
+  }
+
   test("prewarm pins and releases relations") {
     val df = Tables.load(spark, sfDir, "nation")
     Prewarm.prewarm(df)
