@@ -255,6 +255,44 @@ object Bench {
     val qadj = adjusted.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val totalAdj = adjusted.map(_._2).filter(_ >= 0).sum
+    // fixed key list so the artifact schema is stable even when the kit
+    // metrics fail wholesale (each key then carries "{}")
+    val kitKeys = Seq("job_opt_ms", "job_cold_probe_ms", "job_qerror",
+      "job_qerror_branching", "job_branching_fired", "job_qerror_bloom",
+      "job_cold_probe_ms_bloom", "job_qerror_by_estimator",
+      "job_qerror_nodes_by_estimator", "stats_qerror_by_estimator",
+      "stats_qerror_nodes_by_estimator", "stats_opt_ms",
+      "stats_cold_probe_ms", "stats_qerror", "probe_cache_entries")
+    val canaryMidJson = canaryMid.map(c => fmt(c._2)).mkString("[", ",", "]")
+    val canaryMidAt = canaryMid.map(_._1).mkString("[", ",", "]")
+    def artifactLine(kitSections: Map[String, String],
+        scaleTrend: String): String = {
+      val kitJson = kitKeys.map(k =>
+        s""""$k":${kitSections.getOrElse(k, "{}")}""").mkString(",")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"sum of per-query medians (protocol); total_adj = canary-rebased trimmed min","queries":$qs,"queries_min":$qmins,"queries_adj":$qadj,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"mid_at":$canaryMidAt,"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"total_adj":${fmt(totalAdj)},$kitJson,"scale_trend":$scaleTrend,"sf":"$sfDir"}"""
+    }
+    // the artifact goes to a FILE, rewritten as each phase completes: the
+    // r9 driver run kept only a truncated stdout tail, and the r13 kit
+    // phase showed a killed JVM loses EVERYTHING written only at exit —
+    // a phase snapshot means a timeout leaves the last complete phase's
+    // numbers instead of "{}" everywhere
+    def writeArtifact(line: String): Unit = try {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val repoDir =
+        if (Files.exists(Paths.get(sys.props("user.dir"), "build.sbt")))
+          sys.props("user.dir")
+        else "/root/repo"
+      val out = Paths.get(sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .orElse(sys.props.get("graft.bench.out"))
+        .getOrElse(s"$repoDir/bench_out.json"))
+      val tmp = Paths.get(out.toString + ".tmp")
+      Files.writeString(tmp, line + "\n")
+      Files.move(tmp, out, StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] artifact file write failed: ${e.getMessage}")
+    }
+    writeArtifact(artifactLine(Map.empty, "{}"))
     // `total` (sum of medians) is the headline `value`; totalAdj is the
     // auxiliary drift-corrected estimator — see the object scaladoc.
     // Per-query OPTIMIZATION time + bound quality over the workload kits
@@ -311,6 +349,10 @@ object Bench {
     // and post-order positions align; if a plan diverges (AQE edge),
     // fall back to the root join alone, and -1 means no comparable
     // join pair existed.
+    // actual node cardinalities are data properties, not run properties:
+    // measured once per (query text, data fingerprint) and reused, so a
+    // warm bench pays zero kit executions (see KitActuals' scaladoc)
+    lazy val kitActuals = graft.bench.KitActuals.forDir(sfDir)
     def runKit(kit: Seq[(String, String)],
         pipeline: graft.pipeline.MultiStageOptimizationPipeline,
         execute: Boolean): Seq[KitRow] = {
@@ -333,8 +375,31 @@ object Bench {
         val res = pipeline.optimizeQuery(sql)
         val optMs = (System.nanoTime() - t0) / 1e6
         val rootBound = res.joinOrder.map(_.annotation.value).getOrElse(-1.0)
+        // warm path: every table subset of THIS run's tree has a cached
+        // actual — reconstruct the tightness row without executing (a
+        // subset the cache lacks, e.g. after an optimizer change picked
+        // a new tree shape, falls through to measure-and-merge)
+        val sqlSha = graft.bench.KitActuals.sha(sql)
+        val cachedNodes: Option[(Double, Seq[(Set[String], Double, Double)])] =
+          if (!execute) None
+          else for {
+            (root, byics) <- kitActuals.get(label, sqlSha)
+            estTree <- res.joinOrder
+            sets = joinSets(estTree)
+            ests = joinCards(estTree)
+            if sets.nonEmpty && sets.forall(s =>
+              byics.contains(graft.bench.KitActuals.key(s)))
+          } yield (root, sets.zip(ests).map { case (s, e) =>
+            (s, e, byics(graft.bench.KitActuals.key(s)))
+          })
         val (qe, rootAct, nodes): (Double, Double, Seq[(Set[String], Double, Double)]) =
           if (!execute) (-1.0, -1.0, Seq.empty)
+          else if (cachedNodes.isDefined) {
+            val (root, triples) = cachedNodes.get
+            val good = triples.filter { case (_, e, a) => !e.isNaN && !a.isNaN && a >= 0 }
+            val qes = good.map { case (_, e, a) => qerr(e, a) }
+            (if (qes.isEmpty) -1.0 else qes.max, root, good)
+          }
           else try {
             res.df.collect() // small aggregate outputs; runs df's own QE
             val acts = graft.plans.QueryPlanOps(res.df).joinTree.map(joinCards)
@@ -357,8 +422,12 @@ object Bench {
             } yield sets.lazyZip(ests).lazyZip(act).toSeq
               .filter { case (_, e, a) => !e.isNaN && !a.isNaN && a >= 0 })
               .getOrElse(Seq.empty)
-            (pairs.filter(_.nonEmpty).map(_.max).getOrElse(-1.0),
-              acts.flatMap(_.lastOption).getOrElse(-1.0), nodeTriples)
+            val root = acts.flatMap(_.lastOption).getOrElse(-1.0)
+            if (root >= 0) kitActuals.put(label, sqlSha, root,
+              nodeTriples.map { case (s, _, a) =>
+                graft.bench.KitActuals.key(s) -> a }.toMap)
+            (pairs.filter(_.nonEmpty).map(_.max).getOrElse(-1.0), root,
+              nodeTriples)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $label qerror failed: ${e.getMessage}")
@@ -607,45 +676,12 @@ object Bench {
         System.err.println(s"[bench] workload kit metrics failed: ${e.getMessage}")
         Map.empty[String, String]
     }
-    // fixed key list so the artifact schema is stable even when the kit
-    // metrics fail wholesale (each key then carries "{}")
-    val kitKeys = Seq("job_opt_ms", "job_cold_probe_ms", "job_qerror",
-      "job_qerror_branching", "job_branching_fired", "job_qerror_bloom",
-      "job_cold_probe_ms_bloom", "job_qerror_by_estimator",
-      "job_qerror_nodes_by_estimator", "stats_qerror_by_estimator",
-      "stats_qerror_nodes_by_estimator", "stats_opt_ms",
-      "stats_cold_probe_ms", "stats_qerror", "probe_cache_entries")
-    val kitJson = kitKeys.map(k =>
-      s""""$k":${kitSections.getOrElse(k, "{}")}""").mkString(",")
+    writeArtifact(artifactLine(kitSections, "{}"))
     // scale-trend flight at a larger SF (see ScaleTrend's scaladoc):
     // last, so its one-shot timings run on the hottest JVM of the run
     val scaleTrend = graft.bench.ScaleTrend.section(spark, sfDir)
-    val canaryMidJson = canaryMid.map(c => fmt(c._2)).mkString("[", ",", "]")
-    val canaryMidAt = canaryMid.map(_._1).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"sum of per-query medians (protocol); total_adj = canary-rebased trimmed min","queries":$qs,"queries_min":$qmins,"queries_adj":$qadj,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"mid_at":$canaryMidAt,"after":${fmt(canaryAfter)}},"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"total_adj":${fmt(totalAdj)},$kitJson,"scale_trend":$scaleTrend,"sf":"$sfDir"}"""
-    // the whole line goes to a FILE first: the r9 driver artifact kept
-    // only a truncated stdout tail, losing every per-query median —
-    // a file write is atomic-enough (tmp + move) that the full artifact
-    // always survives next to whatever the driver captured
-    try {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      // default: the repo checkout the bench runs from — the working
-      // directory when it IS a checkout (build.sbt present), else the
-      // canonical driver path; overridable via env or system property
-      val repoDir =
-        if (Files.exists(Paths.get(sys.props("user.dir"), "build.sbt")))
-          sys.props("user.dir")
-        else "/root/repo"
-      val out = Paths.get(sys.env.get("SPARK_GRAFT_BENCH_OUT")
-        .orElse(sys.props.get("graft.bench.out"))
-        .getOrElse(s"$repoDir/bench_out.json"))
-      val tmp = Paths.get(out.toString + ".tmp")
-      Files.writeString(tmp, line + "\n")
-      Files.move(tmp, out, StandardCopyOption.REPLACE_EXISTING)
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] artifact file write failed: ${e.getMessage}")
-    }
+    val line = artifactLine(kitSections, scaleTrend)
+    writeArtifact(line)
     println(line)
     spark.stop()
   }

@@ -1,0 +1,115 @@
+package graft.bench
+
+import scala.collection.concurrent.TrieMap
+
+/** Disk-persisted ACTUAL join-node cardinalities for the workload-kit
+  * bound-tightness rows.
+  *
+  * A kit query's per-node actual output rows are a property of the DATA
+  * and the joined table SET — not of the join order the optimizer chose
+  * this run (any tree shape over the same subset produces the same
+  * output cardinality). The bench previously re-executed every kit
+  * query on every run to re-measure numbers that cannot change, which
+  * at 80 kit queries × multi-way sf0.1 joins dominated the whole bench
+  * (~40+ min); the reference grades bound tightness against true
+  * cardinalities it likewise computes once and reuses
+  * (/root/reference/postbound/opt/_cardinalities.py:20 — precise
+  * cardinalities are cached per query).
+  *
+  * Entries are keyed by (query label, SHA-256 of the query text) inside
+  * a file keyed by the data fingerprint, so editing a kit query, or
+  * regenerating the data, invalidates exactly the affected entries. A
+  * run whose optimizer picks a tree containing a table subset the cache
+  * has no actual for simply re-executes and merges the new subsets in.
+  */
+final class KitActuals(path: String) {
+  // (label, sqlSha) -> (root actual, tableSetKey -> node actual)
+  private val cache = TrieMap.empty[(String, String), (Double, Map[String, Double])]
+
+  def get(label: String, sha: String): Option[(Double, Map[String, Double])] =
+    cache.get((label, sha))
+
+  /** Merge `nodes` into the entry (keeps actuals for table subsets an
+    * earlier tree shape produced) and persist atomically. */
+  def put(label: String, sha: String, root: Double,
+      nodes: Map[String, Double]): Unit = {
+    val merged = cache.get((label, sha))
+      .map { case (_, old) => old ++ nodes }.getOrElse(nodes)
+    cache.put((label, sha), (root, merged))
+    try persist() catch { case _: Throwable => }
+  }
+
+  def size: Int = cache.size
+
+  def load(): Int = {
+    if (!new java.io.File(path).exists()) return 0
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(txt) match {
+        case JArray(items) =>
+          items.foreach {
+            case JObject(fields) =>
+              val m = fields.toMap
+              (m.get("label"), m.get("sha"), m.get("root"), m.get("nodes")) match {
+                case (Some(JString(l)), Some(JString(s)), Some(root), Some(JObject(ns))) =>
+                  val nodes = ns.collect {
+                    case (k, JDouble(v)) => k -> v
+                    case (k, JInt(v)) => k -> v.toDouble
+                  }.toMap
+                  val r = root match {
+                    case JDouble(v) => v
+                    case JInt(v) => v.toDouble
+                    case _ => -1.0
+                  }
+                  cache.putIfAbsent((l, s), (r, nodes)): Unit
+                case _ =>
+              }
+            case _ =>
+          }
+          items.size
+        case _ => 0
+      }
+    } catch { case _: Throwable => 0 }
+  }
+
+  private def persist(): Unit = {
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val json = cache.toSeq.sortBy(_._1).map { case ((l, s), (root, nodes)) =>
+      val ns = nodes.toSeq.sorted.map { case (k, v) =>
+        s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+      s"""{"label":${jstr(l)},"sha":${jstr(s)},"root":$root,"nodes":$ns}"""
+    }.mkString("[", ",", "]")
+    val target = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Paths.get(
+      s"$path.tmp.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+    java.nio.file.Files.writeString(tmp, json)
+    import java.nio.file.StandardCopyOption._
+    try java.nio.file.Files.move(tmp, target, REPLACE_EXISTING, ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      java.nio.file.Files.move(tmp, target, REPLACE_EXISTING)
+    }
+  }
+}
+
+object KitActuals {
+  def forDir(sfDir: String): KitActuals = {
+    val fp = graft.Tables.dataFingerprint(sfDir)
+    val ka = new KitActuals(
+      s"${System.getProperty("java.io.tmpdir")}/graft_kit_actuals_$fp.json")
+    ka.load()
+    ka
+  }
+
+  def sha(sql: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(sql.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Canonical key for a joined table set. */
+  def key(tables: Set[String]): String = tables.toSeq.sorted.mkString(",")
+}
