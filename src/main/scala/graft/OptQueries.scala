@@ -338,6 +338,20 @@ object OptQueries {
         stats = statsFor(s, dir)).optimize(jobSql("gw23_alias_seed114"))
     },
 
+    // UES on the r13 113-query batch's hardest shape (gw73: THREE
+    // customer clones sharing one orders hub — a same-table equi
+    // clique the joint-anchor probe must re-alias three ways — plus a
+    // cross-alias OR between a lineitem clone and the hub). The gate
+    // pins that clique-degree clone re-aliasing and the OR residual
+    // stay exact through the probed pipeline at full breadth.
+    "opt26_ues_clone_clique" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer),
+        operators = Some(new UESOperatorSelection),
+        stats = statsFor(s, dir)).optimize(jobSql("gw73_alias_seed227"))
+    },
+
     // TrainingDataRepository warm start: execute natively ONCE, harvest
     // per-join (path, operator, actual-rows) samples from the executed
     // plan's SQLMetrics, persist them to the parquet-backed repository,
@@ -528,6 +542,7 @@ object OptQueries {
     "opt23_ues_stats_correlated" -> statsSql("q04_same_cluster_doc_pairs"),
     "opt24_ues_walk_correlated" -> jobSql("gw07_walk_seed10"),
     "opt25_ues_alias_walk" -> jobSql("gw23_alias_seed114"),
+    "opt26_ues_clone_clique" -> jobSql("gw73_alias_seed227"),
     "opt21_ues_stack_funnel" -> stackSql("q01_funnel_3step"),
     "tr01_training_warmstart" -> flagshipSql,
     "tr02_training_bao" -> flagshipSql,

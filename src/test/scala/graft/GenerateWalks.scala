@@ -17,6 +17,9 @@ object GenerateWalks {
     val want = args.headOption.map(_.toInt).getOrElse(26)
     val firstIdx = args.lift(1).map(_.toInt).getOrElse(21)
     var seed = args.lift(2).map(_.toLong).getOrElse(100L)
+    // emission target (default: the kit itself); a staging dir lets new
+    // queries be generated while a bench that globs workloads/job runs
+    val outDir = args.lift(3).getOrElse("/root/repo/workloads/job")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
@@ -83,7 +86,7 @@ object GenerateWalks {
              |--   over FixtureValueSource; validated non-empty on sf0.01
              |""".stripMargin
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"/root/repo/workloads/job/$name.sql"),
+          java.nio.file.Paths.get(s"$outDir/$name.sql"),
           header + sql + "\n")
         println(s"emitted $name (crossOr=$crossOr events=$withEvents)")
         produced += 1

@@ -20,11 +20,13 @@ class JobWorkloadSpec extends SparkSpec {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("job", "/root/repo/workloads/job")
     // 34 hand-built (q01-q34) + 20 generator-emitted single-graph walks
-    // (gw01-gw20) + 26 ALIASED walks (gw21-gw46: repeated relations
+    // (gw01-gw20) + 59 ALIASED walks (gw21-gw79: repeated relations
     // under fresh aliases, 8-13-way, distinct join-graph signature per
-    // query, some with cross-alias ORs and events-table hops — the
-    // reference's querygen route toward JOB's 113-query breadth)
-    assert(wl.size === 80)
+    // query, some with cross-alias ORs and events-table hops) —
+    // matching the reference's JOB corpus at its full 113-query breadth
+    // (/root/reference/postbound/workloads.py:936-980; IMDB itself is
+    // not in the sandbox, so breadth parity is structural, not data)
+    assert(wl.size === 113)
     val pipeline = Presets.ues(spark, OptQueries.statsFor(spark, sfDir))
     val rs = BenchHarness.executeWorkload(spark, wl,
       optimizer = pipeline.optimize _)

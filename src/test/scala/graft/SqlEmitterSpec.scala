@@ -250,7 +250,7 @@ class SqlEmitterSpec extends SparkSpec {
       .fromDirectory("job", "/root/repo/workloads/job").queries.toSeq ++
       graft.bench.Workload
         .fromDirectory("ssb", "/root/repo/workloads/ssb").queries.toSeq
-    assert(kits.size === 93) // 80 JOB (34 hand-built + 46 generated) + 13 SSB
+    assert(kits.size === 126) // 113 JOB (34 hand-built + 79 generated) + 13 SSB
     kits.foreach { case (label, sql) =>
       val emitted = SqlEmitter.toSql(QueryFacade(spark, sql).analyzed)
       assert(sameResults(spark.sql(emitted), spark.sql(sql)),

@@ -23,9 +23,9 @@ class WorkloadBreadthSpec extends SparkSpec {
     val ssb = Workload.fromDirectory("ssb", "/root/repo/workloads/ssb")
     val all = job.queries.toSeq.map { case (l, q) => s"job/$l" -> q } ++
       ssb.queries.toSeq.map { case (l, q) => s"ssb/$l" -> q }
-    assert(all.size === 93,
-      "kit drifted: expected 80 JOB (34 hand-built + 20 walk-generated " +
-        "+ 26 alias-walk-generated) + 13 SSB")
+    assert(all.size === 126,
+      "kit drifted: expected 113 JOB (34 hand-built + 20 walk-generated " +
+        "+ 59 alias-walk-generated) + 13 SSB")
 
     val pipeline = new MultiStageOptimizationPipeline(spark,
       joinOrder = Some(new UESJoinOrderOptimizer),
