@@ -265,6 +265,8 @@ object Bench {
       "stats_cold_probe_ms", "stats_qerror", "probe_cache_entries")
     val canaryMidJson = canaryMid.map(c => fmt(c._2)).mkString("[", ",", "]")
     val canaryMidAt = canaryMid.map(_._1).mkString("[", ",", "]")
+    @volatile var latestArtifact = ""
+    @volatile var artifactPrinted = false
     def artifactLine(kitSections: Map[String, String],
         scaleTrend: String): String = {
       val kitJson = kitKeys.map(k =>
@@ -288,10 +290,21 @@ object Bench {
       val tmp = Paths.get(out.toString + ".tmp")
       Files.writeString(tmp, line + "\n")
       Files.move(tmp, out, StandardCopyOption.REPLACE_EXISTING)
+      latestArtifact = line
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] artifact file write failed: ${e.getMessage}")
     }
+    // a harness that times the bench out captures stdout but never sees
+    // the final println — on shutdown, emit the last complete phase's
+    // snapshot so the captured stream always ends with a parseable
+    // artifact line (the normal completion path sets the flag first)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!artifactPrinted && latestArtifact.nonEmpty) {
+        println(latestArtifact)
+        System.out.flush()
+      }
+    }))
     writeArtifact(artifactLine(Map.empty, "{}"))
     // `total` (sum of medians) is the headline `value`; totalAdj is the
     // auxiliary drift-corrected estimator — see the object scaladoc.
@@ -682,6 +695,7 @@ object Bench {
     val scaleTrend = graft.bench.ScaleTrend.section(spark, sfDir)
     val line = artifactLine(kitSections, scaleTrend)
     writeArtifact(line)
+    artifactPrinted = true
     println(line)
     spark.stop()
   }
