@@ -366,6 +366,36 @@ object Bench {
     // measured once per (query text, data fingerprint) and reused, so a
     // warm bench pays zero kit executions (see KitActuals' scaladoc)
     lazy val kitActuals = graft.bench.KitActuals.forDir(sfDir)
+    // per-query execution cap for the actuals measurement: run the
+    // collect in its own cancellable job group; on timeout persist the
+    // skip sentinel so no later bench re-attempts a hopeless execution
+    val kitExecCapMs: Long = sys.env.get("SPARK_GRAFT_KIT_EXEC_CAP_MS")
+      .map(_.toLong).getOrElse(180000L)
+    def execWithCap(label: String, sqlSha: String,
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      val group = s"kitexec-$label-${System.nanoTime()}"
+      val task = new java.util.concurrent.FutureTask(
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            spark.sparkContext.setJobGroup(group, s"kit actuals: $label",
+              interruptOnCancel = true)
+            try { df.collect(); () }
+            finally spark.sparkContext.clearJobGroup()
+          }
+        })
+      val th = new Thread(task, group); th.setDaemon(true); th.start()
+      try task.get(kitExecCapMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          task.cancel(true)
+          kitActuals.put(label, sqlSha,
+            graft.bench.KitActuals.TimedOut, Map.empty)
+          throw new RuntimeException(
+            s"execution exceeded the $kitExecCapMs ms cap; skip persisted")
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    }
     def runKit(kit: Seq[(String, String)],
         pipeline: graft.pipeline.MultiStageOptimizationPipeline,
         execute: Boolean): Seq[KitRow] = {
@@ -407,6 +437,9 @@ object Bench {
           })
         val (qe, rootAct, nodes): (Double, Double, Seq[(Set[String], Double, Double)]) =
           if (!execute) (-1.0, -1.0, Seq.empty)
+          else if (kitActuals.get(label, sqlSha)
+              .exists(_._1 == graft.bench.KitActuals.TimedOut))
+            (-1.0, -1.0, Seq.empty) // skipped: execution exceeded the cap once
           else if (cachedNodes.isDefined) {
             val (root, triples) = cachedNodes.get
             val good = triples.filter { case (_, e, a) => !e.isNaN && !a.isNaN && a >= 0 }
@@ -414,7 +447,13 @@ object Bench {
             (if (qes.isEmpty) -1.0 else qes.max, root, good)
           }
           else try {
-            res.df.collect() // small aggregate outputs; runs df's own QE
+            // a generated walk can carry a multiplicative aliased
+            // fan-out whose TRUE intermediate is astronomic at sf0.1
+            // even though its sf0.01 validation count passed (gw31:
+            // first observed hanging a whole bench for 40+ min under
+            // any plan) — cap the measurement and persist the verdict
+            // so no later bench re-attempts it
+            execWithCap(label, sqlSha, res.df)
             val acts = graft.plans.QueryPlanOps(res.df).joinTree.map(joinCards)
             val pairs = for {
               est <- res.joinOrder.map(joinCards)

@@ -97,6 +97,11 @@ final class KitActuals(path: String) {
 }
 
 object KitActuals {
+  /** Root-actual sentinel: this query's execution exceeded the bench's
+    * per-query cap once — skip the measurement in every later run
+    * (delete the cache file to retry, e.g. after raising the cap). */
+  val TimedOut: Double = -2.0
+
   def forDir(sfDir: String): KitActuals = {
     val fp = graft.Tables.dataFingerprint(sfDir)
     val ka = new KitActuals(
