@@ -371,6 +371,13 @@ object Bench {
     // skip sentinel so no later bench re-attempts a hopeless execution
     val kitExecCapMs: Long = sys.env.get("SPARK_GRAFT_KIT_EXEC_CAP_MS")
       .map(_.toLong).getOrElse(180000L)
+    // executions whose SOUND cardinality bound already exceeds this are
+    // never attempted: with bound ≥ actual pinned kit-wide and the kit's
+    // observed looseness ≤ ~1e3, a 1e13-row bound implies a true result
+    // far past what the cap could execute — attempting it risks the JVM
+    // (multiplicative fan-outs OOM faster than the cap can fire)
+    val kitExecBoundGate: Double = sys.env
+      .get("SPARK_GRAFT_KIT_EXEC_BOUND_GATE").map(_.toDouble).getOrElse(1e13)
     def execWithCap(label: String, sqlSha: String,
         df: org.apache.spark.sql.DataFrame): Unit = {
       val group = s"kitexec-$label-${System.nanoTime()}"
@@ -391,6 +398,17 @@ object Bench {
           task.cancel(true)
           kitActuals.put(label, sqlSha,
             graft.bench.KitActuals.TimedOut, Map.empty)
+          // cancellation is async and a codegen'd hash-join task can
+          // take seconds to observe its kill flag; moving on while the
+          // cancelled tasks still hold their half-built hash relations
+          // stacks zombie heap under the next execution (observed: six
+          // capped walks then an OutOfMemoryError that killed the whole
+          // kit phase) — wait, bounded, for the stages to drain
+          val tracker = spark.sparkContext.statusTracker
+          val drainDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (tracker.getActiveStageIds.nonEmpty
+              && System.nanoTime() < drainDeadline)
+            Thread.sleep(200)
           throw new RuntimeException(
             s"execution exceeded the $kitExecCapMs ms cap; skip persisted")
         case e: java.util.concurrent.ExecutionException => throw e.getCause
@@ -438,13 +456,24 @@ object Bench {
         val (qe, rootAct, nodes): (Double, Double, Seq[(Set[String], Double, Double)]) =
           if (!execute) (-1.0, -1.0, Seq.empty)
           else if (kitActuals.get(label, sqlSha)
-              .exists(_._1 == graft.bench.KitActuals.TimedOut))
-            (-1.0, -1.0, Seq.empty) // skipped: execution exceeded the cap once
+              .exists(e => graft.bench.KitActuals.isSkip(e._1)))
+            (-1.0, -1.0, Seq.empty) // persisted skip: capped, crashed, or bound-gated
           else if (cachedNodes.isDefined) {
             val (root, triples) = cachedNodes.get
             val good = triples.filter { case (_, e, a) => !e.isNaN && !a.isNaN && a >= 0 }
             val qes = good.map { case (_, e, a) => qerr(e, a) }
             (if (qes.isEmpty) -1.0 else qes.max, root, good)
+          }
+          else if (rootBound > kitExecBoundGate) {
+            // the model's bound is pinned ≥ actual kit-wide, so a bound
+            // above the gate PROVES the true result is inexecutable at
+            // the cap — persist the skip without burning the cap (and
+            // without risking the heap) on a hopeless join
+            kitActuals.put(label, sqlSha,
+              graft.bench.KitActuals.BoundSkipped, Map.empty)
+            System.err.println(f"[bench] $label execution skipped: sound " +
+              f"bound $rootBound%.3g exceeds the $kitExecBoundGate%.1g-row gate")
+            (-1.0, -1.0, Seq.empty)
           }
           else try {
             // a generated walk can carry a multiplicative aliased
@@ -452,7 +481,13 @@ object Bench {
             // even though its sf0.01 validation count passed (gw31:
             // first observed hanging a whole bench for 40+ min under
             // any plan) — cap the measurement and persist the verdict
-            // so no later bench re-attempts it
+            // so no later bench re-attempts it. The attempt marker
+            // below survives a JVM-killing execution (heap-exhausting
+            // fan-out outruns the cap) so a relaunched bench skips the
+            // killer instead of re-crashing on it; success or a clean
+            // timeout overwrites the marker with the real verdict.
+            kitActuals.put(label, sqlSha,
+              graft.bench.KitActuals.Crashed, Map.empty)
             execWithCap(label, sqlSha, res.df)
             val acts = graft.plans.QueryPlanOps(res.df).joinTree.map(joinCards)
             val pairs = for {

@@ -102,6 +102,27 @@ object KitActuals {
     * (delete the cache file to retry, e.g. after raising the cap). */
   val TimedOut: Double = -2.0
 
+  /** Root-actual sentinel: a bench persisted this marker immediately
+    * before ATTEMPTING the execution and never replaced it with a
+    * result — the JVM died mid-measurement (observed: an aliased-walk
+    * fan-out whose hash joins exhaust the heap faster than the
+    * cancellation cap can fire, taking the whole bench down with an
+    * OutOfMemoryError). Treated like [[TimedOut]]: skip forever rather
+    * than re-crash every later bench on the same query. */
+  val Crashed: Double = -3.0
+
+  /** Root-actual sentinel: the execution was never attempted because
+    * the optimizer's own SOUND upper bound on the result cardinality
+    * already proves it hopeless at the bench's per-query cap (bound ≥
+    * actual is pinned kit-wide, so a bound above the gate means the
+    * true intermediate cannot be executed either). Persisted so the
+    * skip decision is visible in the cache, not silent. */
+  val BoundSkipped: Double = -4.0
+
+  /** True for any persisted skip sentinel. */
+  def isSkip(root: Double): Boolean =
+    root == TimedOut || root == Crashed || root == BoundSkipped
+
   def forDir(sfDir: String): KitActuals = {
     val fp = graft.Tables.dataFingerprint(sfDir)
     val ka = new KitActuals(

@@ -41,6 +41,28 @@ class KitActualsSpec extends AnyFunSuite {
     new java.io.File(path).delete(): Unit
   }
 
+  test("skip sentinels: attempt marker survives a crash, results overwrite it") {
+    val path = tmpPath()
+    val a = new KitActuals(path)
+    val sha = KitActuals.sha("SELECT count(*) FROM t")
+    // every sentinel is a skip; a real root is not
+    assert(KitActuals.isSkip(KitActuals.TimedOut))
+    assert(KitActuals.isSkip(KitActuals.Crashed))
+    assert(KitActuals.isSkip(KitActuals.BoundSkipped))
+    assert(!KitActuals.isSkip(42.0) && !KitActuals.isSkip(-1.0))
+    // the bench persists Crashed just before attempting an execution;
+    // a successful measurement must REPLACE the marker
+    a.put("q1", sha, KitActuals.Crashed, Map.empty)
+    val crashed = new KitActuals(path)
+    crashed.load()
+    assert(crashed.get("q1", sha).exists(e => KitActuals.isSkip(e._1)))
+    a.put("q1", sha, 42.0, Map("a,b" -> 42.0))
+    val reloaded = new KitActuals(path)
+    reloaded.load()
+    assert(reloaded.get("q1", sha) === Some((42.0, Map("a,b" -> 42.0))))
+    new java.io.File(path).delete(): Unit
+  }
+
   test("set keys are order-canonical; missing file loads empty") {
     assert(KitActuals.key(Set("b", "a", "c")) === "a,b,c")
     val ghost = new KitActuals("/tmp/graft_kit_actuals_does_not_exist.json")
