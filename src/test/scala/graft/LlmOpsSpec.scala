@@ -122,6 +122,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("autoRowsPerBand: collision-bounded, monotone in corpus size, clamped") {
+    // r = ceil(log2(bands*n/target)) keeps expected random collisions
+    // per row at ~target; doubling the corpus costs exactly one more row
+    val r1 = Dedup.autoRowsPerBand(100000L, 64)
+    assert(Dedup.autoRowsPerBand(200000L, 64) >= r1)
+    // the derived r really bounds expected collisions: bands*n/2^r <= target
+    assert(64.0 * 100000L / math.pow(2, r1) <= 4.0 + 1e-9)
+    // clamps: tiny corpora never go below 8 (buckets stay useful),
+    // astronomically large ones never exceed 24 (recall envelope)
+    assert(Dedup.autoRowsPerBand(1L, 64) === 8)
+    assert(Dedup.autoRowsPerBand(Long.MaxValue / 2, 64) === 24)
+  }
+
   test("incremental dedup equals the full run restricted to the batch, " +
       "and the index composes by append") {
     import org.apache.spark.sql.functions._
