@@ -464,11 +464,16 @@ object Bench {
             val qes = good.map { case (_, e, a) => qerr(e, a) }
             (if (qes.isEmpty) -1.0 else qes.max, root, good)
           }
-          else if (rootBound > kitExecBoundGate) {
+          else if (rootBound > kitExecBoundGate
+              && !kitActuals.get(label, sqlSha).exists(_._1 >= 0)) {
             // the model's bound is pinned ≥ actual kit-wide, so a bound
             // above the gate PROVES the true result is inexecutable at
             // the cap — persist the skip without burning the cap (and
-            // without risking the heap) on a hopeless join
+            // without risking the heap) on a hopeless join. A query that
+            // ever MEASURED successfully is exempt (its execution is
+            // proven feasible; a gate-exceeding bound there is just
+            // looseness, and the re-execute path below re-merges the new
+            // tree shape's subsets instead of discarding a good root)
             kitActuals.put(label, sqlSha,
               graft.bench.KitActuals.BoundSkipped, Map.empty)
             System.err.println(f"[bench] $label execution skipped: sound " +
