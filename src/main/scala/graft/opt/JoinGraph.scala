@@ -158,6 +158,91 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     base ++ extra.distinct
   }
 
+  /** Non-equi join conjuncts rewritten through the attribute
+    * equivalence classes. Spark's optimizer rewrites theta predicates
+    * through join equalities and applies them at the earliest join
+    * where the rewritten form resolves — q17's `o1.o_orderkey <
+    * o2.o_orderkey` with `l2.l_orderkey = o2.o_orderkey` executes as
+    * `o1.o_orderkey < l2.l_orderkey` one join below where the original
+    * could apply — so any cardinality model that prices intermediates
+    * against EXECUTED plans must see the same implied constraints.
+    * Kept separate from [[edges]]: enforcement still compiles the
+    * original query text's predicates (Spark re-derives these itself),
+    * while the UES bound model's probe plans and step triggers consult
+    * the union. Every derived conjunct is logically implied by the
+    * original plus the equi edges, so adding one to a probe plan never
+    * changes the probed relation — only where in the join order the
+    * constraint becomes visible. Multi-table conjuncts whose
+    * substituted form lands on exactly two tables are included (a
+    * cross-table residual can collapse to an edge under substitution).
+    */
+  lazy val derivedThetaEdges: Seq[JoinEdge] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
+      ExprId}
+    // attribute-level union-find over the equi edges' EqualTo sides
+    val parent = scala.collection.mutable.Map.empty[ExprId, ExprId]
+    val attrById = scala.collection.mutable.Map.empty[ExprId, Attribute]
+    def find(id: ExprId): ExprId = {
+      val p = parent.getOrElseUpdate(id, id)
+      if (p == id) id else { val r = find(p); parent(id) = r; r }
+    }
+    edges.foreach(_.expr match {
+      case EqualTo(a: Attribute, b: Attribute) =>
+        attrById(a.exprId) = a; attrById(b.exprId) = b
+        val (ra, rb) = (find(a.exprId), find(b.exprId))
+        if (ra != rb) parent(ra) = rb
+      case _ =>
+    })
+    val members: Map[ExprId, Seq[Attribute]] = attrById.keys.toSeq
+      .groupBy(find).view.mapValues(_.map(attrById).sortBy(_.exprId.id))
+      .toMap
+    def tablesOf(e: Expression): Set[String] =
+      e.references.toSeq.flatMap(a => block.attrToTable.get(a.exprId))
+        .map(_.identifier).toSet
+    def tableOf(a: Attribute): Option[String] =
+      block.attrToTable.get(a.exprId).map(_.identifier)
+    val sourceConjuncts = block.joinConjuncts.filter(c =>
+      c.tables.size > 2 ||
+        (c.tables.size == 2 && c.equiColumns(block.attrToTable).isEmpty))
+    // cartesian product of per-attribute choices (itself plus class
+    // members on other tables), bounded per conjunct
+    val out = scala.collection.mutable.ArrayBuffer.empty[JoinEdge]
+    val seen = scala.collection.mutable.Set.empty[(Set[String], String)]
+    edges.foreach(e => seen += ((e.tables, e.expr.canonicalized.toString)))
+    sourceConjuncts.foreach { c =>
+      val attrs = c.expr.references.toSeq.sortBy(_.exprId.id)
+      val choices = attrs.map { a =>
+        val cls =
+          if (parent.contains(a.exprId)) members(find(a.exprId))
+          else Seq.empty
+        a +: cls.filter(b => b.exprId != a.exprId &&
+          tableOf(b) != tableOf(a))
+      }
+      if (choices.map(_.size.toLong).product <= 64L) {
+        val combos = choices.foldLeft(Seq(Seq.empty[Attribute])) {
+          (acc, cs) => for (m <- acc; b <- cs) yield m :+ b
+        }
+        combos.foreach { picked =>
+          val subst = attrs.zip(picked)
+            .filter { case (a, b) => a.exprId != b.exprId }
+            .map { case (a, b) => a.exprId -> b }.toMap
+          if (subst.nonEmpty) {
+            val expr2 = c.expr.transform {
+              case a: Attribute if subst.contains(a.exprId) => subst(a.exprId)
+            }
+            val ts2 = tablesOf(expr2)
+            val key = (ts2, expr2.canonicalized.toString)
+            if (ts2.size == 2 && !seen.contains(key)) {
+              seen += key
+              out += JoinEdge(ts2, expr2, None)
+            }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** Transitive closure of equi-join columns (union-find), the basis for
     * predicate augmentation (reference: determine_join_equivalence_classes,
     * /root/reference/postbound/qal/_qal.py:3557). */

@@ -42,6 +42,18 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     budget: ProbeBudget = ProbeBudget.default()) {
   private val stats = graph.stats
   private def leaf(t: String) = graph.block.leafPlan(t)
+  // Edges as the EXECUTED plan sees them: the block's own conjuncts
+  // plus the equivalence-class-derived theta rewrites
+  // ([[JoinGraph.derivedThetaEdges]] — Spark infers and applies these
+  // one join earlier than the original form resolves, q17-class). Every
+  // PROBE plan and step TRIGGER consults this union, so probed counts
+  // price the same constraint set execution enforces; the join-order
+  // search and enforcement keep the original edges.
+  private val probeEdges: Seq[JoinEdge] =
+    graph.edges ++ graph.derivedThetaEdges
+  private def probeEdgesBetween(joined: Set[String], c: String): Seq[JoinEdge] =
+    probeEdges.filter(e => e.tables.contains(c) &&
+      (e.tables - c).subsetOf(joined))
   // the plan frequency probes run on: with filteredStats the table's
   // filter predicates are applied first, so mf/ndv/MCV describe the
   // relation that actually participates in the joins (exact, hence
@@ -242,7 +254,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         substOf += (t -> tSubst)
         if (plan == null) plan = tp
         else {
-          val conds = graph.edges
+          val conds = probeEdges
             .filter(e => e.tables.contains(t) &&
               (e.tables - t).forall(added.contains))
             .map(e => remap(remap(e.expr, tSubst),
@@ -295,7 +307,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       while (q.nonEmpty && !seen.contains(to)) {
         val t = q.dequeue()
         for (u <- inS.toSeq.sorted if !seen.contains(u)
-             if graph.edges.exists(e => e.connects(t, u))) {
+             if probeEdges.exists(e => e.connects(t, u))) {
           prev(u) = t; seen += u; q += u
         }
       }
@@ -333,7 +345,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         // every edge between the candidate and ANY path table joins the
         // semijoin condition — equi anchors plus theta edges (e.g. the
         // candidate's half of a cross-table OR)
-        val conds = graph.edges
+        val conds = probeEdges
           .filter(e => e.tables.contains(c) &&
             (e.tables - c).headOption.exists(group.contains))
           .map(e => b.remap(b.remap(e.expr, cSubst),
@@ -362,12 +374,12 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     * plus every residual conjunct the candidate completes, which is
     * what the per-row agreement tails (q09-class alpha, q32-class
     * cross-table OR) need and no candidate-side reduction can see. */
-  private def matchedIntermediatePlan(c: String,
-      s: Set[String]): Option[LogicalPlan] = {
-    val b = new ProbePlanBuilder
-    // connected ordering over s: BFS over block edges from the first
-    // table; unreachable components append afterwards (cross join —
-    // exactly what the intermediate itself is for them)
+  /** Connected ordering over `s`: BFS over block+derived edges from the
+    * (sorted-)first table; unreachable components append afterwards
+    * (cross join — exactly what the intermediate itself is for them).
+    * Deterministic for a given set, so probe-plan canonicalization (and
+    * thus the persisted probe cache) keys stably. */
+  private def connectedOrder(s: Set[String]): Seq[String] = {
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
     val remaining = scala.collection.mutable.SortedSet.empty[String] ++ s
     while (remaining.nonEmpty) {
@@ -378,16 +390,22 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         if (remaining.remove(t)) {
           order += t
           frontier ++= remaining.toSeq.filter(u =>
-            graph.edges.exists(e => e.connects(t, u)))
+            probeEdges.exists(e => e.connects(t, u)))
         }
       }
     }
-    b.innerJoin(order.toSeq).flatMap { case (lp, substOf) =>
+    order.toSeq
+  }
+
+  private def matchedIntermediatePlan(c: String,
+      s: Set[String]): Option[LogicalPlan] = {
+    val b = new ProbePlanBuilder
+    b.innerJoin(connectedOrder(s)).flatMap { case (lp, substOf) =>
       val (cp, cSubst) = b.instantiate(c, markFilter = false)
       def remapOthers(expr: Expression, tables: Set[String]): Expression =
         tables.foldLeft(b.remap(expr, cSubst))((e, t) =>
           b.remap(e, substOf.getOrElse(t, Map.empty)))
-      val edgeConds = graph.edges
+      val edgeConds = probeEdges
         .filter(e => e.tables.contains(c) && (e.tables - c).subsetOf(s))
         .map(e => remapOthers(e.expr, e.tables - c))
       val residualConds = graph.block.joinConjuncts
@@ -412,6 +430,41 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         stats.rowCountIfCached(p).map(_.toDouble).orElse {
           if (budget.exhausted) None
           else Some(budget.timed(stats.rowCount(p)).toDouble)
+        }
+      } catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e)
+            if !UesBoundModel.isCancellation(e) => None
+      }
+    })
+
+  private val exactMemo = scala.collection.concurrent.TrieMap
+    .empty[Set[String], Option[Double]]
+
+  /** The EXACT tier of the intermediate-probe ladder: COUNT(*) of the
+    * subset's true intermediate — the inner join over every block edge,
+    * derived theta edge, per-table filter, and residual conjunct inside
+    * `s` (the same [[ProbePlanBuilder.innerJoin]] the matched probe
+    * builds its L from, counted instead of semijoined). This is the
+    * reference's PreciseCardinalities work, priced the same way
+    * (/root/reference/postbound/opt/_cardinalities.py:20), and it only
+    * fires when the model's own running bound proves the join output
+    * affordable — the gate is the bound, so affordability is itself
+    * sound. Where it fires the step bound becomes the node's actual
+    * cardinality (q-error 1), which is what collapses the
+    * max-vs-average frequency residual (fact self-join pairs, skewed
+    * fact expansions) that no per-row cap can see. Budgeted, memoized
+    * per table set, and disk-persisted like every other probe. */
+  def exactJoinCard(s: Set[String]): Option[Double] =
+    exactMemo.getOrElseUpdate(s, {
+      try {
+        val b = new ProbePlanBuilder
+        b.innerJoin(connectedOrder(s)).flatMap { case (lp, _) =>
+          stats.rowCountIfCached(lp).map(_.toDouble).orElse {
+            if (budget.exhausted) None
+            else Some(budget.timed(stats.rowCount(lp)).toDouble)
+          }
         }
       } catch {
         case e: InterruptedException =>
@@ -617,38 +670,53 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       equi.map(_._1).distinct.flatMap { l =>
         reducedCard(l, joined - l + c, forSelection).map(k => k * mu(l) * beta)
       }
+    // Probe-tier triggers: only where the per-relation machinery
+    // provably cannot see the constraint — the candidate closes a
+    // cycle (two anchors whose agreement runs THROUGH each L row),
+    // completes a multi-table residual (cross-table OR), or joins
+    // through a theta edge (original or equivalence-class-derived:
+    // execution applies the derived form at this step, q17-class) —
+    // or a filtered pk candidate: beta = 1 keeps U flat while the
+    // actual collapses by the filter's per-row selectivity (the
+    // partner re-reduction sees which L-side KEYS survive but not how
+    // many L rows they carry).
+    val probeTiersOn =
+      joinSketch && sketchTier != "bloom" && !forSelection && equi.nonEmpty
+    val residualCompletes = probeTiersOn && graph.block.joinConjuncts
+      .exists(cj => cj.tables.size > 2 && cj.tables.contains(c) &&
+        cj.tables.subsetOf(joined + c))
+    val thetaEdge = probeTiersOn &&
+      probeEdgesBetween(joined, c).exists(_.equiColumns.isEmpty)
+    val filteredPk = probeTiersOn && beta <= 1.0 &&
+      graph.block.filtersFor(c).nonEmpty
+    val constraintBlind = equi.map(_._1).distinct.size >= 2 ||
+      residualCompletes || thetaEdge || filteredPk
     // Matched-intermediate term |L ⋉ c| * beta: each matched L row
     // pairs with at most beta candidate rows (beta already caps the
     // per-row match count over every edge at once). Chosen steps only
-    // (selection ranks on the cheaper probes), and only where the
-    // per-relation machinery provably cannot see the constraint: the
-    // candidate closes a cycle (two anchors whose agreement runs
-    // THROUGH each L row), completes a multi-table residual (cross-
-    // table OR), or joins through a theta edge — and the running bound
-    // itself proves the intermediate affordable.
+    // (selection ranks on the cheaper probes), and only when the
+    // running bound itself proves the intermediate affordable.
     val matched: Seq[Double] =
-      if (!joinSketch || sketchTier == "bloom" || forSelection ||
-          equi.isEmpty) Seq.empty
-      else {
-        val residualCompletes = graph.block.joinConjuncts.exists(cj =>
-          cj.tables.size > 2 && cj.tables.contains(c) &&
-            cj.tables.subsetOf(joined + c))
-        val thetaEdge = graph.edgesBetween(joined, c)
-          .exists(_.equiColumns.isEmpty)
-        // filtered pk candidate: beta = 1 keeps U flat while the
-        // actual collapses by the filter's per-row selectivity — the
-        // partner re-reduction sees which L-side KEYS survive but not
-        // how many L rows they carry; the matched probe counts those
-        // rows directly
-        val filteredPk = beta <= 1.0 &&
-          graph.block.filtersFor(c).nonEmpty
-        if ((equi.map(_._1).distinct.size >= 2 || residualCompletes ||
-            thetaEdge || filteredPk) && u <= budget.maxMatchedRows)
-          matchedCard(c, joined).map(_ * beta).toSeq
-        else Seq.empty
-      }
-    Step((Seq(u * beta, cardC * alpha) ++ nm ++ mcv ++ partnerRecheck ++
-      matched).min, beta, alpha)
+      if (probeTiersOn && constraintBlind && u <= budget.maxMatchedRows)
+        matchedCard(c, joined).map(_ * beta).toSeq
+      else Seq.empty
+    val provisional = (Seq(u * beta, cardC * alpha) ++ nm ++ mcv ++
+      partnerRecheck ++ matched).min
+    // Exact tier: when the provisional bound — itself a sound cap on
+    // the join output — proves the full intermediate affordable, count
+    // it outright (PreciseCardinalities-class work). Fires at the
+    // constraint-blind steps above plus genuinely expanding steps
+    // (bound grows >= ExactStepMultiplier per pass — the max-vs-average
+    // frequency residual lives exactly there; pk chains and other
+    // non-expanding steps stay probe-free).
+    val exact: Option[Double] =
+      if (probeTiersOn &&
+          (constraintBlind ||
+            provisional >= u * UesBoundModel.ExactStepMultiplier) &&
+          provisional <= budget.maxExactRows)
+        exactJoinCard(joined + c).map(math.min(_, provisional))
+      else None
+    Step(exact.getOrElse(provisional), beta, alpha)
   }
 
   /** Greedy pessimistic upper bound on the join over exactly `ts` --
@@ -700,6 +768,12 @@ private[opt] object UesBoundModel {
     * candidate rows per L row; alpha: max L rows per candidate row). */
   final case class Step(bound: Double, beta: Double, alpha: Double)
 
+  /** The exact tier also fires at steps whose provisional bound grows
+    * by at least this factor over the incoming bound: a genuinely
+    * expanding step is where max-vs-average frequency slack
+    * accumulates, while pk chains (factor 1) stay probe-free. */
+  val ExactStepMultiplier: Double = 4.0
+
   /** A Spark job-cancellation surfaced through a probe: rethrow instead
     * of degrading, so an externally-cancelled optimization aborts
     * promptly instead of launching every remaining probe to fail. */
@@ -726,7 +800,8 @@ private[opt] object UesBoundModel {
   * the per-relation UES terms — soundness is never at stake, only
   * tightness. */
 final class ProbeBudget(val maxProbes: Int, val maxWallMs: Long,
-    val maxJointRows: Double, val maxMatchedRows: Double = 1e7) {
+    val maxJointRows: Double, val maxMatchedRows: Double = 1e7,
+    val maxExactRows: Double = 2e7) {
   private[this] var launched = 0
   private[this] var wallNs = 0L
   def exhausted: Boolean =
@@ -746,11 +821,11 @@ object ProbeBudget {
     * could otherwise blow far past it: joint path joins at 2e7
     * estimated rows, matched-intermediate joins at 1e7 bound rows
     * (every named frontier intermediate is ≤ ~3e6 at sf0.1). */
-  def default(): ProbeBudget = new ProbeBudget(96, 20000L, 2e7, 1e7)
+  def default(): ProbeBudget = new ProbeBudget(96, 20000L, 2e7, 1e7, 2e7)
   /** Effectively unlimited — for specs that pin exact probe values. */
   def unlimited(): ProbeBudget =
     new ProbeBudget(Int.MaxValue, Long.MaxValue / 2000000L,
-      Double.MaxValue, Double.MaxValue)
+      Double.MaxValue, Double.MaxValue, Double.MaxValue)
 }
 
   /** @param subqueryBranching UES branching policy (reference:

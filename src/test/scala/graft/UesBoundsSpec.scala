@@ -314,6 +314,75 @@ class UesBoundsSpec extends SparkSpec {
     assert(bounds(exact2).last >= actual2.toDouble)
   }
 
+  test("exact tier: an expanding skewed step counts the true " +
+      "intermediate (q17-class max-vs-average residual collapses)") {
+    import spark.implicits._
+    // xf: key 1 ×10, keys 2..5 ×1 (card 14, mf 10); xg: key 1 ×1,
+    // keys 2..5 ×10 (card 41, mf 10). Every per-relation term prices
+    // the step with MAX frequencies — and the rearrangement term must
+    // pair the two hot keys (10·10) even though the hot values miss
+    // each other in the data: provisional ≥ 100 vs actual 50. The step
+    // expands the running bound ≥ ExactStepMultiplier (u = 14), so the
+    // exact tier counts the true intermediate outright and the bound
+    // lands exactly on the actual — the residual no frequency cap can
+    // see, because it is a property of the joint distribution.
+    (Seq.fill(10)(1) ++ Seq(2, 3, 4, 5)).toDF("f_k")
+      .createOrReplaceTempView("xf")
+    (Seq(1) ++ Seq(2, 3, 4, 5).flatMap(k => Seq.fill(10)(k))).toDF("g_k")
+      .createOrReplaceTempView("xg")
+    val sql = """SELECT count(*) AS n FROM xf, xg WHERE f_k = g_k"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val without = new UESJoinOrderOptimizer(joinSketch = false)
+      .optimizeJoinOrder(q, graph).get
+    val withSketch = new UESJoinOrderOptimizer()
+      .optimizeJoinOrder(q, graph).get
+    val actual = spark.sql(
+      "SELECT count(*) AS n FROM xf JOIN xg ON f_k = g_k")
+      .head().getLong(0)
+    assert(actual === 50L)
+    assert(bounds(withSketch).last === 50.0,
+      s"exact tier not applied: ${bounds(withSketch)}")
+    assert(bounds(without).last > 50.0,
+      s"fixture lost its slack: ${bounds(without)}")
+  }
+
+  test("derived theta edges: the equivalence class rewrites a theta " +
+      "conjunct onto the pair execution applies it at (q17 in miniature)") {
+    import spark.implicits._
+    // a_k < b_k with c_a = a_k: Spark's optimizer infers c_a < b_k and
+    // applies it wherever vc meets vb first — probe plans and step
+    // triggers must see the same implied edge or they price a
+    // different query than the one that executes.
+    Seq(1, 2, 3).toDF("a_k").createOrReplaceTempView("va")
+    Seq((2, 1), (3, 2), (1, 3)).toDF("b_k", "b_j")
+      .createOrReplaceTempView("vb")
+    Seq((1, 1), (2, 2), (3, 3)).toDF("c_k", "c_a")
+      .createOrReplaceTempView("vc")
+    // equi edges vc-va (c_a = a_k) and vc-vb (c_k = b_j) keep the graph
+    // equi-connected (the UES precondition); the theta conjunct sits on
+    // va-vb, and the a_k ~ c_a equivalence class rewrites it onto vc-vb
+    // — where execution can apply it one join earlier.
+    val sql = """SELECT count(*) AS n FROM va, vb, vc
+                 WHERE c_a = a_k AND c_k = b_j AND a_k < b_k"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val derived = graph.derivedThetaEdges
+    assert(derived.exists(e => e.tables == Set("vc", "vb") &&
+      e.equiColumns.isEmpty),
+      s"missing derived vc<vb edge: ${derived.map(_.tables)}")
+    // derivation adds, never replaces: the block's own edges unchanged
+    assert(graph.edges.map(_.tables).toSet ===
+      Set(Set("va", "vc"), Set("va", "vb"), Set("vc", "vb")))
+    // and the bound over the executed plan stays a true upper bound
+    val tree = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
+    val actual = spark.sql(
+      """SELECT count(*) AS n FROM va JOIN vc ON c_a = a_k
+         JOIN vb ON c_k = b_j AND a_k < b_k""").head().getLong(0)
+    assert(actual === 2L)
+    assert(bounds(tree).last >= actual.toDouble)
+  }
+
   test("fk expansion off an amplified pk side stays a true upper bound " +
       "(the r10 bug class in miniature)") {
     import spark.implicits._
