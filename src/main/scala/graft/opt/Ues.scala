@@ -439,38 +439,143 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       }
     })
 
+  /** Whether the exact tier may FIRE from [[stepFor]] — toggled off for
+    * the optimizer's probe-free dry pass (the pass that records the
+    * step profile value-ordered exact scheduling probes from). The
+    * other probe tiers stay on: their values are what the dry pass's
+    * provisional bounds are made of. */
+  @volatile var exactTierEnabled: Boolean = true
+  /** Whether this model's configuration runs the exact tier at all. */
+  def exactTierActive: Boolean = joinSketch && sketchTier != "bloom"
+
   private val exactMemo = scala.collection.concurrent.TrieMap
     .empty[Set[String], Option[Double]]
+
+  /** COUNT(*) of the inner join over `order`, computed by EAGER
+    * AGGREGATION (group-by/count pushdown below the join — Yan &
+    * Larson's eager aggregation; the counting special case of
+    * Yannakakis' algorithm): each leaf collapses to (the columns any
+    * in-subset conjunct references on it, COUNT(*)), the per-leaf
+    * aggregates join on the same edge conditions and residual filters,
+    * and the original join's count is SUM over that join of the
+    * PRODUCT of the per-leaf counts. Exact, not an estimate: every
+    * conjunct inside the subset references only grouping columns, so
+    * each original row combination maps to exactly one representative
+    * row of the aggregate join, where the count product counts it
+    * once; NULL join keys drop identically on both plans (grouping
+    * keeps a NULL group, the equality conjunct then rejects it).
+    * The point is COST SHAPE: the probe is INPUT-bounded — one
+    * group-by per leaf, then a join with one row per surviving
+    * distinct key combination, never more rows than the original join
+    * output and typically orders of magnitude fewer — so counting a
+    * k-fold fact self-join costs one aggregation of the fact table
+    * (SUM of f^k) instead of a k-fold fan-out join. That is what makes
+    * the exact tier affordable on 1e7..1e8-row intermediates here and
+    * on 100 TB fact tables at cluster scale. */
+  private def eagerCountPlan(order: Seq[String]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, Multiply}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Sum}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val s = order.toSet
+    val b = new ProbePlanBuilder
+    if (order.isEmpty || order.exists(t => !b.canInstantiate(t))) return None
+    val residual = graph.block.joinConjuncts.filter(cj =>
+      cj.tables.size > 2 && cj.tables.subsetOf(s))
+    // per-table grouping columns: everything any in-subset edge or
+    // residual conjunct references on that table
+    val refIds: Map[String, Set[ExprId]] = {
+      val exprs = probeEdges.filter(_.tables.subsetOf(s)).map(_.expr) ++
+        residual.map(_.expr)
+      exprs.flatMap(_.references.toSeq).flatMap(a =>
+          graph.block.attrToTable.get(a.exprId)
+            .map(tr => tr.identifier -> a.exprId))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+    var plan: LogicalPlan = null
+    var added = List.empty[String]
+    var substOf = Map.empty[String, Map[ExprId, Attribute]]
+    val cnts = scala.collection.mutable.ArrayBuffer.empty[Attribute]
+    for (t <- order) {
+      val (tp, tSubst) = b.instantiate(t)
+      substOf += (t -> tSubst)
+      val groupCols = tp.output.filter(a =>
+        refIds.getOrElse(t, Set.empty).contains(a.exprId))
+      val cnt = Alias(Count(Literal(1)).toAggregateExpression(), s"cnt_$t")()
+      val aggExprs: Seq[org.apache.spark.sql.catalyst.expressions
+        .NamedExpression] = groupCols :+ cnt
+      val agg = Aggregate(groupCols, aggExprs, tp)
+      cnts += cnt.toAttribute
+      if (plan == null) plan = agg
+      else {
+        val conds = probeEdges
+          .filter(e => e.tables.contains(t) &&
+            (e.tables - t).forall(added.contains))
+          .map(e => b.remap(b.remap(e.expr, tSubst),
+            (e.tables - t).headOption.flatMap(substOf.get)
+              .getOrElse(Map.empty)))
+        plan = Join(plan, agg, org.apache.spark.sql.catalyst.plans.Inner,
+          conds.reduceOption(And(_, _)), JoinHint.NONE)
+      }
+      added ::= t
+    }
+    val withResidual = residual
+      .map(cj => cj.tables.foldLeft(cj.expr)((e, t) =>
+        b.remap(e, substOf.getOrElse(t, Map.empty))))
+      .reduceOption(And(_, _)).map(Filter(_, plan)).getOrElse(plan)
+    // per-combination products and their sum are bounded by the true
+    // join count, which the firing gate already capped — Long is safe
+    // (ANSI overflow would throw and degrade to None, still sound)
+    val product = cnts.map(c => c: Expression).reduce(Multiply(_, _))
+    Some(Aggregate(Nil,
+      Seq(Alias(Sum(product).toAggregateExpression(), "n")()), withResidual))
+  }
 
   /** The EXACT tier of the intermediate-probe ladder: COUNT(*) of the
     * subset's true intermediate — the inner join over every block edge,
     * derived theta edge, per-table filter, and residual conjunct inside
-    * `s` (the same [[ProbePlanBuilder.innerJoin]] the matched probe
-    * builds its L from, counted instead of semijoined). This is the
-    * reference's PreciseCardinalities work, priced the same way
-    * (/root/reference/postbound/opt/_cardinalities.py:20), and it only
-    * fires when the model's own running bound proves the join output
-    * affordable — the gate is the bound, so affordability is itself
-    * sound. Where it fires the step bound becomes the node's actual
-    * cardinality (q-error 1), which is what collapses the
+    * `s`. This is the reference's PreciseCardinalities work, priced the
+    * same way (/root/reference/postbound/opt/_cardinalities.py:20), and
+    * it only fires when the model's own running bound proves the join
+    * output affordable — the gate is the bound, so affordability is
+    * itself sound. Where it fires the step bound becomes the node's
+    * actual cardinality (q-error 1), which is what collapses the
     * max-vs-average frequency residual (fact self-join pairs, skewed
-    * fact expansions) that no per-row cap can see. Budgeted, memoized
-    * per table set, and disk-persisted like every other probe. */
+    * fact expansions) that no per-row cap can see. The count is
+    * computed via [[eagerCountPlan]] (input-bounded cost, the 100 TB
+    * shape); raw-join counts cached by earlier rounds transfer — both
+    * plans count the same relation. Budgeted, memoized per table set,
+    * and disk-persisted like every other probe. */
   def exactJoinCard(s: Set[String]): Option[Double] =
     exactMemo.getOrElseUpdate(s, {
       try {
         val b = new ProbePlanBuilder
-        b.innerJoin(connectedOrder(s)).flatMap { case (lp, _) =>
+        val order = connectedOrder(s)
+        b.innerJoin(order).flatMap { case (lp, _) =>
           stats.rowCountIfCached(lp).map(_.toDouble).orElse {
-            if (budget.exhausted) None
-            else Some(budget.timed(stats.rowCount(lp)).toDouble)
+            eagerCountPlan(order).flatMap { cp =>
+              stats.scalarLongIfCached(cp).map(_.toDouble).orElse {
+                if (budget.exhausted) None
+                else {
+                  // the gate on the probe itself is the CLOCK: the
+                  // watchdog cancels at the deadline and the remaining
+                  // wall budget caps the query's total timeout spend
+                  val cap = math.min(UesBoundModel.ExactProbeTimeoutMs,
+                    budget.remainingMs)
+                  budget.timed(stats.scalarLong(cp, cap)).map(_.toDouble)
+                }
+              }
+            }
           }
         }
       } catch {
         case e: InterruptedException =>
           Thread.currentThread().interrupt(); throw e
         case scala.util.control.NonFatal(e)
-            if !UesBoundModel.isCancellation(e) => None
+            if !UesBoundModel.isCancellation(e) =>
+          if (UesBoundModel.ProbeDebug)
+            System.err.println(s"[exactJoinCard] $s -> " +
+              s"${e.getClass.getName}: ${e.getMessage}")
+          None
       }
     })
 
@@ -710,12 +815,15 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     // frequency residual lives exactly there; pk chains and other
     // non-expanding steps stay probe-free).
     val exact: Option[Double] =
-      if (probeTiersOn &&
+      if (probeTiersOn && exactTierEnabled &&
           (constraintBlind ||
             provisional >= u * UesBoundModel.ExactStepMultiplier) &&
           provisional <= budget.maxExactRows)
         exactJoinCard(joined + c).map(math.min(_, provisional))
       else None
+    if (UesBoundModel.ProbeDebug)
+      System.err.println(s"[step] +$c prov=$provisional u=$u exact=$exact " +
+        s"launched=${budget.probesLaunched} wall=${budget.probeWallMs}")
     Step(exact.getOrElse(provisional), beta, alpha)
   }
 
@@ -774,6 +882,18 @@ private[opt] object UesBoundModel {
     * accumulates, while pk chains (factor 1) stay probe-free. */
   val ExactStepMultiplier: Double = 4.0
 
+  /** Stderr tracing of exact-tier gate decisions and probe failures —
+    * the knob DebugBounds sessions flip to localize a loose node. */
+  val ProbeDebug: Boolean = sys.env.contains("GRAFT_PROBE_DEBUG")
+
+  /** Per-probe wall cap for one exact-tier count (the watchdog cancels
+    * the probe's job group at the deadline — see
+    * EmulatedStatistics.scalarLong). Chosen so that even a query whose
+    * every triggered probe times out burns at most its ProbeBudget
+    * wall, a few seconds of which buy counts of the frontier
+    * intermediates at sf0.1 with the eager-aggregation plan. */
+  val ExactProbeTimeoutMs: Long = 8000L
+
   /** A Spark job-cancellation surfaced through a probe: rethrow instead
     * of degrading, so an externally-cancelled optimization aborts
     * promptly instead of launching every remaining probe to fail. */
@@ -801,11 +921,16 @@ private[opt] object UesBoundModel {
   * tightness. */
 final class ProbeBudget(val maxProbes: Int, val maxWallMs: Long,
     val maxJointRows: Double, val maxMatchedRows: Double = 1e7,
-    val maxExactRows: Double = 2e7) {
+    val maxExactRows: Double = 1e13) {
   private[this] var launched = 0
   private[this] var wallNs = 0L
   def exhausted: Boolean =
     launched >= maxProbes || wallNs >= maxWallMs * 1000000L
+  /** Wall budget not yet spent — the per-probe timeout for time-capped
+    * probes, so even a sequence of all-timeout probes stays inside
+    * [[maxWallMs]]. */
+  def remainingMs: Long =
+    math.max(0L, maxWallMs - wallNs / 1000000L)
   def timed[T](f: => T): T = {
     val t0 = System.nanoTime()
     try f finally { launched += 1; wallNs += System.nanoTime() - t0 }
@@ -820,8 +945,19 @@ object ProbeBudget {
     * the wall cap is checked before a launch, so one unbounded join
     * could otherwise blow far past it: joint path joins at 2e7
     * estimated rows, matched-intermediate joins at 1e7 bound rows
-    * (every named frontier intermediate is ≤ ~3e6 at sf0.1). */
-  def default(): ProbeBudget = new ProbeBudget(96, 20000L, 2e7, 1e7, 2e7)
+    * (every named frontier intermediate is ≤ ~3e6 at sf0.1). The
+    * exact tier's real gate is its per-probe TIMEOUT (the provisional
+    * bound available at the firing site is exactly the overestimate
+    * the probe exists to correct — often 1000× the true count — so a
+    * row gate un-fires the probe where it is most needed: the r13
+    * q24/gw43 lesson). Memory stays flat regardless of the bound:
+    * every build side in the eager count plan is a BASE-TABLE
+    * aggregate (broadcast-sized), so a mis-gated probe costs bounded
+    * TIME (the watchdog cancels it, the timeout persists as a
+    * negative sentinel paid once ever per subset), never heap.
+    * maxExactRows only fences the provably-astronomic class (the
+    * same ≥1e13 universe the bench's execution bound gate skips). */
+  def default(): ProbeBudget = new ProbeBudget(96, 20000L, 2e7, 1e7, 1e13)
   /** Effectively unlimited — for specs that pin exact probe values. */
   def unlimited(): ProbeBudget =
     new ProbeBudget(Int.MaxValue, Long.MaxValue / 2000000L,
@@ -885,15 +1021,6 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
       joinSketch, sketchTier, budget)
     import model.{baseCard, mf, stepFor}
 
-    val start = tables.minBy(baseCard)
-    var tree: JoinTree[Cardinality] =
-      ScanNode(graph.block.tables.find(_.identifier == start).get,
-        Cardinality(baseCard(start)))
-    var joined = Set(start)
-    var bound = baseCard(start)
-    // the bare (filtered) start table: every base row appears at most once
-    var mu = Map(start -> 1.0)
-
     // free pk-side partners of `c`: joined to c on a column where the
     // partner is the pk side, and connected to nothing else outside
     def pkPartners(c: String, taken: Set[String]): Seq[String] =
@@ -905,54 +1032,98 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
           .forall(e => (e.tables - d).subsetOf(Set(c)))
       }
 
-    while (joined.size < tables.size) {
-      val candidates = graph.neighbors(joined)
-      if (candidates.isEmpty) return None // disconnected graph
-      val next = candidates.minBy(c => model.selectionBound(joined, bound, mu, c))
-      val step = stepFor(joined, bound, mu, next)
-      val uPrev = bound
-      var taken = joined + next
-      val partners =
-        if (subqueryBranching) pkPartners(next, taken) else Seq.empty
-      // the reference's subquery payoff: the folded pk partners
-      // SEMIJOIN-reduce the n:m table before the top join, so the
-      // candidate rows that can reach L number at most the branch
-      // fragment's own bound B (the shared model bounds the
-      // c ⋈ partners join over the subset). Sound step refinements:
-      //   |L ⋈ c'| <= B * alpha  (each surviving c row matches at most
-      //                           alpha L rows)
-      //   |L ⋈ c'| <= U * B      (each L row matches at most |c'|
-      //                           candidate rows)
-      // Both join the existing min, so branching tightens
-      // filtered-partner chains instead of merely reshaping them.
-      bound = math.max(
-        if (partners.isEmpty) step.bound
-        else {
-          val b = model.boundForSubset(partners.toSet + next)
-          Seq(step.bound, b * step.alpha, uPrev * b).min
-        }, 1.0)
-      mu = mu.map { case (t, m) => t -> m * step.beta } + (next -> step.alpha)
-      var branch: JoinTree[Cardinality] =
-        ScanNode(graph.block.tables.find(_.identifier == next).get,
-          Cardinality(baseCard(next)))
-      partners.foreach { d =>
-        val scanD = ScanNode(graph.block.tables.find(_.identifier == d).get,
-          Cardinality(baseCard(d)))
-        // pk joins never increase the branch bound; the partner's rows
-        // appear at most once per matching `next` row, so its
-        // multiplicity is next's multiplicity times next's fk-column
-        // frequency (fallback: the whole intermediate)
-        val dMu = (graph.edges.filter(_.connects(next, d))
-          .flatMap(_.columnOf(next))
-          .map(cf => step.alpha * mf(next, cf.name)) :+ bound).min
-        mu += (d -> dMu)
-        branch = JoinNode(branch, scanD, branch.annotation)
-        taken += d
+    /** One greedy expansion. Returns the tree plus the per-step profile
+      * (subset after the step, the step's pre-refinement bound, the
+      * incoming bound) for exact-probe scheduling. */
+    def runGreedy(): Option[(JoinTree[Cardinality],
+        Seq[(Set[String], Double, Double)])] = {
+      val start = tables.minBy(baseCard)
+      var tree: JoinTree[Cardinality] =
+        ScanNode(graph.block.tables.find(_.identifier == start).get,
+          Cardinality(baseCard(start)))
+      var joined = Set(start)
+      var bound = baseCard(start)
+      // the bare (filtered) start table: every base row appears at most once
+      var mu = Map(start -> 1.0)
+      val profile =
+        scala.collection.mutable.ArrayBuffer.empty[(Set[String], Double, Double)]
+      while (joined.size < tables.size) {
+        val candidates = graph.neighbors(joined)
+        if (candidates.isEmpty) return None // disconnected graph
+        val next = candidates.minBy(c => model.selectionBound(joined, bound, mu, c))
+        val step = stepFor(joined, bound, mu, next)
+        val uPrev = bound
+        var taken = joined + next
+        profile += ((taken, step.bound, uPrev))
+        val partners =
+          if (subqueryBranching) pkPartners(next, taken) else Seq.empty
+        // the reference's subquery payoff: the folded pk partners
+        // SEMIJOIN-reduce the n:m table before the top join, so the
+        // candidate rows that can reach L number at most the branch
+        // fragment's own bound B (the shared model bounds the
+        // c ⋈ partners join over the subset). Sound step refinements:
+        //   |L ⋈ c'| <= B * alpha  (each surviving c row matches at most
+        //                           alpha L rows)
+        //   |L ⋈ c'| <= U * B      (each L row matches at most |c'|
+        //                           candidate rows)
+        // Both join the existing min, so branching tightens
+        // filtered-partner chains instead of merely reshaping them.
+        bound = math.max(
+          if (partners.isEmpty) step.bound
+          else {
+            val b = model.boundForSubset(partners.toSet + next)
+            Seq(step.bound, b * step.alpha, uPrev * b).min
+          }, 1.0)
+        mu = mu.map { case (t, m) => t -> m * step.beta } + (next -> step.alpha)
+        var branch: JoinTree[Cardinality] =
+          ScanNode(graph.block.tables.find(_.identifier == next).get,
+            Cardinality(baseCard(next)))
+        partners.foreach { d =>
+          val scanD = ScanNode(graph.block.tables.find(_.identifier == d).get,
+            Cardinality(baseCard(d)))
+          // pk joins never increase the branch bound; the partner's rows
+          // appear at most once per matching `next` row, so its
+          // multiplicity is next's multiplicity times next's fk-column
+          // frequency (fallback: the whole intermediate)
+          val dMu = (graph.edges.filter(_.connects(next, d))
+            .flatMap(_.columnOf(next))
+            .map(cf => step.alpha * mf(next, cf.name)) :+ bound).min
+          mu += (d -> dMu)
+          branch = JoinNode(branch, scanD, branch.annotation)
+          taken += d
+        }
+        tree = JoinNode(tree, branch, Cardinality(bound))
+        joined = taken
       }
-      tree = JoinNode(tree, branch, Cardinality(bound))
-      joined = taken
+      Some((tree, profile.toSeq))
     }
-    Some(tree)
+
+    // VALUE-ordered exact-probe scheduling (two passes): the greedy
+    // loop encounters steps smallest-first, so a shared wall budget
+    // spent in encounter order starves exactly the LARGE expanding
+    // steps whose max-vs-average slack dominates the root q-error (the
+    // r13 gw43 diagnosis: ~20 small probes × job latency exhausted the
+    // wall before the one 4e8-bound step could fire). A probe-free
+    // dry pass records the step profile, the expanding steps are
+    // probed LARGEST-first under the same budget — each time-capped —
+    // and the real pass then runs against the warm cache (probes it
+    // still wants are memoized; leftover budget serves any new
+    // subsets a probe-shifted join order exposes).
+    if (model.exactTierActive) {
+      model.exactTierEnabled = false
+      val dry = runGreedy()
+      model.exactTierEnabled = true
+      dry.foreach { case (_, profile) =>
+        profile
+          .filter { case (_, prov, uPrev) =>
+            prov >= uPrev * UesBoundModel.ExactStepMultiplier &&
+              prov <= budget.maxExactRows }
+          .sortBy { case (_, prov, _) => -prov }
+          .foreach { case (s, _, _) =>
+            if (!budget.exhausted) model.exactJoinCard(s): Unit }
+      }
+    }
+    runGreedy().map(_._1)
   }
 }
 

@@ -120,6 +120,78 @@ final class EmulatedStatistics(spark: SparkSession,
   def rowCountIfCached(plan: LogicalPlan): Option[Long] =
     cache.get(key(plan, s"count$sTag")).collect { case v: Long => v }
 
+  /** Single-row LONG scalar of a probe plan that is already an
+    * aggregate (e.g. the UES exact tier's eager-aggregation join
+    * count, whose one row is SUM of a count product). Never sampled —
+    * callers rely on exactness — memoized and disk-persisted like
+    * every probe. A NULL scalar (aggregate over zero input rows) reads
+    * as 0, matching COUNT semantics on an empty join.
+    *
+    * With `timeoutMs` > 0 the probe runs under its own Spark job group
+    * and a watchdog cancels it at the deadline, returning None — the
+    * gate on an exact probe is the CLOCK, not a row estimate (the row
+    * estimate available at the call site is exactly the overestimate
+    * the probe exists to correct, so gating on it un-fires the probe
+    * precisely where it is most needed). A timeout is cached and
+    * persisted as a NEGATIVE sentinel (-timeoutMs), so later calls
+    * retry only when offered a strictly larger budget; a success
+    * overwrites the sentinel. The enclosing thread's job-group
+    * properties are saved and restored, so a caller-scoped group (e.g.
+    * a bench execution cap) is untouched. */
+  def scalarLong(plan: LogicalPlan, timeoutMs: Long = 0L): Option[Long] = {
+    val k = key(plan, "scalar")
+    cache.get(k) match {
+      case Some(v: Long) if v >= 0L => Some(v)
+      case Some(v: Long) if timeoutMs > 0L && -v >= timeoutMs => None
+      case _ =>
+        def compute(): Long = {
+          val r = df(plan).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+        val result: Option[Long] =
+          if (timeoutMs <= 0L) Some(compute())
+          else {
+            val sc = spark.sparkContext
+            val group = s"graft-scalar-probe-${java.util.UUID.randomUUID()}"
+            val prev = Seq("spark.jobGroup.id", "spark.job.description",
+              "spark.job.interruptOnCancel").map(p => p -> sc.getLocalProperty(p))
+            val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+            val task = new java.util.TimerTask {
+              def run(): Unit = { fired.set(true); sc.cancelJobGroup(group) }
+            }
+            sc.setJobGroup(group, "time-capped exact probe",
+              interruptOnCancel = true)
+            EmulatedStatistics.watchdog.schedule(task, timeoutMs)
+            try Some(compute())
+            catch {
+              // only swallow the cancellation WE caused; clear the
+              // interrupt flag the cancellation may have set
+              case e: Throwable if fired.get() => Thread.interrupted(); None
+            } finally {
+              task.cancel()
+              prev.foreach { case (p, v) => sc.setLocalProperty(p, v) }
+            }
+          }
+        result match {
+          case Some(v) =>
+            cache.put(k, v)
+            autoPersistPath.foreach(p =>
+              try persistTo(p) catch { case _: Throwable => })
+            Some(v)
+          case None =>
+            cache.put(k, -math.max(timeoutMs, 1L))
+            autoPersistPath.foreach(p =>
+              try persistTo(p) catch { case _: Throwable => })
+            None
+        }
+    }
+  }
+
+  /** Cache peek for [[scalarLong]] — see [[rowCountIfCached]]. Timeout
+    * sentinels (negative) read as absent. */
+  def scalarLongIfCached(plan: LogicalPlan): Option[Long] =
+    cache.get(key(plan, "scalar")).collect { case v: Long if v >= 0L => v }
+
   def rowCount(plan: LogicalPlan, filter: Option[Expression]): Long =
     filter match {
       case Some(fl) => memo(plan,
@@ -406,6 +478,10 @@ final class EmulatedStatistics(spark: SparkSession,
 }
 
 object EmulatedStatistics {
+  /** Shared daemon watchdog for time-capped probes ([[EmulatedStatistics.scalarLong]]). */
+  private[stats] lazy val watchdog =
+    new java.util.Timer("graft-probe-watchdog", true)
+
   /** Per-probe-class schema versions — the persisted cache's selective
     * invalidation path. Plan-SHAPE changes invalidate naturally (the
     * canonicalized key differs, old entries simply orphan); bump a

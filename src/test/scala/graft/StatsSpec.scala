@@ -209,6 +209,27 @@ class StatsSpec extends SparkSpec {
     f.delete(): Unit
   }
 
+  test("scalarLong evaluates a single-row aggregate exactly, caches it, " +
+      "and reads an empty-input NULL as 0") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val stats = new EmulatedStatistics(spark)
+    val nation = leafOf("nation")
+    val key = nation.output.find(_.name == "n_nationkey").get
+    val sumPlan = Aggregate(Nil,
+      Seq(Alias(Sum(key).toAggregateExpression(), "s")()), nation)
+    // 0 + 1 + ... + 24
+    assert(stats.scalarLong(sumPlan) === Some(300L))
+    assert(stats.scalarLongIfCached(sumPlan) === Some(300L))
+    // an aggregate over zero rows yields NULL -> reads as 0 (the
+    // eager-aggregation count of an empty join)
+    val empty = Aggregate(Nil,
+      Seq(Alias(Sum(key).toAggregateExpression(), "s")()),
+      Filter(EqualTo(key, Literal(-1)), nation))
+    assert(stats.scalarLong(empty) === Some(0L))
+  }
+
   test("prewarm pins and releases relations") {
     val df = Tables.load(spark, sfDir, "nation")
     Prewarm.prewarm(df)

@@ -347,6 +347,36 @@ class UesBoundsSpec extends SparkSpec {
       s"fixture lost its slack: ${bounds(without)}")
   }
 
+  test("exact tier: eager-aggregation count is exact on a filtered " +
+      "triple self-join (sum of frequency products, not a fan-out join)") {
+    import spark.implicits._
+    // xh: key 1 carries values 0..4 (freq 5), keys 2,3 singletons. The
+    // filter on alias ha keeps h_v <= 2 (key-1 freq drops to 3), so the
+    // exact count is sum_k f_ha(k)*f_hb(k)*f_hc(k) = 3*5*5 + 1 + 1 = 77
+    // — the eager plan computes exactly that sum from three per-alias
+    // aggregates (input-bounded), never building the 77-row join. Both
+    // expanding steps clear ExactStepMultiplier, so the root bound
+    // lands on the actual; per-relation terms alone stay above it
+    // (max-frequency slack: the without-sketch bound prices key 1 at
+    // its max freq through both expansions).
+    ((1 to 5).map(v => (1, v - 1)) ++ Seq((2, 0), (3, 0))).toDF("h_k", "h_v")
+      .createOrReplaceTempView("xh")
+    val sql = """SELECT count(*) AS n FROM xh ha, xh hb, xh hc
+                 WHERE ha.h_k = hb.h_k AND hb.h_k = hc.h_k AND ha.h_v <= 2"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    val withSketch = new UESJoinOrderOptimizer()
+      .optimizeJoinOrder(q, graph).get
+    val without = new UESJoinOrderOptimizer(joinSketch = false)
+      .optimizeJoinOrder(q, graph).get
+    val actual = spark.sql(sql).head().getLong(0)
+    assert(actual === 77L)
+    assert(bounds(withSketch).last === 77.0,
+      s"exact tier not applied: ${bounds(withSketch)}")
+    assert(bounds(without).last > 77.0,
+      s"fixture lost its slack: ${bounds(without)}")
+  }
+
   test("derived theta edges: the equivalence class rewrites a theta " +
       "conjunct onto the pair execution applies it at (q17 in miniature)") {
     import spark.implicits._
