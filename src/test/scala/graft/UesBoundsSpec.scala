@@ -429,7 +429,12 @@ class UesBoundsSpec extends SparkSpec {
                  WHERE p_k = f_k AND p_k = g_k"""
     val q = QueryFacade(spark, sql)
     val graph = new JoinGraph(q.joinBlock.get, stats)
-    val tree = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
+    // probes OFF: this fixture pins the per-relation MULTIPLICITY math
+    // itself (with the probe ladder on, the value-ordered scheduler
+    // counts every affordable step outright and the bound lands on the
+    // actual — asserted after)
+    val tree = new UESJoinOrderOptimizer(joinSketch = false)
+      .optimizeJoinOrder(q, graph).get
     val actual = spark.sql(
       """SELECT count(*) AS n FROM up JOIN uf ON p_k = f_k
          JOIN ug ON p_k = g_k""").head().getLong(0)
@@ -439,5 +444,8 @@ class UesBoundsSpec extends SparkSpec {
     assert(tree.tables.map(_.identifier) === Seq("up", "uf", "ug"))
     assert(bounds(tree) === Seq(3.0, 9.0))
     assert(bounds(tree).last >= actual.toDouble)
+    val probed = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
+    assert(bounds(probed).last === 8.0,
+      s"probed path not exact: ${bounds(probed)}")
   }
 }
