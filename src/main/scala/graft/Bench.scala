@@ -259,8 +259,10 @@ object Bench {
     // metrics fail wholesale (each key then carries "{}")
     val kitKeys = Seq("job_opt_ms", "job_cold_probe_ms", "job_qerror",
       "job_qerror_branching", "job_branching_fired", "job_qerror_bloom",
-      "job_cold_probe_ms_bloom", "job_qerror_by_estimator",
-      "job_qerror_nodes_by_estimator", "stats_qerror_by_estimator",
+      "job_cold_probe_ms_bloom", "job_qerror_cms", "job_cold_probe_ms_cms",
+      "job_qerror_by_estimator",
+      "job_qerror_nodes_by_estimator", "native_cbo_summary",
+      "stats_qerror_by_estimator",
       "stats_qerror_nodes_by_estimator", "stats_opt_ms",
       "stats_cold_probe_ms", "stats_qerror", "probe_cache_entries")
     val canaryMidJson = canaryMid.map(c => fmt(c._2)).mkString("[", ",", "]")
@@ -416,7 +418,8 @@ object Bench {
     }
     def runKit(kit: Seq[(String, String)],
         pipeline: graft.pipeline.MultiStageOptimizationPipeline,
-        execute: Boolean): Seq[KitRow] = {
+        execute: Boolean,
+        onRow: Seq[KitRow] => Unit = _ => ()): Seq[KitRow] = {
       // Warm sweep over the WHOLE kit before the timed pass: the first
       // optimization of a query pays any statistics probes missing from
       // the persisted cache (one-time Spark jobs, seconds each on a cold
@@ -431,7 +434,8 @@ object Bench {
         try pipeline.optimizeQuery(sql) catch { case _: Throwable => }
         label -> ((System.nanoTime() - t0) / 1e6)
       }.toMap
-      kit.map { case (label, sql) =>
+      val acc = scala.collection.mutable.ArrayBuffer.empty[KitRow]
+      kit.foreach { case (label, sql) =>
         val t0 = System.nanoTime()
         val res = pipeline.optimizeQuery(sql)
         val optMs = (System.nanoTime() - t0) / 1e6
@@ -525,13 +529,26 @@ object Bench {
               System.err.println(s"[bench] $label qerror failed: ${e.getMessage}")
               (-1.0, -1.0, Seq.empty)
           }
-        KitRow(label, optMs, coldMs.getOrElse(label, -1.0), qe, rootBound,
-          rootAct, res.joinOrder.map(bushyJoinCount).getOrElse(0), nodes)
+        acc += KitRow(label, optMs, coldMs.getOrElse(label, -1.0), qe,
+          rootBound, rootAct,
+          res.joinOrder.map(bushyJoinCount).getOrElse(0), nodes)
+        // per-QUERY progress callback: the r13 driver timeout zeroed
+        // every kit section because rows only became visible per phase —
+        // flushing after each query means a kill mid-kit still leaves
+        // every completed row in the artifact
+        try onRow(acc.toSeq) catch { case _: Throwable => }
       }
+      acc.toSeq
     }
     def jmap(rows: Seq[(String, Double)]): String =
       rows.map { case (l, v) => s""""$l":${fmt(v)}""" }.mkString("{", ",", "}")
-    val kitSections: Map[String, String] = try {
+    // kit sections accumulate INCREMENTALLY (one artifact rewrite per
+    // completed kit query): the r13 driver timeout zeroed every kit
+    // section because they only materialized after the whole phase — a
+    // kill now costs at most the in-flight query's row
+    val kitAcc = scala.collection.mutable.Map.empty[String, String]
+    def flushKit(): Unit = writeArtifact(artifactLine(kitAcc.toMap, "{}"))
+    try {
       val root = sys.props.get("graft.workloads.dir")
         .orElse(sys.env.get("GRAFT_WORKLOADS_DIR"))
         .getOrElse("/root/repo/workloads")
@@ -543,40 +560,63 @@ object Bench {
         .queries.toSeq.sortBy(_._1)
       val ues = graft.opt.Presets.ues(spark, stats)
       val probesBefore = stats.cacheSize
-      val jobRows = runKit(jobKit, ues, execute = true)
-      val statsRows = runKit(statsKit, ues, execute = true)
+      val jobRows = runKit(jobKit, ues, execute = true, onRow = rows => {
+        kitAcc("job_opt_ms") = jmap(rows.map(r => r.label -> r.optMs))
+        kitAcc("job_cold_probe_ms") = jmap(rows.map(r => r.label -> r.coldMs))
+        kitAcc("job_qerror") = jmap(rows.map(r => r.label -> r.maxQerr))
+        flushKit()
+      })
+      val statsRows = runKit(statsKit, ues, execute = true, onRow = rows => {
+        kitAcc("stats_opt_ms") = jmap(rows.map(r => r.label -> r.optMs))
+        kitAcc("stats_cold_probe_ms") =
+          jmap(rows.map(r => r.label -> r.coldMs))
+        kitAcc("stats_qerror") = jmap(rows.map(r => r.label -> r.maxQerr))
+        flushKit()
+      })
       val probesAfterKits = stats.cacheSize
-      // subqueryBranching delta: the same kit through the bushy-branching
-      // variant, optimization only -- the root join's actual output is
-      // order-independent, so the branching root bound q-errors against
-      // the actual already measured on the left-deep pass
+      // alternative-tier passes: optimization only -- the root join's
+      // actual output is order-independent, so each variant's root bound
+      // q-errors against the actual measured on the exact-tier pass
       val actualByLabel = jobRows.map(r => r.label -> r.rootActual).toMap
-      val branchRows = runKit(jobKit,
+      def rootQerrRows(rows: Seq[KitRow]): Seq[(String, Double)] =
+        rows.map { r =>
+          val a = actualByLabel.getOrElse(r.label, -1.0)
+          r.label ->
+            (if (a < 0 || r.rootBound < 0) -1.0 else qerr(r.rootBound, a))
+        }
+      // subqueryBranching delta; job_branching_fired counts pk partners
+      // actually FOLDED (joins off the left spine) — distinguishes
+      // "branching fired and changed nothing" from "pkPartners never
+      // fired on this kit" when its q-error map matches left-deep
+      runKit(jobKit,
         graft.opt.Presets.ues(spark, stats, subqueryBranching = true),
-        execute = false)
-      val branchQerr = branchRows.map { r =>
-        val a = actualByLabel.getOrElse(r.label, -1.0)
-        r.label -> (if (a < 0 || r.rootBound < 0) -1.0 else qerr(r.rootBound, a))
-      }
-      // per-query count of pk partners actually FOLDED by the branching
-      // policy (joins off the left spine) — distinguishes "branching
-      // fired and changed nothing" from "pkPartners never fired on this
-      // kit" when the branching q-error map is identical to left-deep
-      val branchFired = branchRows.map(r => r.label -> r.bushyJoins.toDouble)
-      // Bloom-tier head-to-head (the 100 TB probe path): the same kit
-      // optimized with joinSketch probes routed through one-pass Bloom
-      // membership counts instead of exact semijoin-reduction counts.
-      // Optimization only — the root actual is order-independent, so
-      // the exact-tier pass's measured actuals transfer. Reported
-      // next to the exact tier so the tightness/cost trade of the
-      // documented scale path is measured, not asserted.
-      val bloomRows = runKit(jobKit,
+        execute = false, onRow = rows => {
+          kitAcc("job_qerror_branching") = jmap(rootQerrRows(rows))
+          kitAcc("job_branching_fired") =
+            jmap(rows.map(r => r.label -> r.bushyJoins.toDouble))
+          flushKit()
+        }): Unit
+      // Bloom tier (the cheapest 100 TB probe path: one-pass membership
+      // counts, no distinct-set shuffle join) and the cms middle tier
+      // (bloom reduction + count-min pairwise join-size sketches) —
+      // measured head-to-head so the tightness/cost trade of each
+      // documented scale path is a number, not an assertion.
+      runKit(jobKit,
         graft.opt.Presets.ues(spark, stats, sketchTier = "bloom"),
-        execute = false)
-      val bloomQerr = bloomRows.map { r =>
-        val a = actualByLabel.getOrElse(r.label, -1.0)
-        r.label -> (if (a < 0 || r.rootBound < 0) -1.0 else qerr(r.rootBound, a))
-      }
+        execute = false, onRow = rows => {
+          kitAcc("job_qerror_bloom") = jmap(rootQerrRows(rows))
+          kitAcc("job_cold_probe_ms_bloom") =
+            jmap(rows.map(r => r.label -> r.coldMs))
+          flushKit()
+        }): Unit
+      runKit(jobKit,
+        graft.opt.Presets.ues(spark, stats, sketchTier = "cms"),
+        execute = false, onRow = rows => {
+          kitAcc("job_qerror_cms") = jmap(rootQerrRows(rows))
+          kitAcc("job_cold_probe_ms_cms") =
+            jmap(rows.map(r => r.label -> r.coldMs))
+          flushKit()
+        }): Unit
       // Estimator head-to-head on the FINAL join cardinality (the
       // reference's example-04 comparison): UES root bound, the
       // histogram/MCV statistical estimator, textbook System-R, and
@@ -601,7 +641,8 @@ object Bench {
         "part", "orders", "lineitem")
       def cboEstimates(kit: Seq[(String, String)],
           nodeSets: Map[String, Seq[Set[String]]])
-          : (Map[String, Double], Map[String, Seq[(Set[String], Double)]]) = {
+          : (Map[String, (Double, Boolean)],
+             Map[String, Seq[(Set[String], Double)]]) = {
         tpchTables.foreach { t =>
           spark.sql(s"DROP TABLE IF EXISTS $t")
           spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$sfDir/$t.parquet'")
@@ -610,24 +651,28 @@ object Bench {
         tpchTables.foreach(spark.catalog.dropTempView(_))
         spark.conf.set("spark.sql.cbo.enabled", "true")
         try {
-          val roots = scala.collection.mutable.Map.empty[String, Double]
+          // root estimates carry their provenance (true = a genuine CBO
+          // row count, false = the size-based collapse) so the summary
+          // can report the finite CBO subset honestly
+          val roots = scala.collection.mutable.Map.empty[String, (Double, Boolean)]
           val nodes = scala.collection.mutable
             .Map.empty[String, Seq[(Set[String], Double)]]
           kit.foreach { case (label, sql) =>
             try {
               graft.qal.QueryFacade(spark, sql).joinBlock.foreach { b =>
                 val g = new graft.opt.JoinGraph(b, stats)
-                def est(ts: Set[String]): Double =
-                  nativeStats.rowEstimate(
+                def est(ts: Set[String]): (Double, Boolean) =
+                  nativeStats.rowEstimateDetailed(
                     graft.opt.QueryFragment.fragmentPlan(g, ts))
-                    .map(_.toDouble).getOrElse(-1.0)
+                    .map { case (v, cbo) => (v.toDouble, cbo) }
+                    .getOrElse((-1.0, false))
                 roots(label) = est(g.tables.toSet)
                 nodes(label) = nodeSets.getOrElse(label, Seq.empty).flatMap {
-                  ts => val e = try est(ts) catch { case _: Throwable => -1.0 }
+                  ts => val e = try est(ts)._1 catch { case _: Throwable => -1.0 }
                     if (e < 0) None else Some((ts, e))
                 }
               }
-            } catch { case _: Throwable => roots(label) = -1.0 }
+            } catch { case _: Throwable => roots(label) = (-1.0, false) }
           }
           (roots.toMap, nodes.toMap)
         } finally {
@@ -670,8 +715,32 @@ object Bench {
         jobRows.map(r => r.label -> r.nodes.map(_._1)).toMap)
       val cboRootQerr: Seq[(String, Double)] = jobKit.map { case (label, _) =>
         val a = jobActuals.getOrElse(label, -1.0)
-        val e = cboRoots.getOrElse(label, -1.0)
+        val e = cboRoots.get(label).map(_._1).getOrElse(-1.0)
         label -> (if (a < 0 || e < 0) -1.0 else qerr(e, a))
+      }
+      // honest two-row summary of the CBO column: a size-based fallback
+      // (rowEstimateDetailed provenance false) is CBO giving up, not an
+      // estimate — its 1e56-class q-errors must not masquerade as the
+      // estimator's tail. n_finite/median/max cover genuine CBO row
+      // counts only; pct_collapsed says how often CBO could not estimate.
+      val cboSummary: String = {
+        val graded = jobKit.flatMap { case (label, _) =>
+          for {
+            (e, fromCbo) <- cboRoots.get(label)
+            a = jobActuals.getOrElse(label, -1.0)
+            if a >= 0 && e >= 0
+          } yield (qerr(e, a), fromCbo)
+        }
+        val finite = graded.collect { case (q, true) => q }
+        val pctCollapsed =
+          if (graded.isEmpty) -1.0
+          else 100.0 * graded.count(!_._2) / graded.size
+        if (graded.isEmpty) """{"n":0}"""
+        else s"""{"n":${graded.size},"n_finite":${finite.size},""" +
+          s""""pct_collapsed":${fmt(pctCollapsed)}""" +
+          (if (finite.isEmpty) "}"
+           else s""","median_finite":${fmt(median(finite))},""" +
+             s""""max_finite":${fmt(finite.max)}}""")
       }
       val byEstimator = headToHead(jobKit, jobRows,
         extra = Seq("native_cbo" -> cboRootQerr))
@@ -737,37 +806,26 @@ object Bench {
       val nodesByEstimator = nodesHeadToHead(jobKit, jobRows,
         extra = Seq("native_cbo" -> cboNodeRows))
       val statsNodesByEstimator = nodesHeadToHead(statsKit, statsRows)
-      Map(
-        "job_opt_ms" -> jmap(jobRows.map(r => r.label -> r.optMs)),
-        "job_cold_probe_ms" -> jmap(jobRows.map(r => r.label -> r.coldMs)),
-        "job_qerror" -> jmap(jobRows.map(r => r.label -> r.maxQerr)),
-        "job_qerror_branching" -> jmap(branchQerr),
-        "job_branching_fired" -> jmap(branchFired),
-        "job_qerror_bloom" -> jmap(bloomQerr),
-        "job_cold_probe_ms_bloom" -> jmap(bloomRows.map(r =>
-          r.label -> r.coldMs)),
-        "job_qerror_by_estimator" -> byEstimator,
-        "job_qerror_nodes_by_estimator" -> nodesByEstimator,
-        "stats_qerror_by_estimator" -> statsByEstimator,
-        "stats_qerror_nodes_by_estimator" -> statsNodesByEstimator,
-        "stats_opt_ms" -> jmap(statsRows.map(r => r.label -> r.optMs)),
-        "stats_cold_probe_ms" -> jmap(statsRows.map(r => r.label -> r.coldMs)),
-        "stats_qerror" -> jmap(statsRows.map(r => r.label -> r.maxQerr)),
-        // probe-budget accounting: how many statistics entries the kit
-        // passes loaded-or-computed (loaded from the disk cache when
-        // warm; the delta on a cold run is the one-time probe work the
-        // *_cold_probe_ms columns price in milliseconds), plus the
-        // per-probe-class breakdown so inventory growth stays
-        // attributable to the probe type that grew it
-        "probe_cache_entries" ->
-          s"""{"before":$probesBefore,"after_kits":$probesAfterKits,"after_all":${stats.cacheSize},"by_tag":${
-            stats.cacheTagCounts.toSeq.sortBy(_._1).map { case (t, n) =>
-              s""""$t":$n""" }.mkString("{", ",", "}")}}""")
+      kitAcc("job_qerror_by_estimator") = byEstimator
+      kitAcc("job_qerror_nodes_by_estimator") = nodesByEstimator
+      kitAcc("native_cbo_summary") = cboSummary
+      kitAcc("stats_qerror_by_estimator") = statsByEstimator
+      kitAcc("stats_qerror_nodes_by_estimator") = statsNodesByEstimator
+      // probe-budget accounting: how many statistics entries the kit
+      // passes loaded-or-computed (loaded from the disk cache when
+      // warm; the delta on a cold run is the one-time probe work the
+      // *_cold_probe_ms columns price in milliseconds), plus the
+      // per-probe-class breakdown so inventory growth stays
+      // attributable to the probe type that grew it
+      kitAcc("probe_cache_entries") =
+        s"""{"before":$probesBefore,"after_kits":$probesAfterKits,"after_all":${stats.cacheSize},"by_tag":${
+          stats.cacheTagCounts.toSeq.sortBy(_._1).map { case (t, n) =>
+            s""""$t":$n""" }.mkString("{", ",", "}")}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] workload kit metrics failed: ${e.getMessage}")
-        Map.empty[String, String]
     }
+    val kitSections: Map[String, String] = kitAcc.toMap
     writeArtifact(artifactLine(kitSections, "{}"))
     // scale-trend flight at a larger SF (see ScaleTrend's scaladoc):
     // last, so its one-shot timings run on the hottest JVM of the run

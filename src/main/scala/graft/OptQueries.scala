@@ -352,6 +352,20 @@ object OptQueries {
         stats = statsFor(s, dir)).optimize(jobSql("gw73_alias_seed227"))
     },
 
+    // UES through the CMS MIDDLE probe tier (bloom reduction plus
+    // count-min pairwise join-size sketches — the no-shuffle 100 TB
+    // probe path between bloom and exact) on the correlated FK walk.
+    // The gate pins that sketch-tier bounds steer ordering only:
+    // whatever the sketches estimate, the enforced plan's results stay
+    // exactly the oracle's.
+    "opt27_ues_cms_tier" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer(sketchTier = "cms")),
+        operators = Some(new UESOperatorSelection),
+        stats = statsFor(s, dir)).optimize(jobSql("gw07_walk_seed10"))
+    },
+
     // TrainingDataRepository warm start: execute natively ONCE, harvest
     // per-join (path, operator, actual-rows) samples from the executed
     // plan's SQLMetrics, persist them to the parquet-backed repository,
@@ -543,6 +557,7 @@ object OptQueries {
     "opt24_ues_walk_correlated" -> jobSql("gw07_walk_seed10"),
     "opt25_ues_alias_walk" -> jobSql("gw23_alias_seed114"),
     "opt26_ues_clone_clique" -> jobSql("gw73_alias_seed227"),
+    "opt27_ues_cms_tier" -> jobSql("gw07_walk_seed10"),
     "opt21_ues_stack_funnel" -> stackSql("q01_funnel_3step"),
     "tr01_training_warmstart" -> flagshipSql,
     "tr02_training_bao" -> flagshipSql,

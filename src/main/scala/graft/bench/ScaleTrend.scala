@@ -36,6 +36,11 @@ object ScaleTrend {
   val queries: Seq[String] = Seq(
     "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh", "d07_dup_clusters",
     "d11_dedup_embedding_lsh", "d13_sequence_packing", "d17_span_dedup",
+    // d24 composes curation over the auto-derived LSH knob
+    // (autoRowsPerBand rides into the pipeline): its r13 shuffle bytes
+    // grew 2.5x from the knob change — benign at sf0.1, so the flight
+    // measures the knob's in-pipeline trade instead of assuming it
+    "d24_pretraining_pipeline",
     "t13_bm25", "t17_perplexity", "s01_ann_topk", "s13_kmeans")
 
   val SuperlinearThreshold = 2.0

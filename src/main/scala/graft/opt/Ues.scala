@@ -446,10 +446,36 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     * provisional bounds are made of. */
   @volatile var exactTierEnabled: Boolean = true
   /** Whether this model's configuration runs the exact tier at all. */
-  def exactTierActive: Boolean = joinSketch && sketchTier != "bloom"
+  def exactTierActive: Boolean = joinSketch && sketchTier == "exact"
 
   private val exactMemo = scala.collection.concurrent.TrieMap
     .empty[Set[String], Option[Double]]
+
+  /** Pair subsets the pairwise refinement wanted a count for, each with
+    * the largest provisional step bound that asked — the value-ordered
+    * scheduler's worklist for the cheap 2-table exact probes (see the
+    * pairwise term in [[stepFor]]). */
+  private[opt] val pairWanted = scala.collection.concurrent.TrieMap
+    .empty[Set[String], Double]
+
+  /** Sketch-priced 2-table join count for the cms tier (see
+    * [[graft.stats.EmulatedStatistics.cmsJoinCount]]): launched on
+    * chosen steps, cache-only during selection ranking. */
+  private def cmsPairCard(l: String, ca: String, c: String, cb: String,
+      forSelection: Boolean): Option[Double] =
+    try {
+      stats.cmsJoinCountIfCached(statPlan(l), ca, statPlan(c), cb)
+        .map(_.toDouble).orElse {
+          if (forSelection || budget.exhausted) None
+          else Some(budget.timed(
+            stats.cmsJoinCount(statPlan(l), ca, statPlan(c), cb)).toDouble)
+        }
+    } catch {
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt(); throw e
+      case scala.util.control.NonFatal(e)
+          if !UesBoundModel.isCancellation(e) => None
+    }
 
   /** COUNT(*) of the inner join over `order`, computed by EAGER
     * AGGREGATION (group-by/count pushdown below the join — Yan &
@@ -558,8 +584,17 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
                 else {
                   // the gate on the probe itself is the CLOCK: the
                   // watchdog cancels at the deadline and the remaining
-                  // wall budget caps the query's total timeout spend
-                  val cap = math.min(UesBoundModel.ExactProbeTimeoutMs,
+                  // wall budget caps the query's total timeout spend.
+                  // On a WARM cache most of the wall is unspent, so the
+                  // cap ESCALATES to half the remaining budget — which
+                  // retries a persisted timeout sentinel under a
+                  // strictly larger deadline (the r13 tail: gw06/gw39/
+                  // gw67 kept -8000 sentinels that a warm 10 s retry
+                  // can convert to exact counts), while a cold run full
+                  // of competing probes still slices the wall finely.
+                  val cap = math.min(
+                    math.max(UesBoundModel.ExactProbeTimeoutMs,
+                      budget.remainingMs / 2),
                     budget.remainingMs)
                   budget.timed(stats.scalarLong(cp, cap)).map(_.toDouble)
                 }
@@ -713,7 +748,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   }
 
   private def probe(c: String, joined: Set[String]): Option[Double] =
-    if (sketchTier == "bloom") bloomProbe(c, joined)
+    if (sketchTier != "exact") bloomProbe(c, joined) // bloom AND cms tiers
     else reductionPlan(c, joined).flatMap { p =>
       stats.rowCountIfCached(p).map(_.toDouble).orElse {
         if (budget.exhausted) None
@@ -790,6 +825,31 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     val mcv = if (!mcvEdgeBounds) Seq.empty else equi.map {
       case (l, ca, cb) => mcvTerm(l, ca.name, mu(l), u, c, cb.name)
     }
+    // Pairwise edge-join refinement (per partner table l): every step
+    // output row pairs one row of l with one candidate row, the pair
+    // satisfying every l–c edge and both tables' filters — so distinct
+    // (row_l, row_c) pairs number at most the TWO-TABLE join
+    // |statPlan(l) ⋈ statPlan(c)|, and each pair repeats at most mu(l)
+    // times (row_l's multiplicity inside L). The 2-table count is
+    // input-bounded eager-aggregation work (two base-table group-bys
+    // joined on the keys), affordable even where the full intermediate
+    // is astronomic — exactly the above-the-1e13-fence nodes whose
+    // mf·mf·ndv slack made the r13 kit tail. Exact tier: the count is
+    // exact, read from cache here and LAUNCHED only by the value-
+    // ordered scheduler (pairWanted records the want, priced by the
+    // step's provisional bound). Cms tier: the same quantity from
+    // one-pass sketches (Bloom ∧ count-min, both overcount-only) — the
+    // no-shuffle 100 TB shape of the same refinement.
+    val pairTier = joinSketch && sketchTier != "bloom" && equi.nonEmpty
+    val pairwise: Seq[Double] =
+      if (!pairTier) Seq.empty
+      else if (sketchTier == "exact")
+        equi.map(_._1).distinct.flatMap { l =>
+          exactJoinCardCached(Set(l, c)).map(_ * mu(l))
+        }
+      else equi.flatMap { case (l, ca, cb) =>
+        cmsPairCard(l, ca.name, c, cb.name, forSelection).map(_ * mu(l))
+      }
     // Partner re-reduction (the reverse direction of the candidate cap,
     // for the "filtered dimension joins last" pattern where beta = 1
     // keeps U flat while the actual collapses): every row of the new
@@ -812,7 +872,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     // partner re-reduction sees which L-side KEYS survive but not how
     // many L rows they carry).
     val probeTiersOn =
-      joinSketch && sketchTier != "bloom" && !forSelection && equi.nonEmpty
+      joinSketch && sketchTier == "exact" && !forSelection && equi.nonEmpty
     val residualCompletes = probeTiersOn && graph.block.joinConjuncts
       .exists(cj => cj.tables.size > 2 && cj.tables.contains(c) &&
         cj.tables.subsetOf(joined + c))
@@ -832,7 +892,14 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         matchedCard(c, joined).map(_ * beta).toSeq
       else Seq.empty
     val provisional = (Seq(u * beta, cardC * alpha) ++ nm ++ mcv ++
-      partnerRecheck ++ matched).min
+      partnerRecheck ++ matched ++ pairwise).min
+    // record pair wants for the scheduler, priced by the largest
+    // provisional bound that asked (the slack a pair count can cut)
+    if (pairTier && sketchTier == "exact")
+      equi.map(_._1).distinct.foreach { l =>
+        pairWanted.updateWith(Set(l, c))(p =>
+          Some(math.max(p.getOrElse(0.0), provisional))): Unit
+      }
     // Exact tier: when the provisional bound — itself a sound cap on
     // the join output — proves the full intermediate affordable, count
     // it outright (PreciseCardinalities-class work). Fires at the
@@ -906,6 +973,16 @@ private[opt] object UesBoundModel {
     * candidate rows per L row; alpha: max L rows per candidate row). */
   final case class Step(bound: Double, beta: Double, alpha: Double)
 
+  /** The probe-tier ladder, loosest to tightest: `bloom` (one-pass
+    * membership counts, no shuffle — the cheapest 100 TB path), `cms`
+    * (bloom reduction plus count-min pairwise join-size sketches —
+    * still one pass per side, no shuffle joins), `exact` (semijoin
+    * reduction trees, matched-intermediate and eager-aggregation COUNT
+    * probes — precise-cardinality-class work). Each tier's term set is
+    * a superset of the looser tier's with each shared term at most as
+    * large, so per-node bounds order bloom ≥ cms ≥ exact ≥ actual. */
+  val SketchTiers: Set[String] = Set("exact", "cms", "bloom")
+
   /** The exact tier also fires at steps whose provisional bound grows
     * by at least this factor over the incoming bound: a genuinely
     * expanding step is where max-vs-average frequency slack
@@ -916,13 +993,17 @@ private[opt] object UesBoundModel {
     * the knob DebugBounds sessions flip to localize a loose node. */
   val ProbeDebug: Boolean = sys.env.contains("GRAFT_PROBE_DEBUG")
 
-  /** Per-probe wall cap for one exact-tier count (the watchdog cancels
-    * the probe's job group at the deadline — see
+  /** BASE per-probe wall cap for one exact-tier count (the watchdog
+    * cancels the probe's job group at the deadline — see
     * EmulatedStatistics.scalarLong). Chosen so that even a query whose
     * every triggered probe times out burns at most its ProbeBudget
     * wall, a few seconds of which buy counts of the frontier
-    * intermediates at sf0.1 with the eager-aggregation plan. */
-  val ExactProbeTimeoutMs: Long = 8000L
+    * intermediates at sf0.1 with the eager-aggregation plan. The
+    * effective cap escalates toward the unspent wall on warm caches
+    * (see exactJoinCard); GRAFT_EXACT_PROBE_MS overrides the base for
+    * controlled sentinel-retry sessions. */
+  val ExactProbeTimeoutMs: Long =
+    sys.env.get("GRAFT_EXACT_PROBE_MS").map(_.toLong).getOrElse(8000L)
 
   /** A Spark job-cancellation surfaced through a probe: rethrow instead
     * of degrading, so an externally-cancelled optimization aborts
@@ -1026,7 +1107,7 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
     sketchTier: String = "exact",
     budgetFor: () => ProbeBudget = ProbeBudget.default _)
     extends JoinOrderOptimization {
-  require(sketchTier == "exact" || sketchTier == "bloom",
+  require(UesBoundModel.SketchTiers.contains(sketchTier),
     s"unknown sketchTier '$sketchTier'")
   def describe: String =
     s"""{"name":"ues","tree":"${if (subqueryBranching) "bushy" else "left-deep"}","bounds":"pessimistic","filteredStats":$filteredStats,"mcv":$mcvEdgeBounds,"joinSketch":$joinSketch,"sketchTier":"$sketchTier"}"""
@@ -1122,6 +1203,17 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
           branch = JoinNode(branch, scanD, branch.annotation)
           taken += d
         }
+        if (partners.nonEmpty) {
+          // the folded subset rides the exact tier too: record it for
+          // the value-ordered scheduler and, when a count is already
+          // cached, replace the composed step×fragment refinement with
+          // the true intermediate cardinality (the r13 branching tail —
+          // kit max 24.1 vs left-deep 5.04 — was exactly this
+          // composition stopping at the semijoin tier)
+          profile += ((taken, bound, uPrev))
+          bound = math.max(model.exactJoinCardCached(taken)
+            .map(math.min(_, bound)).getOrElse(bound), 1.0)
+        }
         tree = JoinNode(tree, branch, Cardinality(bound))
         joined = taken
       }
@@ -1140,19 +1232,41 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
     // still wants are memoized; leftover budget serves any new
     // subsets a probe-shifted join order exposes).
     if (model.exactTierActive) {
-      model.exactTierEnabled = false
-      val dry = runGreedy()
-      model.exactTierEnabled = true
-      dry.foreach { case (_, profile) =>
-        // every affordable step is a candidate — job_qerror grades the
-        // MAX node, and a contracting fact step (bound drops, the data
-        // drops further) hides behind any trigger heuristic; sorting
-        // largest-first spends the wall where the absolute slack lives
-        profile
-          .filter { case (_, prov, _) => prov <= budget.maxExactRows }
-          .sortBy { case (_, prov, _) => -prov }
-          .foreach { case (s, _, _) =>
-            if (!budget.exhausted) model.exactJoinCard(s): Unit }
+      // FIXED-POINT iteration of dry-pass + scheduling: probed values
+      // shift the greedy's selection, and the shifted order exposes new
+      // subsets worth probing — under the r13 single-pass design those
+      // probes leaked into the NEXT optimization of the same query, so
+      // every "warm" bench sweep kept growing the cache (+1,260 entries
+      // on a warm r13 run) and never reached a steady state. Iterating
+      // until one whole dry+schedule round launches ZERO new probe jobs
+      // (bounded, and always budget-capped) converges within THIS call:
+      // the next call over the same cache is probe-free by construction.
+      var iter = 0
+      var settled = false
+      while (!settled && iter < 4 && !budget.exhausted) {
+        val launchedBefore = budget.probesLaunched
+        model.exactTierEnabled = false
+        val dry = runGreedy()
+        model.exactTierEnabled = true
+        dry.foreach { case (_, profile) =>
+          // every affordable step is a candidate — job_qerror grades the
+          // MAX node, and a contracting fact step (bound drops, the data
+          // drops further) hides behind any trigger heuristic; sorting
+          // largest-first spends the wall where the absolute slack lives
+          profile
+            .filter { case (_, prov, _) => prov <= budget.maxExactRows }
+            .sortBy { case (_, prov, _) => -prov }
+            .foreach { case (s, _, _) =>
+              if (!budget.exhausted) model.exactJoinCard(s): Unit }
+        }
+        // the cheap 2-table pair counts the pairwise refinement wanted,
+        // largest step slack first — these serve the steps the 1e13
+        // fence keeps OUT of full-subset probing (eager pair counts
+        // stay input-bounded no matter how astronomic the step bound)
+        model.pairWanted.toSeq.sortBy(-_._2).foreach { case (s, _) =>
+          if (!budget.exhausted) model.exactJoinCard(s): Unit }
+        settled = budget.probesLaunched == launchedBefore
+        iter += 1
       }
     }
     runGreedy().map(_._1)

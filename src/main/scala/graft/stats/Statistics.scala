@@ -37,13 +37,54 @@ final class EmulatedStatistics(spark: SparkSession,
   require(sampleFraction.forall(f => f > 0.0 && f <= 1.0))
   private val cache = TrieMap.empty[(String, String), Any]
 
-  /** When set, every NEW long-valued probe result triggers an (atomic)
-    * [[persistTo]] of the whole cache — so a killed/timed-out JVM never
-    * loses probe work (a shutdown hook alone does; the driver's per-query
-    * timeout kills the JVM hard). Probes are memoized, so writes happen
-    * only on cache misses — a handful per workload, each a few KB. */
+  /** When set, every NEW long-valued probe result APPENDS one JSONL line
+    * to `<path>.wal` — so a killed/timed-out JVM never loses probe work
+    * (a shutdown hook alone does; the driver's per-query timeout kills
+    * the JVM hard). The append is O(one entry): the r13 design instead
+    * re-serialized the WHOLE cache per new probe, which is O(cache) per
+    * probe and O(cache²) per run — measured at 858 s of one spec's first
+    * 1211 s of CPU once the shared cache hit 23k entries / 32 MB. Every
+    * [[EmulatedStatistics.CompactEvery]] appends the WAL folds into the
+    * snapshot file via [[persistTo]] (which first merge-loads the WAL,
+    * so entries appended by a concurrent JVM survive the fold). */
   @volatile private var autoPersistPath: Option[String] = None
   def autoPersistTo(path: String): Unit = { autoPersistPath = Some(path) }
+  private val walAppends = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val walLock = new Object
+
+  private def walPath(path: String): String = path + ".wal"
+
+  private def renderValue(v: Any): Option[String] = v match {
+    case l: Long => Some(l.toString)
+    case s: Seq[_] if s.forall(_.isInstanceOf[Long]) =>
+      Some(s.mkString("[", ",", "]"))
+    case _ => None
+  }
+
+  private def appendPersist(path: String, plan: String, tag: String,
+      v: Any): Unit =
+    renderValue(v).foreach { rendered =>
+      val line =
+        s"""{"plan":${jstr(plan)},"tag":${jstr(tag)},"value":$rendered}""" + "\n"
+      // one write() call per line: concurrent JVMs appending to the same
+      // WAL interleave at line granularity (O_APPEND), and a torn final
+      // line from a hard kill is simply skipped on load
+      walLock.synchronized {
+        java.nio.file.Files.write(java.nio.file.Paths.get(walPath(path)),
+          line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND): Unit
+      }
+      if (walAppends.incrementAndGet() >= EmulatedStatistics.CompactEvery) {
+        walAppends.set(0)
+        persistTo(path)
+      }
+    }
+
+  private def persistNew(k: (String, String), v: Any): Unit =
+    if (persistable(v))
+      autoPersistPath.foreach(p =>
+        try appendPersist(p, k._1, k._2, v) catch { case _: Throwable => })
 
   // frequency-type probes run on this fraction and scale back up — the
   // 100 TB mode where a full-scan probe per statistic is unaffordable.
@@ -102,10 +143,8 @@ final class EmulatedStatistics(spark: SparkSession,
       case None =>
         val v = cache.getOrElseUpdate(k, compute)
         // persist eagerly on every genuinely new long-valued (or
-        // long-vector) probe; cheap (small JSON, atomic rename) relative
-        // to the probe job itself
-        if (persistable(v))
-          autoPersistPath.foreach(p => try persistTo(p) catch { case _: Throwable => })
+        // long-vector) probe; an O(1) WAL append (see appendPersist)
+        persistNew(k, v)
         v.asInstanceOf[T]
     }
   }
@@ -175,13 +214,12 @@ final class EmulatedStatistics(spark: SparkSession,
         result match {
           case Some(v) =>
             cache.put(k, v)
-            autoPersistPath.foreach(p =>
-              try persistTo(p) catch { case _: Throwable => })
+            persistNew(k, v)
             Some(v)
           case None =>
-            cache.put(k, -math.max(timeoutMs, 1L))
-            autoPersistPath.foreach(p =>
-              try persistTo(p) catch { case _: Throwable => })
+            val sentinel = -math.max(timeoutMs, 1L)
+            cache.put(k, sentinel)
+            persistNew(k, sentinel)
             None
         }
     }
@@ -342,6 +380,76 @@ final class EmulatedStatistics(spark: SparkSession,
     }
   }
 
+  /** Count-min-sketched upper bound on a two-relation equi-join size —
+    * the cms probe tier's core quantity. The true join size over one
+    * equi edge is the frequency inner product Σ_v freq_l(v)·freq_c(v);
+    * this computes a sound OVERcount of it with one-pass sketches and
+    * no shuffle join:
+    *  - one pass over `l` builds a count-min sketch of its key
+    *    frequencies plus a Bloom filter of its key set;
+    *  - one pass over `c` sums, per row, the CMS point estimate of the
+    *    row's key — but only when the Bloom filter says the key is
+    *    (probably) present on the l side.
+    * Soundness: CMS point estimates NEVER undercount a frequency, and
+    * Bloom membership has no false negatives — a key the filter rejects
+    * truly has freq_l = 0, so contributing 0 for it is exact, while a
+    * false positive merely adds the (nonnegative) CMS estimate. The
+    * Bloom pre-filter exists because CMS alone has an additive
+    * collision floor ~|l|/width PER LOOKUP: summed over every
+    * non-matching c row it would swamp selective joins; with the
+    * membership guard the floor is paid only on true matches and the
+    * ~0.1 % false positives. Both columns are first coerced to their
+    * common wider type and rendered as strings, the same
+    * equal-values-render-equally contract as [[bloomSemijoinCount]].
+    * Memoized + disk-persisted like every other probe. */
+  def cmsJoinCount(lplan: LogicalPlan, lcol: String,
+      cplan: LogicalPlan, ccol: String,
+      eps: Double = 1e-5, confidence: Double = 0.99): Long = {
+    val tag = cmsJoinTag(lplan, lcol, ccol, eps, confidence)
+    memo(cplan, tag) {
+      val ld = df(lplan)
+      val cd = df(cplan)
+      val lt = ld.schema(ld.schema.fieldIndex(lcol)).dataType
+      val rt = cd.schema(cd.schema.fieldIndex(ccol)).dataType
+      val common =
+        if (lt == rt) lt
+        else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+          .findWiderTypeForTwo(lt, rt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"cmsJoinCount: no common type for $lcol:$lt vs $ccol:$rt"))
+      val keys = ld.select(col(lcol).cast(common).cast("string").as("v"))
+        .na.drop(Seq("v"))
+      val cms = keys.stat.countMinSketch("v", eps, confidence, 42)
+      val bloom = keys.stat.bloomFilter("v",
+        math.max(rowCount(lplan), 1L), 0.001)
+      // explicit broadcasts: a multi-MB sketch captured in the UDF
+      // closure would ride EVERY task binary instead of shipping once
+      val bcCms = spark.sparkContext.broadcast(cms)
+      val bcBloom = spark.sparkContext.broadcast(bloom)
+      try {
+        val est = org.apache.spark.sql.functions.udf((s: String) =>
+          if (s == null || !bcBloom.value.mightContainString(s)) 0L
+          else bcCms.value.estimateCount(s))
+        val r = cd.select(sum(est(col(ccol).cast(common).cast("string"))))
+          .head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      } finally {
+        bcCms.destroy(); bcBloom.destroy()
+      }
+    }
+  }
+
+  private def cmsJoinTag(lplan: LogicalPlan, lcol: String, ccol: String,
+      eps: Double, confidence: Double): String =
+    s"cmsjoin[${key(lplan, "")._1}|$lcol|$ccol,$eps,$confidence]"
+
+  /** Cache peek for [[cmsJoinCount]] (see [[rowCountIfCached]]). */
+  def cmsJoinCountIfCached(lplan: LogicalPlan, lcol: String,
+      cplan: LogicalPlan, ccol: String,
+      eps: Double = 1e-5, confidence: Double = 0.99): Option[Long] =
+    cache.get(key(cplan, cmsJoinTag(lplan, lcol, ccol, eps, confidence)))
+      .collect { case v: Long => v }
+
   /** Approximate maximum frequency, the scale path for the UES statistic:
     * exact maxFrequency is a full groupBy shuffle; this runs freqItems
     * (one pass, bounded sketch) to get heavy-hitter candidates, then counts
@@ -418,69 +526,124 @@ final class EmulatedStatistics(spark: SparkSession,
     case _ => false
   }
 
-  def persistTo(path: String): Unit = {
-    val entries = cache.toSeq.collect {
-      case ((plan, tag), v: Long) => (plan, tag, v.toString)
-      case ((plan, tag), v: Seq[_]) if v.forall(_.isInstanceOf[Long]) =>
-        (plan, tag, v.mkString("[", ",", "]"))
+  def persistTo(path: String): Unit = walLock.synchronized {
+    // fold in WAL lines a CONCURRENT JVM may have appended (this JVM's
+    // own appends are already in `cache`): putIfAbsent merge, so the
+    // snapshot about to replace the WAL loses nothing another process
+    // paid a probe for
+    try loadWal(path): Unit catch { case _: Throwable => }
+    val sb = new java.lang.StringBuilder(1 << 20)
+    sb.append('[')
+    var first = true
+    cache.toSeq.sortBy(e => (e._1._1, e._1._2)).foreach { case ((p, t), v) =>
+      renderValue(v).foreach { rendered =>
+        if (!first) sb.append(',')
+        first = false
+        sb.append("{\"plan\":"); appendJstr(sb, p)
+        sb.append(",\"tag\":"); appendJstr(sb, t)
+        sb.append(",\"value\":").append(rendered).append('}')
+      }
     }
-    val json = entries.sortBy(e => (e._1, e._2)).map { case (p, t, v) =>
-      s"""{"plan":${jstr(p)},"tag":${jstr(t)},"value":$v}"""
-    }.mkString("[", ",", "]")
+    sb.append(']')
     val target = java.nio.file.Paths.get(path)
     val tmp = java.nio.file.Paths.get(
       s"$path.tmp.${ProcessHandle.current().pid()}.${System.nanoTime()}")
-    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.writeString(tmp, sb.toString)
     import java.nio.file.StandardCopyOption._
     try java.nio.file.Files.move(tmp, target, REPLACE_EXISTING, ATOMIC_MOVE)
     catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
       java.nio.file.Files.move(tmp, target, REPLACE_EXISTING)
     }
+    // the snapshot now holds every WAL entry — retire the WAL (a line
+    // appended between the fold above and this delete is lost, which
+    // only means re-probing, same as the documented snapshot race)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(walPath(path))): Unit
   }
 
-  /** Pre-load cache entries previously saved with [[persistTo]]. */
-  def loadFrom(path: String): Int = {
-    if (!new java.io.File(path).exists()) return 0
-    val txt = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+  private def loadItem(jv: org.json4s.JValue): Int = {
     import org.json4s._
-    org.json4s.jackson.JsonMethods.parse(txt) match {
-      case JArray(items) =>
-        items.foreach {
-          case JObject(fields) =>
-            val m = fields.toMap
-            (m.get("plan"), m.get("tag"), m.get("value")) match {
-              case (Some(JString(p)), Some(JString(t)), Some(JInt(v))) =>
-                cache.putIfAbsent((p, t), v.toLong)
-              case (Some(JString(p)), Some(JString(t)), Some(JArray(vs)))
-                  if vs.forall(_.isInstanceOf[JInt]) =>
-                cache.putIfAbsent((p, t),
-                  vs.collect { case JInt(v) => v.toLong }.toVector)
-              case _ =>
-            }
-          case _ =>
+    jv match {
+      case JObject(fields) =>
+        val m = fields.toMap
+        (m.get("plan"), m.get("tag"), m.get("value")) match {
+          case (Some(JString(p)), Some(JString(t)), Some(JInt(v))) =>
+            cache.putIfAbsent((p, t), v.toLong); 1
+          case (Some(JString(p)), Some(JString(t)), Some(JArray(vs)))
+              if vs.forall(_.isInstanceOf[JInt]) =>
+            cache.putIfAbsent((p, t),
+              vs.collect { case JInt(v) => v.toLong }.toVector); 1
+          case _ => 0
         }
-        items.size
       case _ => 0
     }
   }
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  /** Merge-load `<path>.wal` (one JSON object per line; a torn final
+    * line from a hard-killed writer parses as garbage and is skipped). */
+  private def loadWal(path: String): Int = {
+    val wp = java.nio.file.Paths.get(walPath(path))
+    if (!java.nio.file.Files.exists(wp)) return 0
+    var n = 0
+    java.nio.file.Files.readAllLines(wp).forEach { line =>
+      if (line.nonEmpty)
+        try n += loadItem(org.json4s.jackson.JsonMethods.parse(line))
+        catch { case _: Throwable => }
+    }
+    n
+  }
+
+  /** Pre-load cache entries previously saved with [[persistTo]] /
+    * appended by auto-persistence (snapshot file plus its WAL). */
+  def loadFrom(path: String): Int = {
+    val walN = try loadWal(path) catch { case _: Throwable => 0 }
+    if (!new java.io.File(path).exists()) return walN
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(txt) match {
+      case JArray(items) => items.map(loadItem).sum + walN
+      case _ => walN
+    }
+  }
+
+  // StringBuilder escaper: the per-char flatMap this replaces allocated
+  // a String PER CHARACTER and dominated persistence CPU at cache scale
+  private def appendJstr(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"'): Unit
+  }
+
+  private def jstr(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 16)
+    appendJstr(sb, s)
+    sb.toString
+  }
 }
 
 object EmulatedStatistics {
   /** Shared daemon watchdog for time-capped probes ([[EmulatedStatistics.scalarLong]]). */
   private[stats] lazy val watchdog =
     new java.util.Timer("graft-probe-watchdog", true)
+
+  /** WAL appends per full-snapshot compaction (see appendPersist): the
+    * WAL stays a few MB at most, and a steady-state warm run (tens of
+    * new probes) never pays a whole-cache rewrite at all. */
+  val CompactEvery: Int = 2000
 
   /** Per-probe-class schema versions — the persisted cache's selective
     * invalidation path. Plan-SHAPE changes invalidate naturally (the
@@ -512,13 +675,21 @@ object Prewarm {
   * (/root/reference/postbound/db/_db.py:1965-1999).
   */
 final class NativeStatistics(spark: SparkSession) {
-  def rowEstimate(plan: LogicalPlan): Option[BigInt] = {
+  def rowEstimate(plan: LogicalPlan): Option[BigInt] =
+    rowEstimateDetailed(plan).map(_._1)
+
+  /** The estimate plus its provenance: `true` = Catalyst's CBO derived
+    * a row count; `false` = the size-based fallback (sizeInBytes over a
+    * rough row width — the "estimate" CBO collapses to on shapes it
+    * cannot derive, q-errors to 1e56+ on multiplicative fan-outs).
+    * Callers reporting estimator quality should split the two: the
+    * fallback is CBO giving up, not an estimate. */
+  def rowEstimateDetailed(plan: LogicalPlan): Option[(BigInt, Boolean)] = {
     val df = GraftShims.ofRows(spark, plan)
     val stats = df.queryExecution.optimizedPlan.stats
-    stats.rowCount.orElse {
-      // size-based fallback: sizeInBytes / rough row width
+    stats.rowCount.map((_, true)).orElse {
       val width = math.max(plan.output.size * 16, 16)
-      Some(stats.sizeInBytes / width)
+      Some((stats.sizeInBytes / width, false))
     }
   }
 }

@@ -142,6 +142,34 @@ class StatsSpec extends SparkSpec {
     assert(stats.cacheSize === before)
   }
 
+  test("cmsJoinCount overcounts the exact equi-join size, never under") {
+    val stats = new EmulatedStatistics(spark)
+    val nation = leafOf("nation")
+    val customer = leafOf("customer")
+    val lineitem = leafOf("lineitem")
+    val orders = leafOf("orders")
+    // fk join: Σ_v freq products = the true join size
+    val exact1 = spark.sql(
+      "SELECT count(*) FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey")
+      .head().getLong(0)
+    val cms1 = stats.cmsJoinCount(nation, "n_nationkey", customer, "c_nationkey")
+    assert(cms1 >= exact1, s"cms $cms1 undercounts exact $exact1")
+    assert(cms1 <= exact1 * 2, s"cms $cms1 too loose vs exact $exact1")
+    // fact-to-fact: the quantity the mf·mf·ndv bound term overcharges
+    val exact2 = spark.sql(
+      "SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey")
+      .head().getLong(0)
+    val cms2 = stats.cmsJoinCount(orders, "o_orderkey", lineitem, "l_orderkey")
+    assert(cms2 >= exact2 && cms2 <= exact2 * 2, s"cms=$cms2 exact=$exact2")
+    // memoized as a persistable Long (rides the disk cache)
+    val before = stats.cacheSize
+    assert(stats.cmsJoinCountIfCached(nation, "n_nationkey",
+      customer, "c_nationkey") === Some(cms1))
+    assert(stats.cmsJoinCount(nation, "n_nationkey",
+      customer, "c_nationkey") === cms1)
+    assert(stats.cacheSize === before)
+  }
+
   test("MCV frequency vectors persist through the long-value disk cache") {
     val stats = new EmulatedStatistics(spark)
     val nation = leafOf("nation")
@@ -161,6 +189,44 @@ class StatsSpec extends SparkSpec {
     assert(fresh.maxFrequency(nation, Seq("n_regionkey", "n_nationkey")) === tup)
     assert(fresh.cacheSize === loaded, "probes recomputed despite the cache")
     tmp.delete(): Unit
+  }
+
+  test("auto-persistence appends new probes to the WAL and compaction folds it") {
+    val f = java.io.File.createTempFile("graft_stats_wal", ".json")
+    f.delete() // start with neither snapshot nor WAL
+    val wal = new java.io.File(f.getAbsolutePath + ".wal")
+    val stats = new EmulatedStatistics(spark)
+    stats.autoPersistTo(f.getAbsolutePath)
+    val nation = leafOf("nation")
+    val n = stats.rowCount(nation)
+    val ndv = stats.distinctCount(nation, "n_name")
+    val mcv = stats.mcvFrequencies(nation, "n_regionkey", 3)
+    // each NEW probe appended one WAL line; no snapshot was written
+    assert(wal.exists() && !f.exists(),
+      "auto-persist should append to the WAL, not rewrite the snapshot")
+    val walLines = java.nio.file.Files.readAllLines(wal.toPath)
+    assert(walLines.size === 3, s"one line per new probe, got $walLines")
+    stats.rowCount(nation) // memoized: appends nothing
+    assert(java.nio.file.Files.readAllLines(wal.toPath).size === 3)
+    // a fresh instance recovers every probe from the WAL alone
+    val fresh = new EmulatedStatistics(spark)
+    assert(fresh.loadFrom(f.getAbsolutePath) === 3)
+    assert(fresh.rowCountIfCached(nation) === Some(n))
+    assert(fresh.mcvFrequencies(nation, "n_regionkey", 3) === mcv)
+    // compaction (the explicit snapshot) folds the WAL into the file
+    // and retires it — including entries appended by ANOTHER instance
+    val other = new EmulatedStatistics(spark)
+    other.autoPersistTo(f.getAbsolutePath)
+    other.maxFrequency(leafOf("nation"), "n_regionkey"): Unit
+    stats.persistTo(f.getAbsolutePath)
+    assert(f.exists() && !wal.exists(),
+      "compaction should write the snapshot and retire the WAL")
+    val recovered = new EmulatedStatistics(spark)
+    assert(recovered.loadFrom(f.getAbsolutePath) >= 4,
+      "the other instance's WAL entry must survive the fold")
+    assert(recovered.rowCountIfCached(nation) === Some(n))
+    assert(recovered.distinctCount(nation, "n_name") === ndv)
+    f.delete(): Unit
   }
 
   test("statistics are memoized and survive a disk round-trip") {

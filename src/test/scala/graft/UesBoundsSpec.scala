@@ -312,6 +312,22 @@ class UesBoundsSpec extends SparkSpec {
          JOIN zf ON f_k = d_k WHERE r_v = 1""").head().getLong(0)
     assert(bounds(bloom2).last >= bounds(exact2).last)
     assert(bounds(exact2).last >= actual2.toDouble)
+    // the cms middle tier slots between them on both fixtures:
+    // bloom ≥ cms (cms adds the count-min pairwise term to the same
+    // bloom reduction) and cms ≥ exact (the exact pairwise count and
+    // the exact tier's full-subset counts are each at most the sketch)
+    val cms1 = new UESJoinOrderOptimizer(sketchTier = "cms")
+      .optimizeJoinOrder(q1, g1).get
+    assert(bounds(bloom1).last >= bounds(cms1).last,
+      s"bloom ${bounds(bloom1).last} below cms ${bounds(cms1).last}")
+    assert(bounds(cms1).last >= bounds(exact1).last,
+      s"cms ${bounds(cms1).last} below exact ${bounds(exact1).last}")
+    assert(bounds(cms1).last >= actual1.toDouble)
+    val cms2 = new UESJoinOrderOptimizer(sketchTier = "cms")
+      .optimizeJoinOrder(q2, g2).get
+    assert(bounds(bloom2).last >= bounds(cms2).last)
+    assert(bounds(cms2).last >= bounds(exact2).last)
+    assert(bounds(cms2).last >= actual2.toDouble)
   }
 
   test("exact tier: an expanding skewed step counts the true " +
