@@ -243,6 +243,90 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     out.toSeq
   }
 
+  /** Single-table FILTER conjuncts rewritten through the attribute
+    * equivalence classes onto OTHER tables' member columns — the
+    * constant propagation Catalyst applies at execution
+    * (InferFiltersFromConstraints substitutes equal attributes into
+    * constraints): `n2.n_regionkey < 2` with `n2.n_regionkey =
+    * r1.r_regionkey` executes with `r1.r_regionkey < 2` pushed into
+    * r1's scan. A cardinality model probing the UN-derived relation
+    * overshoots every node containing the implied filter (gw67's
+    * n3+r1: probed 7 rows, executed 2). Each derived conjunct is
+    * logically implied by the original filter plus the equi edges, so
+    * applying it to probe relations never changes the probed query —
+    * only makes probe inputs match executed scans. Like
+    * [[derivedThetaEdges]], this feeds the bound model's statistics
+    * side only; enforcement still compiles the original query text. */
+  lazy val derivedFilters: Map[String, Seq[Expression]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
+      ExprId}
+    val parent = scala.collection.mutable.Map.empty[ExprId, ExprId]
+    val attrById = scala.collection.mutable.Map.empty[ExprId, Attribute]
+    def find(id: ExprId): ExprId = {
+      val p = parent.getOrElseUpdate(id, id)
+      if (p == id) id else { val r = find(p); parent(id) = r; r }
+    }
+    edges.foreach(_.expr match {
+      case EqualTo(a: Attribute, b: Attribute) =>
+        attrById(a.exprId) = a; attrById(b.exprId) = b
+        val (ra, rb) = (find(a.exprId), find(b.exprId))
+        if (ra != rb) parent(ra) = rb
+      case _ =>
+    })
+    val members: Map[ExprId, Seq[Attribute]] = attrById.keys.toSeq
+      .groupBy(find).view.mapValues(_.map(attrById).sortBy(_.exprId.id))
+      .toMap
+    def tableOf(a: Attribute): Option[String] =
+      block.attrToTable.get(a.exprId).map(_.identifier)
+    val out = scala.collection.mutable.Map.empty[String, Vector[Expression]]
+      .withDefaultValue(Vector.empty)
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    for {
+      t <- tables
+      f <- block.filtersFor(t)
+      // only pure deterministic scalar conjuncts propagate (a subquery
+      // predicate is not a scan-pushable constraint)
+      if f.deterministic && !f.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .PlanExpression[_]])
+      attrs = f.references.toSeq.sortBy(_.exprId.id)
+      if attrs.nonEmpty && attrs.forall(a => parent.contains(a.exprId))
+    } {
+      val choices = attrs.map { a =>
+        members(find(a.exprId)).filter(b =>
+          b.exprId != a.exprId && tableOf(b) != tableOf(a))
+      }
+      if (choices.nonEmpty && choices.forall(_.nonEmpty) &&
+          choices.map(_.size.toLong).product <= 64L) {
+        val combos = choices.foldLeft(Seq(Seq.empty[Attribute])) {
+          (acc, cs) => for (m <- acc; b <- cs) yield m :+ b
+        }
+        combos.foreach { picked =>
+          val subst = attrs.zip(picked).map { case (a, b) =>
+            a.exprId -> b }.toMap
+          val expr2 = f.transform {
+            case a: Attribute if subst.contains(a.exprId) => subst(a.exprId)
+          }
+          val ts2 = expr2.references.toSeq
+            .flatMap(a => block.attrToTable.get(a.exprId))
+            .map(_.identifier).distinct
+          ts2 match {
+            case Seq(u) if u != t =>
+              val key = (u, expr2.canonicalized.toString)
+              if (!seen.contains(key) &&
+                  !block.filtersFor(u).exists(
+                    _.canonicalized == expr2.canonicalized)) {
+                seen += key
+                out(u) = out(u) :+ expr2
+              }
+            case _ =>
+          }
+        }
+      }
+    }
+    out.toMap.withDefaultValue(Vector.empty)
+  }
+
   /** Transitive closure of equi-join columns (union-find), the basis for
     * predicate augmentation (reference: determine_join_equivalence_classes,
     * /root/reference/postbound/qal/_qal.py:3557). */

@@ -54,17 +54,24 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   private def probeEdgesBetween(joined: Set[String], c: String): Seq[JoinEdge] =
     probeEdges.filter(e => e.tables.contains(c) &&
       (e.tables - c).subsetOf(joined))
+  // Effective per-table filters: the block's own conjuncts PLUS the
+  // equivalence-class-derived constants ([[JoinGraph.derivedFilters]] —
+  // Catalyst pushes the substituted predicate into the member table's
+  // scan at execution, gw67-class), so probed statistics describe the
+  // relation the executed plan actually scans.
+  private def effectiveFilters(t: String) =
+    graph.block.filtersFor(t) ++ graph.derivedFilters(t)
   // the plan frequency probes run on: with filteredStats the table's
   // filter predicates are applied first, so mf/ndv/MCV describe the
   // relation that actually participates in the joins (exact, hence
   // sound -- unlike selectivity-scaled base frequencies)
   private def statPlan(t: String): LogicalPlan =
     if (!filteredStats) leaf(t)
-    else QueryFacade.andAll(graph.block.filtersFor(t))
+    else QueryFacade.andAll(effectiveFilters(t))
       .map(Filter(_, leaf(t))).getOrElse(leaf(t))
   def baseCard(t: String): Double =
     stats.rowCount(leaf(t),
-      QueryFacade.andAll(graph.block.filtersFor(t))).toDouble
+      QueryFacade.andAll(effectiveFilters(t))).toDouble
   def mf(t: String, c: String): Double =
     stats.maxFrequency(statPlan(t), c).toDouble
   private def ndv(t: String, c: String): Double =
@@ -215,7 +222,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       used(t) += 1
       // only filters that statPlan actually APPLIES make a probe
       // informative: with filteredStats off the tree is filterless
-      if (markFilter && filteredStats && graph.block.filtersFor(t).nonEmpty)
+      if (markFilter && filteredStats && effectiveFilters(t).nonEmpty)
         anyFilter = true
       if (used(t) == 1) (statPlan(t), Map.empty)
       else {
@@ -448,8 +455,14 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   /** Whether this model's configuration runs the exact tier at all. */
   def exactTierActive: Boolean = joinSketch && sketchTier == "exact"
 
+  // SUCCESSFUL exact counts only: a timeout/budget miss must stay
+  // retryable under a later, larger cap (the scheduler's quick-sweep →
+  // full-cap phases), so None is never memoized here — the persisted
+  // scalarLong sentinel already prevents repeated job launches, and the
+  // per-call plan construction for a known-failed subset is
+  // milliseconds against the probe jobs it gates
   private val exactMemo = scala.collection.concurrent.TrieMap
-    .empty[Set[String], Option[Double]]
+    .empty[Set[String], Double]
 
   /** Pair subsets the pairwise refinement wanted a count for, each with
     * the largest provisional step bound that asked — the value-ordered
@@ -571,37 +584,49 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     * shape); raw-join counts cached by earlier rounds transfer — both
     * plans count the same relation. Budgeted, memoized per table set,
     * and disk-persisted like every other probe. */
-  def exactJoinCard(s: Set[String]): Option[Double] =
-    exactMemo.getOrElseUpdate(s, {
+  /** @param capMs per-probe wall override: >0 fixes the watchdog cap
+    *   (the scheduler's QUICK sweep, so one expensive count can never
+    *   starve the cheap ones behind it); 0 = escalate toward half the
+    *   unspent wall (which retries a persisted timeout sentinel under a
+    *   strictly larger deadline on warm caches), never below the base.
+    *   A probe whose persisted sentinel already covers the offered cap
+    *   is skipped WITHOUT a budget charge — re-asking a known-failed
+    *   deadline costs nothing. */
+  def exactJoinCard(s: Set[String], capMs: Long = 0L): Option[Double] =
+    exactMemo.get(s).map(Some(_)).getOrElse {
       try {
         val b = new ProbePlanBuilder
         val order = connectedOrder(s)
-        b.innerJoin(order).flatMap { case (lp, _) =>
+        val r = b.innerJoin(order).flatMap { case (lp, _) =>
           stats.rowCountIfCached(lp).map(_.toDouble).orElse {
             eagerCountPlan(order).flatMap { cp =>
+              if (UesBoundModel.ProbeDebug && s.size >= 12)
+                System.err.println(s"[key] |s|=${s.size} " +
+                  s"hash=${stats.planKey(cp).split('#').last} " +
+                  s"len=${stats.planKey(cp).length} " +
+                  s"cached=${stats.scalarLongIfCached(cp)} " +
+                  s"sentinel=${stats.scalarLongSentinelMs(cp)}")
               stats.scalarLongIfCached(cp).map(_.toDouble).orElse {
                 if (budget.exhausted) None
                 else {
                   // the gate on the probe itself is the CLOCK: the
                   // watchdog cancels at the deadline and the remaining
-                  // wall budget caps the query's total timeout spend.
-                  // On a WARM cache most of the wall is unspent, so the
-                  // cap ESCALATES to half the remaining budget — which
-                  // retries a persisted timeout sentinel under a
-                  // strictly larger deadline (the r13 tail: gw06/gw39/
-                  // gw67 kept -8000 sentinels that a warm 10 s retry
-                  // can convert to exact counts), while a cold run full
-                  // of competing probes still slices the wall finely.
+                  // wall budget caps the query's total timeout spend
                   val cap = math.min(
-                    math.max(UesBoundModel.ExactProbeTimeoutMs,
+                    if (capMs > 0L) capMs
+                    else math.max(UesBoundModel.ExactProbeTimeoutMs,
                       budget.remainingMs / 2),
                     budget.remainingMs)
-                  budget.timed(stats.scalarLong(cp, cap)).map(_.toDouble)
+                  if (stats.scalarLongSentinelMs(cp).exists(_ >= cap)) None
+                  else budget.timed(stats.scalarLong(cp, cap))
+                    .map(_.toDouble)
                 }
               }
             }
           }
         }
+        r.foreach(v => exactMemo.put(s, v))
+        r
       } catch {
         case e: InterruptedException =>
           Thread.currentThread().interrupt(); throw e
@@ -612,7 +637,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
               s"${e.getClass.getName}: ${e.getMessage}")
           None
       }
-    })
+    }
 
   /** Cache-only read of [[exactJoinCard]]: the memoized or persisted
     * count if one exists, never launching a probe. [[stepFor]] consults
@@ -622,7 +647,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     * trigger covers — e.g. a CONTRACTING fact step whose bound drops,
     * just not as far as the data does. */
   def exactJoinCardCached(s: Set[String]): Option[Double] =
-    exactMemo.get(s).flatten.orElse {
+    exactMemo.get(s).orElse {
       try {
         val b = new ProbePlanBuilder
         val order = connectedOrder(s)
@@ -631,7 +656,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
             eagerCountPlan(order).flatMap(cp =>
               stats.scalarLongIfCached(cp).map(_.toDouble))
           }
-        }.map { v => exactMemo.put(s, Some(v)); v }
+        }.map { v => exactMemo.put(s, v); v }
       } catch {
         case e: InterruptedException =>
           Thread.currentThread().interrupt(); throw e
@@ -747,8 +772,106 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     }
   }
 
+  // ---- transitive bloom reduction (cms tier) ---------------------------
+  // The exact tier's semijoin reduction TREE with Bloom membership in
+  // place of the distinct-set semijoin: partner key sets become Bloom
+  // filters, and each partner is itself bloom-reduced against ITS
+  // subset neighbors before its keys are collected (depth-capped).
+  // Still no shuffle join — one pass per table visit builds each
+  // filter, one pass over the candidate counts; this is what the flat
+  // depth-1 tier provably cannot see (its r13 tail: a filter two hops
+  // away leaves the partner unfiltered, so no membership test fires at
+  // all). Soundness: a candidate row of the true intermediate has
+  // transitive witnesses (Yannakakis); each witness survives its own
+  // bloom-reduced partner (Bloom has no false negatives), so the row
+  // passes every membership test — false positives only add. Filters
+  // built from a reduced key set use the SAME size parameters as the
+  // flat tier's (expected items = the unreduced partner count), so
+  // their set bits are a subset of the flat filter's and every test
+  // this tree repeats can only pass less — bloom ≥ cms is structural.
+  private val bloomMemo = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.util.sketch.BloomFilter]
+
+  /** Whether reducing against `t` can prune at all within `depth`: a
+    * filter on t itself, or an equi-reachable filtered table below. */
+  private def informative(t: String, avail: Set[String], depth: Int): Boolean =
+    effectiveFilters(t).nonEmpty || (depth > 0 && avail.exists(u =>
+      graph.edges.exists(e => e.connects(t, u) && e.equiColumns.nonEmpty) &&
+        informative(u, avail - u, depth - 1)))
+
+  /** The bloom-reduced relation of `t` against `avail` plus the
+    * deterministic tag describing the reduction tree (the count's
+    * persistence key). With `build = false` only the tag is computed —
+    * no Bloom-building jobs run (the warm path: a persisted count needs
+    * the tag alone). */
+  private def bloomReduced(t: String, avail: Set[String], depth: Int,
+      build: Boolean): (Option[org.apache.spark.sql.DataFrame], String) = {
+    import org.apache.spark.sql.functions.col
+    var d = if (build) Some(stats.relation(statPlan(t))) else None
+    var tag = stats.planKey(statPlan(t))
+    if (depth <= 0) return (d, tag)
+    for (u <- avail.toSeq.sorted) {
+      val eqEdges = graph.edges.filter(e =>
+        e.connects(t, u) && e.equiColumns.nonEmpty)
+      if (eqEdges.nonEmpty && informative(u, avail - t - u, depth - 1)) {
+        val (uDf, uTag) = bloomReduced(u, avail - t - u, depth - 1, build)
+        for (e <- eqEdges.sortBy(_.expr.canonicalized.toString);
+             tc <- e.columnOf(t); uc <- e.columnOf(u)) {
+          tag += s";${tc.name}∈[$uTag|${uc.name}]"
+          d = d.map { dd =>
+            val lt = dd.schema(dd.schema.fieldIndex(tc.name)).dataType
+            val uDf0 = uDf.get
+            val rt = uDf0.schema(uDf0.schema.fieldIndex(uc.name)).dataType
+            val common =
+              if (lt == rt) lt
+              else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+                .findWiderTypeForTwo(lt, rt)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"bloomReduced: no common type for ${tc.name}:$lt vs " +
+                    s"${uc.name}:$rt"))
+            val bloom = bloomMemo.getOrElseUpdate(
+              s"$uTag|${uc.name}|${common.catalogString}", {
+                uDf0.select(col(uc.name).cast(common).cast("string").as("v"))
+                  .na.drop(Seq("v"))
+                  .stat.bloomFilter("v",
+                    math.max(stats.rowCount(statPlan(u)), 1L), 0.01)
+              })
+            val contains = org.apache.spark.sql.functions.udf(
+              (s: String) => s != null && bloom.mightContainString(s))
+            dd.filter(contains(col(tc.name).cast(common).cast("string")))
+          }
+        }
+      }
+    }
+    (d, tag)
+  }
+
+  /** Depth of the transitive bloom tree: candidate plus three reduction
+    * levels covers the kit's deepest filter chains (fact ← supplier ←
+    * nation ← filtered region) at bounded build cost. */
+  private val BloomDepth = 3
+
+  private def bloomTransitiveCount(c: String,
+      joined: Set[String]): Option[Double] = {
+    val informativeNeighbor = joined.exists(u =>
+      graph.edges.exists(e => e.connects(c, u) && e.equiColumns.nonEmpty) &&
+        informative(u, joined - u, BloomDepth - 1))
+    if (!informativeNeighbor) return None
+    val cPlan = statPlan(c)
+    val (_, treeTag) = bloomReduced(c, joined, BloomDepth, build = false)
+    val tag = s"bloomsemiT[$treeTag,0.01]"
+    stats.memoLongIfCached(cPlan, tag).map(_.toDouble).orElse {
+      if (budget.exhausted) None
+      else Some(budget.timed {
+        val (d, _) = bloomReduced(c, joined, BloomDepth, build = true)
+        stats.memoLong(cPlan, tag)(d.get.count())
+      }.toDouble)
+    }
+  }
+
   private def probe(c: String, joined: Set[String]): Option[Double] =
-    if (sketchTier != "exact") bloomProbe(c, joined) // bloom AND cms tiers
+    if (sketchTier == "bloom") bloomProbe(c, joined)
+    else if (sketchTier == "cms") bloomTransitiveCount(c, joined)
     else reductionPlan(c, joined).flatMap { p =>
       stats.rowCountIfCached(p).map(_.toDouble).orElse {
         if (budget.exhausted) None
@@ -766,7 +889,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   private def bloomProbe(c: String, joined: Set[String]): Option[Double] = {
     val memberships = for {
       u <- joined.toSeq.sorted
-      if filteredStats && graph.block.filtersFor(u).nonEmpty
+      if filteredStats && effectiveFilters(u).nonEmpty
       e <- graph.edges.filter(x => x.connects(c, u) && x.equiColumns.nonEmpty)
       cc <- e.columnOf(c).toSeq
       uc <- e.columnOf(u).toSeq
@@ -871,15 +994,21 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     // actual collapses by the filter's per-row selectivity (the
     // partner re-reduction sees which L-side KEYS survive but not how
     // many L rows they carry).
+    // any edge admits the exact/matched tiers — a PURE-theta step (e.g.
+    // a cross-table OR as the only connection, q21-class) constrains
+    // the output just like an equi edge, and the subset count prices it
+    // exactly; only a true cross product (no edge at all) has nothing
+    // to probe (the product bound is already exact)
     val probeTiersOn =
-      joinSketch && sketchTier == "exact" && !forSelection && equi.nonEmpty
+      joinSketch && sketchTier == "exact" && !forSelection &&
+        (equi.nonEmpty || probeEdgesBetween(joined, c).nonEmpty)
     val residualCompletes = probeTiersOn && graph.block.joinConjuncts
       .exists(cj => cj.tables.size > 2 && cj.tables.contains(c) &&
         cj.tables.subsetOf(joined + c))
     val thetaEdge = probeTiersOn &&
       probeEdgesBetween(joined, c).exists(_.equiColumns.isEmpty)
     val filteredPk = probeTiersOn && beta <= 1.0 &&
-      graph.block.filtersFor(c).nonEmpty
+      effectiveFilters(c).nonEmpty
     val constraintBlind = equi.map(_._1).distinct.size >= 2 ||
       residualCompletes || thetaEdge || filteredPk
     // Matched-intermediate term |L ⋉ c| * beta: each matched L row
@@ -1005,6 +1134,12 @@ private[opt] object UesBoundModel {
   val ExactProbeTimeoutMs: Long =
     sys.env.get("GRAFT_EXACT_PROBE_MS").map(_.toLong).getOrElse(8000L)
 
+  /** The scheduler's phase-2 QUICK-sweep cap: small enough that the
+    * whole affordable profile sweeps inside a fraction of the wall,
+    * large enough that ordinary eager counts (sub-second at sf0.1)
+    * land on the first pass. */
+  val QuickProbeMs: Long = 2500L
+
   /** A Spark job-cancellation surfaced through a probe: rethrow instead
     * of degrading, so an externally-cancelled optimization aborts
     * promptly instead of launching every remaining probe to fail. */
@@ -1068,7 +1203,10 @@ object ProbeBudget {
     * negative sentinel paid once ever per subset), never heap.
     * maxExactRows only fences the provably-astronomic class (the
     * same ≥1e13 universe the bench's execution bound gate skips). */
-  def default(): ProbeBudget = new ProbeBudget(96, 20000L, 2e7, 1e7, 1e13)
+  def default(): ProbeBudget = new ProbeBudget(
+    sys.env.get("GRAFT_PROBE_MAX").map(_.toInt).getOrElse(96),
+    sys.env.get("GRAFT_PROBE_WALL_MS").map(_.toLong).getOrElse(20000L),
+    2e7, 1e7, 1e13)
   /** Effectively unlimited — for specs that pin exact probe values. */
   def unlimited(): ProbeBudget =
     new ProbeBudget(Int.MaxValue, Long.MaxValue / 2000000L,
@@ -1248,23 +1386,38 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
         model.exactTierEnabled = false
         val dry = runGreedy()
         model.exactTierEnabled = true
+        // Three scheduling phases, each largest-slack-first. An
+        // expensive count must never STARVE the cheap ones behind it
+        // (the gw39 diagnosis: two 10 s root-count timeouts ate the
+        // whole wall while a sub-second 6-table count and the pairwise
+        // terms that bound the filtered-pk root step went unprobed):
+        //  1. the 2-table pair counts (input-bounded, sub-second — and
+        //     the only tier serving steps above the 1e13 fence);
+        //  2. a QUICK sweep of the affordable profile subsets under a
+        //     small fixed cap — everything cheap lands, the expensive
+        //     leave a small sentinel;
+        //  3. the leftover wall on whatever is still missing, with the
+        //     escalating cap (strictly above the quick sentinel, so
+        //     phase 2 never blocks the retry).
+        model.pairWanted.toSeq.sortBy(-_._2).foreach { case (s, _) =>
+          if (!budget.exhausted) model.exactJoinCard(s): Unit }
         dry.foreach { case (_, profile) =>
           // every affordable step is a candidate — job_qerror grades the
           // MAX node, and a contracting fact step (bound drops, the data
-          // drops further) hides behind any trigger heuristic; sorting
-          // largest-first spends the wall where the absolute slack lives
-          profile
+          // drops further) hides behind any trigger heuristic
+          val wanted = profile
             .filter { case (_, prov, _) => prov <= budget.maxExactRows }
             .sortBy { case (_, prov, _) => -prov }
-            .foreach { case (s, _, _) =>
-              if (!budget.exhausted) model.exactJoinCard(s): Unit }
+          wanted.foreach { case (s, _, _) =>
+            if (!budget.exhausted)
+              model.exactJoinCard(s, UesBoundModel.QuickProbeMs): Unit }
+          wanted.foreach { case (s, prov, _) =>
+            if (!budget.exhausted) {
+              val r = model.exactJoinCard(s)
+              if (UesBoundModel.ProbeDebug)
+                System.err.println(s"[sched] prov=$prov $s -> $r")
+            } }
         }
-        // the cheap 2-table pair counts the pairwise refinement wanted,
-        // largest step slack first — these serve the steps the 1e13
-        // fence keeps OUT of full-subset probing (eager pair counts
-        // stay input-bounded no matter how astronomic the step bound)
-        model.pairWanted.toSeq.sortBy(-_._2).foreach { case (s, _) =>
-          if (!budget.exhausted) model.exactJoinCard(s): Unit }
         settled = budget.probesLaunched == launchedBefore
         iter += 1
       }

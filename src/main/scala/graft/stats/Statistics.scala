@@ -50,7 +50,6 @@ final class EmulatedStatistics(spark: SparkSession,
   @volatile private var autoPersistPath: Option[String] = None
   def autoPersistTo(path: String): Unit = { autoPersistPath = Some(path) }
   private val walAppends = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val walLock = new Object
 
   private def walPath(path: String): String = path + ".wal"
 
@@ -61,15 +60,37 @@ final class EmulatedStatistics(spark: SparkSession,
     case _ => None
   }
 
+  /** Run `f` under BOTH the per-instance lock and a cross-process
+    * exclusive file lock on `<path>.lock` — a compaction's
+    * fold-WAL/write-snapshot/delete-WAL sequence in one JVM must be
+    * atomic against appends from another, or a line appended inside
+    * the window is deleted before anyone folded it (observed: a
+    * 105M-row exact count paid for by a 40 s probe vanished under a
+    * concurrent bench's compaction). Probe frequency is low (one lock
+    * per genuinely new probe value), so the syscall cost is noise. */
+  private def withFileLock[T](path: String)(f: => T): T =
+    // JVM-wide monitor per path (not per instance): FileChannel.lock
+    // THROWS on a same-JVM overlap, so two instances sharing one cache
+    // file (possible in test JVMs) must serialize before the OS lock
+    EmulatedStatistics.pathLocks
+      .getOrElseUpdate(path, new Object).synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(path + ".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try f finally l.release() }
+      finally ch.close()
+    }
+
   private def appendPersist(path: String, plan: String, tag: String,
       v: Any): Unit =
     renderValue(v).foreach { rendered =>
       val line =
         s"""{"plan":${jstr(plan)},"tag":${jstr(tag)},"value":$rendered}""" + "\n"
       // one write() call per line: concurrent JVMs appending to the same
-      // WAL interleave at line granularity (O_APPEND), and a torn final
-      // line from a hard kill is simply skipped on load
-      walLock.synchronized {
+      // WAL interleave at line granularity, and a torn final line from a
+      // hard kill is simply skipped on load
+      withFileLock(path) {
         java.nio.file.Files.write(java.nio.file.Paths.get(walPath(path)),
           line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE,
@@ -120,14 +141,28 @@ final class EmulatedStatistics(spark: SparkSession,
     probeClassVersions.get(cls).map(v => s"$tag@v$v").getOrElse(tag)
   }
 
-  // the string rendering alone is NOT collision-safe: plan.toString
-  // truncates past spark.sql.maxPlanStringLength, so two large plans
-  // sharing a prefix would collide (the bug class the dedup cache hit);
-  // the appended structural semanticHash disambiguates while keeping the
-  // key a persistable string
-  private def key(plan: LogicalPlan, tag: String): (String, String) =
-    (s"${plan.canonicalized.toString}#${plan.canonicalized.semanticHash()}",
+  // The string rendering alone is NOT collision-safe: plan.toString
+  // truncates past spark.sql.maxPlanStringLength (two large plans
+  // sharing a prefix would collide — the bug class the dedup cache
+  // hit), and the canonical leaf rendering carries NO relation identity
+  // ("Relation [none#0L,none#1] parquet" is the same string for any
+  // two-column parquet table). A structural hash must disambiguate —
+  // but NOT semanticHash(): LogicalRelation hashes through
+  // HadoopFsRelation fields with IDENTITY hashCodes, which are
+  // launcher-reproducible but differ between e.g. an sbt-forked and a
+  // plain-java JVM, silently splitting the persisted cache per
+  // launcher family (measured: the same canonical plan keyed
+  // #-1733055680 under sbt and #-1141419458 under java, so a 40 s
+  // exact count paid in one family was invisible to the other). The
+  // stable digest below replaces every relation leaf with a
+  // LocalRelation placeholder before semanticHash (all other nodes
+  // hash stably — verified node-by-node) and mixes the relations'
+  // root paths back in as strings.
+  private def key(plan: LogicalPlan, tag: String): (String, String) = {
+    val c = plan.canonicalized
+    (s"${c.toString}#${EmulatedStatistics.stableSemanticHash(c)}",
       versioned(tag))
+  }
 
   private def df(plan: LogicalPlan) = GraftShims.ofRows(spark, plan)
 
@@ -229,6 +264,13 @@ final class EmulatedStatistics(spark: SparkSession,
     * sentinels (negative) read as absent. */
   def scalarLongIfCached(plan: LogicalPlan): Option[Long] =
     cache.get(key(plan, "scalar")).collect { case v: Long if v >= 0L => v }
+
+  /** The persisted timeout sentinel for a [[scalarLong]] probe plan, if
+    * any — the largest budget (ms) the probe has already failed under.
+    * Callers can skip a launch (and its budget charge) when they cannot
+    * offer a strictly larger deadline. */
+  def scalarLongSentinelMs(plan: LogicalPlan): Option[Long] =
+    cache.get(key(plan, "scalar")).collect { case v: Long if v < 0L => -v }
 
   def rowCount(plan: LogicalPlan, filter: Option[Expression]): Long =
     filter match {
@@ -498,6 +540,26 @@ final class EmulatedStatistics(spark: SparkSession,
       Histogram(lo, hi, (0 until buckets).map(b => byBucket.getOrElse(b, 0L)))
     }
 
+  /** The DataFrame of a probe plan — for callers assembling custom
+    * probe pipelines (e.g. the optimizer's transitive bloom reduction,
+    * whose per-stage Bloom filters live outside the plan algebra). */
+  def relation(plan: LogicalPlan): org.apache.spark.sql.DataFrame = df(plan)
+
+  /** Canonical persistable key string of a plan — for callers composing
+    * custom probe tags over plan combinations (see [[memoLong]]). */
+  def planKey(plan: LogicalPlan): String = key(plan, "")._1
+
+  /** Memoize + disk-persist a caller-computed Long probe under a
+    * caller-built tag (which must be deterministic for the probe's
+    * semantics, e.g. composed from [[planKey]]s — same contract as the
+    * internal probe tags). */
+  def memoLong(plan: LogicalPlan, tag: String)(compute: => Long): Long =
+    memo(plan, tag)(compute)
+
+  /** Cache peek for [[memoLong]] (see [[rowCountIfCached]]). */
+  def memoLongIfCached(plan: LogicalPlan, tag: String): Option[Long] =
+    cache.get(key(plan, tag)).collect { case v: Long => v }
+
   def cacheSize: Int = cache.size
 
   /** Cache entry counts grouped by probe class (the tag up to its
@@ -526,11 +588,11 @@ final class EmulatedStatistics(spark: SparkSession,
     case _ => false
   }
 
-  def persistTo(path: String): Unit = walLock.synchronized {
+  def persistTo(path: String): Unit = withFileLock(path) {
     // fold in WAL lines a CONCURRENT JVM may have appended (this JVM's
-    // own appends are already in `cache`): putIfAbsent merge, so the
-    // snapshot about to replace the WAL loses nothing another process
-    // paid a probe for
+    // own appends are already in `cache`), so the snapshot about to
+    // replace the WAL loses nothing another process paid a probe for;
+    // the file lock makes fold→snapshot→delete atomic against appends
     try loadWal(path): Unit catch { case _: Throwable => }
     val sb = new java.lang.StringBuilder(1 << 20)
     sb.append('[')
@@ -561,6 +623,25 @@ final class EmulatedStatistics(spark: SparkSession,
       java.nio.file.Paths.get(walPath(path))): Unit
   }
 
+  /** Merge a loaded Long under the sentinel rules: a SUCCESS (>= 0)
+    * always beats a timeout sentinel, a larger sentinel (more budget
+    * already failed) beats a smaller, and nothing clobbers an existing
+    * success — so two processes probing independently (one timing out,
+    * one succeeding) converge on the success no matter which persists
+    * or folds last. */
+  private def mergeLong(k: (String, String), v: Long): Unit = {
+    var done = false
+    while (!done) {
+      cache.putIfAbsent(k, v) match {
+        case None => done = true
+        case Some(old: Long)
+            if old < 0L && (v >= 0L || v < old) =>
+          done = cache.replace(k, old, v)
+        case _ => done = true
+      }
+    }
+  }
+
   private def loadItem(jv: org.json4s.JValue): Int = {
     import org.json4s._
     jv match {
@@ -568,7 +649,7 @@ final class EmulatedStatistics(spark: SparkSession,
         val m = fields.toMap
         (m.get("plan"), m.get("tag"), m.get("value")) match {
           case (Some(JString(p)), Some(JString(t)), Some(JInt(v))) =>
-            cache.putIfAbsent((p, t), v.toLong); 1
+            mergeLong((p, t), v.toLong); 1
           case (Some(JString(p)), Some(JString(t)), Some(JArray(vs)))
               if vs.forall(_.isInstanceOf[JInt]) =>
             cache.putIfAbsent((p, t),
@@ -585,7 +666,11 @@ final class EmulatedStatistics(spark: SparkSession,
     val wp = java.nio.file.Paths.get(walPath(path))
     if (!java.nio.file.Files.exists(wp)) return 0
     var n = 0
-    java.nio.file.Files.readAllLines(wp).forEach { line =>
+    // decode with REPLACEMENT, not readAllLines: a torn multi-byte
+    // write from a hard-killed appender must cost only its own line,
+    // not fail the whole WAL load with a MalformedInputException
+    new String(java.nio.file.Files.readAllBytes(wp),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n').foreach { line =>
       if (line.nonEmpty)
         try n += loadItem(org.json4s.jackson.JsonMethods.parse(line))
         catch { case _: Throwable => }
@@ -644,6 +729,55 @@ object EmulatedStatistics {
     * WAL stays a few MB at most, and a steady-state warm run (tens of
     * new probes) never pays a whole-cache rewrite at all. */
   val CompactEvery: Int = 2000
+
+  /** JVM-wide per-path monitors for [[EmulatedStatistics.withFileLock]]. */
+  private[stats] val pathLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Launcher-stable structural digest of an already-canonicalized
+    * plan. semanticHash() is NOT usable as a persistable key component:
+    * several canonical nodes hash through IDENTITY hashCodes that are
+    * reproducible within one launcher family but differ across
+    * families — LogicalRelation (via HadoopFsRelation's FileIndex /
+    * FileFormat) and MultiCommutativeOp (the canonical form of
+    * commutative Add/Multiply chains, which stores the operator as a
+    * `Class[_]` field), measured as the same canonical plan keying
+    * differently under sbt-forked vs plain-java JVMs and silently
+    * splitting the persisted cache per launcher. This digest uses NO
+    * hashCodes at all: SHA-256 over each node's class name, each
+    * expression tree's full string rendering (Expression.toString does
+    * not truncate the way plan strings do), and each relation leaf's
+    * root paths + schema (the canonical plan string renders every
+    * parquet leaf as the identity-free "Relation [...] parquet"). */
+  def stableSemanticHash(canonical: LogicalPlan): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def upd(s: String): Unit =
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    canonical.foreach { n =>
+      upd(n.getClass.getName)
+      n match {
+        case lr: LogicalRelation =>
+          lr.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.foreach(p => upd(p.toString))
+              upd(fs.schema.catalogString)
+            case other =>
+              upd(other.getClass.getName); upd(other.schema.catalogString)
+          }
+        case lo: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          // a LocalRelation's identity IS its rows (the canonical string
+          // renders only the schema, and two same-shaped in-memory
+          // fixtures must not share probe entries)
+          upd(lo.output.map(_.dataType.catalogString).mkString(","))
+          lo.data.foreach(r => upd(r.toString))
+        case _ =>
+      }
+      n.expressions.foreach(e => upd(e.toString))
+    }
+    java.nio.ByteBuffer.wrap(md.digest).getLong
+  }
 
   /** Per-probe-class schema versions — the persisted cache's selective
     * invalidation path. Plan-SHAPE changes invalidate naturally (the

@@ -19,7 +19,10 @@ object DebugBounds {
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     Tables.registerAll(spark, sfDir)
-    val pipeline = graft.opt.Presets.ues(spark, OptQueries.statsFor(spark, sfDir))
+    // GRAFT_DEBUG_TIER=bloom|cms|exact routes the probe ladder under test
+    val pipeline = graft.opt.Presets.ues(spark,
+      OptQueries.statsFor(spark, sfDir),
+      sketchTier = sys.env.getOrElse("GRAFT_DEBUG_TIER", "exact"))
     def cards(t: graft.plans.JoinTree[graft.core.Cardinality]): Seq[(Set[String], Double)] =
       t match {
         case graft.plans.JoinNode(o, i, a) =>
