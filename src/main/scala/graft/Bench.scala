@@ -419,7 +419,8 @@ object Bench {
     def runKit(kit: Seq[(String, String)],
         pipeline: graft.pipeline.MultiStageOptimizationPipeline,
         execute: Boolean,
-        onRow: Seq[KitRow] => Unit = _ => ()): Seq[KitRow] = {
+        onRow: Seq[KitRow] => Unit = _ => (),
+        onCold: Seq[(String, Double)] => Unit = _ => ()): Seq[KitRow] = {
       // Warm sweep over the WHOLE kit before the timed pass: the first
       // optimization of a query pays any statistics probes missing from
       // the persisted cache (one-time Spark jobs, seconds each on a cold
@@ -429,10 +430,17 @@ object Bench {
       // probes; warm steady state is ~50-80 ms). The warm sweep's own
       // per-query times are kept as cold_ms so the probe cost stays
       // visible in the artifact instead of vanishing.
+      // the warm sweep is the longest uninterrupted stretch of a cold
+      // run (it pays every missing probe), so it flushes per query too
+      // — a driver timeout mid-sweep keeps the per-query probe costs
+      val coldAcc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       val coldMs: Map[String, Double] = kit.map { case (label, sql) =>
         val t0 = System.nanoTime()
         try pipeline.optimizeQuery(sql) catch { case _: Throwable => }
-        label -> ((System.nanoTime() - t0) / 1e6)
+        val ms = (System.nanoTime() - t0) / 1e6
+        coldAcc += ((label, ms))
+        try onCold(coldAcc.toSeq) catch { case _: Throwable => }
+        label -> ms
       }.toMap
       val acc = scala.collection.mutable.ArrayBuffer.empty[KitRow]
       kit.foreach { case (label, sql) =>
@@ -565,6 +573,8 @@ object Bench {
         kitAcc("job_cold_probe_ms") = jmap(rows.map(r => r.label -> r.coldMs))
         kitAcc("job_qerror") = jmap(rows.map(r => r.label -> r.maxQerr))
         flushKit()
+      }, onCold = cold => {
+        kitAcc("job_cold_probe_ms") = jmap(cold); flushKit()
       })
       val statsRows = runKit(statsKit, ues, execute = true, onRow = rows => {
         kitAcc("stats_opt_ms") = jmap(rows.map(r => r.label -> r.optMs))
@@ -572,6 +582,8 @@ object Bench {
           jmap(rows.map(r => r.label -> r.coldMs))
         kitAcc("stats_qerror") = jmap(rows.map(r => r.label -> r.maxQerr))
         flushKit()
+      }, onCold = cold => {
+        kitAcc("stats_cold_probe_ms") = jmap(cold); flushKit()
       })
       val probesAfterKits = stats.cacheSize
       // alternative-tier passes: optimization only -- the root join's
@@ -608,6 +620,8 @@ object Bench {
           kitAcc("job_cold_probe_ms_bloom") =
             jmap(rows.map(r => r.label -> r.coldMs))
           flushKit()
+        }, onCold = cold => {
+          kitAcc("job_cold_probe_ms_bloom") = jmap(cold); flushKit()
         }): Unit
       runKit(jobKit,
         graft.opt.Presets.ues(spark, stats, sketchTier = "cms"),
@@ -616,6 +630,8 @@ object Bench {
           kitAcc("job_cold_probe_ms_cms") =
             jmap(rows.map(r => r.label -> r.coldMs))
           flushKit()
+        }, onCold = cold => {
+          kitAcc("job_cold_probe_ms_cms") = jmap(cold); flushKit()
         }): Unit
       // Estimator head-to-head on the FINAL join cardinality (the
       // reference's example-04 comparison): UES root bound, the
