@@ -429,6 +429,38 @@ class UesBoundsSpec extends SparkSpec {
     assert(bounds(tree).last >= actual.toDouble)
   }
 
+  test("derived constant filters: a filter on one equivalence-class " +
+      "member applies to every member's probe relation (gw67 in miniature)") {
+    import spark.implicits._
+    // da-db-dc chained on one equivalence class {a_k ~ b_k ~ c_k}; the
+    // constant filter sits on da ONLY. Execution pushes the substituted
+    // predicate into db's and dc's scans (InferFiltersFromConstraints),
+    // so the model's probe relations must see it too or every probed
+    // count on db/dc overshoots the executed node (the r14 gw67 find:
+    // probed 7 vs executed 2).
+    Seq(1, 2, 3, 4).toDF("a_k").createOrReplaceTempView("da")
+    Seq(1, 2, 3, 4, 4).toDF("b_k").createOrReplaceTempView("db")
+    (1 to 4).flatMap(k => Seq.fill(k)(k)).toDF("c_k")
+      .createOrReplaceTempView("dc")
+    val sql = """SELECT count(*) AS n FROM da, db, dc
+                 WHERE a_k = b_k AND b_k = c_k AND a_k < 3"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    // the filter derives onto BOTH other members, rewritten to their
+    // own columns, and never onto its own table
+    for (t <- Seq("db", "dc"))
+      assert(graph.derivedFilters(t).size === 1,
+        s"$t: ${graph.derivedFilters(t)}")
+    assert(graph.derivedFilters("da").isEmpty)
+    // the per-node bounds land exactly on the executed actuals: the
+    // first join's probe relations both carry the derived `< 3`
+    val tree = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
+    val actual = spark.sql(sql).head().getLong(0)
+    assert(actual === 3L) // 1*1*1 + 1*1*2 = 3
+    assert(bounds(tree).last === 3.0,
+      s"root bound ${bounds(tree).last} should be exact with derived filters")
+  }
+
   test("fk expansion off an amplified pk side stays a true upper bound " +
       "(the r10 bug class in miniature)") {
     import spark.implicits._
