@@ -176,7 +176,8 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     * substituted form lands on exactly two tables are included (a
     * cross-table residual can collapse to an edge under substitution).
     */
-  lazy val derivedThetaEdges: Seq[JoinEdge] = {
+  lazy val derivedThetaEdges: Seq[JoinEdge] =
+    if (!JoinGraph.constraintPropagationEnabled) Seq.empty else {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
       ExprId}
     // attribute-level union-find over the equi edges' EqualTo sides
@@ -257,7 +258,10 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     * only makes probe inputs match executed scans. Like
     * [[derivedThetaEdges]], this feeds the bound model's statistics
     * side only; enforcement still compiles the original query text. */
-  lazy val derivedFilters: Map[String, Seq[Expression]] = {
+  lazy val derivedFilters: Map[String, Seq[Expression]] =
+    if (!JoinGraph.constraintPropagationEnabled)
+      Map.empty[String, Seq[Expression]].withDefaultValue(Vector.empty)
+    else {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
       ExprId}
     val parent = scala.collection.mutable.Map.empty[ExprId, ExprId]
@@ -341,4 +345,18 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     })
     parent.keys.groupBy(find).values.map(_.toSet).filter(_.size > 1).toSeq
   }
+}
+
+object JoinGraph {
+  /** Whether Catalyst's InferFiltersFromConstraints is active in the
+    * current session. The derived-constraint rewrites above
+    * ([[JoinGraph.derivedThetaEdges]], [[JoinGraph.derivedFilters]])
+    * are sound as EXECUTED-plan descriptions only because Catalyst
+    * infers and pushes the same substituted predicates at execution;
+    * with `spark.sql.constraintPropagation.enabled=false` (non-default)
+    * the executed scans stay unfiltered, so probing against derived
+    * filters would let per-node bounds undershoot measured actuals.
+    * Gating here keeps the soundness contract under any session conf. */
+  private[opt] def constraintPropagationEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.constraintPropagationEnabled
 }

@@ -789,8 +789,15 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   // flat tier's (expected items = the unreduced partner count), so
   // their set bits are a subset of the flat filter's and every test
   // this tree repeats can only pass less — bloom ≥ cms is structural.
+  // memoizes BROADCASTS, not raw filters: a multi-MB filter captured
+  // directly in the membership UDF's closure would ride every task
+  // binary (nested depth-3 reductions ship several per task); the
+  // broadcast ships once per executor and is reused across probes.
+  // Lifetime is the graph attachment's — bounded by the query's table
+  // count × depth, no explicit destroy needed.
   private val bloomMemo = scala.collection.concurrent.TrieMap
-    .empty[String, org.apache.spark.util.sketch.BloomFilter]
+    .empty[String, org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]]
 
   /** Whether reducing against `t` can prune at all within `depth`: a
     * filter on t itself, or an equi-reachable filtered table below. */
@@ -829,15 +836,17 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
                 .getOrElse(throw new IllegalArgumentException(
                   s"bloomReduced: no common type for ${tc.name}:$lt vs " +
                     s"${uc.name}:$rt"))
-            val bloom = bloomMemo.getOrElseUpdate(
+            val bc = bloomMemo.getOrElseUpdate(
               s"$uTag|${uc.name}|${common.catalogString}", {
-                uDf0.select(col(uc.name).cast(common).cast("string").as("v"))
+                val bloom = uDf0
+                  .select(col(uc.name).cast(common).cast("string").as("v"))
                   .na.drop(Seq("v"))
                   .stat.bloomFilter("v",
                     math.max(stats.rowCount(statPlan(u)), 1L), 0.01)
+                uDf0.sparkSession.sparkContext.broadcast(bloom)
               })
             val contains = org.apache.spark.sql.functions.udf(
-              (s: String) => s != null && bloom.mightContainString(s))
+              (s: String) => s != null && bc.value.mightContainString(s))
             dd.filter(contains(col(tc.name).cast(common).cast("string")))
           }
         }

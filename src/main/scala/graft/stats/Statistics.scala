@@ -45,10 +45,25 @@ final class EmulatedStatistics(spark: SparkSession,
     * probe and O(cache²) per run — measured at 858 s of one spec's first
     * 1211 s of CPU once the shared cache hit 23k entries / 32 MB. Every
     * [[EmulatedStatistics.CompactEvery]] appends the WAL folds into the
-    * snapshot file via [[persistTo]] (which first merge-loads the WAL,
-    * so entries appended by a concurrent JVM survive the fold). */
+    * snapshot file via [[persistTo]] (which first merge-loads both the
+    * WAL and the current snapshot, so entries appended OR compacted by
+    * a concurrent JVM survive the fold). */
   @volatile private var autoPersistPath: Option[String] = None
-  def autoPersistTo(path: String): Unit = { autoPersistPath = Some(path) }
+  def autoPersistTo(path: String): Unit = {
+    autoPersistPath = Some(path)
+    // size-based compaction backstop: the per-instance append counter
+    // never fires across many short-lived JVMs (each appending under
+    // CompactEvery lines), so an inherited oversized WAL is folded
+    // here, where every long-lived consumer starts
+    try {
+      val wp = java.nio.file.Paths.get(walPath(path))
+      if (java.nio.file.Files.exists(wp) &&
+          java.nio.file.Files.size(wp) > EmulatedStatistics.WalCompactBytes) {
+        loadFrom(path)
+        persistTo(path)
+      }
+    } catch { case _: Throwable => }
+  }
   private val walAppends = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def walPath(path: String): String = path + ".wal"
@@ -97,8 +112,12 @@ final class EmulatedStatistics(spark: SparkSession,
           java.nio.file.StandardOpenOption.APPEND): Unit
       }
       if (walAppends.incrementAndGet() >= EmulatedStatistics.CompactEvery) {
-        walAppends.set(0)
+        // reset the counter only AFTER a successful compaction: a
+        // throwing persistTo (swallowed by persistNew) must leave the
+        // trigger armed, or a persistently failing compaction lets the
+        // WAL grow without bound
         persistTo(path)
+        walAppends.set(0)
       }
     }
 
@@ -246,14 +265,20 @@ final class EmulatedStatistics(spark: SparkSession,
               prev.foreach { case (p, v) => sc.setLocalProperty(p, v) }
             }
           }
+        // store through mergeLong, not a plain put: a concurrent
+        // disk merge (persistTo/loadWal) may have landed a success or
+        // a LARGER sentinel here, and the in-memory store must obey
+        // the same rules (success beats sentinel, larger sentinel
+        // beats smaller) or a plain put shrinks the recorded failed
+        // budget and re-enables known-futile retries
         result match {
           case Some(v) =>
-            cache.put(k, v)
+            mergeLong(k, v)
             persistNew(k, v)
             Some(v)
           case None =>
             val sentinel = -math.max(timeoutMs, 1L)
-            cache.put(k, sentinel)
+            mergeLong(k, sentinel)
             persistNew(k, sentinel)
             None
         }
@@ -403,22 +428,32 @@ final class EmulatedStatistics(spark: SparkSession,
       // coerced common type, so the rendering agrees exactly where the
       // join's equality would; only then does the overcount-only
       // guarantee hold.
-      val filtered = normalized.foldLeft(d) { case (acc, (c2, _, p, pc)) =>
-        val lt = acc.schema(acc.schema.fieldIndex(c2)).dataType
-        val rt = df(p).schema(df(p).schema.fieldIndex(pc)).dataType
-        val common =
-          if (lt == rt) lt
-          else org.apache.spark.sql.catalyst.analysis.TypeCoercion
-            .findWiderTypeForTwo(lt, rt)
-            .getOrElse(throw new IllegalArgumentException(
-              s"bloomSemijoinCount: no common type for $c2:$lt vs $pc:$rt"))
-        val bloom = df(p).select(col(pc).cast(common).cast("string").as("v"))
-          .stat.bloomFilter("v", math.max(rowCount(p), 1L), fpp)
-        val contains = org.apache.spark.sql.functions.udf(
-          (s: String) => s != null && bloom.mightContainString(s))
-        acc.filter(contains(col(c2).cast(common).cast("string")))
-      }
-      filtered.count()
+      // explicit broadcasts (destroyed after the count): a multi-MB
+      // filter captured in the UDF closure would ride EVERY task
+      // binary instead of shipping once per executor
+      val bcs = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.util.sketch.BloomFilter]]
+      try {
+        val filtered = normalized.foldLeft(d) { case (acc, (c2, _, p, pc)) =>
+          val lt = acc.schema(acc.schema.fieldIndex(c2)).dataType
+          val rt = df(p).schema(df(p).schema.fieldIndex(pc)).dataType
+          val common =
+            if (lt == rt) lt
+            else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+              .findWiderTypeForTwo(lt, rt)
+              .getOrElse(throw new IllegalArgumentException(
+                s"bloomSemijoinCount: no common type for $c2:$lt vs $pc:$rt"))
+          val bloom = df(p).select(col(pc).cast(common).cast("string").as("v"))
+            .stat.bloomFilter("v", math.max(rowCount(p), 1L), fpp)
+          val bc = spark.sparkContext.broadcast(bloom)
+          bcs += bc
+          val contains = org.apache.spark.sql.functions.udf(
+            (s: String) => s != null && bc.value.mightContainString(s))
+          acc.filter(contains(col(c2).cast(common).cast("string")))
+        }
+        filtered.count()
+      } finally bcs.foreach(_.destroy())
     }
   }
 
@@ -592,8 +627,14 @@ final class EmulatedStatistics(spark: SparkSession,
     // fold in WAL lines a CONCURRENT JVM may have appended (this JVM's
     // own appends are already in `cache`), so the snapshot about to
     // replace the WAL loses nothing another process paid a probe for;
-    // the file lock makes fold→snapshot→delete atomic against appends
+    // the file lock makes fold→snapshot→delete atomic against appends.
+    // ALSO merge-load the current snapshot file: a concurrent JVM may
+    // have compacted ITS probes into the snapshot after this JVM
+    // loaded it, and a whole-cache rewrite that ignored those entries
+    // would silently drop them (last-writer-wins) — merging first
+    // makes concurrent compactors converge instead
     try loadWal(path): Unit catch { case _: Throwable => }
+    try loadSnapshot(path): Unit catch { case _: Throwable => }
     val sb = new java.lang.StringBuilder(1 << 20)
     sb.append('[')
     var first = true
@@ -678,18 +719,24 @@ final class EmulatedStatistics(spark: SparkSession,
     n
   }
 
-  /** Pre-load cache entries previously saved with [[persistTo]] /
-    * appended by auto-persistence (snapshot file plus its WAL). */
-  def loadFrom(path: String): Int = {
-    val walN = try loadWal(path) catch { case _: Throwable => 0 }
-    if (!new java.io.File(path).exists()) return walN
+  /** Merge-load the snapshot file only (same putIfAbsent/mergeLong
+    * rules as the WAL load). */
+  private def loadSnapshot(path: String): Int = {
+    if (!new java.io.File(path).exists()) return 0
     val txt = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
     import org.json4s._
     org.json4s.jackson.JsonMethods.parse(txt) match {
-      case JArray(items) => items.map(loadItem).sum + walN
-      case _ => walN
+      case JArray(items) => items.map(loadItem).sum
+      case _ => 0
     }
+  }
+
+  /** Pre-load cache entries previously saved with [[persistTo]] /
+    * appended by auto-persistence (snapshot file plus its WAL). */
+  def loadFrom(path: String): Int = {
+    val walN = try loadWal(path) catch { case _: Throwable => 0 }
+    loadSnapshot(path) + walN
   }
 
   // StringBuilder escaper: the per-char flatMap this replaces allocated
@@ -729,6 +776,12 @@ object EmulatedStatistics {
     * WAL stays a few MB at most, and a steady-state warm run (tens of
     * new probes) never pays a whole-cache rewrite at all. */
   val CompactEvery: Int = 2000
+
+  /** WAL size (bytes) past which [[EmulatedStatistics.autoPersistTo]]
+    * folds it into the snapshot immediately — the backstop for WALs
+    * grown by many short-lived JVMs none of which reached
+    * [[CompactEvery]] appends on its own counter. */
+  val WalCompactBytes: Long = 8L << 20
 
   /** JVM-wide per-path monitors for [[EmulatedStatistics.withFileLock]]. */
   private[stats] val pathLocks =

@@ -296,6 +296,58 @@ class StatsSpec extends SparkSpec {
     assert(stats.scalarLong(empty) === Some(0L))
   }
 
+  test("concurrent compactors converge: a rewrite merges the current " +
+      "snapshot instead of last-writer-wins") {
+    val f = java.io.File.createTempFile("graft_stats_conv", ".json")
+    val nation = leafOf("nation")
+    val seed = new EmulatedStatistics(spark)
+    seed.rowCount(nation): Unit
+    seed.persistTo(f.getAbsolutePath)
+    // B loads the snapshot BEFORE A's compaction lands
+    val b = new EmulatedStatistics(spark)
+    assert(b.loadFrom(f.getAbsolutePath) >= 1)
+    // A loads, pays a probe, compacts it into the snapshot (WAL retired)
+    val a = new EmulatedStatistics(spark)
+    a.loadFrom(f.getAbsolutePath): Unit
+    val ndvA = a.distinctCount(nation, "n_name")
+    a.persistTo(f.getAbsolutePath)
+    // B now compacts ITS probe: a whole-cache rewrite that ignored the
+    // current snapshot would silently drop A's paid-for entry
+    b.maxFrequency(nation, "n_regionkey"): Unit
+    b.persistTo(f.getAbsolutePath)
+    val merged = new EmulatedStatistics(spark)
+    assert(merged.loadFrom(f.getAbsolutePath) >= 3)
+    val before = merged.cacheSize
+    assert(merged.distinctCount(nation, "n_name") === ndvA)
+    assert(merged.cacheSize === before,
+      "A's compacted entry was dropped by B's later compaction")
+    f.delete(): Unit
+  }
+
+  test("an oversized inherited WAL is folded at autoPersistTo time") {
+    val f = java.io.File.createTempFile("graft_stats_walsz", ".json")
+    f.delete()
+    val wal = new java.io.File(f.getAbsolutePath + ".wal")
+    // one valid line + enough garbage to cross the size backstop (the
+    // short-lived-JVM inheritance case: no instance ever reaches the
+    // append-counter trigger, the file must still get folded)
+    val w = new java.io.PrintWriter(wal, "UTF-8")
+    w.println("""{"plan":"p#1","tag":"count","value":42}""")
+    val junk = "x" * 4096
+    (1 to ((EmulatedStatistics.WalCompactBytes / 4096L).toInt + 8))
+      .foreach(_ => w.println(junk))
+    w.close()
+    assert(wal.length() > EmulatedStatistics.WalCompactBytes)
+    val stats = new EmulatedStatistics(spark)
+    stats.autoPersistTo(f.getAbsolutePath)
+    assert(f.exists() && !wal.exists(),
+      "oversized WAL should be compacted into the snapshot on attach")
+    val fresh = new EmulatedStatistics(spark)
+    assert(fresh.loadFrom(f.getAbsolutePath) === 1,
+      "the valid WAL entry must survive the fold (garbage dropped)")
+    f.delete(): Unit
+  }
+
   test("prewarm pins and releases relations") {
     val df = Tables.load(spark, sfDir, "nation")
     Prewarm.prewarm(df)
