@@ -945,8 +945,16 @@ object Bench {
       // *_cold_probe_ms columns price in milliseconds), plus the
       // per-probe-class breakdown so inventory growth stays
       // attributable to the probe type that grew it
+      // lifecycle census: stale_versions = loaded entries whose probe-
+      // class version was bumped (evicted at next compaction);
+      // snapshot_bytes = current on-disk size of this fingerprint's
+      // snapshot. A healthy steady state shows after_all - before ~ 0,
+      // stale 0 and flat snapshot bytes round-over-round.
+      val snapPath = s"${System.getProperty("java.io.tmpdir")}/graft_stats_cache_${Tables.dataFingerprint(sfDir)}.json"
+      val snapBytes = { val f = new java.io.File(snapPath)
+        if (f.exists()) f.length() else -1L }
       kitAcc("probe_cache_entries") =
-        s"""{"before":$probesBefore,"after_kits":$probesAfterKits,"after_all":${stats.cacheSize},"by_tag":${
+        s"""{"before":$probesBefore,"after_kits":$probesAfterKits,"after_all":${stats.cacheSize},"stale_versions":${stats.staleVersionCount},"evicted":${stats.evictedStaleCount},"snapshot_bytes":$snapBytes,"by_tag":${
           stats.cacheTagCounts.toSeq.sortBy(_._1).map { case (t, n) =>
             s""""$t":$n""" }.mkString("{", ",", "}")}}"""
     } catch {

@@ -63,6 +63,7 @@ final class EmulatedStatistics(spark: SparkSession,
         persistTo(path)
       }
     } catch { case _: Throwable => }
+    EmulatedStatistics.retentionSweep(path)
   }
   private val walAppends = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -159,6 +160,30 @@ final class EmulatedStatistics(spark: SparkSession,
     val cls = tag.takeWhile(_ != '[')
     probeClassVersions.get(cls).map(v => s"$tag@v$v").getOrElse(tag)
   }
+
+  /** Whether a (possibly disk-loaded) tag belongs to a STALE probe-class
+    * version: its trailing `@vN` differs from the class's current
+    * version, or it carries one where the class is now unversioned, or
+    * lacks the one now required. A stale entry can never match a
+    * current [[key]] — it is dead weight in memory and in every future
+    * snapshot — so compaction evicts it ([[persistTo]]); plan-shape
+    * orphans (keys whose plan no longer occurs) are NOT detectable here
+    * and are bounded instead by the snapshot retention sweep. */
+  private def staleVersion(tag: String): Boolean = {
+    val m = EmulatedStatistics.VersionSuffix.findFirstMatchIn(tag)
+    val base = m.map(x => tag.substring(0, x.start)).getOrElse(tag)
+    val cls = base.takeWhile(_ != '[')
+    probeClassVersions.get(cls) != m.map(_.group(1).toInt)
+  }
+
+  /** Census: entries currently held whose probe-class version is stale
+    * (loaded from an older snapshot, will be evicted at the next
+    * compaction). */
+  def staleVersionCount: Int = cache.keys.count(k => staleVersion(k._2))
+
+  /** Entries evicted by compactions so far (this instance). */
+  def evictedStaleCount: Long = evictedStale.get()
+  private val evictedStale = new java.util.concurrent.atomic.AtomicLong(0)
 
   // The string rendering alone is NOT collision-safe: plan.toString
   // truncates past spark.sql.maxPlanStringLength (two large plans
@@ -639,7 +664,14 @@ final class EmulatedStatistics(spark: SparkSession,
     sb.append('[')
     var first = true
     cache.toSeq.sortBy(e => (e._1._1, e._1._2)).foreach { case ((p, t), v) =>
-      renderValue(v).foreach { rendered =>
+      // stale-version eviction: entries whose probe-class version was
+      // bumped can never be served again — dropping them here (from
+      // the snapshot AND from memory) is what bounds snapshot size
+      // across version bumps instead of carrying dead entries forever
+      if (staleVersion(t)) {
+        cache.remove((p, t))
+        evictedStale.incrementAndGet(): Unit
+      } else renderValue(v).foreach { rendered =>
         if (!first) sb.append(',')
         first = false
         sb.append("{\"plan\":"); appendJstr(sb, p)
@@ -782,6 +814,40 @@ object EmulatedStatistics {
     * grown by many short-lived JVMs none of which reached
     * [[CompactEvery]] appends on its own counter. */
   val WalCompactBytes: Long = 8L << 20
+
+  private[stats] val VersionSuffix = """@v(\d+)$""".r
+
+  /** Snapshot retention: sibling cache files of the same naming scheme
+    * untouched for this many days belong to bygone data fingerprints
+    * (regenerated fixtures, deleted test dirs) — nothing keyed by the
+    * CURRENT fingerprint ever reads them, so they only accumulate
+    * (measured: 79 MB of snapshots across 3 fingerprints after two
+    * rounds). Swept at [[EmulatedStatistics.autoPersistTo]]. */
+  val RetentionDays: Int = 14
+
+  /** Delete same-directory, same-naming-scheme cache files (snapshot +
+    * WAL + lock triples) older than [[RetentionDays]]. Only fires when
+    * `path` itself follows the fingerprint scheme `<prefix>_<hex>.json`,
+    * and never touches the current path's own triple. */
+  private[stats] def retentionSweep(path: String): Unit = try {
+    val f = new java.io.File(path)
+    val dir = Option(f.getParentFile).getOrElse(return)
+    val scheme = """^(.*_)[0-9a-f]{8}\.json$""".r
+    val prefix = f.getName match {
+      case scheme(p) => p
+      case _ => return
+    }
+    val cutoff = System.currentTimeMillis() -
+      RetentionDays.toLong * 24 * 3600 * 1000
+    val member = (s"^${java.util.regex.Pattern.quote(prefix)}" +
+      """[0-9a-f]{8}\.json(\.wal|\.lock)?$""").r
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { g =>
+      val stale = member.pattern.matcher(g.getName).matches() &&
+        !g.getName.startsWith(f.getName.stripSuffix(".json")) &&
+        g.lastModified() < cutoff
+      if (stale) g.delete(): Unit
+    }
+  } catch { case _: Throwable => }
 
   /** JVM-wide per-path monitors for [[EmulatedStatistics.withFileLock]]. */
   private[stats] val pathLocks =

@@ -348,6 +348,60 @@ class StatsSpec extends SparkSpec {
     f.delete(): Unit
   }
 
+  test("compaction evicts stale-version entries from snapshot and memory") {
+    val f = java.io.File.createTempFile("graft_stats_evict", ".json")
+    val nation = leafOf("nation")
+    val old = new EmulatedStatistics(spark)
+    old.rowCount(nation): Unit
+    old.distinctCount(nation, "n_name"): Unit
+    old.persistTo(f.getAbsolutePath)
+    // a version bump orphans the persisted `count` entries: they load
+    // (census sees them) but can never match a current key, and the
+    // next compaction drops them from the snapshot and from memory
+    val bumped = new EmulatedStatistics(spark,
+      probeClassVersions = Map("count" -> 2))
+    assert(bumped.loadFrom(f.getAbsolutePath) >= 2)
+    assert(bumped.staleVersionCount >= 1, "census must see the orphan")
+    val n = bumped.rowCount(nation) // recomputes under count@v2
+    bumped.persistTo(f.getAbsolutePath)
+    assert(bumped.evictedStaleCount >= 1)
+    assert(bumped.staleVersionCount === 0,
+      "evicted orphans must leave memory too")
+    // the rewritten snapshot carries only live entries: a third
+    // instance at the same versions loads no stale rows
+    val clean = new EmulatedStatistics(spark,
+      probeClassVersions = Map("count" -> 2))
+    clean.loadFrom(f.getAbsolutePath): Unit
+    assert(clean.staleVersionCount === 0)
+    assert(clean.rowCountIfCached(nation) === Some(n))
+    f.delete(): Unit
+  }
+
+  test("retention sweep deletes only old same-scheme sibling snapshots") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sweep").toFile
+    def touch(name: String, ageDays: Int): java.io.File = {
+      val g = new java.io.File(dir, name)
+      java.nio.file.Files.writeString(g.toPath, "[]")
+      g.setLastModified(
+        System.currentTimeMillis() - ageDays.toLong * 24 * 3600 * 1000)
+      g
+    }
+    val current = touch("graft_stats_cache_aaaaaaaa.json", 30)
+    val currentWal = touch("graft_stats_cache_aaaaaaaa.json.wal", 30)
+    val oldSnap = touch("graft_stats_cache_bbbbbbbb.json", 30)
+    val oldWal = touch("graft_stats_cache_bbbbbbbb.json.wal", 30)
+    val fresh = touch("graft_stats_cache_cccccccc.json", 1)
+    val other = touch("unrelated_bbbbbbbb.json", 30)
+    val stats = new EmulatedStatistics(spark)
+    stats.autoPersistTo(current.getAbsolutePath)
+    assert(current.exists() && currentWal.exists(),
+      "the attached fingerprint's own triple must never be swept")
+    assert(!oldSnap.exists() && !oldWal.exists(),
+      "old sibling fingerprints must be swept")
+    assert(fresh.exists(), "fresh siblings stay")
+    assert(other.exists(), "files outside the naming scheme stay")
+  }
+
   test("prewarm pins and releases relations") {
     val df = Tables.load(spark, sfDir, "nation")
     Prewarm.prewarm(df)
