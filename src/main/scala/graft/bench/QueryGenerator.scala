@@ -319,4 +319,120 @@ object QueryGenerator {
     val where = (joins ++ filters ++ orClause.toSeq).mkString(" AND ")
     s"SELECT count(*) AS n FROM $from WHERE $where"
   }
+
+  // ------------------------------------------------- stats-schema walks
+
+  /** The Stats-CEB-style schema graph (reference: the Stats workload,
+    * /root/reference/postbound/workloads.py:1124-1149 — 146 queries over
+    * the Stack Exchange activity schema, Han et al. VLDB'21). Its
+    * defining traits re-expressed on the fixtures: an activity fact
+    * (`events`, ~67 rows per user) self-joining and FK-ing a user
+    * dimension chain (customer→nation→region) — the votes/comments/
+    * badges-all-FK-users shape — plus the corpus component (documents
+    * 1:1 embeddings) with LOW-NDV n:m self-join keys (label ndv 10,
+    * lang ndv 5) where independence-assuming estimators explode.
+    * Self edges (same table on both sides) let a walk place several
+    * aliases of the fact joined directly on the hub key. */
+  val statsSchemaEdges: Seq[(String, String, String, String)] = Seq(
+    ("region", "r_regionkey", "nation", "n_regionkey"),
+    ("nation", "n_nationkey", "customer", "c_nationkey"),
+    ("customer", "c_custkey", "events", "user_id"),
+    ("events", "user_id", "events", "user_id"),
+    ("documents", "doc_id", "embeddings", "vec_id"),
+    ("embeddings", "label", "embeddings", "label"),
+    ("documents", "lang", "documents", "lang"))
+
+  /** Per-table alias caps for [[statsWalkQuery]]: the fact and corpus
+    * tables repeat (Stats queries join up to 4 activity relations onto
+    * one user), dimensions do not. */
+  private val statsAliasCap: Map[String, Int] = Map(
+    "events" -> 4, "embeddings" -> 3, "documents" -> 3,
+    "customer" -> 2, "nation" -> 1, "region" -> 1)
+
+  /** Filterable columns of the stats schema; `>`/`<` on the numeric
+    * band columns, `=`/`<>` on categoricals. */
+  private val statsFilterCatalog: Map[String, Seq[String]] = Map(
+    "events" -> Seq("event_type", "value"),
+    "customer" -> Seq("c_mktsegment"),
+    "nation" -> Seq("n_regionkey"),
+    "region" -> Seq("r_name"),
+    "documents" -> Seq("lang", "source", "n_chars"),
+    "embeddings" -> Seq("label"))
+
+  private val statsNumericCols = Set("value", "n_chars", "label",
+    "n_regionkey")
+
+  /** Scale-stable literal domains of the stats-schema columns (verified
+    * identical sf0.01 vs sf0.1, like [[FixtureValueSource]]'s). */
+  private val statsDomains: Map[(String, String), Seq[String]] = Map(
+    ("events", "event_type") ->
+      Seq("click", "error", "purchase", "signup", "view").map(v => s"'$v'"),
+    ("events", "value") -> (50 to 450 by 50).map(_.toString),
+    ("documents", "lang") ->
+      Seq("de", "en", "es", "fr", "zh").map(v => s"'$v'"),
+    ("documents", "source") -> (0 until 20).map(i => s"'src$i'"),
+    ("documents", "n_chars") -> (100 to 500 by 50).map(_.toString),
+    ("embeddings", "label") -> (0 to 9).map(_.toString))
+
+  /** One aliased walk query over [[statsSchemaEdges]] — the Stats kit's
+    * generated breadth, mirroring [[aliasWalkQuery]]'s design (shell-
+    * jump walk, fresh alias per step, deterministic per seed) with the
+    * Stats traits: correlated MULTI-filter tables (two filters may land
+    * on one alias — the joint-selectivity stress Han et al. built the
+    * benchmark around) and low-ndv n:m self joins. */
+  def statsWalkQuery(seed: Long, minTables: Int = 3, maxTables: Int = 7,
+      minFilters: Int = 2, maxFilters: Int = 5,
+      values: ValueSource = FixtureValueSource): String = {
+    val rnd = new Random(seed)
+    // table -> (neighbor table, my column, neighbor's column); a self
+    // edge contributes one entry joining a fresh alias of the same table
+    val adj: Map[String, Seq[(String, String, String)]] = statsSchemaEdges
+      .flatMap(e =>
+        if (e._1 == e._3) Seq(e._1 -> ((e._3, e._2, e._4)))
+        else Seq(e._1 -> ((e._3, e._2, e._4)), e._3 -> ((e._1, e._4, e._2))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_.toString) }
+    val prefix = Map("region" -> "r", "nation" -> "n", "customer" -> "c",
+      "events" -> "e", "documents" -> "d", "embeddings" -> "v")
+    val nTables = minTables + rnd.nextInt(maxTables - minTables + 1)
+    val tableCount = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    final case class Inst(alias: String, table: String)
+    def newInst(t: String): Inst = {
+      tableCount(t) += 1
+      Inst(s"${prefix(t)}${tableCount(t)}", t)
+    }
+    // start on a repeatable table so short walks still draw the kit's
+    // defining self-join/fact shapes rather than dimension-only chains
+    val starts = Seq("events", "documents", "embeddings")
+    var insts = Vector(newInst(starts(rnd.nextInt(starts.size))))
+    var joins = Vector.empty[String]
+    var guard = 0
+    while (insts.size < nTables && guard < 200) {
+      guard += 1
+      val a = insts(rnd.nextInt(insts.size))
+      val nbrs = adj(a.table)
+      val (nt, myCol, theirCol) = nbrs(rnd.nextInt(nbrs.size))
+      if (tableCount(nt) < statsAliasCap(nt)) {
+        val b = newInst(nt)
+        insts :+= b
+        joins :+= s"${b.alias}.$theirCol = ${a.alias}.$myCol"
+      }
+    }
+    def domain(t: String, c: String): Seq[String] =
+      statsDomains.getOrElse((t, c), values.distinctValues(t, c))
+    val available = insts.flatMap(i =>
+      statsFilterCatalog.getOrElse(i.table, Seq.empty).map(c => (i, c)))
+    val nFilters = math.min(
+      minFilters + rnd.nextInt(maxFilters - minFilters + 1), available.size)
+    val filters = rnd.shuffle(available).take(nFilters).map { case (i, c) =>
+      val d = domain(i.table, c)
+      val op =
+        if (statsNumericCols(c)) (if (rnd.nextBoolean()) ">" else "<")
+        else if (rnd.nextInt(4) == 0) "<>" else "="
+      s"${i.alias}.$c $op ${d(rnd.nextInt(d.size))}"
+    }
+    val from = insts.map(i => s"${i.table} ${i.alias}").mkString(", ")
+    val where = (joins ++ filters).mkString(" AND ")
+    s"SELECT count(*) AS n FROM $from WHERE $where"
+  }
 }

@@ -178,25 +178,7 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     */
   lazy val derivedThetaEdges: Seq[JoinEdge] =
     if (!JoinGraph.constraintPropagationEnabled) Seq.empty else {
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
-      ExprId}
-    // attribute-level union-find over the equi edges' EqualTo sides
-    val parent = scala.collection.mutable.Map.empty[ExprId, ExprId]
-    val attrById = scala.collection.mutable.Map.empty[ExprId, Attribute]
-    def find(id: ExprId): ExprId = {
-      val p = parent.getOrElseUpdate(id, id)
-      if (p == id) id else { val r = find(p); parent(id) = r; r }
-    }
-    edges.foreach(_.expr match {
-      case EqualTo(a: Attribute, b: Attribute) =>
-        attrById(a.exprId) = a; attrById(b.exprId) = b
-        val (ra, rb) = (find(a.exprId), find(b.exprId))
-        if (ra != rb) parent(ra) = rb
-      case _ =>
-    })
-    val members: Map[ExprId, Seq[Attribute]] = attrById.keys.toSeq
-      .groupBy(find).view.mapValues(_.map(attrById).sortBy(_.exprId.id))
-      .toMap
+    import org.apache.spark.sql.catalyst.expressions.Attribute
     def tablesOf(e: Expression): Set[String] =
       e.references.toSeq.flatMap(a => block.attrToTable.get(a.exprId))
         .map(_.identifier).toSet
@@ -205,48 +187,68 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     val sourceConjuncts = block.joinConjuncts.filter(c =>
       c.tables.size > 2 ||
         (c.tables.size == 2 && c.equiColumns(block.attrToTable).isEmpty))
-    // cartesian product of per-attribute choices (itself plus class
-    // members on other tables), bounded per conjunct
+    // EXACTLY ONE attribute substituted, via a DIRECT EqualTo partner —
+    // the order-independent subset of Catalyst's inference. Spark's
+    // InferFiltersFromConstraints applies ONE substitution round per
+    // plan node (inferAdditionalConstraints is not a fixpoint), so a
+    // predicate rewritten through k substitutions needs k stacked join
+    // nodes above the point where all sources meet — which depends on
+    // the ENFORCED join order. Multi-substitution rewrites can
+    // therefore fire under one order and not another; a probe model
+    // that assumed them would undershoot executed actuals exactly when
+    // the order denies the extra rounds (the sw11 d3.lang='es' class).
+    // One direct-edge substitution is inferred at the topmost node
+    // (where every original condition coexists as a constraint) and
+    // pushed to the deepest join/scan where it resolves — guaranteed
+    // under every join order.
     val out = scala.collection.mutable.ArrayBuffer.empty[JoinEdge]
     val seen = scala.collection.mutable.Set.empty[(Set[String], String)]
     edges.foreach(e => seen += ((e.tables, e.expr.canonicalized.toString)))
     sourceConjuncts.foreach { c =>
       val attrs = c.expr.references.toSeq.sortBy(_.exprId.id)
-      val choices = attrs.map { a =>
-        val cls =
-          if (parent.contains(a.exprId)) members(find(a.exprId))
-          else Seq.empty
-        a +: cls.filter(b => b.exprId != a.exprId &&
-          tableOf(b) != tableOf(a))
-      }
-      if (choices.map(_.size.toLong).product <= 64L) {
-        val combos = choices.foldLeft(Seq(Seq.empty[Attribute])) {
-          (acc, cs) => for (m <- acc; b <- cs) yield m :+ b
+      for {
+        a <- attrs
+        b <- directPartners.getOrElse(a.exprId, Seq.empty)
+        if tableOf(b) != tableOf(a)
+      } {
+        val expr2 = c.expr.transform {
+          case x: Attribute if x.exprId == a.exprId => b
         }
-        combos.foreach { picked =>
-          val subst = attrs.zip(picked)
-            .filter { case (a, b) => a.exprId != b.exprId }
-            .map { case (a, b) => a.exprId -> b }.toMap
-          if (subst.nonEmpty) {
-            val expr2 = c.expr.transform {
-              case a: Attribute if subst.contains(a.exprId) => subst(a.exprId)
-            }
-            val ts2 = tablesOf(expr2)
-            val key = (ts2, expr2.canonicalized.toString)
-            if (ts2.size == 2 && !seen.contains(key)) {
-              seen += key
-              out += JoinEdge(ts2, expr2, None)
-            }
-          }
+        val ts2 = tablesOf(expr2)
+        val key = (ts2, expr2.canonicalized.toString)
+        if (ts2.size == 2 && !seen.contains(key)) {
+          seen += key
+          out += JoinEdge(ts2, expr2, None)
         }
       }
     }
     out.toSeq
   }
 
-  /** Single-table FILTER conjuncts rewritten through the attribute
-    * equivalence classes onto OTHER tables' member columns — the
-    * constant propagation Catalyst applies at execution
+  /** Direct equality partners per attribute: b is a partner of a iff
+    * `a = b` appears as an EXPLICIT EqualTo edge predicate. This is the
+    * substitution set Catalyst's single inference round draws from —
+    * union-find CLASS members reachable only transitively are not
+    * (see the one-round rationale in [[derivedThetaEdges]]). */
+  private lazy val directPartners
+      : Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+            Seq[org.apache.spark.sql.catalyst.expressions.Attribute]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
+      ExprId}
+    val adj = scala.collection.mutable.Map
+      .empty[ExprId, Vector[Attribute]].withDefaultValue(Vector.empty)
+    edges.foreach(_.expr match {
+      case EqualTo(a: Attribute, b: Attribute) =>
+        adj(a.exprId) = adj(a.exprId) :+ b
+        adj(b.exprId) = adj(b.exprId) :+ a
+      case _ =>
+    })
+    adj.view.mapValues(_.distinct.sortBy(_.exprId.id)).toMap
+  }
+
+  /** Single-table FILTER conjuncts rewritten through DIRECT equality
+    * partners onto the partner's table — the order-independent subset
+    * of the constant propagation Catalyst applies at execution
     * (InferFiltersFromConstraints substitutes equal attributes into
     * constraints): `n2.n_regionkey < 2` with `n2.n_regionkey =
     * r1.r_regionkey` executes with `r1.r_regionkey < 2` pushed into
@@ -262,29 +264,22 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     if (!JoinGraph.constraintPropagationEnabled)
       Map.empty[String, Seq[Expression]].withDefaultValue(Vector.empty)
     else {
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
-      ExprId}
-    val parent = scala.collection.mutable.Map.empty[ExprId, ExprId]
-    val attrById = scala.collection.mutable.Map.empty[ExprId, Attribute]
-    def find(id: ExprId): ExprId = {
-      val p = parent.getOrElseUpdate(id, id)
-      if (p == id) id else { val r = find(p); parent(id) = r; r }
-    }
-    edges.foreach(_.expr match {
-      case EqualTo(a: Attribute, b: Attribute) =>
-        attrById(a.exprId) = a; attrById(b.exprId) = b
-        val (ra, rb) = (find(a.exprId), find(b.exprId))
-        if (ra != rb) parent(ra) = rb
-      case _ =>
-    })
-    val members: Map[ExprId, Seq[Attribute]] = attrById.keys.toSeq
-      .groupBy(find).view.mapValues(_.map(attrById).sortBy(_.exprId.id))
-      .toMap
+    import org.apache.spark.sql.catalyst.expressions.Attribute
     def tableOf(a: Attribute): Option[String] =
       block.attrToTable.get(a.exprId).map(_.identifier)
     val out = scala.collection.mutable.Map.empty[String, Vector[Expression]]
       .withDefaultValue(Vector.empty)
     val seen = scala.collection.mutable.Set.empty[(String, String)]
+    // SINGLE-attribute filters substituted through a DIRECT EqualTo
+    // partner only — the order-independent subset of Catalyst's
+    // inference (one substitution round per node; see the rationale on
+    // [[derivedThetaEdges]]). A class-transitive rewrite (filter on t,
+    // t=u, u=w ⇒ filter on w) needs a second inference round that only
+    // exists when the enforced join order stacks the right nodes —
+    // assuming it made per-node bounds undershoot executed actuals
+    // (sw11: d3 probed 3 with the 2-hop lang filter, executed 18
+    // without it). Multi-attribute filters need one round PER
+    // substituted attribute and are excluded for the same reason.
     for {
       t <- tables
       f <- block.filtersFor(t)
@@ -294,38 +289,21 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
           .PlanExpression[_]])
       attrs = f.references.toSeq.sortBy(_.exprId.id)
-      if attrs.nonEmpty && attrs.forall(a => parent.contains(a.exprId))
+      if attrs.size == 1
+      a = attrs.head
+      b <- directPartners.getOrElse(a.exprId, Seq.empty)
+      u <- tableOf(b)
+      if !tableOf(a).contains(u)
     } {
-      val choices = attrs.map { a =>
-        members(find(a.exprId)).filter(b =>
-          b.exprId != a.exprId && tableOf(b) != tableOf(a))
+      val expr2 = f.transform {
+        case x: Attribute if x.exprId == a.exprId => b
       }
-      if (choices.nonEmpty && choices.forall(_.nonEmpty) &&
-          choices.map(_.size.toLong).product <= 64L) {
-        val combos = choices.foldLeft(Seq(Seq.empty[Attribute])) {
-          (acc, cs) => for (m <- acc; b <- cs) yield m :+ b
-        }
-        combos.foreach { picked =>
-          val subst = attrs.zip(picked).map { case (a, b) =>
-            a.exprId -> b }.toMap
-          val expr2 = f.transform {
-            case a: Attribute if subst.contains(a.exprId) => subst(a.exprId)
-          }
-          val ts2 = expr2.references.toSeq
-            .flatMap(a => block.attrToTable.get(a.exprId))
-            .map(_.identifier).distinct
-          ts2 match {
-            case Seq(u) if u != t =>
-              val key = (u, expr2.canonicalized.toString)
-              if (!seen.contains(key) &&
-                  !block.filtersFor(u).exists(
-                    _.canonicalized == expr2.canonicalized)) {
-                seen += key
-                out(u) = out(u) :+ expr2
-              }
-            case _ =>
-          }
-        }
+      val key = (u, expr2.canonicalized.toString)
+      if (!seen.contains(key) &&
+          !block.filtersFor(u).exists(
+            _.canonicalized == expr2.canonicalized)) {
+        seen += key
+        out(u) = out(u) :+ expr2
       }
     }
     out.toMap.withDefaultValue(Vector.empty)

@@ -35,8 +35,12 @@ object DebugBounds {
         case _ => Seq.empty
       }
     for (q <- args.drop(1)) {
-      val sql = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"/root/repo/workloads/job/$q.sql")), "UTF-8")
+      // named queries resolve across the kit directories (job first)
+      val path = Seq("job", "stats", "ssb", "stack")
+        .map(d => java.nio.file.Paths.get(s"/root/repo/workloads/$d/$q.sql"))
+        .find(java.nio.file.Files.exists(_))
+        .getOrElse(throw new IllegalArgumentException(s"no kit file for $q"))
+      val sql = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
       val res = pipeline.optimizeQuery(sql)
       res.df.collect()
       val est = res.joinOrder.map(cards).getOrElse(Seq.empty)

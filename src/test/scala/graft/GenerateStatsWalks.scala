@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Emits generated Stats-kit walk queries (sw01+) into workloads/stats/
+  * — `sbt "Test/runMain graft.GenerateStatsWalks <n> <firstIdx> <seed0>"`.
+  * Same validation contract as [[GenerateWalks]] (the JOB-kit widener):
+  * every emitted query must parse, run NON-EMPTY within a wall cap on
+  * sf0.01, expose a UES-optimizable equi-connected join block, and draw
+  * a join-graph signature (table multiset + edge multiset) no earlier
+  * stats-kit query used — so the widened kit covers distinct join
+  * graphs, not one graph re-filtered 50 ways. Seeds that fail any check
+  * are skipped; files carry their generating seed in the header.
+  */
+object GenerateStatsWalks {
+  def main(args: Array[String]): Unit = {
+    val want = args.headOption.map(_.toInt).getOrElse(50)
+    val firstIdx = args.lift(1).map(_.toInt).getOrElse(1)
+    var seed = args.lift(2).map(_.toLong).getOrElse(5000L)
+    val outDir = args.lift(3).getOrElse("/root/repo/workloads/stats")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.registerAll(spark, "/root/testdata/sf0.01")
+    val seen = scala.collection.mutable.Set.empty[String]
+    new java.io.File("/root/repo/workloads/stats").listFiles()
+      .filter(_.getName.endsWith(".sql")).sortBy(_.getName).foreach { f =>
+        val sql = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        signatureOf(spark, sql).foreach(seen += _)
+      }
+    // the 5 s sf0.01 wall rejects multiplicative blow-ups (low-ndv n:m
+    // self joins can go quadratic): the kit executes at sf0.1 where the
+    // same shape costs ~10-100x this
+    def timedCount(sql: String, ms: Long): Option[Long] = {
+      val group = s"genstats-${System.nanoTime()}"
+      val task = new java.util.concurrent.FutureTask(
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            spark.sparkContext.setJobGroup(group, "walk validation",
+              interruptOnCancel = true)
+            try spark.sql(sql).head().getLong(0)
+            finally spark.sparkContext.clearJobGroup()
+          }
+        })
+      val th = new Thread(task); th.setDaemon(true); th.start()
+      try Some(task.get(ms, java.util.concurrent.TimeUnit.MILLISECONDS))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          task.cancel(true); None
+        case _: Throwable => None
+      }
+    }
+    var produced = 0
+    while (produced < want && seed < 20000) {
+      val sql = graft.bench.QueryGenerator.statsWalkQuery(seed)
+      val ok = try {
+        val n = timedCount(sql, 5000L)
+        val sig = signatureOf(spark, sql)
+        val fresh = sig.exists(s => !seen.contains(s))
+        val connected = graft.qal.QueryFacade(spark, sql).joinBlock.exists {
+          b => new graft.opt.JoinGraph(b, OptQueries.statsFor(spark,
+            "/root/testdata/sf0.01")).isEquiConnected
+        }
+        if (n.exists(_ > 0) && fresh && connected) {
+          sig.foreach(seen += _); true
+        } else false
+      } catch { case _: Throwable => false }
+      if (ok) {
+        val idx = firstIdx + produced
+        val name = f"sw$idx%02d_walk_seed$seed"
+        val header =
+          s"""-- generated: QueryGenerator.statsWalkQuery(seed = $seed,
+             |--   minTables = 3, maxTables = 7, minFilters = 2, maxFilters = 5)
+             |--   over the stats activity/corpus schema; validated non-empty on sf0.01
+             |""".stripMargin
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/$name.sql"),
+          header + sql + "\n")
+        println(s"emitted $name")
+        produced += 1
+      }
+      seed += 1
+    }
+    require(produced == want, s"only $produced of $want emitted")
+    spark.stop()
+  }
+
+  /** Join-graph signature: table-occurrence multiset + undirected edge
+    * multiset over table names (alias-insensitive). */
+  private def signatureOf(spark: SparkSession, sql: String): Option[String] =
+    try graft.qal.QueryFacade(spark, sql).joinBlock.map { b =>
+      val tableOf = b.tables.map(t => t.identifier -> t.fullName).toMap
+      val tablesSig = b.tables.map(_.fullName).sorted.mkString(",")
+      val edgesSig = b.joinConjuncts.filter(_.tables.size == 2)
+        .map(c => c.tables.toSeq.map(a => tableOf.getOrElse(a, a)).sorted
+          .mkString("~")).sorted.mkString(";")
+      s"$tablesSig|$edgesSig"
+    } catch { case _: Throwable => None }
+}

@@ -23,7 +23,8 @@ class StatsWorkloadSpec extends SparkSpec {
       "match native") {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("stats", "/root/repo/workloads/stats")
-    assert(wl.size === 10)
+    assert(wl.size === 60,
+      "kit drifted: expected 10 hand-built + 50 statsWalkQuery-generated")
     val pipeline = Presets.ues(spark, OptQueries.statsFor(spark, sfDir))
     val rs = BenchHarness.executeWorkload(spark, wl,
       optimizer = pipeline.optimize _)

@@ -446,19 +446,25 @@ class UesBoundsSpec extends SparkSpec {
                  WHERE a_k = b_k AND b_k = c_k AND a_k < 3"""
     val q = QueryFacade(spark, sql)
     val graph = new JoinGraph(q.joinBlock.get, stats)
-    // the filter derives onto BOTH other members, rewritten to their
-    // own columns, and never onto its own table
-    for (t <- Seq("db", "dc"))
-      assert(graph.derivedFilters(t).size === 1,
-        s"$t: ${graph.derivedFilters(t)}")
+    // ONE-HOP contract (the r15 sw11 fix): the filter derives onto db —
+    // a_k's DIRECT EqualTo partner — but NOT onto dc, which is only
+    // class-transitively equal. Catalyst's InferFiltersFromConstraints
+    // runs one substitution round per node, so whether dc's scan gets
+    // `c_k < 3` depends on the enforced join order ((da⋈db)⋈dc: yes,
+    // via the carried inferred constraint; (db⋈dc)⋈da: no). A probe
+    // model must only assume the order-independent subset, or bounds
+    // undershoot actuals exactly when the order denies the extra round
+    // (sw11: probed 3 with the 2-hop filter, executed 18 without it).
+    assert(graph.derivedFilters("db").size === 1,
+      s"db: ${graph.derivedFilters("db")}")
+    assert(graph.derivedFilters("dc").isEmpty,
+      "2-hop derivation is order-dependent and must not be assumed")
     assert(graph.derivedFilters("da").isEmpty)
-    // the per-node bounds land exactly on the executed actuals: the
-    // first join's probe relations both carry the derived `< 3`
     val tree = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
     val actual = spark.sql(sql).head().getLong(0)
     assert(actual === 3L) // 1*1*1 + 1*1*2 = 3
-    assert(bounds(tree).last === 3.0,
-      s"root bound ${bounds(tree).last} should be exact with derived filters")
+    assert(bounds(tree).last >= 3.0,
+      s"root bound ${bounds(tree).last} below the executed actual")
   }
 
   test("fk expansion off an amplified pk side stays a true upper bound " +
