@@ -477,11 +477,25 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   private def cmsPairCard(l: String, ca: String, c: String, cb: String,
       forSelection: Boolean): Option[Double] =
     try {
-      stats.cmsJoinCountIfCached(statPlan(l), ca, statPlan(c), cb)
+      // ndv-adaptive width: CMS error is ~eps·|l| added per looked-up
+      // key, but collisions only matter against the key domain actually
+      // present — a width of ~4x the probed side's distinct count makes
+      // collisions rare regardless of eps's absolute value. The fixed
+      // 1e-5 default built 2 MB-per-row sketches for 25-key dimension
+      // columns (pure waste) while giving high-ndv fact keys no more
+      // width than their ndv needed anyway. eps = e/(4·ndv) clamped to
+      // [1e-5, 1e-2]; the ndv probe is the same cached statistic the
+      // nm term already pays for. The lower clamp keeps the width at
+      // most the old fixed default's, so high-ndv keys cost what they
+      // did before while low-ndv keys get 1000x smaller sketches.
+      val eps = math.min(1e-2, math.max(1e-5,
+        math.E / (4.0 * math.max(ndv(l, ca), 16.0))))
+      stats.cmsJoinCountIfCached(statPlan(l), ca, statPlan(c), cb, eps)
         .map(_.toDouble).orElse {
           if (forSelection || budget.exhausted) None
           else Some(budget.timed(
-            stats.cmsJoinCount(statPlan(l), ca, statPlan(c), cb)).toDouble)
+            stats.cmsJoinCount(statPlan(l), ca, statPlan(c), cb,
+              eps)).toDouble)
         }
     } catch {
       case e: InterruptedException =>
@@ -915,6 +929,90 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     }
   }
 
+  // ---- bucketized degree term (bound sketch; Cai/Balazinska/Suciu
+  // SIGMOD'19) ----------------------------------------------------------
+  // Per equi edge, the step output partitioned by the hash bucket of
+  // the join value: rows of L whose edge-class value lands in bucket b
+  // number at most Lvec[b] = min over the class's members (t, col) on
+  // JOINED tables of cntB(σt, col)[b] · mu(t) (every L row embeds a
+  // filtered t row sharing the value), each matching at most mfB(c)[b]
+  // candidate rows; symmetrically the candidate rows in b number
+  // cntB(σc)[b], each matching at most LdegB[b] = min over members of
+  // mfB(t)[b] · mu(t) L rows. Σ_b min of the two directions is what the
+  // single global (U, mf) pair provably cannot see: a selective filter
+  // (own or derived) on ANY class member zeroes its buckets — the
+  // "filtered dimension joins last" collapse — and per-bucket skew
+  // replaces the global max degree bucket-wise. Base-table sketches
+  // only (one linear pass per (relation, column), persisted), no
+  // per-subset probes — the cms tier's one-pass economics.
+  private def bucketKindOf(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => 0
+      case FloatType | DoubleType | _: DecimalType => 1
+      case StringType => 2
+      case _ => 3
+    }
+  }
+
+  /** Columns equal to `start` inside the joined subset: union-find over
+    * equi edges whose BOTH tables are joined — class equality holds in
+    * L only where the connecting edges were actually applied. */
+  private def classMembersWithin(joined: Set[String],
+      start: graft.core.ColumnRef): Seq[graft.core.ColumnRef] = {
+    import graft.core.ColumnRef
+    val within = graph.edges.filter(e => e.tables.subsetOf(joined))
+    val parent = scala.collection.mutable.Map.empty[ColumnRef, ColumnRef]
+    def find(x: ColumnRef): ColumnRef = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    within.foreach(_.equiColumns.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    })
+    val root = find(start)
+    (parent.keys.filter(find(_) == root).toSeq :+ start).distinct
+  }
+
+  private def bucketEdgeTerm(joined: Set[String], u: Double,
+      mu: Map[String, Double], ca: graft.core.ColumnRef, c: String,
+      cb: graft.core.ColumnRef): Option[Double] = try {
+    val members = classMembersWithin(joined, ca)
+      .flatMap(m => m.table.map(t => (t.identifier, m.name)))
+      .filter { case (t, _) => joined.contains(t) }
+    if (members.isEmpty) return None
+    def typeOf(t: String, col: String) = {
+      val sch = stats.relation(statPlan(t)).schema
+      sch(sch.fieldIndex(col)).dataType
+    }
+    val kinds = (members.map { case (t, col) => bucketKindOf(typeOf(t, col)) }
+      :+ bucketKindOf(typeOf(c, cb.name))).distinct
+    // bucket identity relies on equal values rendering equally: only
+    // homogeneous integral / fractional / string classes qualify
+    if (kinds.size != 1 || kinds.head == 3) return None
+    val b = graft.stats.EmulatedStatistics.BucketCount
+    val sketches = members.map { case (t, col) =>
+      val (cnt, deg) = stats.bucketSketch(statPlan(t), col)
+      (mu(t), cnt, deg)
+    }
+    val (cntC, degC) = stats.bucketSketch(statPlan(c), cb.name)
+    var total = 0.0
+    var i = 0
+    while (i < b) {
+      val lCnt = math.min(u,
+        sketches.map { case (m, cnt, _) => cnt(i) * m }.min)
+      val lDeg = sketches.map { case (m, _, deg) => deg(i) * m }.min
+      total += math.min(lCnt * degC(i), cntC(i) * lDeg)
+      i += 1
+    }
+    Some(total)
+  } catch {
+    case e: InterruptedException =>
+      Thread.currentThread().interrupt(); throw e
+    case scala.util.control.NonFatal(e)
+        if !UesBoundModel.isCancellation(e) => None
+  }
+
   def stepFor(joined: Set[String], u: Double, mu: Map[String, Double],
       c: String, forSelection: Boolean = false): Step = {
     val equi = graph.edgesBetween(joined, c).flatMap { e =>
@@ -957,6 +1055,15 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     val mcv = if (!mcvEdgeBounds) Seq.empty else equi.map {
       case (l, ca, cb) => mcvTerm(l, ca.name, mu(l), u, c, cb.name)
     }
+    // bucketized degree terms (see bucketEdgeTerm): exact + cms tiers —
+    // the bloom tier stays the strictly-cheapest configuration, so the
+    // structural bloom ≥ cms ordering is preserved (cms minimizes over
+    // a superset of bloom's terms)
+    val bucket: Seq[Double] =
+      if (!joinSketch || sketchTier == "bloom") Seq.empty
+      else equi.flatMap { case (_, ca, cb) =>
+        bucketEdgeTerm(joined, u, mu, ca, c, cb)
+      }
     // Pairwise edge-join refinement (per partner table l): every step
     // output row pairs one row of l with one candidate row, the pair
     // satisfying every l–c edge and both tables' filters — so distinct
@@ -1029,7 +1136,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       if (probeTiersOn && constraintBlind && u <= budget.maxMatchedRows)
         matchedCard(c, joined).map(_ * beta).toSeq
       else Seq.empty
-    val provisional = (Seq(u * beta, cardC * alpha) ++ nm ++ mcv ++
+    val provisional = (Seq(u * beta, cardC * alpha) ++ nm ++ mcv ++ bucket ++
       partnerRecheck ++ matched ++ pairwise).min
     // record pair wants for the scheduler, priced by the largest
     // provisional bound that asked (the slack a pair count can cut)

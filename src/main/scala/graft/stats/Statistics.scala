@@ -403,6 +403,55 @@ final class EmulatedStatistics(spark: SparkSession,
       else s
     }
 
+  /** Bucketized count/max-degree sketch of a join column — the
+    * bound-sketch statistic of Cai, Balazinska & Suciu (SIGMOD'19,
+    * "Pessimistic Cardinality Estimation: Tighter Upper Bounds for
+    * Intermediate Join Cardinalities"): the column's values hash into
+    * [[EmulatedStatistics.BucketCount]] buckets; per bucket the sketch
+    * keeps the ROW COUNT and the MAX per-value frequency (degree). A
+    * per-bucket join bound Σ_b min(cnt_l[b]·deg_c[b], cnt_c[b]·deg_l[b])
+    * then sees skew and disjoint key ranges the single global
+    * (count, max-frequency) pair provably cannot — in particular a
+    * selective filter on one side zeroes that side's buckets, zeroing
+    * the joint term bucket-by-bucket. One aggregation pass per
+    * (relation, column), linear in the input like [[maxFrequency]];
+    * result is a flat Seq[Long] (counts ++ degrees) riding the JSON
+    * disk cache. NULLs are dropped (an inner equi join never matches
+    * them). Values are canonicalized to strings before hashing
+    * (fractional types through double first), so equal values of the
+    * coercible integral/string types used as join keys land in the
+    * same bucket on both sides — the caller must not mix fractional
+    * and integral members in one bucket comparison (see
+    * bucketCompatible in opt.UesBoundModel). Never sampled: a missed
+    * heavy value would undercount a degree, the unsound direction. */
+  def bucketSketch(plan: LogicalPlan, column: String)
+      : (IndexedSeq[Long], IndexedSeq[Long]) = {
+    val b = EmulatedStatistics.BucketCount
+    val flat = memo(plan, s"bucket[$column,$b]") {
+      val d = df(plan)
+      val dt = d.schema(d.schema.fieldIndex(column)).dataType
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+      val canon = dt match {
+        case FloatType | DoubleType | _: DecimalType =>
+          col(column).cast("double").cast("string")
+        case _ => col(column).cast("string")
+      }
+      val rows = d.select(canon.as("v")).na.drop(Seq("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("f"))
+        .groupBy(pmod(xxhash64(col("v")), lit(b)).as("bk"))
+        .agg(sum(col("f")).as("cnt"), max(col("f")).as("mx"))
+        .collect()
+      val cnt = Array.fill(b)(0L)
+      val mx = Array.fill(b)(0L)
+      rows.foreach { r =>
+        val i = r.getLong(0).toInt
+        cnt(i) = r.getLong(1); mx(i) = r.getLong(2)
+      }
+      (cnt ++ mx).toVector
+    }
+    (flat.take(b), flat.drop(b))
+  }
+
   /** Bloom-approximated semijoin count — the 100 TB path for the
     * join-sketch reduction probes (opt.UesBoundModel): counts rows of
     * `plan` whose value in each listed column is (probably) present in
@@ -816,6 +865,12 @@ object EmulatedStatistics {
   val WalCompactBytes: Long = 8L << 20
 
   private[stats] val VersionSuffix = """@v(\d+)$""".r
+
+  /** Buckets per [[EmulatedStatistics.bucketSketch]]. 64 isolates every
+    * key of the low-ndv dimension/label domains (25 nations, 10 labels,
+    * 5 langs — where the bucket bound is exact) while keeping a sketch
+    * at 128 longs, ~1 KB persisted. */
+  val BucketCount: Int = 64
 
   /** Snapshot retention: sibling cache files of the same naming scheme
     * untouched for this many days belong to bygone data fingerprints

@@ -402,6 +402,46 @@ class StatsSpec extends SparkSpec {
     assert(other.exists(), "files outside the naming scheme stay")
   }
 
+  test("bucket sketch: per-bucket counts sum to the row count and " +
+      "degrees bound per-value frequencies") {
+    val stats = new EmulatedStatistics(spark)
+    val nation = leafOf("nation")
+    val (cnt, deg) = stats.bucketSketch(nation, "n_regionkey")
+    val b = EmulatedStatistics.BucketCount
+    assert(cnt.size === b && deg.size === b)
+    assert(cnt.sum === stats.rowCount(nation))
+    assert(deg.max === stats.maxFrequency(nation, "n_regionkey"))
+    // degree never exceeds its bucket's count, and empty buckets are 0/0
+    cnt.zip(deg).foreach { case (c, d) =>
+      assert(d <= c); assert((c == 0L) == (d == 0L))
+    }
+    // low-ndv exactness: 5 region keys across 64 buckets — at most 5
+    // non-empty buckets, so the per-bucket degree IS (modulo hash
+    // collisions between keys) the per-value frequency
+    assert(cnt.count(_ > 0L) <= 5)
+    // a filtered relation zeroes the dead keys' buckets — the signal
+    // the bucketized join term reads (a global max frequency cannot);
+    // built through the same leaf + Filter shape the bound model's
+    // statPlan uses
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val attr = nation.output.find(_.name == "n_regionkey").get
+    val filtered = Filter(org.apache.spark.sql.catalyst.expressions
+      .EqualTo(attr, org.apache.spark.sql.catalyst.expressions.Literal(0)),
+      nation)
+    val (fcnt, _) = stats.bucketSketch(filtered, "n_regionkey")
+    assert(fcnt.count(_ > 0L) === 1, "one surviving key = one live bucket")
+    assert(fcnt.sum === 5L)
+    // sketches ride the Seq[Long] disk cache
+    val f = java.io.File.createTempFile("graft_stats_bucket", ".json")
+    stats.persistTo(f.getAbsolutePath)
+    val fresh = new EmulatedStatistics(spark)
+    fresh.loadFrom(f.getAbsolutePath): Unit
+    val before = fresh.cacheSize
+    assert(fresh.bucketSketch(nation, "n_regionkey") === ((cnt, deg)))
+    assert(fresh.cacheSize === before, "sketch recomputed despite the cache")
+    f.delete(): Unit
+  }
+
   test("prewarm pins and releases relations") {
     val df = Tables.load(spark, sfDir, "nation")
     Prewarm.prewarm(df)
