@@ -123,10 +123,24 @@ object KitActuals {
   def isSkip(root: Double): Boolean =
     root == TimedOut || root == Crashed || root == BoundSkipped
 
+  /** Harness-semantics version, part of the cache file name: bump when
+    * the MEANING of a measured node actual changes with query text and
+    * data unchanged. v2 (r15): PlanEnforcer compiles the full
+    * equivalence-closure derived predicates into enforced plans, so
+    * per-node actuals are now the fully-implied-filtered subset
+    * cardinalities — a true data property independent of join order
+    * (v1 actuals depended on how many inference rounds Catalyst's
+    * optimizer happened to stack under the enforced order). */
+  val Version = 2
+
   def forDir(sfDir: String): KitActuals = {
     val fp = graft.Tables.dataFingerprint(sfDir)
-    val ka = new KitActuals(
-      s"${System.getProperty("java.io.tmpdir")}/graft_kit_actuals_$fp.json")
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_kit_actuals_v${Version}_$fp.json"
+    // bygone fingerprints' files only accumulate — same retention as
+    // the probe-cache snapshots
+    graft.stats.EmulatedStatistics.retentionSweep(path)
+    val ka = new KitActuals(path)
     ka.load()
     ka
   }

@@ -69,8 +69,29 @@ object PlanEnforcer {
 
     def scanPlan(identifier: String): LogicalPlan = {
       val leaf = block.leafPlan(identifier)
-      val filters = block.filtersFor(identifier)
+      // own conjuncts PLUS the equivalence-class-derived constants
+      // (JoinGraph.derivedFilters — logically implied, so results are
+      // unchanged): compiling the closure explicitly makes every scan
+      // match the bound model's probe relations BY CONSTRUCTION, under
+      // every join order. Catalyst's own InferFiltersFromConstraints
+      // only propagates one substitution hop per plan node, so a
+      // multi-hop implied constant reaches a scan only under join
+      // orders that stack the extra inference rounds — enforcement
+      // must not leave that to chance (it also strictly helps the
+      // executed plan: more rows pruned at the scan).
+      val filters = block.filtersFor(identifier) ++
+        graph.derivedFilters(identifier)
       QueryFacade.andAll(filters).map(Filter(_, leaf)).getOrElse(leaf)
+    }
+
+    // original edges plus the class-derived theta rewrites, applied at
+    // the deepest join where they resolve — same implication argument
+    // as the scan filters; the bound model's probe edges consult the
+    // identical union (UesBoundModel.probeEdges)
+    val enforceEdges = {
+      val seen = scala.collection.mutable.Set.empty[Expression]
+      (graph.edges ++ graph.derivedThetaEdges).filter(e =>
+        seen.add(e.expr.canonicalized))
     }
 
     def build(t: JoinTree[_]): (LogicalPlan, Set[String]) = t match {
@@ -80,7 +101,7 @@ object PlanEnforcer {
         val (lp, lts) = build(outer)
         val (rp, rts) = build(inner)
         val all = lts ++ rts
-        val conds = graph.edges
+        val conds = enforceEdges
           .filterNot(e => applied.contains(e.expr))
           .filter(e => e.tables.subsetOf(all) &&
             e.tables.exists(lts.contains) && e.tables.exists(rts.contains))

@@ -158,27 +158,48 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     base ++ extra.distinct
   }
 
+
   /** Non-equi join conjuncts rewritten through the attribute
-    * equivalence classes. Spark's optimizer rewrites theta predicates
-    * through join equalities and applies them at the earliest join
-    * where the rewritten form resolves — q17's `o1.o_orderkey <
-    * o2.o_orderkey` with `l2.l_orderkey = o2.o_orderkey` executes as
-    * `o1.o_orderkey < l2.l_orderkey` one join below where the original
-    * could apply — so any cardinality model that prices intermediates
-    * against EXECUTED plans must see the same implied constraints.
-    * Kept separate from [[edges]]: enforcement still compiles the
-    * original query text's predicates (Spark re-derives these itself),
-    * while the UES bound model's probe plans and step triggers consult
-    * the union. Every derived conjunct is logically implied by the
-    * original plus the equi edges, so adding one to a probe plan never
-    * changes the probed relation — only where in the join order the
-    * constraint becomes visible. Multi-table conjuncts whose
-    * substituted form lands on exactly two tables are included (a
-    * cross-table residual can collapse to an edge under substitution).
+    * equivalence classes (q17: `o1.o_orderkey < o2.o_orderkey` with
+    * `l2.l_orderkey = o2.o_orderkey` implies `o1.o_orderkey <
+    * l2.l_orderkey`, applicable one join below where the original
+    * resolves). Every derived conjunct is LOGICALLY IMPLIED by the
+    * original plus the equi edges, so applying it anywhere never
+    * changes results — only where in the join order the constraint
+    * prunes. Contract (r15): [[graft.enforce.PlanEnforcer]] compiles
+    * these EXPLICITLY into the enforced plan at the deepest join where
+    * they resolve, so the bound model's probe plans and step triggers
+    * (which consult edges ++ derivedThetaEdges) price exactly what the
+    * executed plan applies — BY CONSTRUCTION, independent of how many
+    * substitution rounds Catalyst's own InferFiltersFromConstraints
+    * would have managed under a given join order (one per node — a
+    * class-transitive rewrite is NOT otherwise guaranteed; relying on
+    * Catalyst alone made r14's probes undershoot executed actuals on
+    * the sw11 class and overshoot badly once restricted to one hop).
+    * Multi-table conjuncts whose substituted form lands on exactly two
+    * tables are included (a cross-table residual can collapse to an
+    * edge under substitution).
     */
-  lazy val derivedThetaEdges: Seq[JoinEdge] =
-    if (!JoinGraph.constraintPropagationEnabled) Seq.empty else {
-    import org.apache.spark.sql.catalyst.expressions.Attribute
+  lazy val derivedThetaEdges: Seq[JoinEdge] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
+      ExprId}
+    // attribute-level union-find over the equi edges' EqualTo sides
+    val parent = scala.collection.mutable.Map.empty[ExprId, ExprId]
+    val attrById = scala.collection.mutable.Map.empty[ExprId, Attribute]
+    def find(id: ExprId): ExprId = {
+      val p = parent.getOrElseUpdate(id, id)
+      if (p == id) id else { val r = find(p); parent(id) = r; r }
+    }
+    edges.foreach(_.expr match {
+      case EqualTo(a: Attribute, b: Attribute) =>
+        attrById(a.exprId) = a; attrById(b.exprId) = b
+        val (ra, rb) = (find(a.exprId), find(b.exprId))
+        if (ra != rb) parent(ra) = rb
+      case _ =>
+    })
+    val members: Map[ExprId, Seq[Attribute]] = attrById.keys.toSeq
+      .groupBy(find).view.mapValues(_.map(attrById).sortBy(_.exprId.id))
+      .toMap
     def tablesOf(e: Expression): Set[String] =
       e.references.toSeq.flatMap(a => block.attrToTable.get(a.exprId))
         .map(_.identifier).toSet
@@ -187,99 +208,87 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     val sourceConjuncts = block.joinConjuncts.filter(c =>
       c.tables.size > 2 ||
         (c.tables.size == 2 && c.equiColumns(block.attrToTable).isEmpty))
-    // EXACTLY ONE attribute substituted, via a DIRECT EqualTo partner —
-    // the order-independent subset of Catalyst's inference. Spark's
-    // InferFiltersFromConstraints applies ONE substitution round per
-    // plan node (inferAdditionalConstraints is not a fixpoint), so a
-    // predicate rewritten through k substitutions needs k stacked join
-    // nodes above the point where all sources meet — which depends on
-    // the ENFORCED join order. Multi-substitution rewrites can
-    // therefore fire under one order and not another; a probe model
-    // that assumed them would undershoot executed actuals exactly when
-    // the order denies the extra rounds (the sw11 d3.lang='es' class).
-    // One direct-edge substitution is inferred at the topmost node
-    // (where every original condition coexists as a constraint) and
-    // pushed to the deepest join/scan where it resolves — guaranteed
-    // under every join order.
+    // cartesian product of per-attribute choices (itself plus class
+    // members on other tables), bounded per conjunct
     val out = scala.collection.mutable.ArrayBuffer.empty[JoinEdge]
     val seen = scala.collection.mutable.Set.empty[(Set[String], String)]
     edges.foreach(e => seen += ((e.tables, e.expr.canonicalized.toString)))
     sourceConjuncts.foreach { c =>
       val attrs = c.expr.references.toSeq.sortBy(_.exprId.id)
-      for {
-        a <- attrs
-        b <- directPartners.getOrElse(a.exprId, Seq.empty)
-        if tableOf(b) != tableOf(a)
-      } {
-        val expr2 = c.expr.transform {
-          case x: Attribute if x.exprId == a.exprId => b
+      val choices = attrs.map { a =>
+        val cls =
+          if (parent.contains(a.exprId)) members(find(a.exprId))
+          else Seq.empty
+        a +: cls.filter(b => b.exprId != a.exprId &&
+          tableOf(b) != tableOf(a))
+      }
+      if (choices.map(_.size.toLong).product <= 64L) {
+        val combos = choices.foldLeft(Seq(Seq.empty[Attribute])) {
+          (acc, cs) => for (m <- acc; b <- cs) yield m :+ b
         }
-        val ts2 = tablesOf(expr2)
-        val key = (ts2, expr2.canonicalized.toString)
-        if (ts2.size == 2 && !seen.contains(key)) {
-          seen += key
-          out += JoinEdge(ts2, expr2, None)
+        combos.foreach { picked =>
+          val subst = attrs.zip(picked)
+            .filter { case (a, b) => a.exprId != b.exprId }
+            .map { case (a, b) => a.exprId -> b }.toMap
+          if (subst.nonEmpty) {
+            val expr2 = c.expr.transform {
+              case a: Attribute if subst.contains(a.exprId) => subst(a.exprId)
+            }
+            val ts2 = tablesOf(expr2)
+            val key = (ts2, expr2.canonicalized.toString)
+            if (ts2.size == 2 && !seen.contains(key)) {
+              seen += key
+              out += JoinEdge(ts2, expr2, None)
+            }
+          }
         }
       }
     }
     out.toSeq
   }
 
-  /** Direct equality partners per attribute: b is a partner of a iff
-    * `a = b` appears as an EXPLICIT EqualTo edge predicate. This is the
-    * substitution set Catalyst's single inference round draws from —
-    * union-find CLASS members reachable only transitively are not
-    * (see the one-round rationale in [[derivedThetaEdges]]). */
-  private lazy val directPartners
-      : Map[org.apache.spark.sql.catalyst.expressions.ExprId,
-            Seq[org.apache.spark.sql.catalyst.expressions.Attribute]] = {
+  /** Single-table FILTER conjuncts rewritten through the attribute
+    * equivalence classes onto OTHER tables' member columns:
+    * `n2.n_regionkey < 2` with `n2.n_regionkey = r1.r_regionkey`
+    * implies `r1.r_regionkey < 2` on r1's scan. A cardinality model
+    * probing the UN-derived relation overshoots every node containing
+    * the implied filter (gw67's n3+r1: probed 7 rows, executed 2).
+    * Each derived conjunct is logically implied by the original filter
+    * plus the equi edges, so applying it anywhere never changes
+    * results. Contract (r15, same as [[derivedThetaEdges]]):
+    * [[graft.enforce.PlanEnforcer]] pushes the FULL closure onto the
+    * compiled scans, so executed relations match the probe relations
+    * by construction under every join order — Catalyst's own
+    * InferFiltersFromConstraints only guarantees ONE substitution hop
+    * per node, which made the closure-assuming r14 probes undershoot
+    * on multi-hop chains (sw11: d3 probed 3 with the 2-hop lang
+    * filter, executed 18 without it) and the one-hop-restricted
+    * interim overshoot (q24: bound 1625x once the class rewrites
+    * stopped reaching the scans). */
+  lazy val derivedFilters: Map[String, Seq[Expression]] = {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
       ExprId}
-    val adj = scala.collection.mutable.Map
-      .empty[ExprId, Vector[Attribute]].withDefaultValue(Vector.empty)
+    val parent = scala.collection.mutable.Map.empty[ExprId, ExprId]
+    val attrById = scala.collection.mutable.Map.empty[ExprId, Attribute]
+    def find(id: ExprId): ExprId = {
+      val p = parent.getOrElseUpdate(id, id)
+      if (p == id) id else { val r = find(p); parent(id) = r; r }
+    }
     edges.foreach(_.expr match {
       case EqualTo(a: Attribute, b: Attribute) =>
-        adj(a.exprId) = adj(a.exprId) :+ b
-        adj(b.exprId) = adj(b.exprId) :+ a
+        attrById(a.exprId) = a; attrById(b.exprId) = b
+        val (ra, rb) = (find(a.exprId), find(b.exprId))
+        if (ra != rb) parent(ra) = rb
       case _ =>
     })
-    adj.view.mapValues(_.distinct.sortBy(_.exprId.id)).toMap
-  }
-
-  /** Single-table FILTER conjuncts rewritten through DIRECT equality
-    * partners onto the partner's table — the order-independent subset
-    * of the constant propagation Catalyst applies at execution
-    * (InferFiltersFromConstraints substitutes equal attributes into
-    * constraints): `n2.n_regionkey < 2` with `n2.n_regionkey =
-    * r1.r_regionkey` executes with `r1.r_regionkey < 2` pushed into
-    * r1's scan. A cardinality model probing the UN-derived relation
-    * overshoots every node containing the implied filter (gw67's
-    * n3+r1: probed 7 rows, executed 2). Each derived conjunct is
-    * logically implied by the original filter plus the equi edges, so
-    * applying it to probe relations never changes the probed query —
-    * only makes probe inputs match executed scans. Like
-    * [[derivedThetaEdges]], this feeds the bound model's statistics
-    * side only; enforcement still compiles the original query text. */
-  lazy val derivedFilters: Map[String, Seq[Expression]] =
-    if (!JoinGraph.constraintPropagationEnabled)
-      Map.empty[String, Seq[Expression]].withDefaultValue(Vector.empty)
-    else {
-    import org.apache.spark.sql.catalyst.expressions.Attribute
+    val members: Map[ExprId, Seq[Attribute]] = attrById.keys.toSeq
+      .groupBy(find).view.mapValues(_.map(attrById).sortBy(_.exprId.id))
+      .toMap
     def tableOf(a: Attribute): Option[String] =
       block.attrToTable.get(a.exprId).map(_.identifier)
     val out = scala.collection.mutable.Map.empty[String, Vector[Expression]]
       .withDefaultValue(Vector.empty)
     val seen = scala.collection.mutable.Set.empty[(String, String)]
-    // SINGLE-attribute filters substituted through a DIRECT EqualTo
-    // partner only — the order-independent subset of Catalyst's
-    // inference (one substitution round per node; see the rationale on
-    // [[derivedThetaEdges]]). A class-transitive rewrite (filter on t,
-    // t=u, u=w ⇒ filter on w) needs a second inference round that only
-    // exists when the enforced join order stacks the right nodes —
-    // assuming it made per-node bounds undershoot executed actuals
-    // (sw11: d3 probed 3 with the 2-hop lang filter, executed 18
-    // without it). Multi-attribute filters need one round PER
-    // substituted attribute and are excluded for the same reason.
     for {
       t <- tables
       f <- block.filtersFor(t)
@@ -289,21 +298,38 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
           .PlanExpression[_]])
       attrs = f.references.toSeq.sortBy(_.exprId.id)
-      if attrs.size == 1
-      a = attrs.head
-      b <- directPartners.getOrElse(a.exprId, Seq.empty)
-      u <- tableOf(b)
-      if !tableOf(a).contains(u)
+      if attrs.nonEmpty && attrs.forall(a => parent.contains(a.exprId))
     } {
-      val expr2 = f.transform {
-        case x: Attribute if x.exprId == a.exprId => b
+      val choices = attrs.map { a =>
+        members(find(a.exprId)).filter(b =>
+          b.exprId != a.exprId && tableOf(b) != tableOf(a))
       }
-      val key = (u, expr2.canonicalized.toString)
-      if (!seen.contains(key) &&
-          !block.filtersFor(u).exists(
-            _.canonicalized == expr2.canonicalized)) {
-        seen += key
-        out(u) = out(u) :+ expr2
+      if (choices.nonEmpty && choices.forall(_.nonEmpty) &&
+          choices.map(_.size.toLong).product <= 64L) {
+        val combos = choices.foldLeft(Seq(Seq.empty[Attribute])) {
+          (acc, cs) => for (m <- acc; b <- cs) yield m :+ b
+        }
+        combos.foreach { picked =>
+          val subst = attrs.zip(picked).map { case (a, b) =>
+            a.exprId -> b }.toMap
+          val expr2 = f.transform {
+            case a: Attribute if subst.contains(a.exprId) => subst(a.exprId)
+          }
+          val ts2 = expr2.references.toSeq
+            .flatMap(a => block.attrToTable.get(a.exprId))
+            .map(_.identifier).distinct
+          ts2 match {
+            case Seq(u) if u != t =>
+              val key = (u, expr2.canonicalized.toString)
+              if (!seen.contains(key) &&
+                  !block.filtersFor(u).exists(
+                    _.canonicalized == expr2.canonicalized)) {
+                seen += key
+                out(u) = out(u) :+ expr2
+              }
+            case _ =>
+          }
+        }
       }
     }
     out.toMap.withDefaultValue(Vector.empty)
@@ -325,16 +351,3 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
   }
 }
 
-object JoinGraph {
-  /** Whether Catalyst's InferFiltersFromConstraints is active in the
-    * current session. The derived-constraint rewrites above
-    * ([[JoinGraph.derivedThetaEdges]], [[JoinGraph.derivedFilters]])
-    * are sound as EXECUTED-plan descriptions only because Catalyst
-    * infers and pushes the same substituted predicates at execution;
-    * with `spark.sql.constraintPropagation.enabled=false` (non-default)
-    * the executed scans stay unfiltered, so probing against derived
-    * filters would let per-node bounds undershoot measured actuals.
-    * Gating here keeps the soundness contract under any session conf. */
-  private[opt] def constraintPropagationEnabled: Boolean =
-    org.apache.spark.sql.internal.SQLConf.get.constraintPropagationEnabled
-}

@@ -884,7 +884,7 @@ object EmulatedStatistics {
     * WAL + lock triples) older than [[RetentionDays]]. Only fires when
     * `path` itself follows the fingerprint scheme `<prefix>_<hex>.json`,
     * and never touches the current path's own triple. */
-  private[stats] def retentionSweep(path: String): Unit = try {
+  private[graft] def retentionSweep(path: String): Unit = try {
     val f = new java.io.File(path)
     val dir = Option(f.getParentFile).getOrElse(return)
     val scheme = """^(.*_)[0-9a-f]{8}\.json$""".r

@@ -100,6 +100,46 @@ class EnforcementSpec extends SparkSpec {
     assert(sameResults(df, spark.sql(sql)))
   }
 
+  test("compiled plans apply the full derived-predicate closure under " +
+      "every join order") {
+    // the r15 contract (JoinGraph.derivedFilters scaladoc): a constant
+    // filter on one equivalence-class member must reach EVERY member's
+    // compiled scan — including 2-hop members, under a join order
+    // where Catalyst's one-round-per-node inference provably cannot
+    // push it (the sw11 class: (db⋈dc) joined before da arrives).
+    Tables.registerAll(spark, sfDir)
+    import spark.implicits._
+    Seq(1, 2, 3, 4).toDF("a_k").createOrReplaceTempView("da")
+    Seq(1, 2, 3, 4, 4).toDF("b_k").createOrReplaceTempView("db")
+    (1 to 4).flatMap(k => Seq.fill(k)(k)).toDF("c_k")
+      .createOrReplaceTempView("dc")
+    val sql = """SELECT count(*) AS n FROM da, db, dc
+                 WHERE a_k = b_k AND b_k = c_k AND a_k < 3"""
+    val q = QueryFacade(spark, sql)
+    val graph = new JoinGraph(q.joinBlock.get, stats)
+    // worst-case order for Catalyst inference: dc deepest, da last
+    val order = Seq("dc", "db", "da")
+    val tree = JoinTree.leftDeep(order.map(t =>
+      q.joinBlock.get.tables.find(_.identifier == t).get))
+    val df = PlanEnforcer.enforce(q, graph, tree,
+      PhysicalOperatorAssignment(defaultJoin = Some(JoinOperator.HashJoin)))
+    assert(sameResults(df, spark.sql(sql)))
+    // every scan carries the closure constant: da its own a_k < 3, db
+    // the derived b_k < 3, dc the derived c_k < 3 — asserted on the
+    // ANALYZED plan (the compiled shape): the optimizer may then fold
+    // a Filter-over-LocalRelation away entirely, which is downstream
+    // of the contract under test
+    val analyzed = df.queryExecution.analyzed
+    val filterStrings = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.toString
+    }
+    for (col <- Seq("a_k", "b_k", "c_k"))
+      assert(filterStrings.exists(s => s.contains(col) && s.contains("< 3")),
+        s"closure constant on $col missing from the compiled plan: " +
+          filterStrings.mkString(" | "))
+  }
+
   test("UES pipeline produces a left-deep tree with finite bounds") {
     Tables.registerAll(spark, sfDir)
     val sql = """SELECT n_name, count(*) AS c

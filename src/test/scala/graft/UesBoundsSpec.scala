@@ -446,25 +446,25 @@ class UesBoundsSpec extends SparkSpec {
                  WHERE a_k = b_k AND b_k = c_k AND a_k < 3"""
     val q = QueryFacade(spark, sql)
     val graph = new JoinGraph(q.joinBlock.get, stats)
-    // ONE-HOP contract (the r15 sw11 fix): the filter derives onto db —
-    // a_k's DIRECT EqualTo partner — but NOT onto dc, which is only
-    // class-transitively equal. Catalyst's InferFiltersFromConstraints
-    // runs one substitution round per node, so whether dc's scan gets
-    // `c_k < 3` depends on the enforced join order ((da⋈db)⋈dc: yes,
-    // via the carried inferred constraint; (db⋈dc)⋈da: no). A probe
-    // model must only assume the order-independent subset, or bounds
-    // undershoot actuals exactly when the order denies the extra round
-    // (sw11: probed 3 with the 2-hop filter, executed 18 without it).
-    assert(graph.derivedFilters("db").size === 1,
-      s"db: ${graph.derivedFilters("db")}")
-    assert(graph.derivedFilters("dc").isEmpty,
-      "2-hop derivation is order-dependent and must not be assumed")
+    // FULL-CLOSURE contract (r15): the filter derives onto BOTH class
+    // members — including the 2-hop dc — because PlanEnforcer compiles
+    // the closure into the enforced scans explicitly. Catalyst's own
+    // InferFiltersFromConstraints runs one substitution round per plan
+    // node, so whether dc's scan would get `c_k < 3` from Catalyst
+    // alone depends on the enforced join order ((da⋈db)⋈dc: yes, via
+    // the carried inferred constraint; (db⋈dc)⋈da: no) — the sw11
+    // probed-3-executed-18 bug. Enforcing the closure makes executed
+    // scans match probe relations by construction, under every order
+    // (EnforcementSpec pins the compiled-scan side).
+    for (t <- Seq("db", "dc"))
+      assert(graph.derivedFilters(t).size === 1,
+        s"$t: ${graph.derivedFilters(t)}")
     assert(graph.derivedFilters("da").isEmpty)
     val tree = new UESJoinOrderOptimizer().optimizeJoinOrder(q, graph).get
     val actual = spark.sql(sql).head().getLong(0)
     assert(actual === 3L) // 1*1*1 + 1*1*2 = 3
-    assert(bounds(tree).last >= 3.0,
-      s"root bound ${bounds(tree).last} below the executed actual")
+    assert(bounds(tree).last === 3.0,
+      s"root bound ${bounds(tree).last} should be exact with derived filters")
   }
 
   test("fk expansion off an amplified pk side stays a true upper bound " +
