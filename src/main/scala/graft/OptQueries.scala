@@ -366,6 +366,22 @@ object OptQueries {
         stats = statsFor(s, dir)).optimize(jobSql("gw07_walk_seed10"))
     },
 
+    // UES (cms sketch tier, exercising the bucketized degree terms on
+    // low-ndv lang/label keys) on the stats-kit walk whose 2-hop
+    // derived lang constant exposed the r15 order-dependent-inference
+    // bug (sw11: probed 3 rows with the closure filter, executed 18
+    // without it). The gate pins the whole repaired contract end to
+    // end: PlanEnforcer compiles the closure into the scans, the
+    // probe relations assume the same closure, and the enforced
+    // result still hashes exactly to the oracle's.
+    "opt28_ues_closure_bucket" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new MultiStageOptimizationPipeline(s,
+        joinOrder = Some(new UESJoinOrderOptimizer(sketchTier = "cms")),
+        operators = Some(new UESOperatorSelection),
+        stats = statsFor(s, dir)).optimize(statsSql("sw11_walk_seed5015"))
+    },
+
     // TrainingDataRepository warm start: execute natively ONCE, harvest
     // per-join (path, operator, actual-rows) samples from the executed
     // plan's SQLMetrics, persist them to the parquet-backed repository,
@@ -558,6 +574,7 @@ object OptQueries {
     "opt25_ues_alias_walk" -> jobSql("gw23_alias_seed114"),
     "opt26_ues_clone_clique" -> jobSql("gw73_alias_seed227"),
     "opt27_ues_cms_tier" -> jobSql("gw07_walk_seed10"),
+    "opt28_ues_closure_bucket" -> statsSql("sw11_walk_seed5015"),
     "opt21_ues_stack_funnel" -> stackSql("q01_funnel_3step"),
     "tr01_training_warmstart" -> flagshipSql,
     "tr02_training_bao" -> flagshipSql,

@@ -19,7 +19,7 @@ class GateContractSpec extends AnyFunSuite {
     // pinned to the actual registered count (update when adding queries):
     // a silent shrink — a dropped map entry, a shadowed key — must fail CI,
     // not just lower a generous floor
-    assert(q.size >= 201, s"gate shrank to ${q.size} queries (floor 201)")
+    assert(q.size >= 202, s"gate shrank to ${q.size} queries (floor 202)")
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(sql.trim.nonEmpty, s"empty oracle for $k")
     }
