@@ -29,6 +29,22 @@ final class KitActuals(path: String) {
   def get(label: String, sha: String): Option[(Double, Map[String, Double])] =
     cache.get((label, sha))
 
+  /** Execution-feasibility sentinel rows ([[KitActuals.TimedOut]] /
+    * [[KitActuals.Crashed]]) — see the version-migration in
+    * [[KitActuals.forDir]]. */
+  def skipSentinels: Seq[(String, String, Double)] =
+    cache.toSeq.collect {
+      case ((l, s), (root, _))
+          if root == KitActuals.TimedOut || root == KitActuals.Crashed =>
+        (l, s, root)
+    }
+
+  /** Adopt a sentinel from an older-version cache without clobbering a
+    * measured entry. */
+  def adoptSentinel(label: String, sha: String, root: Double): Unit =
+    if (cache.putIfAbsent((label, sha), (root, Map.empty)).isEmpty)
+      try persist() catch { case _: Throwable => }
+
   /** Merge `nodes` into the entry (keeps actuals for table subsets an
     * earlier tree shape produced) and persist atomically. */
   def put(label: String, sha: String, root: Double,
@@ -142,6 +158,26 @@ object KitActuals {
     graft.stats.EmulatedStatistics.retentionSweep(path)
     val ka = new KitActuals(path)
     ka.load()
+    // migrate execution-feasibility sentinels (TimedOut/Crashed) from
+    // the previous version's file: they record that a query's
+    // EXECUTION wedged the JVM or outran the cap — a property of the
+    // query text and data, unaffected by the node-actuals semantics a
+    // version bump changes. Without this, every bump re-attempts the
+    // known JVM-killers (observed at the v2 bump: the gw77 re-attempt
+    // GC-wedged a 40 GiB bench JVM). Measured values do NOT migrate —
+    // re-measuring them is the bump's whole point.
+    val prevPath =
+      if (Version == 2)
+        s"${System.getProperty("java.io.tmpdir")}/graft_kit_actuals_$fp.json"
+      else s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_kit_actuals_v${Version - 1}_$fp.json"
+    if (new java.io.File(prevPath).exists()) {
+      val prev = new KitActuals(prevPath)
+      prev.load()
+      prev.skipSentinels.foreach { case (l, s, root) =>
+        ka.adoptSentinel(l, s, root)
+      }
+    }
     ka
   }
 
