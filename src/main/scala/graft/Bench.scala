@@ -329,8 +329,16 @@ object Bench {
     // clean capture: before 0.145 / after 0.065), so before/after
     // disagreement alone would promote adj on healthy runs and
     // systematically lower the headline. Mid/after samples run hot —
-    // spread among them is genuine machine drift.
-    val runLoaded = canarySamples.map(_._2).exists(_ > canaryBest * 1.3)
+    // spread among them is genuine machine drift. Detection reads the
+    // MEDIAN of those samples (one ±15 ms scheduling wobble on a
+    // ~50 ms canary must not flip the declared headline off-protocol;
+    // observed clean-run spread 0.045-0.066 s) plus a strong
+    // any-sample trigger for r13-class stalls (4x drift).
+    val hotSamples = canarySamples.map(_._2).filter(_ > 0)
+    val runLoaded = hotSamples.nonEmpty && {
+      val med = hotSamples.sorted.apply(hotSamples.size / 2)
+      med > canaryBest * 1.3 || hotSamples.max > canaryBest * 2.0
+    }
     val headlineValue = if (runLoaded) totalAdj else total
     val estimatorNote =
       if (runLoaded)
