@@ -3,14 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Emits generated Stats-kit walk queries (sw01+) into workloads/stats/
-  * — `sbt "Test/runMain graft.GenerateStatsWalks <n> <firstIdx> <seed0>"`.
+  * — `sbt "Test/runMain graft.GenerateStatsWalks <n> <firstIdx> <seed0>
+  * [outDir] [maxPerSignature]"`.
   * Same validation contract as [[GenerateWalks]] (the JOB-kit widener):
   * every emitted query must parse, run NON-EMPTY within a wall cap on
   * sf0.01, expose a UES-optimizable equi-connected join block, and draw
-  * a join-graph signature (table multiset + edge multiset) no earlier
-  * stats-kit query used — so the widened kit covers distinct join
-  * graphs, not one graph re-filtered 50 ways. Seeds that fail any check
-  * are skipped; files carry their generating seed in the header.
+  * a join-graph signature (table multiset + edge multiset) used by
+  * fewer than `maxPerSignature` earlier stats-kit queries. The default
+  * (1) demands distinct join graphs; the schema saturates near ~110
+  * distinct walk graphs, so topping the kit up to the reference's
+  * 146-query Stats-CEB breadth (workloads.py:1124-1149) uses
+  * maxPerSignature=3 — which is also Stats-CEB's own shape: its 146
+  * queries are correlated-FILTER variations over a modest set of join
+  * graphs, not 146 distinct graphs. Re-used graphs must still differ in
+  * full SQL text (seed-distinct filters), enforced by a text-hash set.
+  * Seeds that fail any check are skipped; files carry their generating
+  * seed in the header.
   */
 object GenerateStatsWalks {
   def main(args: Array[String]): Unit = {
@@ -18,17 +26,26 @@ object GenerateStatsWalks {
     val firstIdx = args.lift(1).map(_.toInt).getOrElse(1)
     var seed = args.lift(2).map(_.toLong).getOrElse(5000L)
     val outDir = args.lift(3).getOrElse("/root/repo/workloads/stats")
+    val maxPerSig = args.lift(4).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.registerAll(spark, "/root/testdata/sf0.01")
-    val seen = scala.collection.mutable.Set.empty[String]
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val texts = scala.collection.mutable.Set.empty[String]
+    val usedSeeds = scala.collection.mutable.Set.empty[Long]
+    val seedRe = """_seed(\d+)\.sql$""".r
     new java.io.File("/root/repo/workloads/stats").listFiles()
       .filter(_.getName.endsWith(".sql")).sortBy(_.getName).foreach { f =>
         val sql = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        signatureOf(spark, sql).foreach(seen += _)
+        signatureOf(spark, sql).foreach(s => seen(s) = seen.getOrElse(s, 0) + 1)
+        // the body below the "-- generated:" header lines, normalized
+        texts += sql.linesIterator.filterNot(_.startsWith("--"))
+          .mkString("\n").trim
+        seedRe.findFirstMatchIn(f.getName).foreach(m =>
+          usedSeeds += m.group(1).toLong)
       }
     // the 5 s sf0.01 wall rejects multiplicative blow-ups (low-ndv n:m
     // self joins can go quadratic): the kit executes at sf0.1 where the
@@ -55,19 +72,24 @@ object GenerateStatsWalks {
     }
     var produced = 0
     while (produced < want && seed < 20000) {
-      val sql = graft.bench.QueryGenerator.statsWalkQuery(seed)
-      val ok = try {
+      val sql =
+        if (usedSeeds.contains(seed)) "" // already emitted by an earlier pass
+        else graft.bench.QueryGenerator.statsWalkQuery(seed)
+      val ok = sql.nonEmpty && (try {
         val n = timedCount(sql, 5000L)
         val sig = signatureOf(spark, sql)
-        val fresh = sig.exists(s => !seen.contains(s))
+        val fresh = sig.exists(s => seen.getOrElse(s, 0) < maxPerSig) &&
+          !texts.contains(sql.trim)
         val connected = graft.qal.QueryFacade(spark, sql).joinBlock.exists {
           b => new graft.opt.JoinGraph(b, OptQueries.statsFor(spark,
             "/root/testdata/sf0.01")).isEquiConnected
         }
         if (n.exists(_ > 0) && fresh && connected) {
-          sig.foreach(seen += _); true
+          sig.foreach(s => seen(s) = seen.getOrElse(s, 0) + 1)
+          texts += sql.trim
+          true
         } else false
-      } catch { case _: Throwable => false }
+      } catch { case _: Throwable => false })
       if (ok) {
         val idx = firstIdx + produced
         val name = f"sw$idx%02d_walk_seed$seed"

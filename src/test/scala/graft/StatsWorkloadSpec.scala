@@ -23,8 +23,11 @@ class StatsWorkloadSpec extends SparkSpec {
       "match native") {
     Tables.registerAll(spark, sfDir)
     val wl = Workload.fromDirectory("stats", "/root/repo/workloads/stats")
-    assert(wl.size === 60,
-      "kit drifted: expected 10 hand-built + 50 statsWalkQuery-generated")
+    assert(wl.size === 146,
+      "kit drifted: expected 10 hand-built + 136 statsWalkQuery-generated " +
+        "(146 = the reference Stats-CEB workload's query count, " +
+        "workloads.py:1124-1149; ≤3 filter-variants per join-graph " +
+        "signature, mirroring Stats-CEB's correlated-filter shape)")
     val pipeline = Presets.ues(spark, OptQueries.statsFor(spark, sfDir))
     val rs = BenchHarness.executeWorkload(spark, wl,
       optimizer = pipeline.optimize _)

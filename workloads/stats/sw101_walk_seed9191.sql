@@ -1,0 +1,4 @@
+-- generated: QueryGenerator.statsWalkQuery(seed = 9191,
+--   minTables = 3, maxTables = 7, minFilters = 2, maxFilters = 5)
+--   over the stats activity/corpus schema; validated non-empty on sf0.01
+SELECT count(*) AS n FROM events e1, customer c1, events e2, events e3, nation n1, events e4 WHERE c1.c_custkey = e1.user_id AND e2.user_id = c1.c_custkey AND e3.user_id = c1.c_custkey AND n1.n_nationkey = c1.c_nationkey AND e4.user_id = c1.c_custkey AND e4.event_type = 'click' AND n1.n_regionkey > 3 AND e3.event_type = 'error' AND e1.value > 50 AND e2.event_type <> 'purchase'

@@ -1,0 +1,4 @@
+-- generated: QueryGenerator.statsWalkQuery(seed = 5007,
+--   minTables = 3, maxTables = 7, minFilters = 2, maxFilters = 5)
+--   over the stats activity/corpus schema; validated non-empty on sf0.01
+SELECT count(*) AS n FROM documents d1, embeddings v1, embeddings v2 WHERE v1.vec_id = d1.doc_id AND v2.label = v1.label AND v1.label < 8 AND d1.source = 'src4'

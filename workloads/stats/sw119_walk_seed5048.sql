@@ -1,0 +1,4 @@
+-- generated: QueryGenerator.statsWalkQuery(seed = 5048,
+--   minTables = 3, maxTables = 7, minFilters = 2, maxFilters = 5)
+--   over the stats activity/corpus schema; validated non-empty on sf0.01
+SELECT count(*) AS n FROM events e1, customer c1, customer c2, events e2, nation n1, events e3 WHERE c1.c_custkey = e1.user_id AND c2.c_custkey = e1.user_id AND e2.user_id = c2.c_custkey AND n1.n_nationkey = c1.c_nationkey AND e3.user_id = e1.user_id AND e2.event_type = 'error' AND e1.value < 350 AND e3.value > 350 AND e3.event_type <> 'error'

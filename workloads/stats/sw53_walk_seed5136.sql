@@ -1,0 +1,4 @@
+-- generated: QueryGenerator.statsWalkQuery(seed = 5136,
+--   minTables = 3, maxTables = 7, minFilters = 2, maxFilters = 5)
+--   over the stats activity/corpus schema; validated non-empty on sf0.01
+SELECT count(*) AS n FROM events e1, events e2, events e3, events e4, customer c1, customer c2 WHERE e2.user_id = e1.user_id AND e3.user_id = e2.user_id AND e4.user_id = e2.user_id AND c1.c_custkey = e2.user_id AND c2.c_custkey = e3.user_id AND c1.c_mktsegment <> 'BUILDING' AND e3.event_type = 'purchase' AND e1.event_type = 'view' AND e3.value > 250 AND e4.event_type = 'purchase'

@@ -1,0 +1,4 @@
+-- generated: QueryGenerator.statsWalkQuery(seed = 5146,
+--   minTables = 3, maxTables = 7, minFilters = 2, maxFilters = 5)
+--   over the stats activity/corpus schema; validated non-empty on sf0.01
+SELECT count(*) AS n FROM events e1, events e2, customer c1, customer c2, nation n1 WHERE e2.user_id = e1.user_id AND c1.c_custkey = e2.user_id AND c2.c_custkey = e1.user_id AND n1.n_nationkey = c1.c_nationkey AND e1.value > 250 AND c1.c_mktsegment = 'BUILDING' AND e1.event_type = 'error'

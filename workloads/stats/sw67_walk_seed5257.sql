@@ -1,0 +1,4 @@
+-- generated: QueryGenerator.statsWalkQuery(seed = 5257,
+--   minTables = 3, maxTables = 7, minFilters = 2, maxFilters = 5)
+--   over the stats activity/corpus schema; validated non-empty on sf0.01
+SELECT count(*) AS n FROM embeddings v1, documents d1, embeddings v2, documents d2, embeddings v3 WHERE d1.doc_id = v1.vec_id AND v2.vec_id = d1.doc_id AND d2.doc_id = v1.vec_id AND v3.vec_id = d1.doc_id AND v2.label < 8 AND v1.label < 5

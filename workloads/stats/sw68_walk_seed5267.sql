@@ -1,0 +1,4 @@
+-- generated: QueryGenerator.statsWalkQuery(seed = 5267,
+--   minTables = 3, maxTables = 7, minFilters = 2, maxFilters = 5)
+--   over the stats activity/corpus schema; validated non-empty on sf0.01
+SELECT count(*) AS n FROM events e1, customer c1, nation n1, region r1, customer c2 WHERE c1.c_custkey = e1.user_id AND n1.n_nationkey = c1.c_nationkey AND r1.r_regionkey = n1.n_regionkey AND c2.c_nationkey = n1.n_nationkey AND c1.c_mktsegment = 'BUILDING' AND c2.c_mktsegment <> 'AUTOMOBILE' AND e1.event_type = 'error'

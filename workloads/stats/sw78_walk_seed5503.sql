@@ -1,0 +1,4 @@
+-- generated: QueryGenerator.statsWalkQuery(seed = 5503,
+--   minTables = 3, maxTables = 7, minFilters = 2, maxFilters = 5)
+--   over the stats activity/corpus schema; validated non-empty on sf0.01
+SELECT count(*) AS n FROM events e1, customer c1, events e2, events e3 WHERE c1.c_custkey = e1.user_id AND e2.user_id = c1.c_custkey AND e3.user_id = c1.c_custkey AND e2.event_type = 'view' AND e3.value > 300

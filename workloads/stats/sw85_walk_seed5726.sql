@@ -1,0 +1,4 @@
+-- generated: QueryGenerator.statsWalkQuery(seed = 5726,
+--   minTables = 3, maxTables = 7, minFilters = 2, maxFilters = 5)
+--   over the stats activity/corpus schema; validated non-empty on sf0.01
+SELECT count(*) AS n FROM events e1, customer c1, nation n1, customer c2, region r1, events e2, events e3 WHERE c1.c_custkey = e1.user_id AND n1.n_nationkey = c1.c_nationkey AND c2.c_nationkey = n1.n_nationkey AND r1.r_regionkey = n1.n_regionkey AND e2.user_id = e1.user_id AND e3.user_id = e1.user_id AND e2.value > 100 AND e1.value < 350 AND e3.value < 300 AND r1.r_name = 'AFRICA' AND c1.c_mktsegment = 'BUILDING'
