@@ -333,18 +333,24 @@ object Bench {
     // MEDIAN of those samples (one ±15 ms scheduling wobble on a
     // ~50 ms canary must not flip the declared headline off-protocol;
     // observed clean-run spread 0.045-0.066 s) plus a strong
-    // any-sample trigger for r13-class stalls (4x drift).
+    // any-sample trigger for r13-class stalls (4x drift). The median
+    // bar is 1.4x (the drift level the r14 verdict set for action),
+    // not lower: a controlled otherwise-idle run still showed
+    // med/min = 1.31 across min-of-3 hot samples — single-JVM heap
+    // aging, which the engine's own queries pay too and which a rebase
+    // would wrongly excuse. 1.4x sustained has only appeared under
+    // genuine external load (r13: 4x, r14: 1.6x).
     val hotSamples = canarySamples.map(_._2).filter(_ > 0)
     val runLoaded = hotSamples.nonEmpty && {
       val med = hotSamples.sorted.apply(hotSamples.size / 2)
-      med > canaryBest * 1.3 || hotSamples.max > canaryBest * 2.0
+      med > canaryBest * 1.4 || hotSamples.max > canaryBest * 2.0
     }
     val headlineValue = if (runLoaded) totalAdj else total
     val estimatorNote =
       if (runLoaded)
         "canary-rebased trimmed min (ADJ-PRIMARY: run canaries drifted " +
-          ">1.3x, a median-sum would bill machine load to queries; " +
-          "protocol median-sum rides as total_median)"
+          ">1.4x sustained, a median-sum would bill machine load to " +
+          "queries; protocol median-sum rides as total_median)"
       else
         "sum of per-query medians (protocol); total_adj = canary-rebased " +
           "trimmed min"
@@ -469,12 +475,19 @@ object Bench {
     val kitExecCapMs: Long = sys.env.get("SPARK_GRAFT_KIT_EXEC_CAP_MS")
       .map(_.toLong).getOrElse(180000L)
     // executions whose SOUND cardinality bound already exceeds this are
-    // never attempted: with bound ≥ actual pinned kit-wide and the kit's
-    // observed looseness ≤ ~1e3, a 1e13-row bound implies a true result
-    // far past what the cap could execute — attempting it risks the JVM
-    // (multiplicative fan-outs OOM faster than the cap can fire)
+    // never attempted: with bound ≥ actual pinned kit-wide, a bound past
+    // the gate implies a true result beyond what the cap could execute —
+    // attempting it burns the full cap and risks the JVM (multiplicative
+    // fan-outs OOM faster than the cap can fire). Calibration moved with
+    // bound tightness: the 1e13 default dated from ~1e3-loose bounds;
+    // at the r15 kit tightness (median 1.00 / max 1.04, bound ≈ actual)
+    // the gate must sit near the cap's real execution ceiling — ~1e8
+    // joined rows/s × 180 s ≈ 2e10 (measured: gw31's 8e12-bound clique
+    // slipped under the old gate and burned the cap at 48 GiB; its true
+    // count is ~1e12). A query that ever measured successfully stays
+    // exempt (see below), so a loose bound can't retire a feasible row.
     val kitExecBoundGate: Double = sys.env
-      .get("SPARK_GRAFT_KIT_EXEC_BOUND_GATE").map(_.toDouble).getOrElse(1e13)
+      .get("SPARK_GRAFT_KIT_EXEC_BOUND_GATE").map(_.toDouble).getOrElse(2e10)
     def execWithCap(label: String, sqlSha: String,
         df: org.apache.spark.sql.DataFrame): Unit = {
       val group = s"kitexec-$label-${System.nanoTime()}"
@@ -506,6 +519,13 @@ object Bench {
           while (tracker.getActiveStageIds.nonEmpty
               && System.nanoTime() < drainDeadline)
             Thread.sleep(200)
+          // Spark's ContextCleaner frees broadcast/shuffle blocks via
+          // WEAK references — nothing unpins until a GC actually runs.
+          // After a heap-scale cancelled join, force one now instead of
+          // letting the next execution allocate into a heap still
+          // pinned by the last one's zombie blocks (the 48 GiB OOM
+          // followed five capped walks with no intervening full GC)
+          System.gc()
           throw new RuntimeException(
             s"execution exceeded the $kitExecCapMs ms cap; skip persisted")
         case e: java.util.concurrent.ExecutionException => throw e.getCause

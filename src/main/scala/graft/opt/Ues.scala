@@ -714,8 +714,8 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     * fingerprint (memoized + disk-persisted), the same amortization as
     * the reference's precomputed catalog statistics. */
   def selectionBound(joined: Set[String], u: Double, mu: Map[String, Double],
-      c: String): Double =
-    stepFor(joined, u, mu, c, forSelection = true).bound
+      c: String, degs: UesBoundModel.DegState = Map.empty): Double =
+    stepFor(joined, u, mu, c, forSelection = true, degs).bound
 
   // ---- probe memoization & reuse --------------------------------------
   // per-(candidate, subset) memo: the greedy SELECTION re-ranks every
@@ -1013,8 +1013,255 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         if !UesBoundModel.isCancellation(e) => None
   }
 
+  // ---- degree-sequence state (the degree-sequence bound of Deeds,
+  // Suciu, Balazinska & Gatterbauer, ICDT'23, threaded along the greedy
+  // expansion) -----------------------------------------------------------
+  // bucketEdgeTerm above bounds each step from BASE-table sketches with
+  // the global multiplicity mu(t) — one scalar max that poisons every
+  // term once a clique inflates it (the r15 cms-tier median sat at ~8.6
+  // with losses compounding 1.5-2.5x per step). The state instead
+  // carries, for every tracked join column (t, x) of the running
+  // intermediate L, a descending run-length DEGREE SEQUENCE d[(t,x)]
+  // whose rank-wise values upper-bound the true sorted multiset
+  // {|{rows of L : t.x = v}| : v}. Three mechanisms tighten what the
+  // scalar terms cannot:
+  //   · rank pairing — |L ⋈ c| = Σ_v deg_L(v)·deg_c(v) ≤ Σ_i dL↓[i]·
+  //     dc↓[i] (rearrangement inequality), which sees the whole degree
+  //     DISTRIBUTION where ndv·mf·mf sees only the max;
+  //   · truncation — only min(ranks_L, ranks_c) rank products exist, so
+  //     a FILTERED partner's shrunken value count caps the sum (the
+  //     filtered-pk "beta = 1 keeps U flat" collapse);
+  //   · mass capping — Σ over the true sequence is |L| ≤ u, so the
+  //     pairing allocates at most u mass across ranks, largest
+  //     candidate degrees first (a sound greedy envelope).
+  // All updates keep the rank-wise upper-envelope invariant, so every
+  // derived step term joins the sound min.
+  //
+  // Update rules for L' = L ⋈ c (beta: max candidate rows per L row;
+  // alpha: max L rows per candidate row; u' = the step's final bound):
+  //  EDGE column (l.ca = c.cb applied at this step): per E-value v,
+  //    deg'(v) = deg_L(v)·deg_c(v); rank-wise dL↓[i]·dc↓[i] dominates
+  //    the sorted true products, truncated to the shorter rank count.
+  //    c.cb (equal to l.ca inside L') adopts the same sequence.
+  //  OTHER tracked column: each L row duplicates ≤ beta times, so the
+  //    sequence scales by beta.
+  //  NEW column y of c: each c row appears ≤ alpha times, so σc's base
+  //    sequence scales by alpha.
+  //  CROSS PRODUCT with n (cardN rows): tracked sequences scale by
+  //    cardN; n's own columns enter scaled by the pre-step bound.
+  // The probe (stats.degreeSequence) is one aggregation pass per
+  // (relation, column), persisted; the state is ≤64 run pairs per
+  // tracked column.
+  import UesBoundModel.DegState
+
+  private def typeKind(t: String, col: String): Int = {
+    val sch = stats.relation(statPlan(t)).schema
+    bucketKindOf(sch(sch.fieldIndex(col)).dataType)
+  }
+
+  /** Equi-join columns of `t` (members of any equi edge). Kind 3
+    * (non-scalar) columns are untracked — their sequences would still
+    * be sound, but no edge on them can be priced. */
+  private def trackableCols(t: String): Seq[String] =
+    graph.edges.flatMap(_.equiColumns).flatMap { case (a, b) => Seq(a, b) }
+      .filter(_.table.exists(_.identifier == t)).map(_.name).distinct
+      .filter(c => typeKind(t, c) != 3)
+
+  /** σt's base degree sequence scaled by `alpha` (each base row appears
+    * at most alpha times in the intermediate). */
+  private def degInitTable(t: String, alpha: Double): DegState =
+    trackableCols(t).flatMap { col =>
+      try Some((t, col) ->
+        stats.degreeSequence(statPlan(t), col)
+          .map { case (d, n) => (d.toDouble * alpha, n.toDouble) })
+      catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e)
+            if !UesBoundModel.isCancellation(e) => None
+      }
+    }.toMap
+
+  def degInit(start: String): DegState = degInitTable(start, 1.0)
+
+  /** Whether the degree-sequence recursion rides this model's tier. */
+  def degTrackingOn: Boolean = joinSketch && sketchTier != "bloom"
+
+  /** Σ_i a↓[i]·b↓[i] over aligned ranks, truncated to the shorter
+    * sequence, with at most `massA` total mass allocated to `a` —
+    * largest-degree ranks first (both sequences descend, so rank order
+    * IS the greedy order). */
+  private def degPairSum(a: IndexedSeq[(Double, Double)], massA: Double,
+      b: IndexedSeq[(Double, Double)]): Double = {
+    var ia = 0; var ib = 0
+    var ra = if (a.isEmpty) 0.0 else a(0)._2 // values left in current run
+    var rb = if (b.isEmpty) 0.0 else b(0)._2
+    var mass = massA
+    var total = 0.0
+    while (ia < a.size && ib < b.size && mass > 0) {
+      val n = math.min(ra, rb) // ranks advancing together
+      val da = a(ia)._1; val db = b(ib)._1
+      // allocate ≤ mass of a-side rows across these n ranks at ≤ da each
+      val take = math.min(da * n, mass)
+      total += take * db
+      mass -= take
+      ra -= n; rb -= n
+      if (ra <= 0) { ia += 1; if (ia < a.size) ra = a(ia)._2 }
+      if (rb <= 0) { ib += 1; if (ib < b.size) rb = b(ib)._2 }
+    }
+    total
+  }
+
+  /** Rank-wise product of two descending run sequences (the joined
+    * column's new sequence), truncated to the shorter rank count and
+    * recompressed to [[graft.stats.EmulatedStatistics.DegSeqRuns]]. */
+  private def degProd(a: IndexedSeq[(Double, Double)],
+      b: IndexedSeq[(Double, Double)], cap: Double)
+      : IndexedSeq[(Double, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var ia = 0; var ib = 0
+    var ra = if (a.isEmpty) 0.0 else a(0)._2
+    var rb = if (b.isEmpty) 0.0 else b(0)._2
+    while (ia < a.size && ib < b.size) {
+      val n = math.min(ra, rb)
+      out += ((math.min(a(ia)._1 * b(ib)._1, cap), n))
+      ra -= n; rb -= n
+      if (ra <= 0) { ia += 1; if (ia < a.size) ra = a(ia)._2 }
+      if (rb <= 0) { ib += 1; if (ib < b.size) rb = b(ib)._2 }
+    }
+    degCompress(out.toIndexedSeq)
+  }
+
+  private def degScale(s: IndexedSeq[(Double, Double)], f: Double,
+      cap: Double): IndexedSeq[(Double, Double)] =
+    degCompress(s.map { case (d, n) => (math.min(d * f, cap), n) })
+
+  /** Merge equal-degree neighbours and fold the smallest-degree tail
+    * runs upward (pointwise upper envelope) down to the run budget. */
+  private def degCompress(s: IndexedSeq[(Double, Double)])
+      : IndexedSeq[(Double, Double)] = {
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    s.foreach { case (d, n) =>
+      if (merged.nonEmpty && merged.last._1 == d)
+        merged(merged.size - 1) = (d, merged.last._2 + n)
+      else merged += ((d, n))
+    }
+    var rs = merged
+    val budget = graft.stats.EmulatedStatistics.DegSeqRuns
+    while (rs.size > budget) {
+      val i = rs.size - 2
+      rs(i) = (rs(i)._1, rs(i)._2 + rs(i + 1)._2)
+      rs.remove(rs.size - 1)
+    }
+    rs.toIndexedSeq
+  }
+
+  /** Rank-wise min of two descending sequences (both are sound
+    * envelopes of the same true sequence, so their rank-wise min is
+    * too). An envelope's RANK COUNT is itself an upper bound on the
+    * true distinct-value count, so the result truncates to the SHORTER
+    * sequence — ranks past it are provably zero. */
+  private def degMin(a: IndexedSeq[(Double, Double)],
+      b: IndexedSeq[(Double, Double)]): IndexedSeq[(Double, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var ia = 0; var ib = 0
+    var ra = if (a.isEmpty) 0.0 else a(0)._2
+    var rb = if (b.isEmpty) 0.0 else b(0)._2
+    while (ia < a.size && ib < b.size) {
+      val n = math.min(ra, rb)
+      out += ((math.min(a(ia)._1, b(ib)._1), n))
+      ra -= n; rb -= n
+      if (ra <= 0) { ia += 1; if (ia < a.size) ra = a(ia)._2 }
+      if (rb <= 0) { ib += 1; if (ib < b.size) rb = b(ib)._2 }
+    }
+    degCompress(out.toIndexedSeq)
+  }
+
+  /** Per-edge step terms degPairSum(dL, u, dc_base) for every tracked
+    * L-side edge column — the recursion's pricing of the step. */
+  private def degEdgeTerms(degs: DegState,
+      equi: Seq[(String, graft.core.ColumnRef, graft.core.ColumnRef)],
+      c: String, u: Double): Seq[Double] =
+    equi.flatMap { case (l, ca, cb) =>
+      degs.get((l, ca.name)).flatMap { dL =>
+        try {
+          if (typeKind(l, ca.name) != typeKind(c, cb.name)) None
+          else {
+            val dc = stats.degreeSequence(statPlan(c), cb.name)
+              .map { case (d, n) => (d.toDouble, n.toDouble) }
+            Some(degPairSum(dL, u, dc))
+          }
+        } catch {
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e
+          case scala.util.control.NonFatal(e)
+              if !UesBoundModel.isCancellation(e) => None
+        }
+      }
+    }
+
+  /** Advance the state over the chosen step (rules above). */
+  def degAdvance(degs: DegState, joined: Set[String], c: String,
+      beta: Double, alpha: Double, newBound: Double): DegState = try {
+    val equi = graph.edgesBetween(joined, c).flatMap { e =>
+      val l = (e.tables - c).head
+      for (ca <- e.columnOf(l); cb <- e.columnOf(c)) yield (l, ca, cb)
+    }
+    val edgeLCols = equi.map { case (l, ca, _) => (l, ca.name) }.toSet
+    val expanded: DegState = degs.map { case (key @ (l, col), dL) =>
+      val edgeHere = equi.find { case (el, eca, ecb) =>
+        (el, eca.name) == key && typeKind(el, eca.name) == typeKind(c, ecb.name)
+      }
+      edgeHere match {
+        case Some((_, _, ecb)) =>
+          val dc = stats.degreeSequence(statPlan(c), ecb.name)
+            .map { case (d, n) => (d.toDouble, n.toDouble) }
+          key -> degProd(dL, dc, newBound)
+        case None =>
+          key -> degScale(dL, beta, newBound)
+      }
+    }
+    // the candidate's columns enter alpha-scaled; an edge column of c
+    // is EQUAL to its L-side partner inside L', so it adopts the
+    // rank-wise min of both derivations
+    val fresh = degInitTable(c, alpha).map { case (key @ (_, col), v0) =>
+      val v = degScale(v0, 1.0, newBound)
+      val partner = equi.collectFirst {
+        case (l, ca, cb) if cb.name == col && edgeLCols.contains((l, ca.name))
+            && typeKind(l, ca.name) == typeKind(c, col) =>
+          expanded((l, ca.name))
+      }
+      partner match {
+        case Some(p) => key -> degMin(v, p)
+        case None => key -> v
+      }
+    }
+    expanded ++ fresh
+  } catch {
+    case e: InterruptedException =>
+      Thread.currentThread().interrupt(); throw e
+    case scala.util.control.NonFatal(e)
+        if !UesBoundModel.isCancellation(e) => degs
+  }
+
+  /** Cross product with `next` (cardN rows, no edges). */
+  def degCross(degs: DegState, next: String, cardN: Double, uPrev: Double,
+      newBound: Double): DegState =
+    degs.map { case (k, s) => k -> degScale(s, cardN, newBound) } ++
+      degInitTable(next, uPrev).map { case (k, s) =>
+        k -> degScale(s, 1.0, newBound) }
+
+  /** PK-partner fold (subquery branching): `d` joins `next` on d's pk,
+    * each d row appearing at most dMu times; existing sequences are
+    * unchanged (a pk join never duplicates L rows). */
+  def degFoldPartner(degs: DegState, d: String, dMu: Double,
+      bound: Double): DegState =
+    degs ++ degInitTable(d, dMu).map { case (k, s) =>
+      k -> degScale(s, 1.0, bound) }
+
   def stepFor(joined: Set[String], u: Double, mu: Map[String, Double],
-      c: String, forSelection: Boolean = false): Step = {
+      c: String, forSelection: Boolean = false,
+      degs: DegState = Map.empty): Step = {
     val equi = graph.edgesBetween(joined, c).flatMap { e =>
       val l = (e.tables - c).head
       for (ca <- e.columnOf(l); cb <- e.columnOf(c)) yield (l, ca, cb)
@@ -1064,6 +1311,13 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       else equi.flatMap { case (_, ca, cb) =>
         bucketEdgeTerm(joined, u, mu, ca, c, cb)
       }
+    // degree-sequence RECURSION terms (degEdgeTerms): rank pairing +
+    // truncation + mass capping over the path-tracked sequences — same
+    // tier gate as the base-sketch term, so the bloom ≥ cms ≥ exact
+    // ordering is preserved
+    val degTerms: Seq[Double] =
+      if (!joinSketch || sketchTier == "bloom" || degs.isEmpty) Seq.empty
+      else degEdgeTerms(degs, equi, c, u)
     // Pairwise edge-join refinement (per partner table l): every step
     // output row pairs one row of l with one candidate row, the pair
     // satisfying every l–c edge and both tables' filters — so distinct
@@ -1137,7 +1391,7 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         matchedCard(c, joined).map(_ * beta).toSeq
       else Seq.empty
     val provisional = (Seq(u * beta, cardC * alpha) ++ nm ++ mcv ++ bucket ++
-      partnerRecheck ++ matched ++ pairwise).min
+      degTerms ++ partnerRecheck ++ matched ++ pairwise).min
     // record pair wants for the scheduler, priced by the largest
     // provisional bound that asked (the slack a pair count can cut)
     if (pairTier && sketchTier == "exact")
@@ -1190,6 +1444,9 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     var joined = Set(start)
     var bound = math.max(baseCard(start), 1.0)
     var mu = Map(start -> 1.0)
+    val degOn = degTrackingOn
+    var degs: UesBoundModel.DegState =
+      if (degOn) degInit(start) else Map.empty
     while (joined.size < ts.size) {
       val free = ts.diff(joined)
       val cands = free.filter(t => graph.edgesBetween(joined, t).nonEmpty)
@@ -1197,14 +1454,18 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         val next = free.minBy(baseCard)
         val cardN = math.max(baseCard(next), 1.0)
         mu = mu.map { case (t, m) => t -> m * cardN } + (next -> bound)
+        val uPrev = bound
         bound = bound * cardN
+        if (degOn) degs = degCross(degs, next, cardN, uPrev, bound)
         joined += next
       } else {
-        val next = cands.minBy(c => selectionBound(joined, bound, mu, c))
-        val step = stepFor(joined, bound, mu, next)
+        val next = cands.minBy(c => selectionBound(joined, bound, mu, c, degs))
+        val step = stepFor(joined, bound, mu, next, degs = degs)
         mu = mu.map { case (t, m) => t -> m * step.beta } +
           (next -> step.alpha)
         bound = math.max(step.bound, 1.0)
+        if (degOn)
+          degs = degAdvance(degs, joined, next, step.beta, step.alpha, bound)
         joined += next
       }
     }
@@ -1217,6 +1478,13 @@ private[opt] object UesBoundModel {
     * per-row match caps used for the multiplicity update (beta: max
     * candidate rows per L row; alpha: max L rows per candidate row). */
   final case class Step(bound: Double, beta: Double, alpha: Double)
+
+  /** Degree-sequence state of the running intermediate (see the
+    * recursion comment in UesBoundModel): for each tracked base join
+    * column (table identifier, column name), a descending run-length
+    * (degree, value-count) sequence rank-wise upper-bounding the true
+    * sorted degree multiset. */
+  type DegState = Map[(String, String), IndexedSeq[(Double, Double)]]
 
   /** The probe-tier ladder, loosest to tightest: `bloom` (one-pass
     * membership counts, no shuffle — the cheapest 100 TB path), `cms`
@@ -1410,13 +1678,17 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
       var bound = baseCard(start)
       // the bare (filtered) start table: every base row appears at most once
       var mu = Map(start -> 1.0)
+      val degOn = model.degTrackingOn
+      var degs: UesBoundModel.DegState =
+        if (degOn) model.degInit(start) else Map.empty
       val profile =
         scala.collection.mutable.ArrayBuffer.empty[(Set[String], Double, Double)]
       while (joined.size < tables.size) {
         val candidates = graph.neighbors(joined)
         if (candidates.isEmpty) return None // disconnected graph
-        val next = candidates.minBy(c => model.selectionBound(joined, bound, mu, c))
-        val step = stepFor(joined, bound, mu, next)
+        val next = candidates.minBy(c =>
+          model.selectionBound(joined, bound, mu, c, degs))
+        val step = stepFor(joined, bound, mu, next, degs = degs)
         val uPrev = bound
         var taken = joined + next
         profile += ((taken, step.bound, uPrev))
@@ -1440,6 +1712,9 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
             Seq(step.bound, b * step.alpha, uPrev * b).min
           }, 1.0)
         mu = mu.map { case (t, m) => t -> m * step.beta } + (next -> step.alpha)
+        if (degOn)
+          degs = model.degAdvance(degs, joined, next, step.beta, step.alpha,
+            bound)
         var branch: JoinTree[Cardinality] =
           ScanNode(graph.block.tables.find(_.identifier == next).get,
             Cardinality(baseCard(next)))
@@ -1454,6 +1729,7 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
             .flatMap(_.columnOf(next))
             .map(cf => step.alpha * mf(next, cf.name)) :+ bound).min
           mu += (d -> dMu)
+          if (degOn) degs = model.degFoldPartner(degs, d, dMu, bound)
           branch = JoinNode(branch, scanD, branch.annotation)
           taken += d
         }

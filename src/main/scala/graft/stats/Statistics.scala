@@ -452,6 +452,44 @@ final class EmulatedStatistics(spark: SparkSession,
     (flat.take(b), flat.drop(b))
   }
 
+  /** Compressed DEGREE SEQUENCE of a join column — the statistic behind
+    * the degree-sequence cardinality bound (Deeds, Suciu, Balazinska &
+    * Gatterbauer, "Degree Sequence Bound for Join Cardinality
+    * Estimation", ICDT'23): the multiset {count of rows per value},
+    * sorted descending, run-length encoded as (degree, number of values
+    * at that degree) with degree strictly decreasing. Rank-paired
+    * descending sequences upper-bound any value-aligned join sum by the
+    * rearrangement inequality — the tightness max-degree × ndv provably
+    * lacks. One aggregation pass per (relation, column): the inner
+    * group-by is input-linear and the outer one collapses to the number
+    * of DISTINCT degrees (tiny). Runs above
+    * [[EmulatedStatistics.DegSeqRuns]] merge by rounding the merged
+    * run's degree UP to its largest member (pointwise upper envelope —
+    * the sound direction). NULLs are dropped (inner equi joins never
+    * match them). Never sampled (a missed heavy value would undercount
+    * a degree). Persisted flat as deg,count interleaved. */
+  def degreeSequence(plan: LogicalPlan, column: String)
+      : IndexedSeq[(Long, Long)] = {
+    val flat = memo(plan, s"degseq[$column,${EmulatedStatistics.DegSeqRuns}]") {
+      val d = df(plan)
+      val rows = d.select(col(column).as("v")).na.drop(Seq("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .orderBy(col("f").desc)
+        .collect()
+      val runs = rows.map(r => (r.getLong(0), r.getLong(1))).toVector
+      // merge the SMALLEST-degree adjacent runs first: the tail is the
+      // flat mass where rounding a degree up costs least
+      var rs = runs
+      while (rs.size > EmulatedStatistics.DegSeqRuns) {
+        val i = rs.size - 2 // merge the last two (smallest degrees)
+        rs = rs.take(i) :+ ((rs(i)._1, rs(i)._2 + rs(i + 1)._2))
+      }
+      rs.flatMap { case (a, b) => Vector(a, b) }
+    }
+    flat.grouped(2).map(p => (p(0), p(1))).toVector
+  }
+
   /** Bloom-approximated semijoin count — the 100 TB path for the
     * join-sketch reduction probes (opt.UesBoundModel): counts rows of
     * `plan` whose value in each listed column is (probably) present in
@@ -871,6 +909,11 @@ object EmulatedStatistics {
     * 5 langs — where the bucket bound is exact) while keeping a sketch
     * at 128 longs, ~1 KB persisted. */
   val BucketCount: Int = 64
+
+  /** Max run-length pairs per [[EmulatedStatistics.degreeSequence]].
+    * TPC-H-shaped columns have ≤ ~50 distinct degrees (the sequence is
+    * then EXACT); pathological columns merge tail runs upward. */
+  val DegSeqRuns: Int = 64
 
   /** Snapshot retention: sibling cache files of the same naming scheme
     * untouched for this many days belong to bygone data fingerprints

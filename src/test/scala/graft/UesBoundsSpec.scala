@@ -260,9 +260,15 @@ class UesBoundsSpec extends SparkSpec {
       .optimizeJoinOrder(q, graph).get
     val full = new UESJoinOrderOptimizer()
       .optimizeJoinOrder(q, graph).get
-    // zero budget = the joinSketch-off arithmetic (29); with budget the
-    // reduction probe caps the candidate at the true 2
-    assert(bounds(noBudget).last === 29.0)
+    // zero budget = no LAUNCHED join probes; per-relation statistics
+    // (ndv, max-frequency, degree sequences — one linear pass each,
+    // cache-persisted) stay free by design. The degree-sequence rank
+    // pairing alone prices the zf step at Σ_i dL[i]·dzf[i] with dL's
+    // mass capped at |L| = 2: rank 1 allocates 1 row against zf's
+    // deg-20 value, rank 2 against a deg-1 value → 21 (the pre-r15
+    // scalar arithmetic gave 29 = 2 + 27 from u·mf slack); with budget
+    // the reduction probe caps the candidate at the true 2
+    assert(bounds(noBudget).last === 21.0)
     assert(bounds(full).last === 2.0)
   }
 
