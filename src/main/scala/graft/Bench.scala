@@ -334,22 +334,23 @@ object Bench {
     // ~50 ms canary must not flip the declared headline off-protocol;
     // observed clean-run spread 0.045-0.066 s) plus a strong
     // any-sample trigger for r13-class stalls (4x drift). The median
-    // bar is 1.4x (the drift level the r14 verdict set for action),
-    // not lower: a controlled otherwise-idle run still showed
-    // med/min = 1.31 across min-of-3 hot samples — single-JVM heap
-    // aging, which the engine's own queries pay too and which a rebase
-    // would wrongly excuse. 1.4x sustained has only appeared under
-    // genuine external load (r13: 4x, r14: 1.6x).
+    // bar is 1.5x: THREE controlled otherwise-idle runs showed hot-
+    // sample med/min of 1.31, 1.28 and 1.45 — single-JVM heap aging
+    // over a long bench, which the engine's own queries pay too and
+    // which a rebase would wrongly excuse (promoting adj on such runs
+    // is exactly the protocol drift the r14 review warned against).
+    // Genuine external load measured 1.6x (r14) and 4x (r13), both
+    // still above the bar.
     val hotSamples = canarySamples.map(_._2).filter(_ > 0)
     val runLoaded = hotSamples.nonEmpty && {
       val med = hotSamples.sorted.apply(hotSamples.size / 2)
-      med > canaryBest * 1.4 || hotSamples.max > canaryBest * 2.0
+      med > canaryBest * 1.5 || hotSamples.max > canaryBest * 2.0
     }
     val headlineValue = if (runLoaded) totalAdj else total
     val estimatorNote =
       if (runLoaded)
         "canary-rebased trimmed min (ADJ-PRIMARY: run canaries drifted " +
-          ">1.4x sustained, a median-sum would bill machine load to " +
+          ">1.5x sustained, a median-sum would bill machine load to " +
           "queries; protocol median-sum rides as total_median)"
       else
         "sum of per-query medians (protocol); total_adj = canary-rebased " +
