@@ -604,8 +604,19 @@ object Bench {
             // tree shape's subsets instead of discarding a good root)
             kitActuals.put(label, sqlSha,
               graft.bench.KitActuals.BoundSkipped, Map.empty)
+            // calibration context (ADVICE r15): the gate's 2e10 default
+            // is sound only while bounds stay near-exact; log the
+            // looseness measured on THIS sweep's rows so far, so a
+            // silent looseness regression (which would retire feasible
+            // never-measured queries) is visible in the run log next to
+            // every skip it causes
+            val seenQe = acc.map(_.maxQerr).filter(_ > 0)
+            val loose = if (seenQe.isEmpty) "none measured yet"
+              else f"median ${seenQe.sorted.apply(seenQe.size / 2)}%.2f " +
+                f"max ${seenQe.max}%.2f over ${seenQe.size} rows"
             System.err.println(f"[bench] $label execution skipped: sound " +
-              f"bound $rootBound%.3g exceeds the $kitExecBoundGate%.1g-row gate")
+              f"bound $rootBound%.3g exceeds the $kitExecBoundGate%.1g-row " +
+              s"gate (sweep looseness so far: $loose)")
             (-1.0, -1.0, Seq.empty)
           }
           else try {

@@ -1021,38 +1021,55 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   // term once a clique inflates it (the r15 cms-tier median sat at ~8.6
   // with losses compounding 1.5-2.5x per step). The state instead
   // carries, for every tracked join column (t, x) of the running
-  // intermediate L, a descending run-length DEGREE SEQUENCE d[(t,x)]
-  // whose rank-wise values upper-bound the true sorted multiset
-  // {|{rows of L : t.x = v}| : v}. Three mechanisms tighten what the
-  // scalar terms cannot:
-  //   · rank pairing — |L ⋈ c| = Σ_v deg_L(v)·deg_c(v) ≤ Σ_i dL↓[i]·
-  //     dc↓[i] (rearrangement inequality), which sees the whole degree
-  //     DISTRIBUTION where ndv·mf·mf sees only the max;
-  //   · truncation — only min(ranks_L, ranks_c) rank products exist, so
-  //     a FILTERED partner's shrunken value count caps the sum (the
-  //     filtered-pk "beta = 1 keeps U flat" collapse);
-  //   · mass capping — Σ over the true sequence is |L| ≤ u, so the
-  //     pairing allocates at most u mass across ranks, largest
-  //     candidate degrees first (a sound greedy envelope).
-  // All updates keep the rank-wise upper-envelope invariant, so every
-  // derived step term joins the sound min.
+  // intermediate L, a descending run-length DEGREE SEQUENCE d[(t,x)].
+  //
+  // THE INVARIANT (r16, corrected): each state sequence is descending,
+  // its rank count upper-bounds the column's true distinct-value count
+  // in L, and it PREFIX-DOMINATES (majorizes) the true descending
+  // degree sequence t: Σ_{i≤k} d[i] ≥ Σ_{i≤k} t[i] for every k. It is
+  // NOT a rank-wise envelope: degProd's rank-wise products of two
+  // prefix-dominating inputs only majorize the true sorted products
+  // (anti-aligned degrees, e.g. dL=[3,1] ⋈ dc=[3,1] with true products
+  // [3,3], yield [9,1] whose rank 2 sits below truth). Majorization is
+  // exactly what the pricing needs and is closed under every update:
+  //   · rank pairing with mass capping (degPairSum) — for descending b,
+  //     Abel summation gives Σ â[i]·b[i] ≥ Σ t[i]·b[i] whenever â's
+  //     prefix sums dominate t's; the greedy allocation realizes the
+  //     profile min(A[k], mass), which dominates t's prefixes because
+  //     A does (invariant) and Σt = |L| ≤ mass;
+  //   · truncation — a rank count ≥ true ndv on BOTH sides caps the
+  //     pairing at min(ranks_L, ranks_c) products (a FILTERED partner's
+  //     shrunken value count collapses the "beta = 1 keeps U flat" sum);
+  //   · degProd — two Abel steps show rank-wise products of descending
+  //     prefix-dominating sequences prefix-dominate the sorted true
+  //     products (rearrangement over any k true values first).
+  // Rank-wise operations are UNSOUND on such sequences and are not
+  // used: no rank-wise min of two envelopes (the pre-r16 degMin broke
+  // prefix-soundness — ADVICE r15), and no per-degree cap (capping a
+  // concentrated envelope can drop a prefix sum below truth: [10,0]
+  // majorizes [5,5], but capped at 5 it becomes [5,0], prefix 5 < 10).
+  // Degrees are instead bounded by a CUMULATIVE-MASS cap (degMassCap):
+  // the true total mass is |L'| ≤ u', so clipping prefix sums at u'
+  // (zero-degree tail runs preserve the rank count) keeps domination.
   //
   // Update rules for L' = L ⋈ c (beta: max candidate rows per L row;
-  // alpha: max L rows per candidate row; u' = the step's final bound):
+  // alpha: max L rows per candidate row; u' = the step's final bound);
+  // every result is mass-capped at u':
   //  EDGE column (l.ca = c.cb applied at this step): per E-value v,
-  //    deg'(v) = deg_L(v)·deg_c(v); rank-wise dL↓[i]·dc↓[i] dominates
+  //    deg'(v) = deg_L(v)·deg_c(v); rank-wise dL↓[i]·dc↓[i] majorizes
   //    the sorted true products, truncated to the shorter rank count.
-  //    c.cb (equal to l.ca inside L') adopts the same sequence.
   //  OTHER tracked column: each L row duplicates ≤ beta times, so the
   //    sequence scales by beta.
-  //  NEW column y of c: each c row appears ≤ alpha times, so σc's base
-  //    sequence scales by alpha.
+  //  NEW column y of c (edge or not): each c row appears ≤ alpha times,
+  //    so σc's base sequence scales by alpha — genuinely rank-wise
+  //    sound, hence also prefix-sound; it does NOT additionally adopt
+  //    the L-side product (that rank-wise min was the unsound step).
   //  CROSS PRODUCT with n (cardN rows): tracked sequences scale by
   //    cardN; n's own columns enter scaled by the pre-step bound.
   // The probe (stats.degreeSequence) is one aggregation pass per
   // (relation, column), persisted; the state is ≤64 run pairs per
   // tracked column.
-  import UesBoundModel.DegState
+  import UesBoundModel.{DegState, degPairSum, degProd, degScale, degMassCap}
 
   private def typeKind(t: String, col: String): Int = {
     val sch = stats.relation(statPlan(t)).schema
@@ -1087,95 +1104,6 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   /** Whether the degree-sequence recursion rides this model's tier. */
   def degTrackingOn: Boolean = joinSketch && sketchTier != "bloom"
 
-  /** Σ_i a↓[i]·b↓[i] over aligned ranks, truncated to the shorter
-    * sequence, with at most `massA` total mass allocated to `a` —
-    * largest-degree ranks first (both sequences descend, so rank order
-    * IS the greedy order). */
-  private def degPairSum(a: IndexedSeq[(Double, Double)], massA: Double,
-      b: IndexedSeq[(Double, Double)]): Double = {
-    var ia = 0; var ib = 0
-    var ra = if (a.isEmpty) 0.0 else a(0)._2 // values left in current run
-    var rb = if (b.isEmpty) 0.0 else b(0)._2
-    var mass = massA
-    var total = 0.0
-    while (ia < a.size && ib < b.size && mass > 0) {
-      val n = math.min(ra, rb) // ranks advancing together
-      val da = a(ia)._1; val db = b(ib)._1
-      // allocate ≤ mass of a-side rows across these n ranks at ≤ da each
-      val take = math.min(da * n, mass)
-      total += take * db
-      mass -= take
-      ra -= n; rb -= n
-      if (ra <= 0) { ia += 1; if (ia < a.size) ra = a(ia)._2 }
-      if (rb <= 0) { ib += 1; if (ib < b.size) rb = b(ib)._2 }
-    }
-    total
-  }
-
-  /** Rank-wise product of two descending run sequences (the joined
-    * column's new sequence), truncated to the shorter rank count and
-    * recompressed to [[graft.stats.EmulatedStatistics.DegSeqRuns]]. */
-  private def degProd(a: IndexedSeq[(Double, Double)],
-      b: IndexedSeq[(Double, Double)], cap: Double)
-      : IndexedSeq[(Double, Double)] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    var ia = 0; var ib = 0
-    var ra = if (a.isEmpty) 0.0 else a(0)._2
-    var rb = if (b.isEmpty) 0.0 else b(0)._2
-    while (ia < a.size && ib < b.size) {
-      val n = math.min(ra, rb)
-      out += ((math.min(a(ia)._1 * b(ib)._1, cap), n))
-      ra -= n; rb -= n
-      if (ra <= 0) { ia += 1; if (ia < a.size) ra = a(ia)._2 }
-      if (rb <= 0) { ib += 1; if (ib < b.size) rb = b(ib)._2 }
-    }
-    degCompress(out.toIndexedSeq)
-  }
-
-  private def degScale(s: IndexedSeq[(Double, Double)], f: Double,
-      cap: Double): IndexedSeq[(Double, Double)] =
-    degCompress(s.map { case (d, n) => (math.min(d * f, cap), n) })
-
-  /** Merge equal-degree neighbours and fold the smallest-degree tail
-    * runs upward (pointwise upper envelope) down to the run budget. */
-  private def degCompress(s: IndexedSeq[(Double, Double)])
-      : IndexedSeq[(Double, Double)] = {
-    val merged = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    s.foreach { case (d, n) =>
-      if (merged.nonEmpty && merged.last._1 == d)
-        merged(merged.size - 1) = (d, merged.last._2 + n)
-      else merged += ((d, n))
-    }
-    var rs = merged
-    val budget = graft.stats.EmulatedStatistics.DegSeqRuns
-    while (rs.size > budget) {
-      val i = rs.size - 2
-      rs(i) = (rs(i)._1, rs(i)._2 + rs(i + 1)._2)
-      rs.remove(rs.size - 1)
-    }
-    rs.toIndexedSeq
-  }
-
-  /** Rank-wise min of two descending sequences (both are sound
-    * envelopes of the same true sequence, so their rank-wise min is
-    * too). An envelope's RANK COUNT is itself an upper bound on the
-    * true distinct-value count, so the result truncates to the SHORTER
-    * sequence — ranks past it are provably zero. */
-  private def degMin(a: IndexedSeq[(Double, Double)],
-      b: IndexedSeq[(Double, Double)]): IndexedSeq[(Double, Double)] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    var ia = 0; var ib = 0
-    var ra = if (a.isEmpty) 0.0 else a(0)._2
-    var rb = if (b.isEmpty) 0.0 else b(0)._2
-    while (ia < a.size && ib < b.size) {
-      val n = math.min(ra, rb)
-      out += ((math.min(a(ia)._1, b(ib)._1), n))
-      ra -= n; rb -= n
-      if (ra <= 0) { ia += 1; if (ia < a.size) ra = a(ia)._2 }
-      if (rb <= 0) { ib += 1; if (ib < b.size) rb = b(ib)._2 }
-    }
-    degCompress(out.toIndexedSeq)
-  }
 
   /** Per-edge step terms degPairSum(dL, u, dc_base) for every tracked
     * L-side edge column — the recursion's pricing of the step. */
@@ -1207,7 +1135,6 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       val l = (e.tables - c).head
       for (ca <- e.columnOf(l); cb <- e.columnOf(c)) yield (l, ca, cb)
     }
-    val edgeLCols = equi.map { case (l, ca, _) => (l, ca.name) }.toSet
     val expanded: DegState = degs.map { case (key @ (l, col), dL) =>
       val edgeHere = equi.find { case (el, eca, ecb) =>
         (el, eca.name) == key && typeKind(el, eca.name) == typeKind(c, ecb.name)
@@ -1221,27 +1148,26 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
           key -> degScale(dL, beta, newBound)
       }
     }
-    // the candidate's columns enter alpha-scaled; an edge column of c
-    // is EQUAL to its L-side partner inside L', so it adopts the
-    // rank-wise min of both derivations
-    val fresh = degInitTable(c, alpha).map { case (key @ (_, col), v0) =>
-      val v = degScale(v0, 1.0, newBound)
-      val partner = equi.collectFirst {
-        case (l, ca, cb) if cb.name == col && edgeLCols.contains((l, ca.name))
-            && typeKind(l, ca.name) == typeKind(c, col) =>
-          expanded((l, ca.name))
-      }
-      partner match {
-        case Some(p) => key -> degMin(v, p)
-        case None => key -> v
-      }
+    // the candidate's columns (edge or not) enter alpha-scaled — the
+    // only rank-wise-sound derivation; they deliberately do NOT adopt a
+    // rank-wise min with the L-side product (degProd outputs only
+    // prefix-dominate their truths, and a rank-wise min of a
+    // prefix-dominating sequence with anything can break
+    // prefix-soundness — the pre-r16 degMin bug)
+    val fresh = degInitTable(c, alpha).map { case (key, v0) =>
+      key -> degMassCap(v0, newBound)
     }
     expanded ++ fresh
   } catch {
     case e: InterruptedException =>
       Thread.currentThread().interrupt(); throw e
     case scala.util.control.NonFatal(e)
-        if !UesBoundModel.isCancellation(e) => degs
+        if !UesBoundModel.isCancellation(e) =>
+      // a half-advanced state would bound the PRE-step intermediate,
+      // whose degrees grow up to beta-fold across the step — pricing a
+      // later step off it could undercount. Empty state disables the
+      // deg terms downstream (degs.isEmpty), which is sound.
+      Map.empty
   }
 
   /** Cross product with `next` (cardN rows, no edges). */
@@ -1485,6 +1411,111 @@ private[opt] object UesBoundModel {
     * (degree, value-count) sequence rank-wise upper-bounding the true
     * sorted degree multiset. */
   type DegState = Map[(String, String), IndexedSeq[(Double, Double)]]
+
+  /** Σ_i a↓[i]·b↓[i] over aligned ranks, truncated to the shorter
+    * sequence, with at most `massA` total mass allocated to `a` —
+    * largest-degree ranks first (both sequences descend, so rank order
+    * IS the greedy order). */
+  private[graft] def degPairSum(a: IndexedSeq[(Double, Double)], massA: Double,
+      b: IndexedSeq[(Double, Double)]): Double = {
+    var ia = 0; var ib = 0
+    var ra = if (a.isEmpty) 0.0 else a(0)._2 // values left in current run
+    var rb = if (b.isEmpty) 0.0 else b(0)._2
+    var mass = massA
+    var total = 0.0
+    while (ia < a.size && ib < b.size && mass > 0) {
+      val n = math.min(ra, rb) // ranks advancing together
+      val da = a(ia)._1; val db = b(ib)._1
+      // allocate ≤ mass of a-side rows across these n ranks at ≤ da each
+      val take = math.min(da * n, mass)
+      total += take * db
+      mass -= take
+      ra -= n; rb -= n
+      if (ra <= 0) { ia += 1; if (ia < a.size) ra = a(ia)._2 }
+      if (rb <= 0) { ib += 1; if (ib < b.size) rb = b(ib)._2 }
+    }
+    total
+  }
+
+  /** Rank-wise product of two descending run sequences (the joined
+    * column's new sequence), truncated to the shorter rank count,
+    * mass-capped at `cap` and recompressed to
+    * [[graft.stats.EmulatedStatistics.DegSeqRuns]]. Prefix-dominates
+    * the true sorted products whenever both inputs prefix-dominate
+    * their truths (two Abel steps; see the invariant note above). */
+  private[graft] def degProd(a: IndexedSeq[(Double, Double)],
+      b: IndexedSeq[(Double, Double)], cap: Double)
+      : IndexedSeq[(Double, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var ia = 0; var ib = 0
+    var ra = if (a.isEmpty) 0.0 else a(0)._2
+    var rb = if (b.isEmpty) 0.0 else b(0)._2
+    while (ia < a.size && ib < b.size) {
+      val n = math.min(ra, rb)
+      out += ((a(ia)._1 * b(ib)._1, n))
+      ra -= n; rb -= n
+      if (ra <= 0) { ia += 1; if (ia < a.size) ra = a(ia)._2 }
+      if (rb <= 0) { ib += 1; if (ib < b.size) rb = b(ib)._2 }
+    }
+    degCompress(degMassCap(out.toIndexedSeq, cap))
+  }
+
+  private[graft] def degScale(s: IndexedSeq[(Double, Double)], f: Double,
+      cap: Double): IndexedSeq[(Double, Double)] =
+    degCompress(degMassCap(s.map { case (d, n) => (d * f, n) }, cap))
+
+  /** Cumulative-mass cap: clip the sequence's prefix sums at `cap`
+    * without touching early ranks — once the running mass reaches cap,
+    * the current run is truncated (fractional value counts are fine:
+    * these are real-valued envelopes) and every remaining rank keeps a
+    * zero-degree run, preserving the total rank count (which must keep
+    * upper-bounding the true ndv for degPairSum's truncation). The
+    * result's prefix profile is exactly min(A[k], cap), which dominates
+    * the truth's because A does and the true total mass ≤ cap. A
+    * rank-wise min(d, cap) would NOT be sound here (see the invariant
+    * note). */
+  private[graft] def degMassCap(s: IndexedSeq[(Double, Double)],
+      cap: Double): IndexedSeq[(Double, Double)] = {
+    if (!cap.isFinite || cap <= 0.0)
+      return if (cap <= 0.0 && cap.isFinite)
+        s.map { case (_, n) => (0.0, n) } else s
+    var mass = 0.0
+    var i = 0
+    while (i < s.size && mass + s(i)._1 * s(i)._2 <= cap) {
+      mass += s(i)._1 * s(i)._2; i += 1
+    }
+    if (i >= s.size) s
+    else {
+      val (d, n) = s(i)
+      val kept = if (d > 0) (cap - mass) / d else n
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      out ++= s.take(i)
+      if (kept > 0) out += ((d, kept))
+      val zeroRanks = (n - kept) + s.drop(i + 1).map(_._2).sum
+      if (zeroRanks > 0) out += ((0.0, zeroRanks))
+      out.toIndexedSeq
+    }
+  }
+
+  /** Merge equal-degree neighbours and fold the smallest-degree tail
+    * runs upward (pointwise upper envelope) down to the run budget. */
+  private[graft] def degCompress(s: IndexedSeq[(Double, Double)])
+      : IndexedSeq[(Double, Double)] = {
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    s.foreach { case (d, n) =>
+      if (merged.nonEmpty && merged.last._1 == d)
+        merged(merged.size - 1) = (d, merged.last._2 + n)
+      else merged += ((d, n))
+    }
+    var rs = merged
+    val budget = graft.stats.EmulatedStatistics.DegSeqRuns
+    while (rs.size > budget) {
+      val i = rs.size - 2
+      rs(i) = (rs(i)._1, rs(i)._2 + rs(i + 1)._2)
+      rs.remove(rs.size - 1)
+    }
+    rs.toIndexedSeq
+  }
 
   /** The probe-tier ladder, loosest to tightest: `bloom` (one-pass
     * membership counts, no shuffle — the cheapest 100 TB path), `cms`

@@ -35,6 +35,13 @@ object GenerateStatsWalks {
     Tables.registerAll(spark, "/root/testdata/sf0.01")
     val seen = scala.collection.mutable.Map.empty[String, Int]
     val texts = scala.collection.mutable.Set.empty[String]
+    // one normalization for BOTH sides of the text-dedup check (ADVICE
+    // r15: existing files were comment-stripped while candidates were
+    // raw-trimmed, so a candidate carrying comments or different blank
+    // lines could slip past the freshness check)
+    def normText(sql: String): String =
+      sql.linesIterator.filterNot(_.trim.startsWith("--"))
+        .map(_.trim).filter(_.nonEmpty).mkString("\n")
     val usedSeeds = scala.collection.mutable.Set.empty[Long]
     val seedRe = """_seed(\d+)\.sql$""".r
     new java.io.File("/root/repo/workloads/stats").listFiles()
@@ -42,8 +49,7 @@ object GenerateStatsWalks {
         val sql = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         signatureOf(spark, sql).foreach(s => seen(s) = seen.getOrElse(s, 0) + 1)
         // the body below the "-- generated:" header lines, normalized
-        texts += sql.linesIterator.filterNot(_.startsWith("--"))
-          .mkString("\n").trim
+        texts += normText(sql)
         seedRe.findFirstMatchIn(f.getName).foreach(m =>
           usedSeeds += m.group(1).toLong)
       }
@@ -79,14 +85,14 @@ object GenerateStatsWalks {
         val n = timedCount(sql, 5000L)
         val sig = signatureOf(spark, sql)
         val fresh = sig.exists(s => seen.getOrElse(s, 0) < maxPerSig) &&
-          !texts.contains(sql.trim)
+          !texts.contains(normText(sql))
         val connected = graft.qal.QueryFacade(spark, sql).joinBlock.exists {
           b => new graft.opt.JoinGraph(b, OptQueries.statsFor(spark,
             "/root/testdata/sf0.01")).isEquiConnected
         }
         if (n.exists(_ > 0) && fresh && connected) {
           sig.foreach(s => seen(s) = seen.getOrElse(s, 0) + 1)
-          texts += sql.trim
+          texts += normText(sql)
           true
         } else false
       } catch { case _: Throwable => false })
