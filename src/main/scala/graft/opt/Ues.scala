@@ -653,6 +653,34 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       }
     }
 
+  /** Seed [[exactJoinCard]]'s persisted cache with an externally
+    * MEASURED subset count (a bench kit execution's SQLMetrics node
+    * actual — the same quantity the eager count plan computes, for the
+    * same relation under the same effective filters). Stored under the
+    * eager plan's own key, so any later optimization of any query over
+    * the same data reads it as a free cache hit instead of re-paying a
+    * multi-second probe — the reference's true-cardinality feedback
+    * (/root/reference/postbound/opt/_cardinalities.py:20). Returns
+    * whether the subset was seedable (its eager plan constructible). */
+  def seedExactCount(s: Set[String], v: Double): Boolean = try {
+    if (!v.isFinite || v < 0.0) false
+    else {
+      val order = connectedOrder(s)
+      eagerCountPlan(order) match {
+        case Some(cp) =>
+          stats.seedScalarLong(cp, math.round(v))
+          exactMemo.put(s, v)
+          true
+        case None => false
+      }
+    }
+  } catch {
+    case e: InterruptedException =>
+      Thread.currentThread().interrupt(); throw e
+    case scala.util.control.NonFatal(e)
+        if !UesBoundModel.isCancellation(e) => false
+  }
+
   /** Cache-only read of [[exactJoinCard]]: the memoized or persisted
     * count if one exists, never launching a probe. [[stepFor]] consults
     * this at every step regardless of the firing triggers, so a count
@@ -894,7 +922,8 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
 
   private def probe(c: String, joined: Set[String]): Option[Double] =
     if (sketchTier == "bloom") bloomProbe(c, joined)
-    else if (sketchTier == "cms") bloomTransitiveCount(c, joined)
+    else if (sketchTier == "cms" || sketchTier == "cmsx")
+      bloomTransitiveCount(c, joined)
     else reductionPlan(c, joined).flatMap { p =>
       stats.rowCountIfCached(p).map(_.toDouble).orElse {
         if (budget.exhausted) None
@@ -1262,9 +1291,15 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     val pairTier = joinSketch && sketchTier != "bloom" && equi.nonEmpty
     val pairwise: Seq[Double] =
       if (!pairTier) Seq.empty
-      else if (sketchTier == "exact")
+      else if (sketchTier == "exact" || sketchTier == "cmsx")
+        // exact 2-table eager counts; the diagnostic cmsx tier launches
+        // them inline on chosen steps (no scheduler runs for it), the
+        // exact tier reads cache only (the value-ordered scheduler
+        // launches via pairWanted)
         equi.map(_._1).distinct.flatMap { l =>
-          exactJoinCardCached(Set(l, c)).map(_ * mu(l))
+          (if (sketchTier == "cmsx" && !forSelection)
+            exactJoinCard(Set(l, c))
+          else exactJoinCardCached(Set(l, c))).map(_ * mu(l))
         }
       else equi.flatMap { case (l, ca, cb) =>
         cmsPairCard(l, ca.name, c, cb.name, forSelection).map(_ * mu(l))
@@ -1408,8 +1443,10 @@ private[opt] object UesBoundModel {
   /** Degree-sequence state of the running intermediate (see the
     * recursion comment in UesBoundModel): for each tracked base join
     * column (table identifier, column name), a descending run-length
-    * (degree, value-count) sequence rank-wise upper-bounding the true
-    * sorted degree multiset. */
+    * (degree, value-count) sequence PREFIX-DOMINATING (majorizing) the
+    * true sorted degree multiset, with rank count upper-bounding the
+    * true distinct-value count. NOT rank-wise: see the invariant note
+    * in UesBoundModel. */
   type DegState = Map[(String, String), IndexedSeq[(Double, Double)]]
 
   /** Σ_i a↓[i]·b↓[i] over aligned ranks, truncated to the shorter
@@ -1524,8 +1561,18 @@ private[opt] object UesBoundModel {
     * reduction trees, matched-intermediate and eager-aggregation COUNT
     * probes — precise-cardinality-class work). Each tier's term set is
     * a superset of the looser tier's with each shared term at most as
-    * large, so per-node bounds order bloom ≥ cms ≥ exact ≥ actual. */
-  val SketchTiers: Set[String] = Set("exact", "cms", "bloom")
+    * large, so per-node bounds order bloom ≥ cms ≥ exact ≥ actual.
+    * `cmsx` is a DIAGNOSTIC tier between cms and exact: the cms term
+    * tree with the pairwise join-size terms computed EXACTLY (the
+    * 2-table eager counts) instead of by count-min sketch, and no
+    * multi-table subset probes. Its q-error is the measurable floor of
+    * what ANY per-column/pairwise statistic can achieve — the residual
+    * above it is sketch width, the residual below it (vs the exact
+    * tier) is cross-leg correlation that only multi-table counts see
+    * (the per-column marginals of the true and an independent
+    * distribution coincide, so no per-column statistic can separate
+    * them). */
+  val SketchTiers: Set[String] = Set("exact", "cms", "cmsx", "bloom")
 
   /** The exact tier also fires at steps whose provisional bound grows
     * by at least this factor over the incoming bound: a genuinely
@@ -1670,6 +1717,23 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
   @volatile private var lastBudgetUsed: Option[ProbeBudget] = None
   def lastProbeStats: Option[(Int, Long)] =
     lastBudgetUsed.map(b => (b.probesLaunched, b.probeWallMs))
+
+  /** Seed the persisted exact-count cache from externally MEASURED
+    * per-subset actuals (keyed by table-identifier sets) — the bench
+    * kit's SQLMetrics node actuals are exactly the quantities the
+    * exact tier's eager counts compute, so a measured execution makes
+    * every later optimization of the query probe-free even after the
+    * probe cache is lost or re-keyed (the r15→r16 gw39 regression:
+    * a paid 60 s root count orphaned by a key-scheme change, and the
+    * scheduler's wall budget structurally unable to re-pay it).
+    * Launches no Spark jobs — plan construction only. */
+  def seedMeasuredActuals(graph: JoinGraph,
+      actuals: Map[Set[String], Double]): Int = {
+    val model = new UesBoundModel(graph, filteredStats, mcvEdgeBounds,
+      mcvK, joinSketch = true, sketchTier = "exact",
+      new ProbeBudget(0, 0L, 0.0))
+    actuals.count { case (s, v) => model.seedExactCount(s, v) }
+  }
 
   def optimizeJoinOrder(q: QueryFacade, graph: JoinGraph): Option[JoinTree[Cardinality]] = {
     val tables = graph.tables
@@ -1834,11 +1898,23 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
           wanted.foreach { case (s, _, _) =>
             if (!budget.exhausted)
               model.exactJoinCard(s, UesBoundModel.QuickProbeMs): Unit }
+          // the single LARGEST-slack subset still missing gets the FULL
+          // remaining wall, not the escalating half: the half-wall
+          // ceiling made the most expensive count (gw39's root — the
+          // kit's one q-error >1.05 in r15) structurally unreachable on
+          // a cold cache, since no sequence of warm reruns ever offered
+          // more than maxWallMs/2. Everything after it keeps the
+          // escalating default, so one such bet per scheduling round.
+          var fullWallSpent = false
           wanted.foreach { case (s, prov, _) =>
             if (!budget.exhausted) {
-              val r = model.exactJoinCard(s)
+              val capMs =
+                if (!fullWallSpent && model.exactJoinCardCached(s).isEmpty) {
+                  fullWallSpent = true; budget.remainingMs
+                } else 0L
+              val r = model.exactJoinCard(s, capMs)
               if (UesBoundModel.ProbeDebug)
-                System.err.println(s"[sched] prov=$prov $s -> $r")
+                System.err.println(s"[sched] prov=$prov cap=$capMs $s -> $r")
             } }
         }
         settled = budget.probesLaunched == launchedBefore

@@ -310,6 +310,28 @@ final class EmulatedStatistics(spark: SparkSession,
     }
   }
 
+  /** Seed a [[scalarLong]] probe result from an externally MEASURED
+    * exact value — e.g. a bench kit execution's SQLMetrics node actual,
+    * which is the same physical quantity the eager count plan computes
+    * — persisting it exactly like a paid probe (success beats any
+    * timeout sentinel via mergeLong). This is what makes paid exact
+    * counts durable across cache re-keying or loss: the kit-actuals
+    * file re-derives them for free instead of re-paying a multi-second
+    * probe, the reference's true-cardinality feedback
+    * (/root/reference/postbound/opt/_cardinalities.py:20). */
+  def seedScalarLong(plan: LogicalPlan, v: Long): Unit = {
+    require(v >= 0L, s"seeded scalar must be a measured count, got $v")
+    val k = key(plan, "scalar")
+    val already = cache.get(k).exists {
+      case x: Long => x >= 0L
+      case _ => false
+    }
+    if (!already) {
+      mergeLong(k, v)
+      persistNew(k, v)
+    }
+  }
+
   /** Cache peek for [[scalarLong]] — see [[rowCountIfCached]]. Timeout
     * sentinels (negative) read as absent. */
   def scalarLongIfCached(plan: LogicalPlan): Option[Long] =

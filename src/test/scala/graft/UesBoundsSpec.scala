@@ -272,6 +272,38 @@ class UesBoundsSpec extends SparkSpec {
     assert(bounds(full).last === 2.0)
   }
 
+  test("measured node actuals seed the exact-count cache: a zero-budget " +
+      "re-optimization reads the fed-back count (gw39 regression class)") {
+    import spark.implicits._
+    // skewed fact: key 10 carries 20 rows; dim filter keeps keys 1..5
+    Seq((1, 1), (2, 2), (3, 3), (4, 4), (5, 5)).toDF("r_k", "r_v")
+      .createOrReplaceTempView("sr")
+    (1 to 10).map(k => (k, (k - 1) % 5 + 1)).toDF("d_k", "d_r")
+      .createOrReplaceTempView("sd")
+    ((1 to 9) ++ Seq.fill(20)(10)).toDF("f_k").createOrReplaceTempView("sf")
+    val sql = """SELECT count(*) AS n FROM sr, sd, sf
+                 WHERE d_r = r_k AND f_k = d_k AND r_v = 1"""
+    val q = QueryFacade(spark, sql)
+    val freshStats = new EmulatedStatistics(spark)
+    val graph = new JoinGraph(q.joinBlock.get, freshStats)
+    val zeroBudget = () => new graft.opt.ProbeBudget(0, 0L, 0.0)
+    val before = new UESJoinOrderOptimizer(budgetFor = zeroBudget)
+      .optimizeJoinOrder(q, graph).get
+    assert(bounds(before).last > 2.0) // no probes: per-relation bound only
+    // feed back a "measured execution": the true node counts
+    val actual = spark.sql(
+      """SELECT count(*) AS n FROM sr JOIN sd ON d_r = r_k
+         JOIN sf ON f_k = d_k WHERE r_v = 1""").head().getLong(0).toDouble
+    val seeded = new UESJoinOrderOptimizer().seedMeasuredActuals(graph,
+      Map(Set("sr", "sd") -> 2.0, Set("sr", "sd", "sf") -> actual))
+    assert(seeded === 2)
+    // a zero-budget optimization now reads the fed-back counts as free
+    // cache hits and collapses the root bound to the measured actual
+    val after = new UESJoinOrderOptimizer(budgetFor = zeroBudget)
+      .optimizeJoinOrder(q, graph).get
+    assert(bounds(after).last === actual)
+  }
+
   test("bloom tier bounds dominate exact-tier bounds and the actual " +
       "(flat membership, transitivity dropped)") {
     import spark.implicits._
