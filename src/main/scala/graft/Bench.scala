@@ -179,6 +179,44 @@ object Bench {
     // scheduling stalls on stage-heavy queries (r3/r4 d03): with 5 reps
     // the median survives two stalled runs, not just one.
     canary() // warm the range/agg codegen paths before measuring
+    // Calm-start gate (r15: third loaded official capture in a row, and
+    // each run STARTED hot — the before-canary was the run's worst
+    // sample at 1.85x its best). With no absolute reference available,
+    // calm is detected as the canary having STOPPED IMPROVING: sample
+    // until two consecutive readings sit within 10% of the running
+    // best, or the wait budget runs out. A transiently loaded start
+    // (the observed failure mode — the driver launches the bench right
+    // after heavy prior work) clears within the budget and the headline
+    // then measures on a settled machine; a steadily loaded machine
+    // times out and degrades to the retry pass + rebase estimator
+    // exactly as before. The wait burns bounded wall, never correctness.
+    locally {
+      val calmWaitMs = sys.env.get("SPARK_GRAFT_CALM_WAIT_MS").map(_.toLong)
+        .getOrElse(120000L)
+      val deadline = System.nanoTime() + calmWaitMs * 1000000L
+      var best = canary()
+      var prevOk = false
+      var calm = false
+      var waited = 0
+      while (!calm && System.nanoTime() < deadline) {
+        Thread.sleep(3000)
+        val c = canary()
+        // "calm" = the canary has stopped improving AND is not spiking:
+        // a sample that beats the running best by >5% means load is
+        // still draining (the r15 signature: 0.156 start decaying to
+        // 0.085) — keep waiting; a sample within [best*0.95, best*1.15]
+        // twice in a row means the machine has settled at its floor
+        val improved = c < best * 0.95
+        val ok = !improved && c <= best * 1.15
+        calm = ok && prevOk
+        prevOk = ok
+        best = math.min(best, c)
+        waited += 1
+      }
+      if (!calm) System.err.println(s"[bench] calm-start gate timed out " +
+        s"after $waited samples (machine still improving or loaded) — " +
+        "proceeding; retry pass and rebase estimator cover the drift")
+    }
     val canaryBefore = canary()
     // mid-run canaries every ~20 queries: the r9 driver run degraded
     // 0.216 -> 0.362 s across 18 minutes, leaving late-query medians
@@ -360,11 +398,13 @@ object Bench {
     // fixed key list so the artifact schema is stable even when the kit
     // metrics fail wholesale (each key then carries "{}")
     val kitKeys = Seq("job_opt_ms", "job_cold_probe_ms", "job_qerror",
+      "job_opt_probes", "job_opt_probe_ms",
       "job_qerror_branching", "job_branching_fired", "job_qerror_bloom",
       "job_cold_probe_ms_bloom", "job_qerror_cms", "job_cold_probe_ms_cms",
-      "job_qerror_by_estimator",
+      "job_qerror_cms_floor", "job_qerror_by_estimator",
       "job_qerror_nodes_by_estimator", "native_cbo_summary",
-      "native_summary", "stats_qerror_by_estimator",
+      "native_summary", "native_collapsed", "native_cbo_collapsed",
+      "kit_seeded_counts", "stats_qerror_by_estimator",
       "stats_qerror_nodes_by_estimator", "stats_opt_ms",
       "stats_cold_probe_ms", "stats_qerror", "probe_cache_entries")
     val canaryMidJson = canaryMid.map(c => fmt(c._2)).mkString("[", ",", "]")
@@ -424,6 +464,12 @@ object Bench {
     final case class KitRow(label: String, optMs: Double, coldMs: Double,
       maxQerr: Double, rootBound: Double, rootActual: Double,
       bushyJoins: Int,
+      // probe jobs LAUNCHED during the timed (warm) optimization and
+      // their wall: attributes any warm opt_ms drift — probes > 0 means
+      // the fixed-point scheduler is still paying jobs on a "warm"
+      // cache (cache miss / sentinel retry), probes = 0 means the time
+      // is driver-side CPU (bound math, plan construction)
+      warmProbes: Int = 0, warmProbeMs: Double = 0.0,
       // one triple per join node of the enforced plan, post-order:
       // (joined table set, the UES bound annotation, measured actual
       // output rows from SQLMetrics) — the whole-tree tightness data
@@ -453,9 +499,14 @@ object Bench {
       }
       joins(t) - spine(t)
     }
+    // Reported q-errors clamp at 1e10 (ADVICE r15: the native size-based
+    // fallback produced 1e56-class magnitudes in raw per-query columns,
+    // which read as a broken artifact rather than an estimate). Queries
+    // that hit the clamp are listed in the *_collapsed flag lists next
+    // to the column; no engine-quality signal lives past 1e10.
     def qerr(e: Double, a: Double): Double = {
       val ee = math.max(e, 1.0); val aa = math.max(a, 1.0)
-      math.max(ee / aa, aa / ee)
+      math.min(math.max(ee / aa, aa / ee), 1e10)
     }
     // Estimate-quality per query: the UES tree's annotations are the
     // upper bounds the reference grades on (bound tightness,
@@ -563,6 +614,10 @@ object Bench {
         val t0 = System.nanoTime()
         val res = pipeline.optimizeQuery(sql)
         val optMs = (System.nanoTime() - t0) / 1e6
+        val (warmProbes, warmProbeMs) = pipeline.joinOrder.collect {
+          case u: graft.opt.UESJoinOrderOptimizer =>
+            u.lastProbeStats.map(p => (p._1, p._2.toDouble))
+        }.flatten.getOrElse((0, 0.0))
         val rootBound = res.joinOrder.map(_.annotation.value).getOrElse(-1.0)
         // warm path: every table subset of THIS run's tree has a cached
         // actual — reconstruct the tightness row without executing (a
@@ -666,7 +721,8 @@ object Bench {
           }
         acc += KitRow(label, optMs, coldMs.getOrElse(label, -1.0), qe,
           rootBound, rootAct,
-          res.joinOrder.map(bushyJoinCount).getOrElse(0), nodes)
+          res.joinOrder.map(bushyJoinCount).getOrElse(0),
+          warmProbes, warmProbeMs, nodes)
         // per-QUERY progress callback: the r13 driver timeout zeroed
         // every kit section because rows only became visible per phase —
         // flushing after each query means a kill mid-kit still leaves
@@ -731,6 +787,13 @@ object Bench {
         kitAcc("job_opt_ms") = jmap(rows.map(r => r.label -> r.optMs))
         kitAcc("job_cold_probe_ms") = jmap(rows.map(r => r.label -> r.coldMs))
         kitAcc("job_qerror") = jmap(rows.map(r => r.label -> r.maxQerr))
+        // warm-drift attribution (r15: job_opt_ms median 94 → 159 ms
+        // with no owner): probe jobs launched during the TIMED pass and
+        // their wall — nonzero means the "warm" run still paid probes
+        kitAcc("job_opt_probes") =
+          jmap(rows.map(r => r.label -> r.warmProbes.toDouble))
+        kitAcc("job_opt_probe_ms") =
+          jmap(rows.map(r => r.label -> r.warmProbeMs))
         flushKit()
       }, onCold = cold => {
         kitAcc("job_cold_probe_ms") = jmap(cold); flushKit()
@@ -890,13 +953,16 @@ object Bench {
              else qerr(r.rootBound, r.rootActual))),
           "statistical" -> estRows((g, ts) => statistical.calculateEstimate(g, ts).value),
           "basic" -> estRows((g, ts) => basic.calculateEstimate(g, ts).value),
-          // finite (provenance-true) estimates only: a size-based
-          // sizeInBytes/width fallback is Catalyst giving up, not an
-          // estimate — its 1e34-class q-errors read as a broken column.
-          // The collapse RATE lives in native_summary.
+          // the planner's actual working estimate, ANY provenance: the
+          // size-based sizeInBytes/width fallback IS what native Spark
+          // plans with (broadcast decisions etc.) when CBO stats are
+          // absent, so reporting it is the honest head-to-head row
+          // (r15 task: two rounds of a 100%-collapsed column said
+          // nothing). Its q-errors ride the global 1e10 clamp; the
+          // fallback RATE lives in native_summary.pct_size_fallback.
           "native" -> estRows((g, ts) => nativeStats.rowEstimateDetailed(
             graft.opt.QueryFragment.fragmentPlan(g, ts))
-            .collect { case (v, true) => v.toDouble }.getOrElse(-1.0)),
+            .map(_._1.toDouble).getOrElse(-1.0)),
           "precise" -> kit.map { case (label, _) =>
             label -> (if (actuals.getOrElse(label, -1.0) < 0) -1.0 else 1.0) }
         ).++(extra).map { case (n, r) => s""""$n":${jmap(r)}""" }
@@ -952,7 +1018,32 @@ object Bench {
             }.getOrElse((-1.0, false))
           } catch { case _: Throwable => (-1.0, false) })
         }.toMap
-      val nativeSummary: String = provenanceSummary(nativeRoots)
+      // the native summary grades the planner's working estimates (any
+      // provenance, clamp applied) and reports the fallback rate — the
+      // CBO summary above keeps the stricter finite-only split
+      val nativeSummary: String = {
+        val graded = jobKit.flatMap { case (label, _) =>
+          for {
+            (e, genuine) <- nativeRoots.get(label)
+            a = jobActuals.getOrElse(label, -1.0)
+            if a >= 0 && e >= 0
+          } yield (qerr(e, a), genuine)
+        }
+        val qes = graded.map(_._1)
+        if (graded.isEmpty) """{"n":0}"""
+        else s"""{"n":${graded.size},"n_finite":${qes.size},""" +
+          s""""pct_size_fallback":${fmt(
+            100.0 * graded.count(!_._2) / graded.size)},""" +
+          s""""median":${fmt(median(qes))},"max":${fmt(qes.max)}}"""
+      }
+      // collapsed-flag lists: queries whose reported estimator value is
+      // a size-based fallback (and whose q-error may sit at the clamp)
+      def collapsedList(roots: Map[String, (Double, Boolean)]): String =
+        jobKit.collect { case (label, _)
+          if roots.get(label).exists(r => !r._2 && r._1 >= 0) =>
+            s""""$label"""" }.mkString("[", ",", "]")
+      kitAcc("native_collapsed") = collapsedList(nativeRoots)
+      kitAcc("native_cbo_collapsed") = collapsedList(cboRoots)
       val byEstimator = headToHead(jobKit, jobRows,
         extra = Seq("native_cbo" -> cboRootQerr))
       val statsByEstimator = headToHead(statsKit, statsRows)
@@ -999,7 +1090,7 @@ object Bench {
             basic.calculateEstimate(g, ts).value)),
           "native" -> render(estRows((g, ts) => nativeStats
             .rowEstimateDetailed(graft.opt.QueryFragment.fragmentPlan(g, ts))
-            .collect { case (v, true) => v.toDouble }.getOrElse(-1.0)))
+            .map(_._1.toDouble).getOrElse(-1.0)))
         ).++(extra.map { case (n, r) => n -> render(r) })
           .map { case (n, r) => s""""$n":$r""" }.mkString("{", ",", "}")
       }

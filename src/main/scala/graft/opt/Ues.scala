@@ -1146,7 +1146,13 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
           else {
             val dc = stats.degreeSequence(statPlan(c), cb.name)
               .map { case (d, n) => (d.toDouble, n.toDouble) }
-            Some(degPairSum(dL, u, dc))
+            // 1e-9 relative float guard: the rank-paired sum is exact in
+            // REAL arithmetic but its FP evaluation (fractional run
+            // splits from the mass cap, take·db accumulation) can land
+            // an ulp below a truth it equals — measured: 194.99999999999997
+            // against an actual of 195. Padding up costs nothing at
+            // q-error resolution and keeps bound ≥ actual exact.
+            Some(degPairSum(dL, u, dc) * (1.0 + 1e-9))
           }
         } catch {
           case e: InterruptedException =>
@@ -1513,22 +1519,27 @@ private[opt] object UesBoundModel {
     * note). */
   private[graft] def degMassCap(s: IndexedSeq[(Double, Double)],
       cap: Double): IndexedSeq[(Double, Double)] = {
-    if (!cap.isFinite || cap <= 0.0)
-      return if (cap <= 0.0 && cap.isFinite)
-        s.map { case (_, n) => (0.0, n) } else s
+    if (!cap.isFinite || cap < 0.0) return s
+    // 1e-6 multiplicative headroom: the clip must never round BELOW the
+    // truth when the true total mass EQUALS the cap (the fractional
+    // (cap-mass)/d arithmetic can lose an ulp — measured: a bound of
+    // 2541.9999999999995 against an actual of 2542). A higher cap is
+    // strictly looser, so headroom costs tightness (~nothing), never
+    // soundness.
+    val capX = cap * (1.0 + 1e-6)
     var mass = 0.0
     var i = 0
-    while (i < s.size && mass + s(i)._1 * s(i)._2 <= cap) {
+    while (i < s.size && mass + s(i)._1 * s(i)._2 <= capX) {
       mass += s(i)._1 * s(i)._2; i += 1
     }
     if (i >= s.size) s
     else {
       val (d, n) = s(i)
-      val kept = if (d > 0) (cap - mass) / d else n
+      val kept = if (d > 0) (capX - mass) / d else n
       val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       out ++= s.take(i)
-      if (kept > 0) out += ((d, kept))
-      val zeroRanks = (n - kept) + s.drop(i + 1).map(_._2).sum
+      if (kept > 0) out += ((d, math.min(kept, n)))
+      val zeroRanks = math.max(n - kept, 0.0) + s.drop(i + 1).map(_._2).sum
       if (zeroRanks > 0) out += ((0.0, zeroRanks))
       out.toIndexedSeq
     }

@@ -29,7 +29,7 @@ final case class OptimizationResult(
   */
 final class MultiStageOptimizationPipeline(
     val spark: SparkSession,
-    joinOrder: Option[JoinOrderOptimization] = None,
+    val joinOrder: Option[JoinOrderOptimization] = None,
     operators: Option[PhysicalOperatorSelection] = None,
     parameters: Option[ParameterGeneration] = None,
     preCheck: OptimizationPreCheck = EquiJoinPreCheck,

@@ -268,7 +268,9 @@ class UesBoundsSpec extends SparkSpec {
     // deg-20 value, rank 2 against a deg-1 value → 21 (the pre-r15
     // scalar arithmetic gave 29 = 2 + 27 from u·mf slack); with budget
     // the reduction probe caps the candidate at the true 2
-    assert(bounds(noBudget).last === 21.0)
+    // the deg term carries a 1e-9 relative float guard (padding up, see
+    // degEdgeTerms), so the pin reads within that tolerance
+    assert(math.abs(bounds(noBudget).last - 21.0) <= 21.0 * 1e-8)
     assert(bounds(full).last === 2.0)
   }
 

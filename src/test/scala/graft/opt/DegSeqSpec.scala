@@ -59,8 +59,10 @@ class DegSeqSpec extends AnyFunSuite {
       "early ranks, preserving the rank count") {
     val s = IndexedSeq((10.0, 2.0), (4.0, 3.0)) // mass 32, 5 ranks
     val capped = degMassCap(s, 25.0)
-    assert(capped.map { case (d, n) => d * n }.sum === 25.0 +- 1e-9)
-    assert(capped.map(_._2).sum === 5.0 +- 1e-9)
+    // the clip carries 1e-6 multiplicative headroom (ulp-soundness at
+    // exact-equality caps), so the clipped mass sits just above the cap
+    assert(capped.map { case (d, n) => d * n }.sum === 25.0 +- 1e-3)
+    assert(capped.map(_._2).sum === 5.0 +- 1e-6)
     assert(expand(capped).take(2) === Seq(10.0, 10.0)) // early ranks intact
     // a cap at/above the total mass is the identity
     assert(degMassCap(s, 32.0) === s)
