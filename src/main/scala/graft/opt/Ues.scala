@@ -65,10 +65,13 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   // filter predicates are applied first, so mf/ndv/MCV describe the
   // relation that actually participates in the joins (exact, hence
   // sound -- unlike selectivity-scaled base frequencies)
+  private val statPlanMemo = scala.collection.concurrent.TrieMap
+    .empty[String, LogicalPlan]
   private def statPlan(t: String): LogicalPlan =
-    if (!filteredStats) leaf(t)
-    else QueryFacade.andAll(effectiveFilters(t))
-      .map(Filter(_, leaf(t))).getOrElse(leaf(t))
+    statPlanMemo.getOrElseUpdate(t,
+      if (!filteredStats) leaf(t)
+      else QueryFacade.andAll(effectiveFilters(t))
+        .map(Filter(_, leaf(t))).getOrElse(leaf(t)))
   def baseCard(t: String): Double =
     stats.rowCount(leaf(t),
       QueryFacade.andAll(effectiveFilters(t))).toDouble
@@ -1003,6 +1006,18 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     (parent.keys.filter(find(_) == root).toSeq :+ start).distinct
   }
 
+  // per-model sketch memo: the stats layer memoizes the probe, but its
+  // read path re-keys (canonicalize + SHA-256) the stat plan per call,
+  // and bucketEdgeTerm runs candidates x steps x edges times per
+  // optimization — part of the r15 warm job_opt_ms drift (94 -> 159 ms
+  // with zero probes launched)
+  private val bucketSketchMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (IndexedSeq[Long], IndexedSeq[Long])]
+  private def bucketSketchOf(t: String, col: String)
+      : (IndexedSeq[Long], IndexedSeq[Long]) =
+    bucketSketchMemo.getOrElseUpdate((t, col),
+      stats.bucketSketch(statPlan(t), col))
+
   private def bucketEdgeTerm(joined: Set[String], u: Double,
       mu: Map[String, Double], ca: graft.core.ColumnRef, c: String,
       cb: graft.core.ColumnRef): Option[Double] = try {
@@ -1021,10 +1036,10 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     if (kinds.size != 1 || kinds.head == 3) return None
     val b = graft.stats.EmulatedStatistics.BucketCount
     val sketches = members.map { case (t, col) =>
-      val (cnt, deg) = stats.bucketSketch(statPlan(t), col)
+      val (cnt, deg) = bucketSketchOf(t, col)
       (mu(t), cnt, deg)
     }
-    val (cntC, degC) = stats.bucketSketch(statPlan(c), cb.name)
+    val (cntC, degC) = bucketSketchOf(c, cb.name)
     var total = 0.0
     var i = 0
     while (i < b) {
@@ -1100,10 +1115,13 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   // tracked column.
   import UesBoundModel.{DegState, degPairSum, degProd, degScale, degMassCap}
 
-  private def typeKind(t: String, col: String): Int = {
-    val sch = stats.relation(statPlan(t)).schema
-    bucketKindOf(sch(sch.fieldIndex(col)).dataType)
-  }
+  private val typeKindMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Int]
+  private def typeKind(t: String, col: String): Int =
+    typeKindMemo.getOrElseUpdate((t, col), {
+      val sch = stats.relation(statPlan(t)).schema
+      bucketKindOf(sch(sch.fieldIndex(col)).dataType)
+    })
 
   /** Equi-join columns of `t` (members of any equi edge). Kind 3
     * (non-scalar) columns are untracked — their sequences would still
@@ -1113,19 +1131,34 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       .filter(_.table.exists(_.identifier == t)).map(_.name).distinct
       .filter(c => typeKind(t, c) != 3)
 
-  /** σt's base degree sequence scaled by `alpha` (each base row appears
-    * at most alpha times in the intermediate). */
-  private def degInitTable(t: String, alpha: Double): DegState =
-    trackableCols(t).flatMap { col =>
-      try Some((t, col) ->
-        stats.degreeSequence(statPlan(t), col)
-          .map { case (d, n) => (d.toDouble * alpha, n.toDouble) })
+  // Converted base sequences, memoized per (table, column) for THIS
+  // model: the stats layer memoizes the PROBE, but every read re-parsed
+  // the flat long vector into a (Double, Double) run vector — and
+  // stepFor reads sequences candidates x steps x edges times per
+  // optimization (measured as part of the r15 warm job_opt_ms drift:
+  // the timed pass launches zero probes, so the cost is pure
+  // driver-side work like this).
+  private val degSeqMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Option[IndexedSeq[(Double, Double)]]]
+  private def baseDegSeq(t: String, col: String)
+      : Option[IndexedSeq[(Double, Double)]] =
+    degSeqMemo.getOrElseUpdate((t, col), {
+      try Some(stats.degreeSequence(statPlan(t), col)
+        .map { case (d, n) => (d.toDouble, n.toDouble) })
       catch {
         case e: InterruptedException =>
           Thread.currentThread().interrupt(); throw e
         case scala.util.control.NonFatal(e)
             if !UesBoundModel.isCancellation(e) => None
       }
+    })
+
+  /** σt's base degree sequence scaled by `alpha` (each base row appears
+    * at most alpha times in the intermediate). */
+  private def degInitTable(t: String, alpha: Double): DegState =
+    trackableCols(t).flatMap { col =>
+      baseDegSeq(t, col).map(s => (t, col) ->
+        s.map { case (d, n) => (d * alpha, n) })
     }.toMap
 
   def degInit(start: String): DegState = degInitTable(start, 1.0)
@@ -1143,16 +1176,14 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       degs.get((l, ca.name)).flatMap { dL =>
         try {
           if (typeKind(l, ca.name) != typeKind(c, cb.name)) None
-          else {
-            val dc = stats.degreeSequence(statPlan(c), cb.name)
-              .map { case (d, n) => (d.toDouble, n.toDouble) }
+          else baseDegSeq(c, cb.name).map { dc =>
             // 1e-9 relative float guard: the rank-paired sum is exact in
             // REAL arithmetic but its FP evaluation (fractional run
             // splits from the mass cap, take·db accumulation) can land
             // an ulp below a truth it equals — measured: 194.99999999999997
             // against an actual of 195. Padding up costs nothing at
             // q-error resolution and keeps bound ≥ actual exact.
-            Some(degPairSum(dL, u, dc) * (1.0 + 1e-9))
+            degPairSum(dL, u, dc) * (1.0 + 1e-9)
           }
         } catch {
           case e: InterruptedException =>
@@ -1176,9 +1207,12 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       }
       edgeHere match {
         case Some((_, _, ecb)) =>
-          val dc = stats.degreeSequence(statPlan(c), ecb.name)
-            .map { case (d, n) => (d.toDouble, n.toDouble) }
-          key -> degProd(dL, dc, newBound)
+          baseDegSeq(c, ecb.name) match {
+            case Some(dc) => key -> degProd(dL, dc, newBound)
+            // conversion failure: beta-scale (the non-edge rule) stays
+            // sound — each L row still duplicates at most beta times
+            case None => key -> degScale(dL, beta, newBound)
+          }
         case None =>
           key -> degScale(dL, beta, newBound)
       }
