@@ -180,7 +180,26 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     * tables are included (a cross-table residual can collapse to an
     * edge under substitution).
     */
-  lazy val derivedThetaEdges: Seq[JoinEdge] = {
+  lazy val derivedThetaEdges: Seq[JoinEdge] = derivedFromConjuncts._1
+
+  /** JOIN conjuncts whose class-substituted form collapses onto ONE
+    * table — e.g. gw79's cross-table OR `(n1.n_regionkey = 0 OR
+    * s2.s_nationkey = 12)` with `s2.s_nationkey ≡ n1.n_nationkey`
+    * becoming the single-table predicate `(n1.n_regionkey = 0 OR
+    * n1.n_nationkey = 12)`. Logically implied for every result row by
+    * the original conjunct plus the equi edges (same argument as
+    * [[derivedFilters]]), so it joins the per-table filter closure:
+    * statistics, probe relations AND the enforced scans all see it.
+    * Before r16 these were silently dropped (only the two-table
+    * collapses were kept, as edges) — measured on gw79: every bound
+    * term priced n1 at 12 rows where the executed join saw 3, a 7.3x
+    * whole-tree q-error for the cms tier that no sketch could close
+    * (the constraint never reached the relation being sketched). */
+  private lazy val derivedConjunctFilters: Map[String, Seq[Expression]] =
+    derivedFromConjuncts._2
+
+  private lazy val derivedFromConjuncts
+      : (Seq[JoinEdge], Map[String, Seq[Expression]]) = {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
       ExprId}
     // attribute-level union-find over the equi edges' EqualTo sides
@@ -211,6 +230,8 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     // cartesian product of per-attribute choices (itself plus class
     // members on other tables), bounded per conjunct
     val out = scala.collection.mutable.ArrayBuffer.empty[JoinEdge]
+    val singles = scala.collection.mutable
+      .Map.empty[String, Vector[Expression]].withDefaultValue(Vector.empty)
     val seen = scala.collection.mutable.Set.empty[(Set[String], String)]
     edges.foreach(e => seen += ((e.tables, e.expr.canonicalized.toString)))
     sourceConjuncts.foreach { c =>
@@ -239,12 +260,17 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
             if (ts2.size == 2 && !seen.contains(key)) {
               seen += key
               out += JoinEdge(ts2, expr2, None)
+            } else if (ts2.size == 1 && expr2.deterministic &&
+                !seen.contains(key)) {
+              seen += key
+              val t = ts2.head
+              singles(t) = singles(t) :+ expr2
             }
           }
         }
       }
     }
-    out.toSeq
+    (out.toSeq, singles.toMap.withDefaultValue(Vector.empty))
   }
 
   /** Single-table FILTER conjuncts rewritten through the attribute
@@ -330,6 +356,17 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
             case _ =>
           }
         }
+      }
+    }
+    // join conjuncts that collapsed onto one table under substitution
+    // (see derivedConjunctFilters) join the same closure, deduplicated
+    // against both the block's own filters and the substitution output
+    derivedConjunctFilters.foreach { case (t, es) =>
+      es.foreach { e =>
+        val dup = block.filtersFor(t)
+          .exists(_.canonicalized == e.canonicalized) ||
+          out(t).exists(_.canonicalized == e.canonicalized)
+        if (!dup) out(t) = out(t) :+ e
       }
     }
     out.toMap.withDefaultValue(Vector.empty)

@@ -477,6 +477,84 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
   /** Sketch-priced 2-table join count for the cms tier (see
     * [[graft.stats.EmulatedStatistics.cmsJoinCount]]): launched on
     * chosen steps, cache-only during selection ranking. */
+  /** Union-bound pair term for a theta-OR edge co-resident with an equi
+    * edge on the same (l, c) pair: every qualifying pair satisfies the
+    * OR, so |equi-pairs ∧ (P₁ ∨ … ∨ Pₖ)| ≤ Σᵢ |equi-pairs ∧ Pᵢ| (union
+    * bound), and each disjunct referencing only ONE side compiles into
+    * that side's stat plan — the same one-pass overcount-only sketches
+    * as [[cmsPairCard]], no shuffle join. This is the cms tier's answer
+    * to the gw26/gw49 class measured in r16: a cross-table OR
+    * (`l2.l_quantity = 37 OR p2.p_type = 'MEDIUM'`) that only
+    * pair-level counting can apply — the plain equi sketch prices the
+    * pair as if the OR did not exist (gw26 step +s2: every term at
+    * 600,000 against an executed 215,967). Launch policy mirrors
+    * [[cmsPairCard]]: cache-only during selection ranking, launched on
+    * chosen steps. */
+  private val orPairMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String, String), Option[Double]]
+  private def orPairCard(l: String, ca: String, c: String, cb: String,
+      forSelection: Boolean): Option[Double] = {
+    // a selection-time (cache-only) miss must stay retryable by the
+    // chosen step's launching pass, so None is only memoized when the
+    // probe genuinely ran (or the budget is gone)
+    orPairMemo.get((l, ca, c, cb)) match {
+      case Some(v) => v
+      case None =>
+        val r = orPairCompute(l, ca, c, cb, forSelection)
+        if (r.isDefined || !forSelection)
+          orPairMemo.put((l, ca, c, cb), r): Unit
+        r
+    }
+  }
+  private def orPairCompute(l: String, ca: String, c: String, cb: String,
+      forSelection: Boolean): Option[Double] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.Or
+      def disjuncts(e: Expression): Seq[Expression] = e match {
+        case Or(a, b) => disjuncts(a) ++ disjuncts(b)
+        case other => Seq(other)
+      }
+      def tablesOf(e: Expression): Set[String] =
+        e.references.toSeq
+          .flatMap(a => graph.block.attrToTable.get(a.exprId))
+          .map(_.identifier).toSet
+      def statPlanWith(t: String, extra: Expression): LogicalPlan =
+        QueryFacade.andAll(effectiveFilters(t) :+ extra)
+          .map(Filter(_, leaf(t))).getOrElse(leaf(t))
+      val orEdges = probeEdges.filter(e =>
+        e.tables == Set(l, c) && e.equiColumns.isEmpty)
+      val eps = math.min(1e-2, math.max(1e-5,
+        math.E / (4.0 * math.max(ndv(l, ca), 16.0))))
+      val terms = orEdges.flatMap { e =>
+        val ds = disjuncts(e.expr)
+        val sided = ds.map(d => (d, tablesOf(d)))
+        // every disjunct must be deterministic and reference exactly one
+        // side, else the union decomposition does not apply
+        if (ds.size < 2 || !sided.forall { case (d, ts) =>
+            d.deterministic && (ts == Set(l) || ts == Set(c)) }) None
+        else {
+          val parts = sided.map { case (d, ts) =>
+            val (lp, cp) =
+              if (ts == Set(l)) (statPlanWith(l, d), statPlan(c))
+              else (statPlan(l), statPlanWith(c, d))
+            stats.cmsJoinCountIfCached(lp, ca, cp, cb, eps)
+              .map(_.toDouble).orElse {
+                if (forSelection || budget.exhausted) None
+                else Some(budget.timed(
+                  stats.cmsJoinCount(lp, ca, cp, cb, eps)).toDouble)
+              }
+          }
+          if (parts.forall(_.isDefined)) Some(parts.flatten.sum) else None
+        }
+      }
+      terms.minOption
+    } catch {
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt(); throw e
+      case scala.util.control.NonFatal(e)
+          if !UesBoundModel.isCancellation(e) => None
+    }
+
   private def cmsPairCard(l: String, ca: String, c: String, cb: String,
       forSelection: Boolean): Option[Double] =
     try {
@@ -1342,7 +1420,8 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
           else exactJoinCardCached(Set(l, c))).map(_ * mu(l))
         }
       else equi.flatMap { case (l, ca, cb) =>
-        cmsPairCard(l, ca.name, c, cb.name, forSelection).map(_ * mu(l))
+        cmsPairCard(l, ca.name, c, cb.name, forSelection).map(_ * mu(l)) ++
+          orPairCard(l, ca.name, c, cb.name, forSelection).map(_ * mu(l))
       }
     // Partner re-reduction (the reverse direction of the candidate cap,
     // for the "filtered dimension joins last" pattern where beta = 1
@@ -1420,6 +1499,10 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
       else None
     if (UesBoundModel.ProbeDebug)
       System.err.println(s"[step] +$c prov=$provisional u=$u exact=$exact " +
+        s"terms[ub=${u * beta} ca=${cardC * alpha} nm=${nm.minOption} " +
+        s"mcv=${mcv.minOption} bucket=${bucket.minOption} " +
+        s"deg=${degTerms.minOption} pair=${pairwise.minOption} " +
+        s"recheck=${partnerRecheck.minOption} matched=${matched.minOption}] " +
         s"launched=${budget.probesLaunched} wall=${budget.probeWallMs}")
     Step(exact.getOrElse(provisional), beta, alpha)
   }

@@ -368,6 +368,58 @@ class UesBoundsSpec extends SparkSpec {
     assert(bounds(bloom2).last >= bounds(cms2).last)
     assert(bounds(cms2).last >= bounds(exact2).last)
     assert(bounds(cms2).last >= actual2.toDouble)
+    // the cmsx DIAGNOSTIC tier (cms term tree + exact pairwise counts,
+    // no multi-table probes) slots between cms and exact on both
+    // fixtures: exact pair counts are at most the count-min sketches
+    // (cms ≥ cmsx) and the exact tier only adds further sound terms
+    // (cmsx ≥ exact); its bound stays above the actual like every tier
+    val cmsx1 = new UESJoinOrderOptimizer(sketchTier = "cmsx")
+      .optimizeJoinOrder(q1, g1).get
+    assert(bounds(cms1).last >= bounds(cmsx1).last,
+      s"cms ${bounds(cms1).last} below cmsx ${bounds(cmsx1).last}")
+    assert(bounds(cmsx1).last >= bounds(exact1).last,
+      s"cmsx ${bounds(cmsx1).last} below exact ${bounds(exact1).last}")
+    assert(bounds(cmsx1).last >= actual1.toDouble)
+    val cmsx2 = new UESJoinOrderOptimizer(sketchTier = "cmsx")
+      .optimizeJoinOrder(q2, g2).get
+    assert(bounds(cms2).last >= bounds(cmsx2).last)
+    assert(bounds(cmsx2).last >= bounds(exact2).last)
+    assert(bounds(cmsx2).last >= actual2.toDouble)
+  }
+
+  test("cms tier union-bound pair term: a cross-table OR tightens the " +
+      "pair sketch soundly (gw26/gw49 class in miniature)") {
+    import spark.implicits._
+    // vf(f_k, f_v): 20 rows over keys 1..4, f_v = 1 on keys 1..2 rows
+    // vd(d_k, d_v): keys 1..4, d_v = 1 on key 1 only
+    // join on f_k = d_k with (f_v = 1 OR d_v = 1): qualifying pairs are
+    // f-rows with v=1 (keys 1,2: 10 rows) plus key-1 rows via d_v
+    // (5 rows, 5 already counted) = 12 rows; without the OR: 20.
+    (1 to 20).map(i => (i % 4 + 1, if (i % 4 + 1 <= 2) 1 else 0))
+      .toDF("f_k", "f_v").createOrReplaceTempView("vf")
+    Seq((1, 1), (2, 0), (3, 0), (4, 0)).toDF("d_k", "d_v")
+      .createOrReplaceTempView("vd")
+    val sql = """SELECT count(*) AS n FROM vf, vd
+                 WHERE f_k = d_k AND (f_v = 1 OR d_v = 1)"""
+    val q = QueryFacade(spark, sql)
+    val freshStats = new EmulatedStatistics(spark)
+    val graph = new JoinGraph(q.joinBlock.get, freshStats)
+    val actual = spark.sql(
+      """SELECT count(*) AS n FROM vf JOIN vd ON f_k = d_k
+         WHERE f_v = 1 OR d_v = 1""").head().getLong(0)
+    val cms = new UESJoinOrderOptimizer(sketchTier = "cms")
+      .optimizeJoinOrder(q, graph).get
+    // union bound: |pairs with f_v=1| + |pairs with d_v=1| = 10 + 5 = 15
+    // (vs 20 for the OR-blind equi sketch); sound: >= the true 12
+    assert(bounds(cms).last >= actual.toDouble)
+    assert(bounds(cms).last <= 15.0,
+      s"OR union-bound pair term not applied: ${bounds(cms)}")
+    // the exact tier's pair count applies the OR exactly and the tier
+    // ordering holds through the new term
+    val exact = new UESJoinOrderOptimizer()
+      .optimizeJoinOrder(q, graph).get
+    assert(bounds(cms).last >= bounds(exact).last)
+    assert(bounds(exact).last >= actual.toDouble)
   }
 
   test("exact tier: an expanding skewed step counts the true " +
