@@ -501,9 +501,12 @@ object Bench {
     }
     // Reported q-errors clamp at 1e10 (ADVICE r15: the native size-based
     // fallback produced 1e56-class magnitudes in raw per-query columns,
-    // which read as a broken artifact rather than an estimate). Queries
-    // that hit the clamp are listed in the *_collapsed flag lists next
-    // to the column; no engine-quality signal lives past 1e10.
+    // which read as a broken artifact rather than an estimate). The
+    // clamp applies to EVERY column uniformly; the *_collapsed flag
+    // lists mark size-fallback PROVENANCE for the native columns (the
+    // only estimators observed anywhere near the clamp — the engine's
+    // own bound columns max out around 1e4, far below it). No
+    // engine-quality signal lives past 1e10.
     def qerr(e: Double, a: Double): Double = {
       val ee = math.max(e, 1.0); val aa = math.max(a, 1.0)
       math.min(math.max(ee / aa, aa / ee), 1e10)
@@ -521,6 +524,30 @@ object Bench {
     // measured once per (query text, data fingerprint) and reused, so a
     // warm bench pays zero kit executions (see KitActuals' scaladoc)
     lazy val kitActuals = graft.bench.KitActuals.forDir(sfDir)
+    // Per-query closure digest (JoinGraph.closureDigest), memoized by
+    // query sha: measured node actuals are stamped with it (reserved
+    // "__closure" node key) and both the warm reconstruction and the
+    // seeding pre-pass treat a MISMATCHED entry as absent — a derived-
+    // predicate-set change alters subset-join outputs, so values
+    // measured under another closure must re-measure, never transplant.
+    // A missing stamp (legacy entry) is accepted: closures have only
+    // GROWN so far, and a grown closure makes an old value an
+    // overcount of the new truth (loose, still sound).
+    val closureMemo = scala.collection.mutable.Map.empty[String, Option[Double]]
+    def closureDigestOf(sql: String): Option[Double] =
+      closureMemo.getOrElseUpdate(graft.bench.KitActuals.sha(sql), try {
+        graft.qal.QueryFacade(spark, sql).joinBlock
+          .map(b => new graft.opt.JoinGraph(b, OptQueries.statsFor(spark,
+            sfDir)).closureDigest)
+      } catch { case e: InterruptedException =>
+        Thread.currentThread().interrupt(); throw e
+        case _: Throwable => None })
+    def actualsFor(label: String, sha: String, sql: String)
+        : Option[(Double, Map[String, Double])] =
+      kitActuals.get(label, sha).filter { case (_, nodes) =>
+        nodes.get("__closure").forall(st =>
+          closureDigestOf(sql).forall(_ == st))
+      }
     // per-query execution cap for the actuals measurement: run the
     // collect in its own cancellable job group; on timeout persist the
     // skip sentinel so no later bench re-attempts a hopeless execution
@@ -627,7 +654,7 @@ object Bench {
         val cachedNodes: Option[(Double, Seq[(Set[String], Double, Double)])] =
           if (!execute) None
           else for {
-            (root, byics) <- kitActuals.get(label, sqlSha)
+            (root, byics) <- actualsFor(label, sqlSha, sql)
             estTree <- res.joinOrder
             sets = joinSets(estTree)
             ests = joinCards(estTree)
@@ -711,7 +738,8 @@ object Bench {
             val root = acts.flatMap(_.lastOption).getOrElse(-1.0)
             if (root >= 0) kitActuals.put(label, sqlSha, root,
               nodeTriples.map { case (s, _, a) =>
-                graft.bench.KitActuals.key(s) -> a }.toMap)
+                graft.bench.KitActuals.key(s) -> a }.toMap ++
+                closureDigestOf(sql).map("__closure" -> _))
             (pairs.filter(_.nonEmpty).map(_.max).getOrElse(-1.0), root,
               nodeTriples)
           } catch {
@@ -764,19 +792,39 @@ object Bench {
       val seedT0 = System.nanoTime()
       var seeded = 0
       (jobKit ++ statsKit).foreach { case (label, sql) =>
-        kitActuals.get(label, graft.bench.KitActuals.sha(sql))
+        actualsFor(label, graft.bench.KitActuals.sha(sql), sql)
           .filter(_._2.nonEmpty).foreach { case (_, nodes) =>
             try {
               val q = graft.qal.QueryFacade(spark, sql)
               q.joinBlock.foreach { b =>
                 val graph = new graft.opt.JoinGraph(b, stats)
-                val acts: Map[Set[String], Double] = nodes.map {
-                  case (k, v) => k.split(",").filter(_.nonEmpty).toSet -> v
+                val acts: Map[Set[String], Double] = nodes.collect {
+                  case (k, v) if k != "__closure" =>
+                    k.split(",").filter(_.nonEmpty).toSet -> v
                 }
                 seeded += new graft.opt.UESJoinOrderOptimizer()
                   .seedMeasuredActuals(graph, acts)
               }
-            } catch { case _: Throwable => }
+              // one-time legacy stamping: entries predating the digest
+              // carry no "__closure" key, so a future closure change
+              // could not invalidate them. Accepting a legacy entry for
+              // seeding IS the judgment that its values are valid under
+              // today's closure (re-measurements this round verified
+              // it), so record that judgment as the stamp.
+              if (!nodes.contains("__closure"))
+                closureDigestOf(sql).foreach { dg =>
+                  kitActuals.get(label, graft.bench.KitActuals.sha(sql))
+                    .foreach { case (root, _) =>
+                      kitActuals.put(label,
+                        graft.bench.KitActuals.sha(sql), root,
+                        Map("__closure" -> dg))
+                    }
+                }
+            } catch {
+              case e: InterruptedException =>
+                Thread.currentThread().interrupt(); throw e
+              case _: Throwable =>
+            }
           }
       }
       kitAcc("kit_seeded_counts") = seeded.toString
@@ -1030,8 +1078,13 @@ object Bench {
           } yield (qerr(e, a), genuine)
         }
         val qes = graded.map(_._1)
+        // n_finite counts rows with a usable (finite) estimate — with
+        // the size-based fallback reported, that is every graded row;
+        // n_cbo_derived carries the stricter provenance count the CBO
+        // summary's n_finite means, so neither field is vacuous
         if (graded.isEmpty) """{"n":0}"""
         else s"""{"n":${graded.size},"n_finite":${qes.size},""" +
+          s""""n_cbo_derived":${graded.count(_._2)},""" +
           s""""pct_size_fallback":${fmt(
             100.0 * graded.count(!_._2) / graded.size)},""" +
           s""""median":${fmt(median(qes))},"max":${fmt(qes.max)}}"""

@@ -372,6 +372,30 @@ final class JoinGraph(val block: JoinBlock, val stats: EmulatedStatistics,
     out.toMap.withDefaultValue(Vector.empty)
   }
 
+  /** Digest of the derivation-dependent predicate closure — the derived
+    * theta edges and derived filters this graph (i.e. this code version)
+    * produces for the query. A measured per-node actual is only
+    * meaningful relative to the closure in force when it was executed:
+    * derived predicates change subset-join outputs, so a value measured
+    * under one derivation set must never be transplanted onto a key
+    * built under another (the r16 feedback loop stamps entries with
+    * this digest and skips seeding on mismatch — without it, a future
+    * closure NARROWING would seed counts BELOW the new true subset
+    * cardinalities, poisoning the bound cache with undercounts).
+    * 48 bits so the value is exactly representable as a Double (it
+    * rides the kit-actuals node map). */
+  lazy val closureDigest: Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val parts = (derivedThetaEdges.map(e =>
+        e.tables.toSeq.sorted.mkString(",") + "|" +
+          e.expr.canonicalized.toString) ++
+      derivedFilters.toSeq.flatMap { case (t, es) =>
+        es.map(t + "|" + _.canonicalized.toString) }).sorted
+    parts.foreach(x => md.update(x.getBytes("UTF-8")))
+    (java.nio.ByteBuffer.wrap(md.digest()).getLong &
+      ((1L << 48) - 1)).toDouble
+  }
+
   /** Transitive closure of equi-join columns (union-find), the basis for
     * predicate augmentation (reference: determine_join_equivalence_classes,
     * /root/reference/postbound/qal/_qal.py:3557). */

@@ -492,17 +492,25 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     * chosen steps. */
   private val orPairMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String, String, String), Option[Double]]
+  // selection-time (cache-only) misses, tracked separately: a miss must
+  // stay retryable by the chosen step's LAUNCHING pass, but selection
+  // re-ranks every candidate at every step — without the marker each
+  // rank re-built the filtered stat plans and re-keyed the sketches
+  // just to miss again (the same per-call cost class the r16 memos
+  // removed elsewhere). A launching call bypasses the marker and its
+  // success lands in orPairMemo, which is consulted first.
+  private val orPairSelMiss = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String, String), Unit]
   private def orPairCard(l: String, ca: String, c: String, cb: String,
       forSelection: Boolean): Option[Double] = {
-    // a selection-time (cache-only) miss must stay retryable by the
-    // chosen step's launching pass, so None is only memoized when the
-    // probe genuinely ran (or the budget is gone)
-    orPairMemo.get((l, ca, c, cb)) match {
+    val k = (l, ca, c, cb)
+    orPairMemo.get(k) match {
       case Some(v) => v
+      case None if forSelection && orPairSelMiss.contains(k) => None
       case None =>
         val r = orPairCompute(l, ca, c, cb, forSelection)
-        if (r.isDefined || !forSelection)
-          orPairMemo.put((l, ca, c, cb), r): Unit
+        if (r.isDefined || !forSelection) orPairMemo.put(k, r): Unit
+        if (r.isEmpty && forSelection) orPairSelMiss.put(k, ()): Unit
         r
     }
   }
