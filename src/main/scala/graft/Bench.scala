@@ -162,7 +162,59 @@ object Bench {
     // vs 0.12 s steady-state, which would mis-scale the early queries);
     // the min of three back-to-back runs is the machine's current
     // unloaded speed, which is the quantity the rebase needs
-    def canary(): Double = (1 to 3).map(_ => canaryOnce()).min
+    // every canary sample also feeds the persisted machine floor (the
+    // absolute reference the calm-start gate checks against — see below)
+    @volatile var canaryMinObserved = Double.MaxValue
+    def canary(): Double = {
+      val c = (1 to 3).map(_ => canaryOnce()).min
+      canaryMinObserved = math.min(canaryMinObserved, c)
+      c
+    }
+    val repoDir = {
+      import java.nio.file.{Files, Paths}
+      if (Files.exists(Paths.get(sys.props("user.dir"), "build.sbt")))
+        sys.props("user.dir")
+      else "/root/repo"
+    }
+    // Absolute canary floor, learned ACROSS rounds (VERDICT r16 #4: the
+    // stopped-improving criterion can settle on a still-loaded plateau —
+    // two samples within 15% of a hot floor read as "calm"). The floor
+    // lives in the repo (not /tmp, which is wiped between rounds) and
+    // only ever decreases; a calm verdict now additionally requires the
+    // current best to sit within CalmFloorSlack of it, and the artifact
+    // records whether the floor was reachable within the wait budget.
+    val floorPath = s"$repoDir/tools/canary_floor.json"
+    val CalmFloorSlack = 1.3
+    // the canary's floor depends on the thread count, so the file keys
+    // one floor per cpus setting (a local 8-thread run must not chase
+    // the 32-thread official floor forever)
+    val floorKey = s"floor_sec_$cpus"
+    def readFloor(txt: String, k: String): Option[Double] =
+      (s""""$k"\\s*:\\s*([0-9.eE+-]+)""").r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble).filter(f => f > 0 && f.isFinite)
+    def floorFileText(): String = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(floorPath)), "UTF-8")
+    } catch { case _: Throwable => "" }
+    val priorFloor: Option[Double] = readFloor(floorFileText(), floorKey)
+    def persistFloor(): Unit = try {
+      val best = math.min(priorFloor.getOrElse(Double.MaxValue),
+        canaryMinObserved)
+      if (best.isFinite && best < Double.MaxValue &&
+          priorFloor.forall(best < _)) {
+        val txt = floorFileText()
+        val keys = (""""(floor_sec_\d+)"""".r.findAllMatchIn(txt)
+          .map(_.group(1)).toSeq :+ floorKey).distinct.sorted
+        val body = keys.map { k =>
+          val v = if (k == floorKey) best
+            else readFloor(txt, k).getOrElse(-1.0)
+          f""""$k":$v%.4f"""
+        }.mkString("{", ",", "}")
+        val p = java.nio.file.Paths.get(floorPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, body + "\n"): Unit
+      }
+    } catch { case _: Throwable => }
 
     // a typo'd name must not silently benchmark nothing
     selected.filterNot(SparkEntry.queries.contains).foreach { n =>
@@ -190,7 +242,7 @@ object Bench {
     // then measures on a settled machine; a steadily loaded machine
     // times out and degrades to the retry pass + rebase estimator
     // exactly as before. The wait burns bounded wall, never correctness.
-    locally {
+    val calmGateJson: String = {
       val calmWaitMs = sys.env.get("SPARK_GRAFT_CALM_WAIT_MS").map(_.toLong)
         .getOrElse(120000L)
       val deadline = System.nanoTime() + calmWaitMs * 1000000L
@@ -198,6 +250,13 @@ object Bench {
       var prevOk = false
       var calm = false
       var waited = 0
+      // the settle check now reads against the ABSOLUTE floor learned
+      // across rounds, not just the run's own running best: two stable
+      // samples on a loaded plateau (e.g. 2x the machine's known floor)
+      // no longer count as calm — the gate keeps waiting for the load
+      // to drain, up to the budget
+      def floorOk(b: Double): Boolean =
+        priorFloor.forall(f => b <= f * CalmFloorSlack)
       while (!calm && System.nanoTime() < deadline) {
         Thread.sleep(3000)
         val c = canary()
@@ -205,44 +264,83 @@ object Bench {
         // a sample that beats the running best by >5% means load is
         // still draining (the r15 signature: 0.156 start decaying to
         // 0.085) — keep waiting; a sample within [best*0.95, best*1.15]
-        // twice in a row means the machine has settled at its floor
+        // twice in a row, at the known machine floor, means settled
         val improved = c < best * 0.95
         val ok = !improved && c <= best * 1.15
-        calm = ok && prevOk
-        prevOk = ok
         best = math.min(best, c)
+        calm = ok && prevOk && floorOk(best)
+        prevOk = ok
         waited += 1
       }
       if (!calm) System.err.println(s"[bench] calm-start gate timed out " +
-        s"after $waited samples (machine still improving or loaded) — " +
+        s"after $waited samples (machine still improving or loaded; " +
+        s"floor ${priorFloor.getOrElse(-1.0)}, best $best) — " +
         "proceeding; retry pass and rebase estimator cover the drift")
+      s"""{"floor":${priorFloor.map(f => f"$f%.4f").getOrElse("null")},""" +
+        s""""best":${f"$best%.4f"},"reached":$calm,"samples":$waited}"""
     }
-    val canaryBefore = canary()
-    // mid-run canaries every ~20 queries: the r9 driver run degraded
-    // 0.216 -> 0.362 s across 18 minutes, leaving late-query medians
-    // suspect with no way to tell WHEN the environment drifted. With a
-    // canary sample between groups the artifact localizes the drift and
-    // late queries can be re-based against their nearest canary.
-    val canaryMid = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    val results0: Seq[(String, Seq[(Double, Double, Long)])] = selected
-      .filter(SparkEntry.queries.contains)
-      .zipWithIndex
-      .map { case (name, i) =>
-        if (i > 0 && i % 20 == 0) canaryMid += ((i, canary()))
-        try {
-          runOnce(name) // warm-up
-          name -> (1 to 5).map(_ => runOnce(name))
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            name -> Seq.empty[(Double, Double, Long)]
-        }
-      }
-    val canaryAfter = canary()
-
     def fmt(d: Double): String = f"$d%.4f"
     def median(ts: Seq[Double]): Double =
       if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
+
+    val canaryBefore = canary()
+    // One full headline measurement: per-query warm-up + 5 timed reps,
+    // with mid-run canaries every ~20 queries (the r9 driver run
+    // degraded 0.216 -> 0.362 s across 18 minutes, leaving late-query
+    // medians suspect with no way to tell WHEN the environment drifted;
+    // a canary sample between groups localizes it and late queries
+    // rebase against their nearest canary).
+    def measurePass(): (Seq[(String, Seq[(Double, Double, Long)])],
+        Seq[(Int, Double)], Double) = {
+      val mid = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      val res: Seq[(String, Seq[(Double, Double, Long)])] = selected
+        .filter(SparkEntry.queries.contains)
+        .zipWithIndex
+        .map { case (name, i) =>
+          if (i > 0 && i % 20 == 0) mid += ((i, canary()))
+          try {
+            runOnce(name) // warm-up
+            name -> (1 to 5).map(_ => runOnce(name))
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              name -> Seq.empty[(Double, Double, Long)]
+          }
+        }
+      (res, mid.toSeq, canary())
+    }
+    def passTotal(res: Seq[(String, Seq[(Double, Double, Long)])]): Double =
+      res.map(r => median(r._2.map(_._1))).filter(_ >= 0).sum
+    val pass1 = measurePass()
+    // Whole-phase re-run (VERDICT r16 #4): when the after-canary sits
+    // >1.15x above the (hot, post-calm-gate) before-canary, load arrived
+    // DURING the headline phase — per-query retries can only patch the
+    // worst stretches, so the whole phase re-measures once and the
+    // cleaner pass (lower sum of per-query medians, each pass judged
+    // with its own canaries) becomes the official one. Bounded to one
+    // re-run; SPARK_GRAFT_HEADLINE_RERUN=0 opts out.
+    val rerunWanted = pass1._3 > canaryBefore * 1.15 &&
+      !sys.env.get("SPARK_GRAFT_HEADLINE_RERUN").contains("0")
+    val (results0, canaryMid, canaryAfter, rerunJson):
+        (Seq[(String, Seq[(Double, Double, Long)])], Seq[(Int, Double)],
+          Double, String) =
+      if (!rerunWanted)
+        (pass1._1, pass1._2, pass1._3,
+          """{"fired":false}""")
+      else {
+        System.err.println(f"[bench] after-canary ${pass1._3}%.3f > " +
+          f"1.15x before ${canaryBefore}%.3f — re-running the headline " +
+          "phase once on the (hopefully) calmer machine")
+        val pass2 = measurePass()
+        val (t1, t2) = (passTotal(pass1._1), passTotal(pass2._1))
+        val kept = if (t2 < t1) "pass2" else "pass1"
+        val info = s"""{"fired":true,"kept":"$kept",""" +
+          s""""pass1_total":${fmt(t1)},"pass2_total":${fmt(t2)}}"""
+        System.err.println(s"[bench] headline re-run: pass1 ${fmt(t1)} s " +
+          s"vs pass2 ${fmt(t2)} s — keeping $kept")
+        if (t2 < t1) (pass2._1, pass2._2, pass2._3, info)
+        else (pass1._1, pass1._2, pass1._3, info)
+      }
 
     // ---- load-robust retry pass (r14 lesson: two consecutive official
     // captures were canary-contaminated). Queries whose nearest canary
@@ -398,7 +496,7 @@ object Bench {
     // fixed key list so the artifact schema is stable even when the kit
     // metrics fail wholesale (each key then carries "{}")
     val kitKeys = Seq("job_opt_ms", "job_cold_probe_ms", "job_qerror",
-      "job_opt_probes", "job_opt_probe_ms",
+      "job_qerror_unseeded", "job_opt_probes", "job_opt_probe_ms",
       "job_qerror_branching", "job_branching_fired", "job_qerror_bloom",
       "job_cold_probe_ms_bloom", "job_qerror_cms", "job_cold_probe_ms_cms",
       "job_qerror_cms_floor", "job_qerror_by_estimator",
@@ -415,7 +513,7 @@ object Bench {
         scaleTrend: String): String = {
       val kitJson = kitKeys.map(k =>
         s""""$k":${kitSections.getOrElse(k, "{}")}""").mkString(",")
-      s"""{"metric":"total","value":${fmt(headlineValue)},"unit":"sec","estimator":"$estimatorNote","queries":$qs,"queries_min":$qmins,"queries_adj":$qadj,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"mid_at":$canaryMidAt,"after":${fmt(canaryAfter)}},"retried":$retriedJson,"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"total_adj":${fmt(totalAdj)},$kitJson,"scale_trend":$scaleTrend,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(headlineValue)},"unit":"sec","estimator":"$estimatorNote","queries":$qs,"queries_min":$qmins,"queries_adj":$qadj,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"mid_at":$canaryMidAt,"after":${fmt(canaryAfter)}},"calm_gate":$calmGateJson,"headline_rerun":$rerunJson,"retried":$retriedJson,"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"total_adj":${fmt(totalAdj)},$kitJson,"scale_trend":$scaleTrend,"sf":"$sfDir"}"""
     }
     // the artifact goes to a FILE, rewritten as each phase completes: the
     // r9 driver run kept only a truncated stdout tail, and the r13 kit
@@ -424,10 +522,6 @@ object Bench {
     // numbers instead of "{}" everywhere
     def writeArtifact(line: String): Unit = try {
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      val repoDir =
-        if (Files.exists(Paths.get(sys.props("user.dir"), "build.sbt")))
-          sys.props("user.dir")
-        else "/root/repo"
       val out = Paths.get(sys.env.get("SPARK_GRAFT_BENCH_OUT")
         .orElse(sys.props.get("graft.bench.out"))
         .getOrElse(s"$repoDir/bench_out.json"))
@@ -444,6 +538,7 @@ object Bench {
     // snapshot so the captured stream always ends with a parseable
     // artifact line (the normal completion path sets the flag first)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      persistFloor() // a timed-out run still teaches the machine floor
       if (!artifactPrinted && latestArtifact.nonEmpty) {
         println(latestArtifact)
         System.out.flush()
@@ -530,9 +625,9 @@ object Bench {
     // seeding pre-pass treat a MISMATCHED entry as absent — a derived-
     // predicate-set change alters subset-join outputs, so values
     // measured under another closure must re-measure, never transplant.
-    // A missing stamp (legacy entry) is accepted: closures have only
-    // GROWN so far, and a grown closure makes an old value an
-    // overcount of the new truth (loose, still sound).
+    // Validity rules live in KitActuals.closureValid (pinned by
+    // KitActualsSpec): unstamped legacy entries reconstruct q-error
+    // rows (overcount-only, loose but sound) but never seed.
     val closureMemo = scala.collection.mutable.Map.empty[String, Option[Double]]
     def closureDigestOf(sql: String): Option[Double] =
       closureMemo.getOrElseUpdate(graft.bench.KitActuals.sha(sql), try {
@@ -542,11 +637,23 @@ object Bench {
       } catch { case e: InterruptedException =>
         Thread.currentThread().interrupt(); throw e
         case _: Throwable => None })
+    // closureValid split (ADVICE r16): reconstruction accepts legacy
+    // (unstamped) entries — an old value is at worst an overcount, loose
+    // but sound for a q-error row; SEEDING requires a stamp that matches
+    // a computable current digest, because a seed is trusted as an exact
+    // equality and an unverifiable value must never enter the persisted
+    // exact-count cache
     def actualsFor(label: String, sha: String, sql: String)
         : Option[(Double, Map[String, Double])] =
       kitActuals.get(label, sha).filter { case (_, nodes) =>
-        nodes.get("__closure").forall(st =>
-          closureDigestOf(sql).forall(_ == st))
+        graft.bench.KitActuals.closureValid(nodes, closureDigestOf(sql),
+          forSeeding = false)
+      }
+    def actualsForSeeding(label: String, sha: String, sql: String)
+        : Option[(Double, Map[String, Double])] =
+      kitActuals.get(label, sha).filter { case (_, nodes) =>
+        graft.bench.KitActuals.closureValid(nodes, closureDigestOf(sql),
+          forSeeding = true)
       }
     // per-query execution cap for the actuals measurement: run the
     // collect in its own cancellable job group; on timeout persist the
@@ -736,10 +843,24 @@ object Bench {
               .filter { case (_, e, a) => !e.isNaN && !a.isNaN && a >= 0 })
               .getOrElse(Seq.empty)
             val root = acts.flatMap(_.lastOption).getOrElse(-1.0)
-            if (root >= 0) kitActuals.put(label, sqlSha, root,
-              nodeTriples.map { case (s, _, a) =>
+            if (root >= 0) {
+              val fresh = nodeTriples.map { case (s, _, a) =>
                 graft.bench.KitActuals.key(s) -> a }.toMap ++
-                closureDigestOf(sql).map("__closure" -> _))
+                closureDigestOf(sql).map(
+                  graft.bench.KitActuals.ClosureKey -> _)
+              // merge only when the existing map is provably measured
+              // under TODAY'S closure; otherwise replace wholesale —
+              // merging a stale map under the fresh stamp would launder
+              // old-closure values into seeds (ADVICE r16). The Crashed
+              // attempt marker written above merges, so `old` here is
+              // the pre-attempt node map.
+              val canMerge = kitActuals.get(label, sqlSha).forall {
+                case (_, old) => old.get(graft.bench.KitActuals.ClosureKey)
+                  .exists(st => closureDigestOf(sql).contains(st))
+              }
+              if (canMerge) kitActuals.put(label, sqlSha, root, fresh)
+              else kitActuals.putReplacing(label, sqlSha, root, fresh)
+            }
             (pairs.filter(_.nonEmpty).map(_.max).getOrElse(-1.0), root,
               nodeTriples)
           } catch {
@@ -791,35 +912,31 @@ object Bench {
       // whole exact tier for free. Plan construction only, no jobs.
       val seedT0 = System.nanoTime()
       var seeded = 0
+      // seed through the PRESET'S optimizer instance (ADVICE r16): the
+      // seeded probe-cache keys depend on the optimizer's knobs via
+      // effectiveFilters/plan shape, so a fresh default-knob instance
+      // could silently land seeds under keys the real optimizer never
+      // reads if the preset's knobs ever diverge from the defaults
+      val seeder = ues.joinOrder.collect {
+        case u: graft.opt.UESJoinOrderOptimizer => u
+      }
       (jobKit ++ statsKit).foreach { case (label, sql) =>
-        actualsFor(label, graft.bench.KitActuals.sha(sql), sql)
+        // STRICT predicate: only entries whose "__closure" stamp matches
+        // a computable current digest may seed (legacy/unverifiable
+        // entries stay usable for q-error reconstruction, never as
+        // exact-equality seeds — ADVICE r16)
+        actualsForSeeding(label, graft.bench.KitActuals.sha(sql), sql)
           .filter(_._2.nonEmpty).foreach { case (_, nodes) =>
             try {
               val q = graft.qal.QueryFacade(spark, sql)
               q.joinBlock.foreach { b =>
                 val graph = new graft.opt.JoinGraph(b, stats)
                 val acts: Map[Set[String], Double] = nodes.collect {
-                  case (k, v) if k != "__closure" =>
+                  case (k, v) if k != graft.bench.KitActuals.ClosureKey =>
                     k.split(",").filter(_.nonEmpty).toSet -> v
                 }
-                seeded += new graft.opt.UESJoinOrderOptimizer()
-                  .seedMeasuredActuals(graph, acts)
+                seeder.foreach(s => seeded += s.seedMeasuredActuals(graph, acts))
               }
-              // one-time legacy stamping: entries predating the digest
-              // carry no "__closure" key, so a future closure change
-              // could not invalidate them. Accepting a legacy entry for
-              // seeding IS the judgment that its values are valid under
-              // today's closure (re-measurements this round verified
-              // it), so record that judgment as the stamp.
-              if (!nodes.contains("__closure"))
-                closureDigestOf(sql).foreach { dg =>
-                  kitActuals.get(label, graft.bench.KitActuals.sha(sql))
-                    .foreach { case (root, _) =>
-                      kitActuals.put(label,
-                        graft.bench.KitActuals.sha(sql), root,
-                        Map("__closure" -> dg))
-                    }
-                }
             } catch {
               case e: InterruptedException =>
                 Thread.currentThread().interrupt(); throw e
@@ -856,6 +973,52 @@ object Bench {
         kitAcc("stats_cold_probe_ms") = jmap(cold); flushKit()
       })
       val probesAfterKits = stats.cacheSize
+      // Seed-free exact-tier pass (VERDICT r16 #1): with the
+      // true-cardinality feedback live, job_qerror is 1.0 by
+      // construction wherever seeds cover the chosen tree, so the raw
+      // bound model + probe scheduler would otherwise go unmeasured in
+      // official artifacts — a bound regression could hide behind the
+      // loop. This pass re-optimizes the kit with the seeded tier
+      // masked (useSeeds = false reads only PAID "scalar" entries; the
+      // reference grades its non-true-card estimators the same way,
+      // /root/reference/tests/test_ues_optimization.py:38-52). Paid
+      // probes and every other tier stay live; NEW probes run under a
+      // reduced wall (they persist as paid, so coverage the scheduler
+      // earns here is durable and legitimate). Each chosen tree's node
+      // bounds grade against the measured kit actuals. Caveat
+      // (disclosed in COVERAGE.md): caches written before r17 merged
+      // seeds into the paid tag, so on a surviving pre-r17 cache this
+      // column's seed masking is forward-looking only.
+      locally {
+        val unseededWall = sys.env.get("GRAFT_UNSEEDED_PROBE_WALL_MS")
+          .map(_.toLong).getOrElse(5000L)
+        val uesUnseeded = graft.opt.Presets.ues(spark, stats,
+          useSeeds = false,
+          budgetFor = () => new graft.opt.ProbeBudget(96, unseededWall,
+            2e7, 1e7, 1e13))
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        jobKit.foreach { case (label, sql) =>
+          val qe = try {
+            val res = uesUnseeded.optimizeQuery(sql)
+            val acts = actualsFor(label, graft.bench.KitActuals.sha(sql),
+              sql).map(_._2).getOrElse(Map.empty[String, Double])
+            val qes = for {
+              t <- res.joinOrder.toSeq
+              (s, e) <- joinSets(t).zip(joinCards(t))
+              a <- acts.get(graft.bench.KitActuals.key(s))
+              if a >= 0 && !e.isNaN
+            } yield qerr(e, a)
+            qes.maxOption.getOrElse(-1.0)
+          } catch {
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt(); throw e
+            case _: Throwable => -1.0
+          }
+          acc += ((label, qe))
+          kitAcc("job_qerror_unseeded") = jmap(acc.toSeq)
+          flushKit()
+        }
+      }
       // alternative-tier passes: optimization only -- the root join's
       // actual output is order-independent, so each variant's root bound
       // q-errors against the actual measured on the exact-tier pass
@@ -934,15 +1097,17 @@ object Bench {
       // ALL COLUMNS, then Catalyst's cost-based estimate of each
       // fragment with spark.sql.cbo.enabled. Temp views shadow catalog
       // names, so they are dropped for the resolution window and
-      // re-registered after. The plain `native` rows (size-based
-      // guesses, q-errors to 1e67 in r12) stay alongside — the CBO
-      // column is the informative head-to-head.
+      // re-registered after. The plain `native` rows alongside are the
+      // System-R textbook propagation over the same ANALYZE'd catalog
+      // statistics (see CatalogSystemR) — Catalyst's own estimate and
+      // the textbook formula over identical inputs, head-to-head.
       val tpchTables = Seq("region", "nation", "customer", "supplier",
         "part", "orders", "lineitem")
       def cboEstimates(kit: Seq[(String, String)],
           nodeSets: Map[String, Seq[Set[String]]])
           : (Map[String, (Double, Boolean)],
-             Map[String, Seq[(Set[String], Double)]]) = {
+             Map[String, Seq[(Set[String], Double)]],
+             Map[String, graft.opt.CatalogSystemR.TableStats]) = {
         tpchTables.foreach { t =>
           spark.sql(s"DROP TABLE IF EXISTS $t")
           spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$sfDir/$t.parquet'")
@@ -951,6 +1116,10 @@ object Bench {
         tpchTables.foreach(spark.catalog.dropTempView(_))
         spark.conf.set("spark.sql.cbo.enabled", "true")
         try {
+          // snapshot the ANALYZE'd statistics while the catalog tables
+          // exist — the System-R native estimator reads only this
+          // (pure arithmetic after the window closes)
+          val catalogSnap = graft.opt.CatalogSystemR.capture(spark, tpchTables)
           // root estimates carry their provenance (true = a genuine CBO
           // row count, false = the size-based collapse) so the summary
           // can report the finite CBO subset honestly
@@ -974,7 +1143,7 @@ object Bench {
               }
             } catch { case _: Throwable => roots(label) = (-1.0, false) }
           }
-          (roots.toMap, nodes.toMap)
+          (roots.toMap, nodes.toMap, catalogSnap)
         } finally {
           spark.conf.set("spark.sql.cbo.enabled", "false")
           tpchTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
@@ -982,6 +1151,7 @@ object Bench {
         }
       }
       def headToHead(kit: Seq[(String, String)], rows: Seq[KitRow],
+          nativeEst: (graft.opt.JoinGraph, Set[String]) => Double,
           extra: Seq[(String, Seq[(String, Double)])] = Seq.empty): String = {
         val actuals = rows.map(r => r.label -> r.rootActual).toMap
         def estRows(f: (graft.opt.JoinGraph, Set[String]) => Double): Seq[(String, Double)] =
@@ -1001,16 +1171,12 @@ object Bench {
              else qerr(r.rootBound, r.rootActual))),
           "statistical" -> estRows((g, ts) => statistical.calculateEstimate(g, ts).value),
           "basic" -> estRows((g, ts) => basic.calculateEstimate(g, ts).value),
-          // the planner's actual working estimate, ANY provenance: the
-          // size-based sizeInBytes/width fallback IS what native Spark
-          // plans with (broadcast decisions etc.) when CBO stats are
-          // absent, so reporting it is the honest head-to-head row
-          // (r15 task: two rounds of a 100%-collapsed column said
-          // nothing). Its q-errors ride the global 1e10 clamp; the
-          // fallback RATE lives in native_summary.pct_size_fallback.
-          "native" -> estRows((g, ts) => nativeStats.rowEstimateDetailed(
-            graft.opt.QueryFragment.fragmentPlan(g, ts))
-            .map(_._1.toDouble).getOrElse(-1.0)),
+          // "what native Spark would think": System-R propagation over
+          // ANALYZE'd catalog statistics, size-based fallback only for
+          // tables outside the ANALYZE window. The fallback RATE lives
+          // in native_summary.pct_size_fallback; q-errors ride the
+          // global 1e10 clamp.
+          "native" -> estRows(nativeEst),
           "precise" -> kit.map { case (label, _) =>
             label -> (if (actuals.getOrElse(label, -1.0) < 0) -1.0 else 1.0) }
         ).++(extra).map { case (n, r) => s""""$n":${jmap(r)}""" }
@@ -1019,8 +1185,22 @@ object Bench {
       val jobActuals = jobRows.map(r => r.label -> r.rootActual).toMap
       val jobNodeActuals: Map[String, Seq[(Set[String], Double)]] =
         jobRows.map(r => r.label -> r.nodes.map(n => (n._1, n._3))).toMap
-      val (cboRoots, cboNodes) = cboEstimates(jobKit,
+      val (cboRoots, cboNodes, catalogSnap) = cboEstimates(jobKit,
         jobRows.map(r => r.label -> r.nodes.map(_._1)).toMap)
+      // the "native" estimator column: System-R propagation over
+      // Spark's own ANALYZE'd catalog statistics (VERDICT r16 #3 — the
+      // pre-r17 column graded the sizeInBytes fallback of stat-less
+      // temp views, 100% collapsed at the clamp for three rounds).
+      // Queries touching tables outside the ANALYZE window (e.g.
+      // events) still fall back to the size-based estimate, flagged.
+      val sysR = new graft.opt.CatalogSystemR(catalogSnap)
+      def nativeEstimate(g: graft.opt.JoinGraph, ts: Set[String])
+          : (Double, Boolean) =
+        sysR.estimate(g, ts).map((_, true)).getOrElse {
+          (nativeStats.rowEstimateDetailed(
+            graft.opt.QueryFragment.fragmentPlan(g, ts))
+            .map(_._1.toDouble).getOrElse(-1.0), false)
+        }
       val cboRootQerr: Seq[(String, Double)] = jobKit.map { case (label, _) =>
         val a = jobActuals.getOrElse(label, -1.0)
         val e = cboRoots.get(label).map(_._1).getOrElse(-1.0)
@@ -1051,18 +1231,16 @@ object Bench {
              s""""max_finite":${fmt(finite.max)}}""")
       }
       val cboSummary: String = provenanceSummary(cboRoots)
-      // same honest split for the PRE-ANALYZE native column: without
-      // catalog stats nearly every root estimate is the size-based
-      // fallback, and the summary says so (pct_collapsed ~100) instead
-      // of the per-query map carrying 1e34 "estimates"
+      // same honest split for the native (System-R over catalog stats)
+      // column: rows whose tables sit outside the ANALYZE window fall
+      // back to the size-based guess and are counted in
+      // pct_size_fallback instead of masquerading as estimates
       val nativeRoots: Map[String, (Double, Boolean)] =
         jobKit.map { case (label, sql) =>
           label -> (try {
-            graft.qal.QueryFacade(spark, sql).joinBlock.flatMap { b =>
+            graft.qal.QueryFacade(spark, sql).joinBlock.map { b =>
               val g = new graft.opt.JoinGraph(b, stats)
-              nativeStats.rowEstimateDetailed(
-                graft.opt.QueryFragment.fragmentPlan(g, g.tables.toSet))
-                .map { case (v, cbo) => (v.toDouble, cbo) }
+              nativeEstimate(g, g.tables.toSet)
             }.getOrElse((-1.0, false))
           } catch { case _: Throwable => (-1.0, false) })
         }.toMap
@@ -1097,9 +1275,10 @@ object Bench {
             s""""$label"""" }.mkString("[", ",", "]")
       kitAcc("native_collapsed") = collapsedList(nativeRoots)
       kitAcc("native_cbo_collapsed") = collapsedList(cboRoots)
-      val byEstimator = headToHead(jobKit, jobRows,
+      val byEstimator = headToHead(jobKit, jobRows, nativeEstimate(_, _)._1,
         extra = Seq("native_cbo" -> cboRootQerr))
-      val statsByEstimator = headToHead(statsKit, statsRows)
+      val statsByEstimator = headToHead(statsKit, statsRows,
+        nativeEstimate(_, _)._1)
       // Per-NODE tightness (reference grades whole-tree tightness,
       // /root/reference/postbound/opt/_analysis.py): every join node of
       // the enforced plan contributes a q-error, summarized per query as
@@ -1110,6 +1289,7 @@ object Bench {
       // transfer. Driver-side plan-only work; nothing re-executes.
       def nodesHeadToHead(kit: Seq[(String, String)],
           rows: Seq[KitRow],
+          nativeEst: (graft.opt.JoinGraph, Set[String]) => Double,
           extra: Seq[(String, Seq[(String, String)])] = Seq.empty): String = {
         val byLabel = rows.map(r => r.label -> r.nodes).toMap
         def summarize(qes: Seq[Double]): String =
@@ -1141,9 +1321,7 @@ object Bench {
             statistical.calculateEstimate(g, ts).value)),
           "basic" -> render(estRows((g, ts) =>
             basic.calculateEstimate(g, ts).value)),
-          "native" -> render(estRows((g, ts) => nativeStats
-            .rowEstimateDetailed(graft.opt.QueryFragment.fragmentPlan(g, ts))
-            .map(_._1.toDouble).getOrElse(-1.0)))
+          "native" -> render(estRows(nativeEst))
         ).++(extra.map { case (n, r) => n -> render(r) })
           .map { case (n, r) => s""""$n":$r""" }.mkString("{", ",", "}")
       }
@@ -1159,8 +1337,9 @@ object Bench {
           else s"""{"n":${qes.size},"median":${fmt(median(qes))},"max":${fmt(qes.max)}}""")
       }
       val nodesByEstimator = nodesHeadToHead(jobKit, jobRows,
-        extra = Seq("native_cbo" -> cboNodeRows))
-      val statsNodesByEstimator = nodesHeadToHead(statsKit, statsRows)
+        nativeEstimate(_, _)._1, extra = Seq("native_cbo" -> cboNodeRows))
+      val statsNodesByEstimator = nodesHeadToHead(statsKit, statsRows,
+        nativeEstimate(_, _)._1)
       kitAcc("job_qerror_by_estimator") = byEstimator
       kitAcc("job_qerror_nodes_by_estimator") = nodesByEstimator
       kitAcc("native_cbo_summary") = cboSummary
@@ -1198,6 +1377,7 @@ object Bench {
     writeArtifact(line)
     artifactPrinted = true
     println(line)
+    persistFloor()
     spark.stop()
   }
 }

@@ -46,12 +46,28 @@ final class KitActuals(path: String) {
       try persist() catch { case _: Throwable => }
 
   /** Merge `nodes` into the entry (keeps actuals for table subsets an
-    * earlier tree shape produced) and persist atomically. */
+    * earlier tree shape produced) and persist atomically. Merge ONLY
+    * when the existing node map is valid under the same closure as the
+    * new one: a re-measurement after a closure change must use
+    * [[putReplacing]], or subsets measured under the OLD closure would
+    * be re-stamped with the new digest (ADVICE r16). */
   def put(label: String, sha: String, root: Double,
       nodes: Map[String, Double]): Unit = {
     val merged = cache.get((label, sha))
       .map { case (_, old) => old ++ nodes }.getOrElse(nodes)
     cache.put((label, sha), (root, merged))
+    try persist() catch { case _: Throwable => }
+  }
+
+  /** Replace the entry WHOLESALE (drops every previously stored node
+    * actual) and persist atomically — the re-measure path after a
+    * closure-digest mismatch: the old node map's values were measured
+    * under a different derived-predicate closure, and merging them
+    * under the fresh "__closure" stamp would launder them into values
+    * later runs trust for exact-count seeding. */
+  def putReplacing(label: String, sha: String, root: Double,
+      nodes: Map[String, Double]): Unit = {
+    cache.put((label, sha), (root, nodes))
     try persist() catch { case _: Throwable => }
   }
 
@@ -180,6 +196,35 @@ object KitActuals {
     }
     ka
   }
+
+  /** Reserved node-map key: the [[graft.opt.JoinGraph.closureDigest]]
+    * of the query's derived-predicate closure at measurement time. */
+  val ClosureKey = "__closure"
+
+  /** Whether a persisted entry's node actuals are valid under the
+    * CURRENT closure digest.
+    *
+    *  - Stamped entry: valid iff the stamp equals a COMPUTABLE current
+    *    digest. A `current` of None (the digest computation failed)
+    *    rejects stamped entries — an entry that cannot be validated
+    *    must not be trusted (ADVICE r16: the old vacuous-forall
+    *    accepted them).
+    *  - Legacy (unstamped) entry: accepted for warm RECONSTRUCTION
+    *    only (`forSeeding = false`) — closures have only grown, so an
+    *    old value is at worst an overcount of today's truth, loose but
+    *    sound for a q-error row. NEVER accepted for exact-count
+    *    SEEDING (`forSeeding = true`): a seed is trusted as an exact
+    *    equality, and a future closure NARROWING would turn the
+    *    unverifiable legacy value into an undercount seeded into the
+    *    persisted cache (unsound bounds — ADVICE r16). Legacy entries
+    *    earn a stamp only by actually re-measuring.
+    */
+  def closureValid(nodes: Map[String, Double], current: Option[Double],
+      forSeeding: Boolean): Boolean =
+    nodes.get(ClosureKey) match {
+      case Some(stamp) => current.contains(stamp)
+      case None => !forSeeding
+    }
 
   def sha(sql: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")

@@ -142,19 +142,30 @@ object ScaleTrend {
       val tS = timeOnce(spark, n, dirS)
       (n, t1, tS, tS / math.max(t1, 1e-9) / factor)
     }
-    // a row over the threshold gets a THIRD sample per side (min joins
+    // a row over the re-earn bar gets a THIRD sample per side (min joins
     // the earlier two): min-of-2 survives one stall but not a sustained
     // loaded stretch — the r15 flight put the d11 fixed-knob row at
     // 4.8x its r14 same-knob time (7.0 s -> 33.5 s) under exactly such
-    // a stretch. A superlinear verdict is expensive to carry, so it is
-    // re-earned on a later (often calmer) window before it is reported.
-    val rows = rows0.map { case (n, t1, tS, r) =>
-      if (r <= SuperlinearThreshold) (n, t1, tS, r)
+    // a stretch. The bar is ANY ratio above 1.0, not just the 2.0 flag
+    // threshold (VERDICT r16 #2: d02's default-path ratio swung
+    // 0.65 -> 1.13 round-over-round under load — a >1.0 reading on a
+    // linear-by-design path is expensive to carry even unflagged, so it
+    // is re-earned on a later, often calmer, window before reporting).
+    val ReearnBar = 1.0
+    def reearn(t1: Double, tS: Double, sample1: => Double,
+        sampleS: => Double): (Double, Double, Double) = {
+      val r = tS / math.max(t1, 1e-9) / factor
+      if (r <= ReearnBar) (t1, tS, r)
       else {
-        val t1b = math.min(t1, timeSample(spark, n, sfDir))
-        val tSb = math.min(tS, timeSample(spark, n, dirS))
-        (n, t1b, tSb, tSb / math.max(t1b, 1e-9) / factor)
+        val t1b = math.min(t1, sample1)
+        val tSb = math.min(tS, sampleS)
+        (t1b, tSb, tSb / math.max(t1b, 1e-9) / factor)
       }
+    }
+    val rows = rows0.map { case (n, t1, tS, _) =>
+      val (t1b, tSb, rb) = reearn(t1, tS,
+        timeSample(spark, n, sfDir), timeSample(spark, n, dirS))
+      (n, t1b, tSb, rb)
     }
     // The banded-LSH embedding dedup is (honestly) superlinear at fixed
     // parameters: random-pair bucket collisions are ~n²/2^rowsPerBand,
@@ -179,20 +190,18 @@ object ScaleTrend {
       if (!rows.exists(r => r._1.startsWith("d11") &&
           r._4 > SuperlinearThreshold)) Seq.empty
       else {
-        val t1 = lshAt(sfDir, 16)
-        val tS = lshAt(dirS, 16)
-        Seq(("d11_dedup_embedding_lsh@rows16", t1, tS,
-          tS / math.max(t1, 1e-9) / factor))
+        val (t1, tS, r) = reearn(lshAt(sfDir, 16), lshAt(dirS, 16),
+          lshAt(sfDir, 16), lshAt(dirS, 16))
+        Seq(("d11_dedup_embedding_lsh@rows16", t1, tS, r))
       }
     // the DEFAULT path since r13 derives rows-per-band from the corpus
     // size (Dedup.autoRowsPerBand) — timed unconditionally so the
     // artifact shows the self-adjusting knob holding the trend line,
     // next to the fixed-knob wall the d11 gate parameters pin
     val autoRows = {
-      val t1 = lshAt(sfDir)
-      val tS = lshAt(dirS)
-      Seq(("d11_dedup_embedding_lsh@auto", t1, tS,
-        tS / math.max(t1, 1e-9) / factor))
+      val (t1, tS, r) = reearn(lshAt(sfDir), lshAt(dirS),
+        lshAt(sfDir), lshAt(dirS))
+      Seq(("d11_dedup_embedding_lsh@auto", t1, tS, r))
     }
     // The GUARDED exact n-gram dedup (the d10 gate: d02's inverted-index
     // join with autoShingleDocFreqCap on) timed unconditionally — this
@@ -209,10 +218,9 @@ object ScaleTrend {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val t1 = capAt(sfDir)
-      val tS = capAt(dirS)
-      Seq(("d02_dedup_ngram_jaccard@cap", t1, tS,
-        tS / math.max(t1, 1e-9) / factor))
+      val (t1, tS, r) = reearn(capAt(sfDir), capAt(dirS),
+        capAt(sfDir), capAt(dirS))
+      Seq(("d02_dedup_ngram_jaccard@cap", t1, tS, r))
     }
     val all = rows ++ capRows ++ knobRows ++ autoRows
     val qs = all.map { case (n, t1, tS, r) =>

@@ -17,10 +17,14 @@ object Presets {
   def ues(spark: SparkSession,
       stats: EmulatedStatistics = null,
       subqueryBranching: Boolean = false,
-      sketchTier: String = "exact"): MultiStageOptimizationPipeline =
+      sketchTier: String = "exact",
+      useSeeds: Boolean = true,
+      budgetFor: () => ProbeBudget = ProbeBudget.default _)
+      : MultiStageOptimizationPipeline =
     new MultiStageOptimizationPipeline(spark,
       joinOrder = Some(new UESJoinOrderOptimizer(subqueryBranching,
-        sketchTier = sketchTier)),
+        sketchTier = sketchTier, budgetFor = budgetFor,
+        useSeeds = useSeeds)),
       operators = Some(new UESOperatorSelection),
       parameters = Some(new BoundsParameterGeneration),
       stats = stats)

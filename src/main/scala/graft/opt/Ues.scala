@@ -39,7 +39,13 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
     filteredStats: Boolean = true, mcvEdgeBounds: Boolean = true,
     mcvK: Int = 16, joinSketch: Boolean = true,
     sketchTier: String = "exact",
-    budget: ProbeBudget = ProbeBudget.default()) {
+    budget: ProbeBudget = ProbeBudget.default(),
+    // false = the exact tier reads only PAID probe results from the
+    // persisted cache, never true-cardinality feedback seeds — the
+    // bench's seed-free grading mode (job_qerror_unseeded), so the raw
+    // bound model + probe scheduler stays measured even with the
+    // feedback loop live
+    useSeeds: Boolean = true) {
   private val stats = graph.stats
   private def leaf(t: String) = graph.block.leafPlan(t)
   // Edges as the EXECUTED plan sees them: the block's own conjuncts
@@ -709,7 +715,8 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
                   s"len=${stats.planKey(cp).length} " +
                   s"cached=${stats.scalarLongIfCached(cp)} " +
                   s"sentinel=${stats.scalarLongSentinelMs(cp)}")
-              stats.scalarLongIfCached(cp).map(_.toDouble).orElse {
+              (if (useSeeds) stats.scalarLongIfCached(cp)
+               else stats.scalarLongIfCachedPaid(cp)).map(_.toDouble).orElse {
                 if (budget.exhausted) None
                 else {
                   // the gate on the probe itself is the CLOCK: the
@@ -785,7 +792,8 @@ private[opt] final class UesBoundModel(graph: JoinGraph,
         b.innerJoin(order).flatMap { case (lp, _) =>
           stats.rowCountIfCached(lp).map(_.toDouble).orElse {
             eagerCountPlan(order).flatMap(cp =>
-              stats.scalarLongIfCached(cp).map(_.toDouble))
+              (if (useSeeds) stats.scalarLongIfCached(cp)
+               else stats.scalarLongIfCachedPaid(cp)).map(_.toDouble))
           }
         }.map { v => exactMemo.put(s, v); v }
       } catch {
@@ -1841,7 +1849,8 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
     filteredStats: Boolean = true, mcvEdgeBounds: Boolean = true,
     mcvK: Int = 16, joinSketch: Boolean = true,
     sketchTier: String = "exact",
-    budgetFor: () => ProbeBudget = ProbeBudget.default _)
+    budgetFor: () => ProbeBudget = ProbeBudget.default _,
+    useSeeds: Boolean = true)
     extends JoinOrderOptimization {
   require(UesBoundModel.SketchTiers.contains(sketchTier),
     s"unknown sketchTier '$sketchTier'")
@@ -1882,7 +1891,7 @@ final class UESJoinOrderOptimizer(subqueryBranching: Boolean = false,
     val budget = budgetFor() // fresh per query: probe cost is per-query
     lastBudgetUsed = Some(budget)
     val model = new UesBoundModel(graph, filteredStats, mcvEdgeBounds, mcvK,
-      joinSketch, sketchTier, budget)
+      joinSketch, sketchTier, budget, useSeeds)
     import model.{baseCard, mf, stepFor}
 
     // free pk-side partners of `c`: joined to c on a column where the

@@ -312,29 +312,46 @@ final class EmulatedStatistics(spark: SparkSession,
 
   /** Seed a [[scalarLong]] probe result from an externally MEASURED
     * exact value — e.g. a bench kit execution's SQLMetrics node actual,
-    * which is the same physical quantity the eager count plan computes
-    * — persisting it exactly like a paid probe (success beats any
-    * timeout sentinel via mergeLong). This is what makes paid exact
-    * counts durable across cache re-keying or loss: the kit-actuals
-    * file re-derives them for free instead of re-paying a multi-second
-    * probe, the reference's true-cardinality feedback
-    * (/root/reference/postbound/opt/_cardinalities.py:20). */
+    * which is the same physical quantity the eager count plan computes.
+    * This is what makes paid exact counts durable across cache
+    * re-keying or loss: the kit-actuals file re-derives them for free
+    * instead of re-paying a multi-second probe, the reference's
+    * true-cardinality feedback
+    * (/root/reference/postbound/opt/_cardinalities.py:20).
+    *
+    * Seeds persist under their OWN probe tag ("scalarseed", never
+    * merged into "scalar"): a paid probe and a seeded feedback value
+    * are the same quantity but different PROVENANCE, and the bench's
+    * seed-free grading pass (`job_qerror_unseeded`) must be able to
+    * mask exactly the feedback values while keeping genuinely paid
+    * counts live. [[scalarLongIfCached]] reads both;
+    * [[scalarLongIfCachedPaid]] reads only paid results. */
   def seedScalarLong(plan: LogicalPlan, v: Long): Unit = {
     require(v >= 0L, s"seeded scalar must be a measured count, got $v")
-    val k = key(plan, "scalar")
-    val already = cache.get(k).exists {
+    def has(k: (String, String)): Boolean = cache.get(k).exists {
       case x: Long => x >= 0L
       case _ => false
     }
-    if (!already) {
-      mergeLong(k, v)
-      persistNew(k, v)
+    val kSeed = key(plan, "scalarseed")
+    if (!has(key(plan, "scalar")) && !has(kSeed)) {
+      mergeLong(kSeed, v)
+      persistNew(kSeed, v)
     }
   }
 
   /** Cache peek for [[scalarLong]] — see [[rowCountIfCached]]. Timeout
-    * sentinels (negative) read as absent. */
+    * sentinels (negative) read as absent. Reads paid probe results
+    * first, then seeded feedback values (see [[seedScalarLong]]). */
   def scalarLongIfCached(plan: LogicalPlan): Option[Long] =
+    scalarLongIfCachedPaid(plan).orElse(
+      cache.get(key(plan, "scalarseed"))
+        .collect { case v: Long if v >= 0L => v })
+
+  /** [[scalarLongIfCached]] restricted to PAID probe results — the
+    * read the bench's seed-free exact-tier pass uses, so a
+    * true-cardinality feedback value can never masquerade as a count
+    * the probe scheduler earned under its own budget. */
+  def scalarLongIfCachedPaid(plan: LogicalPlan): Option[Long] =
     cache.get(key(plan, "scalar")).collect { case v: Long if v >= 0L => v }
 
   /** The persisted timeout sentinel for a [[scalarLong]] probe plan, if

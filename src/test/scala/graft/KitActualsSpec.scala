@@ -63,6 +63,56 @@ class KitActualsSpec extends AnyFunSuite {
     new java.io.File(path).delete(): Unit
   }
 
+  test("closure validity: stamped entries require a MATCHING computable " +
+      "digest; legacy entries reconstruct but never seed (ADVICE r16)") {
+    val stamped = Map("a,b" -> 10.0, KitActuals.ClosureKey -> 7.0)
+    val legacy = Map("a,b" -> 10.0)
+    // stamp matches a computable current digest: valid everywhere
+    assert(KitActuals.closureValid(stamped, Some(7.0), forSeeding = false))
+    assert(KitActuals.closureValid(stamped, Some(7.0), forSeeding = true))
+    // stamp mismatch (the closure changed): invalid everywhere — values
+    // measured under another derived-predicate closure never transplant
+    assert(!KitActuals.closureValid(stamped, Some(9.0), forSeeding = false))
+    assert(!KitActuals.closureValid(stamped, Some(9.0), forSeeding = true))
+    // current digest uncomputable: a stamped entry CANNOT be validated —
+    // reject (the old vacuous-forall accepted it, ADVICE r16)
+    assert(!KitActuals.closureValid(stamped, None, forSeeding = false))
+    assert(!KitActuals.closureValid(stamped, None, forSeeding = true))
+    // legacy (unstamped): reconstruction-only. Closures had only grown
+    // when these were written, so the value is at worst an overcount —
+    // loose but sound for a q-error row; NEVER sound as an
+    // exact-equality seed (a later closure narrowing would make it an
+    // undercount fed into the persisted exact-count cache)
+    assert(KitActuals.closureValid(legacy, Some(7.0), forSeeding = false))
+    assert(KitActuals.closureValid(legacy, None, forSeeding = false))
+    assert(!KitActuals.closureValid(legacy, Some(7.0), forSeeding = true))
+    assert(!KitActuals.closureValid(legacy, None, forSeeding = true))
+  }
+
+  test("putReplacing drops the stale node map wholesale: a re-measure " +
+      "after a closure change must not launder old-closure subsets " +
+      "under the fresh stamp (ADVICE r16)") {
+    val path = tmpPath()
+    val a = new KitActuals(path)
+    val sha = KitActuals.sha("SELECT count(*) FROM t")
+    // measured under closure A: two subsets + stamp
+    a.put("q1", sha, 42.0,
+      Map("a,b" -> 10.0, "a,b,c" -> 42.0, KitActuals.ClosureKey -> 1.0))
+    // the closure changes (digest 2.0) and the query re-measures with a
+    // tree whose subsets only partially overlap: the merging put would
+    // keep "a,b" = 10.0 (an old-closure value) under the NEW stamp
+    a.putReplacing("q1", sha, 40.0,
+      Map("b,c" -> 5.0, "a,b,c" -> 40.0, KitActuals.ClosureKey -> 2.0))
+    val reloaded = new KitActuals(path)
+    reloaded.load()
+    val (root, nodes) = reloaded.get("q1", sha).get
+    assert(root === 40.0)
+    assert(nodes === Map("b,c" -> 5.0, "a,b,c" -> 40.0,
+      KitActuals.ClosureKey -> 2.0))
+    assert(!nodes.contains("a,b"), "old-closure subset must not survive")
+    new java.io.File(path).delete(): Unit
+  }
+
   test("set keys are order-canonical; missing file loads empty") {
     assert(KitActuals.key(Set("b", "a", "c")) === "a,b,c")
     val ghost = new KitActuals("/tmp/graft_kit_actuals_does_not_exist.json")

