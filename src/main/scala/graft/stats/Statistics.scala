@@ -361,12 +361,20 @@ final class EmulatedStatistics(spark: SparkSession,
   def scalarLongSentinelMs(plan: LogicalPlan): Option[Long] =
     cache.get(key(plan, "scalar")).collect { case v: Long if v < 0L => -v }
 
+  /** Filtered row count, keyed on the FILTER PLAN (`Filter(fl, plan)`)
+    * rather than a tag embedding the raw expression: plan-level
+    * canonicalization normalizes attribute exprIds positionally, while
+    * a bare expression's canonicalization cannot (no child output to
+    * map positions from) — the old `count[expr#hash]` tags carried
+    * fresh exprIds from every parse, so each new JVM re-paid every
+    * filtered base-count probe and grew the persisted snapshot without
+    * bound (measured: 2,110 cache copies of ONE region-filter probe;
+    * +2.4k entries per bench run on a fully warm cache). Same value,
+    * same sampling semantics; the computation was always
+    * `count(Filter(fl, plan))`, now the key says so too. */
   def rowCount(plan: LogicalPlan, filter: Option[Expression]): Long =
     filter match {
-      case Some(fl) => memo(plan,
-          s"count[${fl.canonicalized}#${fl.canonicalized.hashCode}]$sTag")(
-        unsampledIfZero(scaled(sampledDf(Filter(fl, plan)).count()))(
-          df(Filter(fl, plan)).count()))
+      case Some(fl) => rowCount(Filter(fl, plan))
       case None => rowCount(plan)
     }
 

@@ -22,6 +22,31 @@ class StatsSpec extends SparkSpec {
     assert(lo === 0.0 && hi === 24.0)
   }
 
+  test("filtered row-count keys are parse-stable: two independent parses " +
+      "of the same query share ONE cache entry") {
+    // the old count[expr#hash] tag embedded the filter's raw exprIds,
+    // which are fresh per parse — every new JVM re-paid every filtered
+    // base-count probe and the persisted snapshot grew without bound
+    // (measured: 2,110 copies of one region-filter probe). Keying on
+    // Filter(fl, plan) plan-canonicalizes the exprIds positionally.
+    Tables.registerAll(spark, sfDir)
+    val stats = new EmulatedStatistics(spark)
+    def probeOnce(): Long = {
+      val q = QueryFacade(spark,
+        "SELECT count(*) FROM customer, nation WHERE c_nationkey = " +
+          "n_nationkey AND c_mktsegment = 'BUILDING'")
+      val b = q.joinBlock.get
+      stats.rowCount(b.leafPlan("customer"),
+        QueryFacade.andAll(b.filtersFor("customer")))
+    }
+    val v1 = probeOnce()
+    val sizeAfterFirst = stats.cacheSize
+    val v2 = probeOnce() // fresh parse, fresh exprIds — must HIT
+    assert(v1 === v2)
+    assert(stats.cacheSize === sizeAfterFirst,
+      "a re-parse of the same filter must not mint a new cache key")
+  }
+
   test("sampled statistics track full-data probes within sampling error") {
     val full = new EmulatedStatistics(spark)
     val sampled = new EmulatedStatistics(spark, sampleFraction = Some(0.5))
