@@ -1259,13 +1259,19 @@ object Bench {
         // n_finite counts rows with a usable (finite) estimate — with
         // the size-based fallback reported, that is every graded row;
         // n_cbo_derived carries the stricter provenance count the CBO
-        // summary's n_finite means, so neither field is vacuous
+        // summary's n_finite means, so neither field is vacuous. The
+        // genuine split grades the System-R derivation alone (fallback
+        // rows sit at the clamp and would smear the tail).
+        val genuine = graded.collect { case (q, true) => q }
         if (graded.isEmpty) """{"n":0}"""
         else s"""{"n":${graded.size},"n_finite":${qes.size},""" +
           s""""n_cbo_derived":${graded.count(_._2)},""" +
           s""""pct_size_fallback":${fmt(
             100.0 * graded.count(!_._2) / graded.size)},""" +
-          s""""median":${fmt(median(qes))},"max":${fmt(qes.max)}}"""
+          s""""median":${fmt(median(qes))},"max":${fmt(qes.max)}""" +
+          (if (genuine.isEmpty) "}"
+           else s""","median_genuine":${fmt(median(genuine))},""" +
+             s""""max_genuine":${fmt(genuine.max)}}""")
       }
       // collapsed-flag lists: queries whose reported estimator value is
       // a size-based fallback (and whose q-error may sit at the clamp)
