@@ -171,10 +171,12 @@ object Bench {
     // the floor from whole-run minima would make the gate's floor
     // check permanently unreachable.
     @volatile var canaryMinObserved = Double.MaxValue
+    @volatile var hotMinObserved = Double.MaxValue
     @volatile var floorLearning = true
     def canary(): Double = {
       val c = (1 to 3).map(_ => canaryOnce()).min
       if (floorLearning) canaryMinObserved = math.min(canaryMinObserved, c)
+      else hotMinObserved = math.min(hotMinObserved, c)
       c
     }
     val repoDir = {
@@ -194,40 +196,33 @@ object Bench {
     val CalmFloorSlack = 1.3
     // the canary's floor depends on the thread count, so the file keys
     // one floor per cpus setting (a local 8-thread run must not chase
-    // the 32-thread official floor forever)
+    // the 32-thread official floor forever); update rules (only-downward,
+    // bounded drop, garbage-rejected) live in CanaryFloor, spec-pinned
     val floorKey = s"floor_sec_$cpus"
-    def readFloor(txt: String, k: String): Option[Double] =
-      (s""""$k"\\s*:\\s*([0-9.eE+-]+)""").r.findFirstMatchIn(txt)
-        .map(_.group(1).toDouble).filter(f => f > 0 && f.isFinite)
+    // second regime family (VERDICT r17 #2): the deep-run hot-JVM canary
+    // minimum, the absolute reference the adj-primary promotion checks —
+    // mid/after samples come from a fully JIT-hot JVM and read
+    // structurally lower than anything the gate's early JVM observes
+    val hotFloorKey = s"hot_floor_sec_$cpus"
     def floorFileText(): String = try {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(floorPath)), "UTF-8")
     } catch { case _: Throwable => "" }
-    val priorFloor: Option[Double] = readFloor(floorFileText(), floorKey)
+    val priorFloor: Option[Double] =
+      graft.bench.CanaryFloor.read(floorFileText(), floorKey)
+    val priorHotFloor: Option[Double] =
+      graft.bench.CanaryFloor.read(floorFileText(), hotFloorKey)
     def persistFloor(): Unit = try {
-      // bounded adaptation: one anomalously fast run may lower the
-      // floor at most 20% — a freak sample must not lock future gates
-      // onto an unreachable bar (the floor converges over rounds if
-      // the speed-up is real)
-      val observed = priorFloor match {
-        case Some(f) => math.max(canaryMinObserved, f * 0.8)
-        case None => canaryMinObserved
-      }
-      val best = math.min(priorFloor.getOrElse(Double.MaxValue), observed)
-      if (best.isFinite && best < Double.MaxValue &&
-          priorFloor.forall(best < _)) {
-        val txt = floorFileText()
-        val keys = (""""(floor_sec_\d+)"""".r.findAllMatchIn(txt)
-          .map(_.group(1)).toSeq :+ floorKey).distinct.sorted
-        val body = keys.map { k =>
-          val v = if (k == floorKey) best
-            else readFloor(txt, k).getOrElse(-1.0)
-          f""""$k":$v%.4f"""
-        }.mkString("{", ",", "}")
-        val p = java.nio.file.Paths.get(floorPath)
-        java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.writeString(p, body + "\n"): Unit
-      }
+      Seq(floorKey -> canaryMinObserved, hotFloorKey -> hotMinObserved)
+        .foreach { case (k, obs) =>
+          if (obs < Double.MaxValue)
+            graft.bench.CanaryFloor.updated(floorFileText(), k, obs)
+              .foreach { body =>
+                val p = java.nio.file.Paths.get(floorPath)
+                java.nio.file.Files.createDirectories(p.getParent)
+                java.nio.file.Files.writeString(p, body): Unit
+              }
+        }
     } catch { case _: Throwable => }
 
     // a typo'd name must not silently benchmark nothing
@@ -493,16 +488,51 @@ object Bench {
     // Genuine external load measured 1.6x (r14) and 4x (r13), both
     // still above the bar.
     val hotSamples = canarySamples.map(_._2).filter(_ > 0)
-    val runLoaded = hotSamples.nonEmpty && {
-      val med = hotSamples.sorted.apply(hotSamples.size / 2)
-      med > canaryBest * 1.5 || hotSamples.max > canaryBest * 2.0
+    val hotMed =
+      if (hotSamples.isEmpty) -1.0
+      else hotSamples.sorted.apply(hotSamples.size / 2)
+    val relativeLoaded = hotSamples.nonEmpty &&
+      (hotMed > canaryBest * 1.5 || hotSamples.max > canaryBest * 2.0)
+    // Regime-aware check (VERDICT r17 #2): the relative rule compares
+    // hot samples against the run's own single best sample, and idle
+    // same-JVM heap aging alone reaches 1.45x on that ratio — a
+    // promotion in the 1.5-1.7x band is one scheduling wobble from
+    // flipping. With a cross-round HOT floor available (the minimum
+    // mid/after canary any round has observed, persisted next to the
+    // gate floor), promotion additionally requires the hot-sample
+    // median to sit >1.5x above that ABSOLUTE reference — aging moves
+    // the median ~1.3-1.45x off the floor, genuine load 1.6-4x — or
+    // the whole-phase re-run to have fired (independent evidence that
+    // load arrived during measurement). First round (no floor yet)
+    // keeps the relative rule alone, and the artifact says so.
+    val regimeLoaded = priorHotFloor match {
+      case Some(hf) => hotMed > hf * 1.5 || rerunWanted
+      case None => true
     }
+    val runLoaded = relativeLoaded && regimeLoaded
     val headlineValue = if (runLoaded) totalAdj else total
+    val hotFloorNote = priorHotFloor match {
+      case Some(hf) =>
+        f"hot floor $hf%.4f s, hot median $hotMed%.4f s, rerun fired " +
+          s"$rerunWanted"
+      case None => "no cross-round hot floor yet (first learning round)"
+    }
+    val adjPromotionJson =
+      s"""{"relative_loaded":$relativeLoaded,"regime_loaded":$regimeLoaded,""" +
+        s""""hot_floor":${priorHotFloor.map(f => fmt(f)).getOrElse("null")},""" +
+        s""""hot_median":${fmt(hotMed)},"canary_best":${fmt(canaryBest)},""" +
+        s""""rerun_fired":$rerunWanted,"promoted":$runLoaded}"""
     val estimatorNote =
       if (runLoaded)
         "canary-rebased trimmed min (ADJ-PRIMARY: run canaries drifted " +
-          ">1.5x sustained, a median-sum would bill machine load to " +
-          "queries; protocol median-sum rides as total_median)"
+          ">1.5x sustained vs the run best AND the cross-round hot-regime " +
+          s"check agreed [$hotFloorNote]; a median-sum would bill machine " +
+          "load to queries; protocol median-sum rides as total_median)"
+      else if (relativeLoaded)
+        "sum of per-query medians (protocol); relative canary drift " +
+          s">1.5x observed but the hot-regime check vetoed promotion " +
+          s"[$hotFloorNote] — consistent with same-JVM heap aging, not " +
+          "load; total_adj = canary-rebased trimmed min"
       else
         "sum of per-query medians (protocol); total_adj = canary-rebased " +
           "trimmed min"
@@ -518,7 +548,8 @@ object Bench {
       "job_qerror_nodes_by_estimator", "native_cbo_summary",
       "native_summary", "native_collapsed", "native_cbo_collapsed",
       "kit_seeded_counts", "stats_qerror_by_estimator",
-      "stats_qerror_nodes_by_estimator", "stats_opt_ms",
+      "stats_qerror_nodes_by_estimator", "stats_native_summary",
+      "stats_native_collapsed", "stats_opt_ms",
       "stats_cold_probe_ms", "stats_qerror", "probe_cache_entries")
     val canaryMidJson = canaryMid.map(c => fmt(c._2)).mkString("[", ",", "]")
     val canaryMidAt = canaryMid.map(_._1).mkString("[", ",", "]")
@@ -528,7 +559,7 @@ object Bench {
         scaleTrend: String): String = {
       val kitJson = kitKeys.map(k =>
         s""""$k":${kitSections.getOrElse(k, "{}")}""").mkString(",")
-      s"""{"metric":"total","value":${fmt(headlineValue)},"unit":"sec","estimator":"$estimatorNote","queries":$qs,"queries_min":$qmins,"queries_adj":$qadj,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"mid_at":$canaryMidAt,"after":${fmt(canaryAfter)}},"calm_gate":$calmGateJson,"headline_rerun":$rerunJson,"retried":$retriedJson,"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"total_adj":${fmt(totalAdj)},$kitJson,"scale_trend":$scaleTrend,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(headlineValue)},"unit":"sec","estimator":"$estimatorNote","queries":$qs,"queries_min":$qmins,"queries_adj":$qadj,"reps":$qreps,"build_sec":$qbuild,"shuffle_bytes":$qshuffle,"canary_sec":{"before":${fmt(canaryBefore)},"mid":$canaryMidJson,"mid_at":$canaryMidAt,"after":${fmt(canaryAfter)}},"calm_gate":$calmGateJson,"headline_rerun":$rerunJson,"adj_promotion":$adjPromotionJson,"retried":$retriedJson,"total_min":${fmt(totalMin)},"total_median":${fmt(total)},"total_adj":${fmt(totalAdj)},$kitJson,"scale_trend":$scaleTrend,"sf":"$sfDir"}"""
     }
     // the artifact goes to a FILE, rewritten as each phase completes: the
     // r9 driver run kept only a truncated stdout tail, and the r13 kit
@@ -1250,8 +1281,9 @@ object Bench {
       // column: rows whose tables sit outside the ANALYZE window fall
       // back to the size-based guess and are counted in
       // pct_size_fallback instead of masquerading as estimates
-      val nativeRoots: Map[String, (Double, Boolean)] =
-        jobKit.map { case (label, sql) =>
+      def nativeRootsFor(kit: Seq[(String, String)])
+          : Map[String, (Double, Boolean)] =
+        kit.map { case (label, sql) =>
           label -> (try {
             graft.qal.QueryFacade(spark, sql).joinBlock.map { b =>
               val g = new graft.opt.JoinGraph(b, stats)
@@ -1259,14 +1291,17 @@ object Bench {
             }.getOrElse((-1.0, false))
           } catch { case _: Throwable => (-1.0, false) })
         }.toMap
+      val nativeRoots = nativeRootsFor(jobKit)
       // the native summary grades the planner's working estimates (any
       // provenance, clamp applied) and reports the fallback rate — the
       // CBO summary above keeps the stricter finite-only split
-      val nativeSummary: String = {
-        val graded = jobKit.flatMap { case (label, _) =>
+      def nativeSummaryFor(kit: Seq[(String, String)],
+          roots: Map[String, (Double, Boolean)],
+          actuals: Map[String, Double]): String = {
+        val graded = kit.flatMap { case (label, _) =>
           for {
-            (e, genuine) <- nativeRoots.get(label)
-            a = jobActuals.getOrElse(label, -1.0)
+            (e, genuine) <- roots.get(label)
+            a = actuals.getOrElse(label, -1.0)
             if a >= 0 && e >= 0
           } yield (qerr(e, a), genuine)
         }
@@ -1288,14 +1323,27 @@ object Bench {
            else s""","median_genuine":${fmt(median(genuine))},""" +
              s""""max_genuine":${fmt(genuine.max)}}""")
       }
+      val nativeSummary = nativeSummaryFor(jobKit, nativeRoots, jobActuals)
+      // same head-to-head grading on the 146-query stats kit (VERDICT
+      // r17 #3: the stats kit's native column rode the old path with no
+      // genuine/fallback split) — the catalog snapshot is pure
+      // arithmetic after the ANALYZE window, so this is driver-side
+      // plan work only, no jobs
+      val statsActuals = statsRows.map(r => r.label -> r.rootActual).toMap
+      val statsNativeRoots = nativeRootsFor(statsKit)
       // collapsed-flag lists: queries whose reported estimator value is
       // a size-based fallback (and whose q-error may sit at the clamp)
-      def collapsedList(roots: Map[String, (Double, Boolean)]): String =
-        jobKit.collect { case (label, _)
+      def collapsedList(kit: Seq[(String, String)],
+          roots: Map[String, (Double, Boolean)]): String =
+        kit.collect { case (label, _)
           if roots.get(label).exists(r => !r._2 && r._1 >= 0) =>
             s""""$label"""" }.mkString("[", ",", "]")
-      kitAcc("native_collapsed") = collapsedList(nativeRoots)
-      kitAcc("native_cbo_collapsed") = collapsedList(cboRoots)
+      kitAcc("native_collapsed") = collapsedList(jobKit, nativeRoots)
+      kitAcc("native_cbo_collapsed") = collapsedList(jobKit, cboRoots)
+      kitAcc("stats_native_summary") =
+        nativeSummaryFor(statsKit, statsNativeRoots, statsActuals)
+      kitAcc("stats_native_collapsed") =
+        collapsedList(statsKit, statsNativeRoots)
       val byEstimator = headToHead(jobKit, jobRows, nativeEstimate(_, _)._1,
         extra = Seq("native_cbo" -> cboRootQerr))
       val statsByEstimator = headToHead(statsKit, statsRows,

@@ -152,18 +152,26 @@ object ScaleTrend {
     // linear-by-design path is expensive to carry even unflagged, so it
     // is re-earned on a later, often calmer, window before reporting).
     val ReearnBar = 1.0
-    def reearn(t1: Double, tS: Double, sample1: => Double,
+    // re-earn receipts (VERDICT r17 #5): which rows re-sampled and what
+    // the first reading was — a row that read 1.8 and re-earned to 0.9
+    // is load-smear evidence the trend analysis wants visible, not
+    // silently replaced
+    val reearned =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    def reearn(name: String, t1: Double, tS: Double, sample1: => Double,
         sampleS: => Double): (Double, Double, Double) = {
       val r = tS / math.max(t1, 1e-9) / factor
       if (r <= ReearnBar) (t1, tS, r)
       else {
         val t1b = math.min(t1, sample1)
         val tSb = math.min(tS, sampleS)
-        (t1b, tSb, tSb / math.max(t1b, 1e-9) / factor)
+        val rb = tSb / math.max(t1b, 1e-9) / factor
+        reearned += ((name, r, rb))
+        (t1b, tSb, rb)
       }
     }
     val rows = rows0.map { case (n, t1, tS, _) =>
-      val (t1b, tSb, rb) = reearn(t1, tS,
+      val (t1b, tSb, rb) = reearn(n, t1, tS,
         timeSample(spark, n, sfDir), timeSample(spark, n, dirS))
       (n, t1b, tSb, rb)
     }
@@ -190,7 +198,8 @@ object ScaleTrend {
       if (!rows.exists(r => r._1.startsWith("d11") &&
           r._4 > SuperlinearThreshold)) Seq.empty
       else {
-        val (t1, tS, r) = reearn(lshAt(sfDir, 16), lshAt(dirS, 16),
+        val (t1, tS, r) = reearn("d11_dedup_embedding_lsh@rows16",
+          lshAt(sfDir, 16), lshAt(dirS, 16),
           lshAt(sfDir, 16), lshAt(dirS, 16))
         Seq(("d11_dedup_embedding_lsh@rows16", t1, tS, r))
       }
@@ -199,7 +208,8 @@ object ScaleTrend {
     // artifact shows the self-adjusting knob holding the trend line,
     // next to the fixed-knob wall the d11 gate parameters pin
     val autoRows = {
-      val (t1, tS, r) = reearn(lshAt(sfDir), lshAt(dirS),
+      val (t1, tS, r) = reearn("d11_dedup_embedding_lsh@auto",
+        lshAt(sfDir), lshAt(dirS),
         lshAt(sfDir), lshAt(dirS))
       Seq(("d11_dedup_embedding_lsh@auto", t1, tS, r))
     }
@@ -218,7 +228,8 @@ object ScaleTrend {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val (t1, tS, r) = reearn(capAt(sfDir), capAt(dirS),
+      val (t1, tS, r) = reearn("d02_dedup_ngram_jaccard@cap",
+        capAt(sfDir), capAt(dirS),
         capAt(sfDir), capAt(dirS))
       Seq(("d02_dedup_ngram_jaccard@cap", t1, tS, r))
     }
@@ -271,8 +282,12 @@ object ScaleTrend {
         System.err.println(s"[bench] bpe trainer scale row failed: ${e.getMessage}")
         ""
     }
+    val reearnedJson = reearned.map { case (n, first, kept) =>
+      s"""{"q":"$n","first_ratio":${fmt(first)},"kept_ratio":${fmt(kept)}}"""
+    }.mkString("[", ",", "]")
     s"""{"factor":$factor,"queries":$qs,"superlinear":$superlinear,""" +
-      s""""superlinear_oracle_primitives":$oraclePrimitives$bpe}"""
+      s""""superlinear_oracle_primitives":$oraclePrimitives,""" +
+      s""""reearned":$reearnedJson$bpe}"""
   } catch {
     case e: Throwable =>
       System.err.println(s"[bench] scale trend failed: ${e.getMessage}")
