@@ -1149,23 +1149,46 @@ object Bench {
       // the textbook formula over identical inputs, head-to-head.
       val tpchTables = Seq("region", "nation", "customer", "supplier",
         "part", "orders", "lineitem")
+      // The corpus tables carry columns ANALYZE cannot or should not
+      // touch (the array embedding column aborts FOR ALL COLUMNS; ts is
+      // fixture-vintage-dependent nanos/NTZ-micros; props/text are
+      // free-form strings no estimator reads): analyze exactly the
+      // scalar columns the Selinger propagation uses and skip the rest.
+      // Without this the 146-query stats kit — which runs entirely on
+      // these three tables — graded the native column at 100%
+      // size-fallback (VERDICT r17 #3).
+      val analyzeCols: Seq[(String, Option[Seq[String]])] =
+        tpchTables.map(t => t -> None) ++ Seq(
+          "events" -> Some(Seq("event_id", "user_id", "event_type", "value")),
+          "documents" -> Some(Seq("doc_id", "lang", "source", "n_chars")),
+          "embeddings" -> Some(Seq("vec_id", "label")))
+      val catalogTables = analyzeCols.map(_._1)
       def cboEstimates(kit: Seq[(String, String)],
           nodeSets: Map[String, Seq[Set[String]]])
           : (Map[String, (Double, Boolean)],
              Map[String, Seq[(Set[String], Double)]],
              Map[String, graft.opt.CatalogSystemR.TableStats]) = {
-        tpchTables.foreach { t =>
+        // events.parquet may be TIMESTAMP(NANOS) on older fixture
+        // vintages — the legacy conf reads it as LONG so catalog schema
+        // inference never aborts (same normalization Tables.load applies)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        analyzeCols.foreach { case (t, cols) =>
           spark.sql(s"DROP TABLE IF EXISTS $t")
           spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$sfDir/$t.parquet'")
-          spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+          val forClause = cols match {
+            case Some(cs) => s"FOR COLUMNS ${cs.mkString(", ")}"
+            case None => "FOR ALL COLUMNS"
+          }
+          spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS $forClause")
         }
-        tpchTables.foreach(spark.catalog.dropTempView(_))
+        catalogTables.foreach(spark.catalog.dropTempView(_))
         spark.conf.set("spark.sql.cbo.enabled", "true")
         try {
           // snapshot the ANALYZE'd statistics while the catalog tables
           // exist — the System-R native estimator reads only this
           // (pure arithmetic after the window closes)
-          val catalogSnap = graft.opt.CatalogSystemR.capture(spark, tpchTables)
+          val catalogSnap =
+            graft.opt.CatalogSystemR.capture(spark, catalogTables)
           // root estimates carry their provenance (true = a genuine CBO
           // row count, false = the size-based collapse) so the summary
           // can report the finite CBO subset honestly
@@ -1192,7 +1215,7 @@ object Bench {
           (roots.toMap, nodes.toMap, catalogSnap)
         } finally {
           spark.conf.set("spark.sql.cbo.enabled", "false")
-          tpchTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          catalogTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
           Tables.registerAll(spark, sfDir)
         }
       }
