@@ -942,10 +942,20 @@ object Bench {
         .getOrElse("/root/repo/workloads")
       Tables.registerAll(spark, sfDir)
       val stats = OptQueries.statsFor(spark, sfDir)
-      val jobKit = graft.bench.Workload.fromDirectory("job", s"$root/job")
-        .queries.toSeq.sortBy(_._1)
-      val statsKit = graft.bench.Workload.fromDirectory("stats", s"$root/stats")
-        .queries.toSeq.sortBy(_._1)
+      // SPARK_GRAFT_KIT_QUERIES: comma-separated label subset for
+      // surgical kit iteration — e.g. re-warming ONE query's unseeded
+      // exact probes under an escalated wall without paying the other
+      // 112 optimizations. Diagnostic only; the official driver run
+      // never sets it (a subset artifact is partial by construction).
+      val kitFilter: Option[Set[String]] =
+        sys.env.get("SPARK_GRAFT_KIT_QUERIES")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      def kitSubset(kit: Seq[(String, String)]): Seq[(String, String)] =
+        kitFilter.map(f => kit.filter(q => f.contains(q._1))).getOrElse(kit)
+      val jobKit = kitSubset(graft.bench.Workload
+        .fromDirectory("job", s"$root/job").queries.toSeq.sortBy(_._1))
+      val statsKit = kitSubset(graft.bench.Workload
+        .fromDirectory("stats", s"$root/stats").queries.toSeq.sortBy(_._1))
       val ues = graft.opt.Presets.ues(spark, stats)
       // Seed the exact-count probe cache from previously MEASURED kit
       // node actuals (KitActuals persists every join node's SQLMetrics
