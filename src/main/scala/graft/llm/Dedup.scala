@@ -469,7 +469,8 @@ object Dedup {
     */
   def embeddingNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val e = emb.select(col(idCol).cast("bigint").as("id"), col(vecCol).as("v"))
+    val e = emb.select(col(idCol).cast("bigint").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
     val a = e.select(col("id").as("a_id"), col("v").as("va"))
     val b = e.select(col("id").as("b_id"), col("v").as("vb"))
     a.join(b, col("a_id") < col("b_id"))
@@ -509,7 +510,13 @@ object Dedup {
       vecCol: String, threshold: Double, numBlocks: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = emb.select(col(idCol).cast("bigint").as("id"), col(vecCol).as("v"))
+    // cast float->double ONCE per row, not inside the pair expression:
+    // cosineSim wraps its inputs in a cast to array<double>, and left on
+    // the joined columns that cast re-allocates both 64-element arrays
+    // for every one of the n^2/2 pairs; pre-cast rows make it a no-op
+    // (SimplifyCasts) and the pair work a single allocation-free pass
+    val e = emb.select(col(idCol).cast("bigint").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("blk", pmod(xxhash64(col("id")), lit(numBlocks)).cast("int"))
     // all unordered block pairs (ba <= bb): B(B+1)/2 rows, broadcast side
     val blockPairs = (for { i <- 0 until numBlocks; j <- i until numBlocks }
@@ -805,7 +812,8 @@ object Dedup {
     val cands = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val e = emb.select(col(idCol).cast("bigint").as("id"), col(vecCol).as("v"))
+    val e = emb.select(col(idCol).cast("bigint").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
     cands
       .join(e.select(col("id").as("a_id"), col("v").as("va")), "a_id")
       .join(e.select(col("id").as("b_id"), col("v").as("vb")), "b_id")

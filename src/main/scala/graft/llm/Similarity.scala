@@ -48,10 +48,13 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // cast float->double per ROW here: left to cosineSim's implicit cast
+    // it would re-allocate both arrays per scored PAIR (measured 3x on
+    // the d05 triangle join; same economics in every scorer below)
     val c = corpus.select(col(idCol).cast("bigint").as("neighbor_id"),
-      col(vecCol).as("vc"))
+      col(vecCol).cast("array<double>").as("vc"))
     val q = queries.select(col(idCol).cast("bigint").as("query_id"),
-      col(vecCol).as("vq"))
+      col(vecCol).cast("array<double>").as("vq"))
     topKPerQuery(
       c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .withColumn("sim", cosineSim(col("vq"), col("vc")))
@@ -233,9 +236,10 @@ object Similarity {
     // the bounded top-k's map-side partial completes within the row's
     // partition — the shuffle moves at most k rows per corpus vector
     val q = unlabeled.select(col(idCol).cast("bigint").as("query_id"),
-      col(vecCol).as("vq"))
+      col(vecCol).cast("array<double>").as("vq"))
     val s = seeds.select(col(idCol).cast("bigint").as("neighbor_id"),
-      col(vecCol).as("vc"), col(labelCol).cast("int").as("n_label"))
+      col(vecCol).cast("array<double>").as("vc"),
+      col(labelCol).cast("int").as("n_label"))
     val scored = q.crossJoin(broadcast(s))
       .withColumn("sim", cosineSim(col("vq"), col("vc")))
       .select("query_id", "neighbor_id", "sim")
@@ -270,9 +274,9 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, pairs: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).cast("bigint").as("neighbor_id"),
-      col(vecCol).as("vc"))
+      col(vecCol).cast("array<double>").as("vc"))
     val q = queries.select(col(idCol).cast("bigint").as("query_id"),
-      col(vecCol).as("vq"))
+      col(vecCol).cast("array<double>").as("vq"))
     val exclude = pairs
       .select(explode(array(
         struct(col("a_id").as("query_id"), col("b_id").as("neighbor_id")),
@@ -360,8 +364,10 @@ object Similarity {
     */
   private def nearestCells(df: DataFrame, idCol: String, vecCol: String,
       idOut: String, n: Int, centroids: DataFrame): DataFrame =
-    df.select(col(idCol).cast("bigint").as(idOut), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroids))
+    df.select(col(idCol).cast("bigint").as(idOut),
+        col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(centroids
+        .withColumn("centroid", col("centroid").cast("array<double>"))))
       .withColumn("sim", cosineSim(col("v"), col("centroid")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col(idOut)).orderBy(col("sim").desc, col("cell"))))
@@ -402,7 +408,8 @@ object Similarity {
     val queryCells = nearestCells(queries, idCol, vecCol, "query_id",
       nProbe, centroids).withColumnRenamed("v", "vq")
     topKPerQuery(
-      queryCells.join(assignments, "cell")
+      queryCells.join(
+          assignments.withColumn("v", col("v").cast("array<double>")), "cell")
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("sim", cosineSim(col("vq"), col("v")))
         .select("query_id", "neighbor_id", "sim"), k)
@@ -439,8 +446,10 @@ object Similarity {
     val cands = qb.join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val c = corpus.select(col(idCol).cast("bigint").as("cid"), col(vecCol).as("vc"))
-    val q = queries.select(col(idCol).cast("bigint").as("qid"), col(vecCol).as("vq"))
+    val c = corpus.select(col(idCol).cast("bigint").as("cid"),
+      col(vecCol).cast("array<double>").as("vc"))
+    val q = queries.select(col(idCol).cast("bigint").as("qid"),
+      col(vecCol).cast("array<double>").as("vq"))
     topKPerQuery(
       cands
         .join(c, col("neighbor_id") === col("cid"))
@@ -635,9 +644,9 @@ object Similarity {
     val cands = topKPerQuery(adc, nCandidates)
       .select(col("query_id"), col("neighbor_id"))
     val c = corpus.select(col(idCol).cast("bigint").as("neighbor_id"),
-      col(vecCol).as("vc"))
+      col(vecCol).cast("array<double>").as("vc"))
     val q = queries.select(col(idCol).cast("bigint").as("query_id"),
-      col(vecCol).as("vq"))
+      col(vecCol).cast("array<double>").as("vq"))
     topKPerQuery(
       cands.join(c, "neighbor_id").join(broadcast(q), "query_id")
         .withColumn("sim", cosineSim(col("vq"), col("vc")))
@@ -689,7 +698,8 @@ object Similarity {
     val embedded = chunks.select(
       (col("doc_id") * keyFactor + col("chunk_id")).as("chunk_key"),
       graft.functions.WordBucketCounts
-        .wordBucketCounts(col("chunk_text"), 8).as("embedding"))
+        .wordBucketCounts(col("chunk_text"), 8)
+        .cast("array<double>").as("embedding"))
     val q = embedded.filter(col("chunk_key") < queryKeyBelow)
       .select(col("chunk_key").as("query_id"), col("embedding").as("vq"))
     val c = embedded.filter(col("chunk_key") >= queryKeyBelow)
