@@ -62,7 +62,7 @@ object Dedup {
           true
         } else false
     }
-  private def scopedCache(df: DataFrame): DataFrame = liveCaches.synchronized {
+  private[llm] def scopedCache(df: DataFrame): DataFrame = liveCaches.synchronized {
     val key = df.queryExecution.analyzed.canonicalized
     val hit = liveCaches.get(key)
     if (hit != null) hit

@@ -605,9 +605,17 @@ object TextAnalysis {
           "i -> named_struct('w1', w[i-1], 'w2', w[i]))")).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
     val tb = bigrams(train)
-    val ctx = tb.groupBy("w1").agg(count(lit(1)).as("cw"))
-    val big = tb.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val stats = tb.agg(countDistinct(col("w2")).as("v"))
+    // ONE explode pass builds the distinct-bigram counts; the context
+    // totals (cw = occurrences starting with w1 = sum of cb over w2)
+    // and the successor vocabulary (distinct w2 over occurrences ==
+    // distinct w2 over distinct bigrams) then derive from that much
+    // smaller cached relation instead of re-exploding the corpus —
+    // the uncached formulation ran the bigram explode three times for
+    // the model alone
+    val big = Dedup.scopedCache(
+      tb.groupBy("w1", "w2").agg(count(lit(1)).as("cb")))
+    val ctx = big.groupBy("w1").agg(sum(col("cb")).as("cw"))
+    val stats = big.agg(countDistinct(col("w2")).as("v"))
     // per-(doc, bigram) counts first (the dsirWeights move): the model
     // join and the per-doc shuffle carry one row per DISTINCT bigram
     // per doc instead of one per occurrence
