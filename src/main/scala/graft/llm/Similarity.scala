@@ -637,9 +637,11 @@ object Similarity {
         .as("lut"))
     val adc = codes
       .join(broadcast(qlut), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", expr(
-        s"aggregate(sequence(1, $numSub), 0D, (a, m) -> " +
-          "a + element_at(element_at(lut, m), element_at(codes, m) + 1))"))
+      // native indexed loop (graft.functions.PqAdcScore) — the
+      // interpreted aggregate/element_at HOF chain walked three
+      // interpreted lookups per subspace per scored pair
+      .withColumn("sim",
+        graft.functions.PqAdcScore.adcScore(col("lut"), col("codes")))
       .select("query_id", "neighbor_id", "sim")
     val cands = topKPerQuery(adc, nCandidates)
       .select(col("query_id"), col("neighbor_id"))
