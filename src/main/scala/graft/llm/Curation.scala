@@ -18,25 +18,42 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Per-document curation verdict.
-    * Output: (doc_id, pred_lang, quality_score, is_dup_copy, kept). */
+    * Output: (doc_id, pred_lang, quality_score, is_dup_copy, kept).
+    *
+    * Language ID and the quality score are pure row-local expressions
+    * ([[TextAnalysis.languageIdExpr]]/[[TextAnalysis.qualityScoreExpr]]),
+    * so the whole verdict is ONE pass over the corpus whose only shuffle
+    * is the exact-dup digest window — the previous formulation computed
+    * the three verdict inputs as separate relations and re-joined them
+    * on doc_id twice (two extra joins + two extra corpus scans for
+    * row-local arithmetic Catalyst can evaluate in place).
+    */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.8,
-      langs: Seq[String] = Seq("en", "es")): DataFrame = {
-    val lang = TextAnalysis.languageId(docs, idCol, textCol)
-    val quality = TextAnalysis.qualityScore(docs, idCol, textCol)
-      .select(col("doc_id"), col("quality_score"))
+      langs: Seq[String] = Seq("en", "es")): DataFrame =
+    curateWithText(docs, idCol, textCol, minQuality, langs)
+      .select(col("doc_id"), col("pred_lang"), col("quality_score"),
+        col("is_dup_copy"), col("kept"))
+
+  /** [[curate]] carrying the document text through (`__text`), so a
+    * consumer that needs the kept documents' text (the packing stage of
+    * [[pretrainingPipeline]]) reads it off the verdict relation instead
+    * of re-joining the corpus. */
+  private[llm] def curateWithText(docs: DataFrame, idCol: String,
+      textCol: String, minQuality: Double,
+      langs: Seq[String]): DataFrame = {
     val byDigest = Window.partitionBy(md5(col("__text")))
-    val dups = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .withColumn("keep_id", min(col("doc_id")).over(byDigest))
-      .select(col("doc_id"),
-        (col("doc_id") =!= col("keep_id")).as("is_dup_copy"))
-    lang.join(quality, "doc_id").join(dups, "doc_id")
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        TextAnalysis.languageIdExpr(col(textCol)).as("pred_lang"),
+        TextAnalysis.qualityScoreExpr(col(textCol)).as("quality_score"))
+      .withColumn("is_dup_copy",
+        col("doc_id") =!= min(col("doc_id")).over(byDigest))
       .withColumn("kept",
         col("quality_score") >= minQuality &&
           col("pred_lang").isin(langs: _*) && !col("is_dup_copy"))
       .select(col("doc_id"), col("pred_lang"), col("quality_score"),
-        col("is_dup_copy"), col("kept"))
+        col("is_dup_copy"), col("kept"), col("__text"))
   }
 
   /** Sequence PACKING: the deterministic document stream (ordered by id)
@@ -96,9 +113,12 @@ object Curation {
     require(nBuckets > 0)
     val P = ShuffleP
     val (a, b) = shuffleConstants(seed)
+    // shared bucket-keyed exchange: per-bucket counts and the local rank
+    // window both cluster by bucket (see packByLengths)
     val keyed = docs.select(col(idCol).cast("bigint").as("doc_id"))
       .withColumn("skey", ((col("doc_id") % P) * a + b) % P)
       .withColumn("bucket", floor(col("skey") / ((P / nBuckets) + 1)))
+      .repartition(col("bucket"))
     val bucketBase = keyed.groupBy("bucket")
       .agg(count(lit(1)).as("n"))
       .withColumn("base", coalesce(sum(col("n")).over(
@@ -139,6 +159,7 @@ object Curation {
       .filter(col("stratum").isin(targets.keys.toSeq: _*))
       .withColumn("skey", ((col("doc_id") % P) * a + b) % P)
       .withColumn("bucket", floor(col("skey") / ((P / nBuckets) + 1)))
+      .repartition(col("stratum"), col("bucket"))
     val base = keyed.groupBy("stratum", "bucket")
       .agg(count(lit(1)).as("n"))
       .withColumn("cum_before", coalesce(sum(col("n")).over(
@@ -180,11 +201,20 @@ object Curation {
   def temperatureMix(docs: DataFrame, idCol: String, strataCol: String,
       tokenCol: String, budget: Long, chunkSize: Int = 4096): DataFrame = {
     require(budget > 0 && chunkSize > 0)
+    // one (stratum, chunk)-keyed exchange shared by all three consumers:
+    // per-(stratum, chunk) totals, the local prefix window, AND the
+    // per-stratum totals (derived from the chunk totals — the sum of
+    // per-chunk sums is the stratum sum, exact in BIGINT) — so the doc
+    // relation is scanned and shuffled once instead of three times
     val perDoc = docs.select(col(idCol).cast("bigint").as("doc_id"),
       col(strataCol).as("stratum"),
       col(tokenCol).cast("long").as("n_tokens"))
-    val totals = perDoc.groupBy("stratum")
-      .agg(sum(col("n_tokens")).as("tw"))
+      .withColumn("chunk", floor(col("doc_id") / chunkSize))
+      .repartition(col("stratum"), col("chunk"))
+    val chunkTotals = perDoc.groupBy("stratum", "chunk")
+      .agg(sum(col("n_tokens")).as("chunk_w"))
+    val totals = chunkTotals.groupBy("stratum")
+      .agg(sum(col("chunk_w")).as("tw"))
       .withColumn("ws", expr(
         "CAST(floor(sqrt(CAST(tw AS DOUBLE))) AS BIGINT)"))
     val wsum = totals.agg(sum(col("ws")).as("wsum"))
@@ -199,10 +229,7 @@ object Curation {
         col("base_alloc") + when(col("rnk") <= col("spare"), 1L)
           .otherwise(0L))
       .select(col("stratum"), col("alloc"))
-    val chunked = perDoc
-      .withColumn("chunk", floor(col("doc_id") / chunkSize))
-    val chunkBase = chunked.groupBy("stratum", "chunk")
-      .agg(sum(col("n_tokens")).as("chunk_w"))
+    val chunkBase = chunkTotals
       .withColumn("chunk_base",
         coalesce(sum(col("chunk_w")).over(
           Window.partitionBy("stratum").orderBy("chunk")
@@ -210,7 +237,7 @@ object Curation {
       .select(col("stratum"), col("chunk"), col("chunk_base"))
     val localWin = Window.partitionBy("stratum", "chunk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    chunked
+    perDoc
       .withColumn("local_before",
         coalesce(sum(col("n_tokens")).over(localWin), lit(0L)))
       .join(chunkBase, Seq("stratum", "chunk"))
@@ -234,9 +261,17 @@ object Curation {
   def packByLengths(lengths: DataFrame, idCol: String, lenCol: String,
       budget: Int, chunkSize: Int = 4096): DataFrame = {
     require(budget > 0 && chunkSize > 0)
+    // ONE explicit chunk-keyed exchange shared by BOTH consumers: the
+    // per-chunk totals aggregate and the local prefix-sum window each
+    // need the data clustered by chunk, and hashpartitioning(chunk)
+    // satisfies both — so the (possibly expensive: text split at d13,
+    // BPE segmentation at d26) upstream runs once into one shuffle that
+    // the second leg picks up as a ReusedExchange, instead of two
+    // independent scans each paying their own exchange.
     val perDoc = lengths.select(col(idCol).cast("bigint").as("doc_id"),
       col(lenCol).cast("long").as("n_tokens"))
       .withColumn("chunk", floor(col("doc_id") / chunkSize))
+      .repartition(col("chunk"))
     // serial step over the tiny chunk relation only
     val chunkBase = perDoc.groupBy("chunk")
       .agg(sum(col("n_tokens")).as("chunk_tokens"))
@@ -308,8 +343,12 @@ object Curation {
   def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
       batchSize: Int): DataFrame = {
     require(batchSize > 0)
+    // one length-keyed exchange shared by the per-length counts and the
+    // local rank window (both cluster by n_tokens): the text split runs
+    // once into one shuffle instead of two independent scans
     val perDoc = docs.select(col(idCol).cast("bigint").as("doc_id"),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .repartition(col("n_tokens"))
     val base = perDoc.groupBy("n_tokens")
       .agg(count(lit(1)).as("n"))
       .withColumn("base", coalesce(sum(col("n")).over(
@@ -392,13 +431,11 @@ object Curation {
       minQuality: Double = 0.8, langs: Seq[String] = Seq("en", "es"),
       budget: Int = 512, chunkSize: Int = 4096,
       materializeKept: Boolean = true): DataFrame = {
-    val keptIds = curate(docs, idCol, textCol, minQuality, langs)
+    // the fused verdict relation carries the text, so the kept stream
+    // needs no join back to the corpus (one scan + one join saved)
+    val joined = curateWithText(docs, idCol, textCol, minQuality, langs)
       .filter(col("kept"))
-      .select(col("doc_id").cast("bigint").as("doc_id"))
-    val joined = docs
-      .select(col(idCol).cast("bigint").as("doc_id"),
-        col(textCol).as("__text"))
-      .join(keptIds, "doc_id")
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("__text"))
     // the packing prefix sum consumes the kept stream TWICE (chunk-base
     // aggregation + local window); without a barrier Catalyst replays the
     // whole curation subtree once per branch. In production the kept
@@ -412,9 +449,12 @@ object Curation {
   def ppsSystematicSample(docs: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: Long, chunkSize: Int = 4096): DataFrame = {
     require(k > 0 && chunkSize > 0)
-    val perDoc = docs.select(col(idCol).cast("bigint").as("doc_id"),
+    // shared chunk-keyed exchange (see packByLengths): totals aggregate
+    // and prefix window both read one shuffle of the weight relation
+    val raw = docs.select(col(idCol).cast("bigint").as("doc_id"),
       col(weightCol).cast("long").as("weight"))
       .withColumn("chunk", floor(col("doc_id") / chunkSize))
+    val perDoc = raw.repartition(col("chunk"))
     val chunkBase = perDoc.groupBy("chunk")
       .agg(sum(col("weight")).as("chunk_w"))
       .withColumn("chunk_base",
@@ -429,7 +469,10 @@ object Curation {
         coalesce(sum(col("weight")).over(localWin), lit(0L)))
       .join(chunkBase, "chunk")
       .withColumn("cb", col("chunk_base") + col("local_before"))
-    val total = perDoc.agg(sum("weight")).head().getLong(0)
+    // driver-side scalar from the NARROW relation (map-side partial agg,
+    // no exchange) — routing it through the repartitioned branch would
+    // make this separate job pay a shuffle for one number
+    val total = raw.agg(sum("weight")).head().getLong(0)
     require(total >= k, s"total weight $total < k=$k")
     val stride = total / k
     val P = 2147483647L

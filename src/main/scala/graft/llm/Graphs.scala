@@ -46,22 +46,32 @@ object Graphs {
     require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
     val e0 = edges.select(col(srcCol).cast("bigint").as("src"),
       col(dstCol).cast("bigint").as("dst")).localCheckpoint(true)
-    val nodes = e0.select(col("src").as("node"))
+    // Loop-invariant relations are PRE-PARTITIONED on their per-round
+    // join key and cached (the bounded scopedCache LRU): an
+    // InMemoryTableScan preserves the cached plan's hashpartitioning
+    // and sort order (unlike localCheckpoint, which reports
+    // UnknownPartitioning under AQE — the r18 finding), so every
+    // round's edge join and rank rebuild shuffle ONLY the frontier
+    // side; the edge table and the node table never re-exchange or
+    // re-sort inside the loop.
+    val nodes = Dedup.scopedCache(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().sortWithinPartitions("node"))
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = scale / n
     val teleport = (100L - dampingPct) * base / 100L
     // hoist the outdegree join out of the loop: (src, dst, d) costs one
     // extra int column on the edge table but saves an edge-sized join
-    // PER ROUND. (Pre-partitioning the checkpoint on src does NOT pay:
-    // under AQE, localCheckpoint reports UnknownPartitioning, so the
-    // extra shuffle never gets reused — verified in the physical plan.)
-    val e = e0.join(e0.groupBy("src").agg(count(lit(1)).as("d")), "src")
-      .localCheckpoint(true)
+    // PER ROUND
+    val e = Dedup.scopedCache(
+      e0.join(e0.groupBy("src").agg(count(lit(1)).as("d")), "src")
+        .repartition(col("src")).sortWithinPartitions("src"))
     var r = nodes.select(col("node"), lit(base).as("r"))
-    for (i <- 0 until iters) {
+    for (_ <- 0 until iters) {
+      // the contribution aggregate is keyed by dst (= node), so its
+      // exchange lands co-partitioned with the cached node table and
+      // the rank rebuild join needs no further shuffle
       val contrib = e.join(r.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr(s"((r * $dampingPct) div 100) div d").as("share"))
@@ -69,10 +79,9 @@ object Graphs {
       r = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("inc"), lit(0L))).as("r"))
-      // cut lineage every few rounds, not every round: an eager
-      // checkpoint serializes the round into a full materialization,
-      // and a 3-round join chain is well within planner comfort
-      if (i % 3 == 2 && i != iters - 1) r = r.localCheckpoint(true)
+      // no mid-loop checkpoint: with the invariants cached the round
+      // plans stay small, and the whole fixed-point pipeline executes
+      // as ONE query instead of paying a materialization barrier
     }
     r.select(col("node"), col("r").as("rank_fp"))
   }
@@ -103,25 +112,36 @@ object Graphs {
     val e0 = edges.select(col(srcCol).cast("bigint").as("src"),
       col(dstCol).cast("bigint").as("dst")).localCheckpoint(true)
     val sd = seeds.select(col(seedNodeCol).cast("bigint").as("node"),
-      col(seedLabelCol).cast("bigint").as("seed")).localCheckpoint(true)
-    val nodes = e0.select(col("src").as("node"))
+      col(seedLabelCol).cast("bigint").as("seed"))
+    // loop invariants, partitioned once on their per-round join key and
+    // cached (see pagerankFixedPoint): the edge table keyed by dst (the
+    // label-lookup side of every round), and the node table with the
+    // seed column FOLDED IN — the old per-round (nodes ⋈ best ⋈ sd)
+    // double join becomes a single co-partitioned join per round
+    val e = Dedup.scopedCache(
+      e0.repartition(col("dst")).sortWithinPartitions("dst"))
+    val ns = Dedup.scopedCache(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
-    var lab = nodes.join(sd, Seq("node"), "left")
-      .select(col("node"), coalesce(col("seed"), lit(-1L)).as("lab"))
-    for (i <- 0 until iters) {
-      val best = e0
+      .distinct()
+      .join(sd, Seq("node"), "left")
+      .sortWithinPartitions("node"))
+    var lab = ns.select(col("node"), coalesce(col("seed"), lit(-1L)).as("lab"))
+    for (_ <- 0 until iters) {
+      val best = e
         .join(lab.select(col("node").as("dst"), col("lab").as("nl")), "dst")
         .filter(col("nl") =!= -1L)
+        // one src-keyed exchange feeds BOTH vote aggregations (the
+        // (src, label) count and the per-src argmax: hashpartitioning
+        // on src satisfies the clustering of both), and its output is
+        // co-partitioned with the cached node table for the rebuild
+        .repartition(col("src"))
         .groupBy("src", "nl").agg(count(lit(1)).as("c"))
         .groupBy("src")
         .agg(min(struct((-col("c")).as("nc"), col("nl").as("nl"))).as("m"))
         .select(col("src").as("node"), col("m.nl").as("best"))
-      lab = nodes.join(best, Seq("node"), "left")
-        .join(sd, Seq("node"), "left")
+      lab = ns.join(best, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("seed"), col("best"), lit(-1L)).as("lab"))
-      if (i % 3 == 2 && i != iters - 1) lab = lab.localCheckpoint(true)
     }
     lab.select(col("node"), col("lab").as("label"))
   }

@@ -28,26 +28,35 @@ object TextAnalysis {
     * detection, argmax with deterministic tie-break (en>de>es>fr).
     * Output: (id, pred_lang).
     */
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = split(col(textCol), " ")
+  /** Row-local language-ID expression over a text column — exposed so
+    * composed pipelines ([[Curation.curate]]) can evaluate it in place
+    * instead of joining a separate relation. */
+  private[llm] def languageIdExpr(txt: Column): Column = {
+    val w = split(txt, " ")
     val en = score(w, "en"); val de = score(w, "de")
     val es = score(w, "es"); val fr = score(w, "fr")
-    val hasCjk = col(textCol).rlike("[\\u4e00-\\u9fff]")
-    docs.select(col(idCol).as("doc_id"),
-      when(hasCjk, "zh")
-        .when(en >= de && en >= es && en >= fr && en > 0, "en")
-        .when(de >= es && de >= fr && de > 0, "de")
-        .when(es >= fr && es > 0, "es")
-        .when(fr > 0, "fr")
-        .otherwise("und").as("pred_lang"))
+    val hasCjk = txt.rlike("[\\u4e00-\\u9fff]")
+    when(hasCjk, "zh")
+      .when(en >= de && en >= es && en >= fr && en > 0, "en")
+      .when(de >= es && de >= fr && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
   }
+
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      languageIdExpr(col(textCol)).as("pred_lang"))
 
   /** Heuristic quality features + composite score.
     * Output: (doc_id, n_chars, n_tokens, avg_token_len, space_ratio,
     * quality_score). All ratios rounded for cross-engine comparability.
     */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val txt = col(textCol)
+  /** Row-local ROUNDED composite quality score over a text column (the
+    * published decision value — see the object scaladoc of
+    * [[Curation]]); exposed for in-place evaluation in composed
+    * pipelines. */
+  private[llm] def qualityScoreExpr(txt: Column): Column = {
     val nChars = length(txt)
     val nTokens = size(split(txt, " "))
     val nSpaces = nChars - length(regexp_replace(txt, " ", ""))
@@ -57,9 +66,20 @@ object TextAnalysis {
     val q = least(nTokens.cast("double") / lit(30.0), lit(1.0)) * lit(0.5) +
       when(avgTok.between(3.0, 8.0), 0.3).otherwise(0.0) +
       when(spaceRatio.between(0.1, 0.3), 0.2).otherwise(0.0)
+    round(q, 4)
+  }
+
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val nChars = length(txt)
+    val nTokens = size(split(txt, " "))
+    val nSpaces = nChars - length(regexp_replace(txt, " ", ""))
+    val avgTok = (nChars - nSpaces).cast("double") / nTokens
+    val spaceRatio = nSpaces.cast("double") / nChars
     docs.select(col(idCol).as("doc_id"), nChars.as("n_chars"),
       nTokens.as("n_tokens"), round(avgTok, 4).as("avg_token_len"),
-      round(spaceRatio, 4).as("space_ratio"), round(q, 4).as("quality_score"))
+      round(spaceRatio, 4).as("space_ratio"),
+      qualityScoreExpr(txt).as("quality_score"))
   }
 
   /** Token counts: whitespace tokens + a BPE-ish regex segmentation
@@ -220,14 +240,16 @@ object TextAnalysis {
       .select(xxhash64(col("shingle")).as("h")).distinct()
     val evalSh = Dedup.shingles(eval_, idCol, textCol, ngram)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    // persisted across the TWO eager passes over it (the sizing count
-    // and the bloom build) — uncached, the shingle+distinct subtree
-    // would execute twice
-    val evalDistinct = evalSh.select("h").distinct().persist()
+    // cached across the TWO eager passes over it (the sizing count and
+    // the bloom build) — uncached, the shingle+distinct subtree would
+    // execute twice. The bounded scopedCache LRU (not a transient
+    // persist/unpersist pair) keeps the lifecycle managed while letting
+    // a repeated call reuse the relation instead of re-deriving the
+    // eval shingles from the corpus scan for every invocation.
+    val evalDistinct = Dedup.scopedCache(evalSh.select("h").distinct())
     // the count job runs on the SMALL side only; it sizes the filter
     val n = math.max(1L, evalDistinct.count())
-    val bf = try evalDistinct.stat.bloomFilter("h", n, fpp)
-      finally { evalDistinct.unpersist(): Unit }
+    val bf = evalDistinct.stat.bloomFilter("h", n, fpp)
     val bcast = spark.sparkContext.broadcast(bf)
     val candidates =
       corpusSh.filter(graft.functions.BloomMightContain.probe(col("h"), bcast))
@@ -271,10 +293,11 @@ object TextAnalysis {
       .otherwise(0).cast("long")
     val base = corpus.select(col(idCol).as("doc_id"),
       nShingles.as("n_shingles"))
-    // persisted across the sizing count and the bloom build; still live
-    // (not unpersisted) because the exact verify join below reads it too
-    val evalSh = Dedup.shingles(eval_, idCol, textCol, ngram)
-      .select(col("shingle")).distinct().persist()
+    // cached across the sizing count, the bloom build AND the exact
+    // verify join below — via the bounded scopedCache LRU (a bare
+    // .persist() pinned one entry per call with no lifecycle owner)
+    val evalSh = Dedup.scopedCache(Dedup.shingles(eval_, idCol, textCol,
+      ngram).select(col("shingle")).distinct())
     val n = math.max(1L, evalSh.count())
     val bf = evalSh.stat.bloomFilter("shingle", n, fpp)
     val bcast = spark.sparkContext.broadcast(bf)
