@@ -62,7 +62,7 @@ object Dedup {
           true
         } else false
     }
-  private[llm] def scopedCache(df: DataFrame): DataFrame = liveCaches.synchronized {
+  private[graft] def scopedCache(df: DataFrame): DataFrame = liveCaches.synchronized {
     val key = df.queryExecution.analyzed.canonicalized
     val hit = liveCaches.get(key)
     if (hit != null) hit
@@ -351,24 +351,32 @@ object Dedup {
     val o = index.select(col("doc_id").as("o_id"), col("band"), col("bh"))
     // new-vs-old collisions; the self-pair guard matters when the index
     // ALREADY contains a batch doc (a retried / partially appended ingest
-    // batch) — without it every such doc surfaces as its own duplicate
-    val vsOld = n.join(o, Seq("band", "bh"))
+    // batch) — without it every such doc surfaces as its own duplicate.
+    // The BATCH side broadcasts: this is the whole point of the
+    // incremental shape — the corpus-sized band INDEX must never
+    // shuffle for a batch probe (a sort-merge here re-exchanges and
+    // re-sorts the index every ingest). The batch's banded signatures
+    // are bands rows per new doc — megabytes for any sane ingest batch;
+    // a batch too large to broadcast should go through the full
+    // minhashNearDuplicates rebuild instead.
+    val vsOld = o.join(broadcast(n), Seq("band", "bh"))
       .filter(col("n_id") =!= col("o_id"))
       .select(least(col("n_id"), col("o_id")).as("a_id"),
         greatest(col("n_id"), col("o_id")).as("b_id"))
     // ... plus new-vs-new collisions within the batch
     val m = newBanded.select(col("doc_id").as("m_id"), col("band"), col("bh"))
-    val vsNew = n.join(m, Seq("band", "bh"))
+    val vsNew = n.join(broadcast(m), Seq("band", "bh"))
       .filter(col("n_id") < col("m_id"))
       .select(col("n_id").as("a_id"), col("m_id").as("b_id"))
     val cands = vsOld.union(vsNew).distinct()
-    // exact verification touches only candidate documents: semi-join the
-    // corpus down to them before shingling
+    // exact verification touches only candidate documents: a BROADCAST
+    // semi-join (the candidate id set is collision-sized) prunes the
+    // corpus scan in place — never an exchange of the corpus by id
     val touched = cands.select(col("a_id").as("doc_id"))
       .union(cands.select(col("b_id").as("doc_id"))).distinct()
     val docsTouched = corpus
-      .join(touched, corpus(idCol).cast("bigint") === touched("doc_id"),
-        "left_semi")
+      .join(broadcast(touched),
+        corpus(idCol).cast("bigint") === touched("doc_id"), "left_semi")
     // cached: verification reads the shingle relation three times (sizes
     // + both intersection legs) — uncached, each leg would re-run the
     // semi-join and corpus scan

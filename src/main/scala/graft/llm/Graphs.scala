@@ -46,32 +46,25 @@ object Graphs {
     require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
     val e0 = edges.select(col(srcCol).cast("bigint").as("src"),
       col(dstCol).cast("bigint").as("dst")).localCheckpoint(true)
-    // Loop-invariant relations are PRE-PARTITIONED on their per-round
-    // join key and cached (the bounded scopedCache LRU): an
-    // InMemoryTableScan preserves the cached plan's hashpartitioning
-    // and sort order (unlike localCheckpoint, which reports
-    // UnknownPartitioning under AQE — the r18 finding), so every
-    // round's edge join and rank rebuild shuffle ONLY the frontier
-    // side; the edge table and the node table never re-exchange or
-    // re-sort inside the loop.
-    val nodes = Dedup.scopedCache(e0.select(col("src").as("node"))
+    val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
-      .distinct().sortWithinPartitions("node"))
+      .distinct().localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = scale / n
     val teleport = (100L - dampingPct) * base / 100L
     // hoist the outdegree join out of the loop: (src, dst, d) costs one
     // extra int column on the edge table but saves an edge-sized join
-    // PER ROUND
-    val e = Dedup.scopedCache(
-      e0.join(e0.groupBy("src").agg(count(lit(1)).as("d")), "src")
-        .repartition(col("src")).sortWithinPartitions("src"))
+    // PER ROUND. (Pre-partitioning the invariants does NOT pay — neither
+    // via localCheckpoint nor via cache: under AQE a checkpoint reports
+    // UnknownPartitioning and an InMemoryRelation wraps an
+    // AdaptiveSparkPlan that likewise reports UnknownPartitioning before
+    // execution, so the per-round join re-exchanges either way —
+    // verified in the r18 AND r19 physical plans.)
+    val e = e0.join(e0.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .localCheckpoint(true)
     var r = nodes.select(col("node"), lit(base).as("r"))
-    for (_ <- 0 until iters) {
-      // the contribution aggregate is keyed by dst (= node), so its
-      // exchange lands co-partitioned with the cached node table and
-      // the rank rebuild join needs no further shuffle
+    for (i <- 0 until iters) {
       val contrib = e.join(r.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr(s"((r * $dampingPct) div 100) div d").as("share"))
@@ -79,9 +72,10 @@ object Graphs {
       r = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("inc"), lit(0L))).as("r"))
-      // no mid-loop checkpoint: with the invariants cached the round
-      // plans stay small, and the whole fixed-point pipeline executes
-      // as ONE query instead of paying a materialization barrier
+      // cut lineage every few rounds, not every round: an eager
+      // checkpoint serializes the round into a full materialization,
+      // and a 3-round join chain is well within planner comfort
+      if (i % 3 == 2 && i != iters - 1) r = r.localCheckpoint(true)
     }
     r.select(col("node"), col("r").as("rank_fp"))
   }
@@ -113,27 +107,23 @@ object Graphs {
       col(dstCol).cast("bigint").as("dst")).localCheckpoint(true)
     val sd = seeds.select(col(seedNodeCol).cast("bigint").as("node"),
       col(seedLabelCol).cast("bigint").as("seed"))
-    // loop invariants, partitioned once on their per-round join key and
-    // cached (see pagerankFixedPoint): the edge table keyed by dst (the
-    // label-lookup side of every round), and the node table with the
-    // seed column FOLDED IN — the old per-round (nodes ⋈ best ⋈ sd)
-    // double join becomes a single co-partitioned join per round
-    val e = Dedup.scopedCache(
-      e0.repartition(col("dst")).sortWithinPartitions("dst"))
-    val ns = Dedup.scopedCache(e0.select(col("src").as("node"))
+    // node table with the seed column FOLDED IN — the old per-round
+    // (nodes ⋈ best ⋈ sd) double join becomes a single join per round
+    val ns = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
       .distinct()
       .join(sd, Seq("node"), "left")
-      .sortWithinPartitions("node"))
+      .localCheckpoint(true)
     var lab = ns.select(col("node"), coalesce(col("seed"), lit(-1L)).as("lab"))
-    for (_ <- 0 until iters) {
-      val best = e
+    for (i <- 0 until iters) {
+      val best = e0
         .join(lab.select(col("node").as("dst"), col("lab").as("nl")), "dst")
         .filter(col("nl") =!= -1L)
-        // one src-keyed exchange feeds BOTH vote aggregations (the
-        // (src, label) count and the per-src argmax: hashpartitioning
-        // on src satisfies the clustering of both), and its output is
-        // co-partitioned with the cached node table for the rebuild
+        // one src-keyed exchange feeds BOTH vote aggregations: the
+        // (src, label) count and the per-src argmax each only need the
+        // data clustered by src, and hashpartitioning(src) satisfies
+        // both — the old shape paid a (src, nl) exchange AND an src
+        // exchange per round
         .repartition(col("src"))
         .groupBy("src", "nl").agg(count(lit(1)).as("c"))
         .groupBy("src")
@@ -142,6 +132,7 @@ object Graphs {
       lab = ns.join(best, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("seed"), col("best"), lit(-1L)).as("lab"))
+      if (i % 3 == 2 && i != iters - 1) lab = lab.localCheckpoint(true)
     }
     lab.select(col("node"), col("lab").as("label"))
   }

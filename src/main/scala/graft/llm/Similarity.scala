@@ -363,16 +363,27 @@ object Similarity {
     * query probing (n=nProbe). Output: (idOut, cell, v).
     */
   private def nearestCells(df: DataFrame, idCol: String, vecCol: String,
-      idOut: String, n: Int, centroids: DataFrame): DataFrame =
+      idOut: String, n: Int, centroids: DataFrame): DataFrame = {
+    // bounded top-n per vector (same (sim desc, cell asc) order as the
+    // row_number window it replaces — identical cells kept): each
+    // vector's nlist candidate rows never leave their scan partition, so
+    // the map-side partial completes the group in place and the shuffle
+    // carries one sketch row per vector — the window formulation
+    // re-exchanged and SORTED the (vector x centroid) relation instead
+    val topn = udaf(new graft.functions.Udafs.TopKByScore(n),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     df.select(col(idCol).cast("bigint").as(idOut),
         col(vecCol).cast("array<double>").as("v"))
       .crossJoin(broadcast(centroids
         .withColumn("centroid", col("centroid").cast("array<double>"))))
       .withColumn("sim", cosineSim(col("v"), col("centroid")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col(idOut)).orderBy(col("sim").desc, col("cell"))))
-      .filter(col("rnk") <= n)
-      .select(col(idOut), col("cell"), col("v"))
+      .groupBy(col(idOut))
+      .agg(topn(col("sim"), col("cell").cast("long")).as("tk"),
+        first(col("v")).as("v"))
+      .select(col(idOut), explode(expr("transform(tk, s -> s._2)"))
+        .as("cell_l"), col("v"))
+      .select(col(idOut), col("cell_l").cast("int").as("cell"), col("v"))
+  }
 
   /** IVF INDEX construction — the persistable pair an ANN service
     * maintains: a tiny broadcastable centroid table (cell, centroid) and
@@ -623,18 +634,15 @@ object Similarity {
   def cosineTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, cb: Array[Array[Array[Double]]], codes: DataFrame,
       k: Int, nCandidates: Int = 64): DataFrame = {
-    val numSub = cb.length
-    val ksz = cb(0).length
-    val sub = cb(0)(0).length
-    val cbl = cbLiteral(cb)
+    // native fused LUT build (graft.functions.PqQueryLut): the codebook
+    // rides as one reference object instead of a multi-kilobyte parsed
+    // array literal — the literal formulation re-parsed and re-analyzed
+    // numSub x codebookSize x subDim nested array() calls on EVERY
+    // query construction (hundreds of ms of driver time per call) and
+    // evaluated three interpreted element_at chains per (m, k, i)
     val qlut = withUnitVec(queries, idCol, vecCol, "query_id")
-      .select(col("query_id"), expr(
-        s"transform(sequence(0, ${numSub - 1}), m -> " +
-          s"transform(sequence(0, ${ksz - 1}), k -> " +
-          s"aggregate(sequence(1, $sub), 0D, (a, i) -> " +
-          s"a + element_at(vn, m * $sub + i) * " +
-          s"element_at(element_at(element_at($cbl, m + 1), k + 1), i))))")
-        .as("lut"))
+      .select(col("query_id"),
+        graft.functions.PqQueryLut.queryLut(col("vn"), cb).as("lut"))
     val adc = codes
       .join(broadcast(qlut), col("query_id") =!= col("neighbor_id"))
       // native indexed loop (graft.functions.PqAdcScore) — the

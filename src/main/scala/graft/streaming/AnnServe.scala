@@ -49,8 +49,15 @@ object AnnServe {
       schema: StructType, indexDir: String, sinkDir: String, k: Int,
       nProbe: Int, idCol: String = "vec_id", vecCol: String = "embedding",
       maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000): DataFrame = {
-    // static side: read once, reused by every micro-batch
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    // static side, initialised ONCE and reused by every micro-batch:
+    // the tiny centroid table is cached (bounded LRU), so each batch's
+    // probe reads it from memory instead of re-listing and re-scanning
+    // its parquet per trigger. The assignments stay a plain parquet
+    // relation on purpose — at scale they are the corpus-sized side
+    // whose per-batch read must go through cell partition pruning, not
+    // through a cache.
+    val centroids = graft.llm.Dedup.scopedCache(
+      spark.read.parquet(s"$indexDir/centroids"))
     val assignments = spark.read.parquet(s"$indexDir/assignments")
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(incomingDir)
