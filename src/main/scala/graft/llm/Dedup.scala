@@ -700,8 +700,13 @@ object Dedup {
       .select(col("doc_id"), expr(
         s"transform(sequence(0, cast(ceil(size(w) / ${span}.0) as int) - 1), " +
           s"i -> concat_ws(' ', slice(w, i * $span + 1, $span)))").as("blks")))
+    // one block-keyed exchange shared by the first-occurrence aggregate
+    // and the keep join (both cluster by block text): the explode over
+    // the cached block arrays runs once into one shuffle instead of
+    // once per consumer
     val blocks = base
       .select(col("doc_id"), posexplode(col("blks")).as(Seq("idx", "block")))
+      .repartition(col("block"))
     val firsts = blocks.groupBy("block")
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
     val kept = blocks.join(firsts, "block")

@@ -460,9 +460,14 @@ object TextAnalysis {
     val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val qw = words.filter(col("word").isInCollection(terms))
+    // document frequency derives from the tf relation (its rows ARE the
+    // distinct (doc, word) pairs) instead of re-exploding the corpus for
+    // a second distinct+count pass; the explicit word-keyed exchange is
+    // shared by the df aggregation and the scoring join's probe side, so
+    // the query-filtered explode runs once
     val tf = qw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfreq = qw.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+      .repartition(col("word"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "word")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -504,9 +509,15 @@ object TextAnalysis {
     }
     // per-(doc, feature) counts first: the corpus totals derive from
     // them map-side-combined, and the final scoring join/shuffle moves
-    // one row per DISTINCT (doc, feature) instead of one per occurrence
+    // one row per DISTINCT (doc, feature) instead of one per occurrence.
+    // The explicit feature-keyed exchange is SHARED by its two consumers
+    // (the raw-model aggregation and the scoring join both cluster by
+    // f), so the corpus explode+aggregate runs once into one shuffle the
+    // second leg reads as a ReusedExchange — uncached, the whole docFeat
+    // subtree executed twice.
     val docFeat = feats(raw).groupBy("doc_id", "f")
       .agg(count(lit(1)).as("c"))
+      .repartition(col("f"))
     val rawCnt = docFeat.groupBy("f").agg(sum(col("c")).as("cr"))
     val tgtCnt = feats(target).groupBy("f").agg(count(lit(1)).as("ct"))
     val vocab = rawCnt.join(tgtCnt, Seq("f"), "full_outer")
