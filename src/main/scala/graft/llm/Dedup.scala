@@ -43,6 +43,18 @@ object Dedup {
     * (MEMORY_AND_DISK — spills, never OOMs).
     */
   private val MaxLiveCaches = 8
+  private final case class CacheEntry(cached: DataFrame,
+      var slim: Option[DataFrame])
+  private def freeEntry(e: CacheEntry): Unit = {
+    try e.cached.unpersist(false) catch { case _: Throwable => }
+    e.slim.foreach(s => try {
+      s.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(false): Unit
+        case _ =>
+      }
+    } catch { case _: Throwable => })
+  }
   // keyed by the canonicalized PLAN OBJECT, never its string rendering:
   // plan.toString truncates past spark.sql.maxPlanStringLength, so two
   // different large plans that agree on their prefix (e.g. consecutive
@@ -52,22 +64,51 @@ object Dedup {
   private val liveCaches =
     new java.util.LinkedHashMap[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        DataFrame](16, 0.75f, true) {
+        CacheEntry](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[
             org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-            DataFrame]): Boolean =
-        if (size > MaxLiveCaches) {
-          try e.getValue.unpersist(false) catch { case _: Throwable => }
-          true
-        } else false
+            CacheEntry]): Boolean =
+        if (size > MaxLiveCaches) { freeEntry(e.getValue); true } else false
     }
   private[graft] def scopedCache(df: DataFrame): DataFrame = liveCaches.synchronized {
     val key = df.queryExecution.analyzed.canonicalized
     val hit = liveCaches.get(key)
-    if (hit != null) hit
-    else { val c = df.cache(); liveCaches.put(key, c); c }
+    if (hit != null) hit.cached
+    else { val c = df.cache(); liveCaches.put(key, CacheEntry(c, None)); c }
   }
+
+  /** [[scopedCache]] returning a SLIM-PLAN view of the cached relation: a
+    * lazily local-checkpointed wrapper whose logical plan is a one-node
+    * LogicalRDD (materialized from the cache on first use, block-backed
+    * afterwards). For relations whose plan TREE is huge but whose DATA is
+    * small — the dedup candidate sets, whose trees embed the 128-aggregate
+    * signature pipeline several times over — consumers would otherwise pay
+    * the ANALYZER for the whole tree again on every chained operation
+    * (measured: ~0.5 s of driver time per d12 construction). Same bounded
+    * LRU lifecycle; the wrapper is built once per entry so repeated calls
+    * share one set of checkpoint blocks. */
+  private[graft] def scopedCacheSlim(df: DataFrame): DataFrame =
+    liveCaches.synchronized {
+      df.queryExecution.analyzed match {
+        // already slim (e.g. re-entering through verifyJaccard) — as-is
+        case _: org.apache.spark.sql.execution.LogicalRDD => df
+        case analyzed =>
+          val key = analyzed.canonicalized
+          var e = liveCaches.get(key)
+          if (e == null) {
+            e = CacheEntry(df.cache(), None)
+            liveCaches.put(key, e): Unit
+          }
+          e.slim match {
+            case Some(s) => s
+            case None =>
+              val s = e.cached.localCheckpoint(false)
+              e.slim = Some(s)
+              s
+          }
+      }
+    }
 
   /** Distinct word n-gram shingles per document, as 64-bit keys:
     * (doc_id, shingle: bigint). The shingle STRING is never materialized —
@@ -187,8 +228,15 @@ object Dedup {
   def verifyJaccard(sh: DataFrame, candidatesRaw: DataFrame,
       threshold: Double): DataFrame = {
     // the candidate relation's DAG (banding + estimate filter) must run
-    // exactly once, not once per consumer
-    val candidates = scopedCache(candidatesRaw)
+    // exactly once, not once per consumer — AND its logical plan must
+    // not ride into the verification joins: the candidate tree embeds
+    // the signature pipeline (a 128-aggregate subtree) several times
+    // over, and every chained .join() below re-runs the ANALYZER over
+    // the whole accumulated tree (measured: ~0.5 s of pure driver-side
+    // plan construction per d12 build, the single largest cost of the
+    // query). The slim cached view keeps the run-once semantics while
+    // handing downstream a one-node plan.
+    val candidates = scopedCacheSlim(candidatesRaw)
     val hashed = shingleKey(sh)
     // Set sizes as a separate tiny aggregate (one row per doc, partial
     // combiners map-side, no sort) joined onto the AGGREGATED pair
@@ -368,7 +416,11 @@ object Dedup {
     val vsNew = n.join(broadcast(m), Seq("band", "bh"))
       .filter(col("n_id") < col("m_id"))
       .select(col("n_id").as("a_id"), col("m_id").as("b_id"))
-    val cands = vsOld.union(vsNew).distinct()
+    // slim cached view: the candidate tree (banding joins over the
+    // signature pipeline) would otherwise ride — several times — into
+    // the touched-id set, the corpus semi-join AND the verification
+    // joins, and each downstream Dataset operation re-analyzes it
+    val cands = scopedCacheSlim(vsOld.union(vsNew).distinct())
     // exact verification touches only candidate documents: a BROADCAST
     // semi-join (the candidate id set is collision-sized) prunes the
     // corpus scan in place — never an exchange of the corpus by id
