@@ -116,7 +116,10 @@ object Bpe {
   def trainMerges(docs: DataFrame, textCol: String,
       numMerges: Int): (Seq[Merge], DataFrame) = {
     require(numMerges >= 0)
-    var dict = wordDict(docs, textCol).localCheckpoint(true)
+    // the corpus-sized dictionary aggregation materializes once into the
+    // slim bounded cache (shared by every trainer/segmenter over the
+    // same corpus) instead of an eager checkpoint per invocation
+    var dict = Dedup.scopedCacheSlim(wordDict(docs, textCol))
     val merges = Seq.newBuilder[Merge]
     var rank = 1L
     var exhausted = false
@@ -154,7 +157,7 @@ object Bpe {
   def trainMergesBatched(docs: DataFrame, textCol: String,
       numMerges: Int, batchSize: Int): (Seq[Seq[Merge]], DataFrame) = {
     require(numMerges >= 0 && batchSize >= 1)
-    var dict = wordDict(docs, textCol).localCheckpoint(true)
+    var dict = Dedup.scopedCacheSlim(wordDict(docs, textCol))
     val rounds = Seq.newBuilder[Seq[Merge]]
     var rank = 1L
     var exhausted = false

@@ -103,9 +103,12 @@ object Clustering {
       k: Int, iters: Int, scale: Long = 65536L): Array[Array[Long]] = {
     require(k > 0 && iters >= 0)
     require((scale & (scale - 1)) == 0L, "scale must be a power of two")
-    val q = quantize(
+    // loop invariant in the slim bounded cache: every Lloyd round (and a
+    // repeated training call over the same corpus) reads the quantized
+    // blocks instead of paying an eager checkpoint per invocation
+    val q = Dedup.scopedCacheSlim(quantize(
       embs.select(col(idCol).cast("bigint").as("id"), col(vecCol)),
-      vecCol, scale).select(col("id"), col("qv")).localCheckpoint(true)
+      vecCol, scale).select(col("id"), col("qv")))
     var centroids: Array[Array[Long]] = q.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     require(centroids.length == k, s"corpus smaller than k=$k")

@@ -440,9 +440,10 @@ object Curation {
     // aggregation + local window); without a barrier Catalyst replays the
     // whole curation subtree once per branch. In production the kept
     // stream is a persisted table between the curation and packing jobs;
-    // in-session, the localCheckpoint is that boundary (curation runs
-    // once, both branches read the checkpointed blocks)
-    val kept = if (materializeKept) joined.localCheckpoint(true) else joined
+    // in-session, the slim bounded cache is that boundary (curation runs
+    // once, both branches — and repeated invocations — read the blocks)
+    val kept =
+      if (materializeKept) Dedup.scopedCacheSlim(joined) else joined
     packSequences(kept, "doc_id", "__text", budget, chunkSize)
   }
 

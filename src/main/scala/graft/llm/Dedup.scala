@@ -42,7 +42,12 @@ object Dedup {
     * ENTRY COUNT; the byte bound comes from cache() itself
     * (MEMORY_AND_DISK — spills, never OOMs).
     */
-  private val MaxLiveCaches = 8
+  // 16 since r19: the slim-cache pattern now also covers the iterative
+  // operators' loop invariants (graph edges, BPE dictionary, perceptron
+  // features, quantized k-means corpus), which raised the number of
+  // simultaneously useful entries; each entry is MEMORY_AND_DISK (spills,
+  // never OOMs), so the count bound is the only knob that matters here
+  private val MaxLiveCaches = 16
   private final case class CacheEntry(cached: DataFrame,
       var slim: Option[DataFrame])
   private def freeEntry(e: CacheEntry): Unit = {
@@ -649,10 +654,13 @@ object Dedup {
     // round's job re-reads the symmetrized edges, and without this
     // barrier each round would recompute the full upstream candidate
     // generation (for duplicateClusters that is the entire MinHash+LSH
-    // pipeline — the dominant cost, paid diameter+1 times)
-    val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
-      .localCheckpoint(true)
+    // pipeline — the dominant cost, paid diameter+1 times). The slim
+    // bounded cache replaces the per-invocation eager checkpoint: same
+    // one-node downstream plan, but the pipeline runs once per corpus,
+    // not once per call
+    val sym = scopedCacheSlim(
+      edges.select(col("a_id").as("u"), col("b_id").as("v"))
+        .union(edges.select(col("b_id").as("u"), col("a_id").as("v"))))
     // iterate over edge ENDPOINTS only: a vertex with no edge can never
     // change its label, so singletons sit out the loop entirely and
     // rejoin at the end as their own component. At corpus scale the

@@ -44,25 +44,31 @@ object Graphs {
       iters: Int = 5, dampingPct: Int = 85,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
-    val e0 = edges.select(col(srcCol).cast("bigint").as("src"),
-      col(dstCol).cast("bigint").as("dst")).localCheckpoint(true)
-    val nodes = e0.select(col("src").as("node"))
+    // Loop invariants live in the slim bounded cache
+    // (Dedup.scopedCacheSlim): the expensive edge pipeline (for gr01/gr02
+    // that is the full kNN-graph triangle join) materializes ONCE into
+    // cached blocks — not once per invocation like the eager
+    // localCheckpoint it replaces — and downstream plans see a one-node
+    // LogicalRDD, so the per-round joins never re-analyze the pipeline
+    // tree. (Pre-partitioning the invariants does NOT pay — neither via
+    // localCheckpoint nor via cache: under AQE both report
+    // UnknownPartitioning before execution, so the per-round join
+    // re-exchanges either way — verified in the r18 AND r19 plans.)
+    val e0 = Dedup.scopedCacheSlim(
+      edges.select(col(srcCol).cast("bigint").as("src"),
+        col(dstCol).cast("bigint").as("dst")))
+    val nodes = Dedup.scopedCacheSlim(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = scale / n
     val teleport = (100L - dampingPct) * base / 100L
     // hoist the outdegree join out of the loop: (src, dst, d) costs one
     // extra int column on the edge table but saves an edge-sized join
-    // PER ROUND. (Pre-partitioning the invariants does NOT pay — neither
-    // via localCheckpoint nor via cache: under AQE a checkpoint reports
-    // UnknownPartitioning and an InMemoryRelation wraps an
-    // AdaptiveSparkPlan that likewise reports UnknownPartitioning before
-    // execution, so the per-round join re-exchanges either way —
-    // verified in the r18 AND r19 physical plans.)
-    val e = e0.join(e0.groupBy("src").agg(count(lit(1)).as("d")), "src")
-      .localCheckpoint(true)
+    // PER ROUND
+    val e = Dedup.scopedCacheSlim(
+      e0.join(e0.groupBy("src").agg(count(lit(1)).as("d")), "src"))
     var r = nodes.select(col("node"), lit(base).as("r"))
     for (i <- 0 until iters) {
       val contrib = e.join(r.withColumnRenamed("node", "src"), "src")
@@ -103,17 +109,20 @@ object Graphs {
       seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
       iters: Int): DataFrame = {
     require(iters >= 0)
-    val e0 = edges.select(col(srcCol).cast("bigint").as("src"),
-      col(dstCol).cast("bigint").as("dst")).localCheckpoint(true)
+    // loop invariants in the slim bounded cache (see pagerankFixedPoint);
+    // the edge relation's canonicalized plan matches gr01's, so the kNN
+    // graph materializes once and BOTH graph gates read the same blocks
+    val e0 = Dedup.scopedCacheSlim(
+      edges.select(col(srcCol).cast("bigint").as("src"),
+        col(dstCol).cast("bigint").as("dst")))
     val sd = seeds.select(col(seedNodeCol).cast("bigint").as("node"),
       col(seedLabelCol).cast("bigint").as("seed"))
     // node table with the seed column FOLDED IN — the old per-round
     // (nodes ⋈ best ⋈ sd) double join becomes a single join per round
-    val ns = e0.select(col("src").as("node"))
+    val ns = Dedup.scopedCacheSlim(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
       .distinct()
-      .join(sd, Seq("node"), "left")
-      .localCheckpoint(true)
+      .join(sd, Seq("node"), "left"))
     var lab = ns.select(col("node"), coalesce(col("seed"), lit(-1L)).as("lab"))
     for (i <- 0 until iters) {
       val best = e0

@@ -58,14 +58,17 @@ object Perceptron {
         pmod(RollingHash.rollingHash(col("tok")), lit(dims.toLong)))
       .groupBy("doc_id", "y", "bucket")
       .agg(count(lit(1)).as("x"))
-      .localCheckpoint(true)
+    // loop invariant: materialized once into the slim bounded cache
+    // (every round re-reads it; the eager checkpoint it replaces paid
+    // the corpus explode+aggregate on every invocation)
+    val featsC = Dedup.scopedCacheSlim(feats)
     val w = Array.fill(dims)(0L)
     val wSum = Array.fill(dims)(0L)
     for (_ <- 0 until rounds) {
       val wLit = w.mkString("array(", "L,", "L)")
       // one pass: score every doc against the literal weights, keep the
       // misclassified ones' (y, bucket, x), aggregate the update
-      val upd = feats
+      val upd = featsC
         .withColumn("wx", expr(s"x * element_at($wLit, " +
           "CAST(bucket AS INT) + 1)"))
         .groupBy("doc_id", "y")
